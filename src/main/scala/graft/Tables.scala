@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IO layer: parquet testdata readers, the shared `points` relation the
+  * k-means surface runs on, and reference-parity CSV sources/sinks.
+  *
+  * Reference semantics (see SURVEY.md §1.3-1.4): CSV is read with a fixed
+  * positional schema and the header line skipped (`ignoreFirstLine`,
+  * flink-project/src/main/java/org/apache/flink/KMeans.java:73-77,138-142);
+  * CSV sinks are single-file, header-less, overwrite (KMeans.java:132,231-233).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Points relation derived from lineitem (FIXTURES.md §2).
+  // pid is a radix-packed key over the unique lineitem natural key
+  // (l_orderkey, l_linenumber, l_partkey, l_suppkey) — (orderkey,
+  // linenumber) alone is NOT unique in this synthetic data. The packing is
+  // overflow-safe in int64 up to ~sf10 and computes identically in Spark
+  // and DuckDB (pure int64 arithmetic).
+  // ---------------------------------------------------------------------
+  val pidExpr: Column =
+    ((col("l_orderkey") * 10L + col("l_linenumber")) * 1000000L
+      + col("l_partkey")) * 100000L + col("l_suppkey")
+
+  val pointsSqlBody: String =
+    "SELECT ((l_orderkey*10 + l_linenumber)*1000000 + l_partkey)*100000 + l_suppkey AS pid, " +
+      "l_extendedprice AS x, l_quantity AS y FROM lineitem"
+
+  /** The shared 2-D points relation: (pid: long, x: double, y: double). */
+  def points(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(pidExpr.as("pid"), col("l_extendedprice").as("x"), col("l_quantity").as("y"))
+
+  /** Deterministic initial centroids: the k lowest-pid points, cid = rank.
+    * Uses takeOrdered-style `orderBy(pid).limit(k)` (top-k per partition,
+    * no global sort/shuffle) then builds a tiny in-memory relation —
+    * reference O3 `env.fromCollection` (KMeans.java:120). */
+  def initCentroids(spark: SparkSession, dir: String, k: Int = 8): Seq[kmeans.Cent] = {
+    val rows = points(spark, dir).orderBy("pid").limit(k).collect()
+    rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
+      kmeans.Cent(i, r.getDouble(1), r.getDouble(2))
+    }.toSeq
+  }
+
+  def centroidsDF(spark: SparkSession, cents: Seq[kmeans.Cent]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "x", "y")
+  }
+
+  def centsSqlBody(k: Int): String =
+    s"SELECT CAST(rn - 1 AS INT) AS cid, x, y FROM " +
+      s"(SELECT x, y, ROW_NUMBER() OVER (ORDER BY pid) AS rn FROM pts) t WHERE rn <= $k"
+
+  /** `WITH pts AS (...), cents AS (...) <tail>` oracle-SQL scaffold. */
+  def withPtsCents(tail: String, k: Int = 8): String =
+    s"WITH pts AS ($pointsSqlBody), cents AS (${centsSqlBody(k)}) $tail"
+
+  // ---------------------------------------------------------------------
+  // Reference-parity CSV IO (O1, O2, O15)
+  // ---------------------------------------------------------------------
+  val pointsCsvSchema: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+
+  val centroidsCsvSchema: StructType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+
+  /** O1 — CSV points scan; header=true reproduces `ignoreFirstLine`
+    * (KMeans.java:74): line 1 is skipped, never interpreted. */
+  def pointsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(pointsCsvSchema).option("header", true).csv(path)
+
+  /** O2 — CSV centroids scan (KMeans.java:138-142). */
+  def centroidsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(centroidsCsvSchema).option("header", true).csv(path)
+
+  /** O15 — single-file, header-less, overwrite CSV sink
+    * (KMeans.java:231-233, `setParallelism(1)` + WriteMode.OVERWRITE). */
+  def writeCsvSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", false).csv(path)
+}

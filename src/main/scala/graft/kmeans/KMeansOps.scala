@@ -1,0 +1,171 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A 2-D centroid (reference `Centroid extends Point`, KMeans.java:406-430 —
+  * immutable here; the reference's in-place `Point.sum/div` mutation is a
+  * Flink object-reuse idiom we deliberately do not replicate, SURVEY.md §4). */
+case class Cent(cid: Int, x: Double, y: Double)
+
+/** The single-Lloyd-step operator kernel as declarative DataFrame
+  * transforms. Every transform has an exact DuckDB-SQL twin (the
+  * `*Sql` builders) so the driver's oracle can hash-compare results.
+  *
+  * Determinism notes (these make hash-exact oracle matching possible):
+  *  - all per-row arithmetic is IEEE double ops (`*`, `+`, `-`, `sqrt`)
+  *    that evaluate bit-identically in Spark codegen and DuckDB; we never
+  *    use `pow` (libm-dependent — see the reference's 1-ULP
+  *    `Math.pow(sqrt(d),2)` wrinkle, KMeans.java:357,381);
+  *  - every SUM over doubles goes through a per-row cast to DECIMAL
+  *    (deterministic rounding) followed by an EXACT decimal sum, so the
+  *    result is independent of partition/accumulation order — the one
+  *    thing that differs between engines and between Spark runs.
+  */
+object KMeansOps {
+
+  private val Dec = DecimalType(28, 6)
+
+  def sqDist(x: Column, y: Column, cx: Column, cy: Column): Column = {
+    val dx = x - cx; val dy = y - cy
+    dx * dx + dy * dy
+  }
+
+  // -----------------------------------------------------------------
+  // O6 — nearest-centroid assignment (ComputeCentroidsDistance,
+  // KMeans.java:264-290). Tie-break: strictly-less keeps the first
+  // (lowest-cid) centroid (KMeans.java:281) → order by (sqdist, cid).
+  // -----------------------------------------------------------------
+
+  /** Broadcast-argmin as a pure projection: the k centroids are folded
+    * into a `least(struct(sqdist, cid, cx, cy))` expression. ZERO shuffle,
+    * whole-stage-codegen'd, scales linearly with input — this is the
+    * 100 TB path for small k (the centroid set plays the role of the
+    * reference's broadcast variable, KMeans.java:159). */
+  def assign(points: DataFrame, cents: Seq[Cent]): DataFrame = {
+    require(cents.nonEmpty, "assign: empty centroid set")
+    val cands = cents.map { c =>
+      struct(
+        sqDist(col("x"), col("y"), lit(c.x), lit(c.y)).as("sq"),
+        lit(c.cid).as("cid"), lit(c.x).as("cx"), lit(c.y).as("cy"))
+    }
+    val best = if (cands.size == 1) cands.head else least(cands: _*)
+    points
+      .withColumn("best", best)
+      .select(col("pid"), col("x"), col("y"),
+        col("best.cid").as("cid"), col("best.cx").as("cx"),
+        col("best.cy").as("cy"), col("best.sq").as("sqdist"))
+  }
+
+  /** Broadcast-hash-join variant for larger k (centroids still fit in an
+    * executor but not in a codegen expression): crossJoin(broadcast) +
+    * per-pid min(struct) aggregate — one shuffle on pid, map-side
+    * partial agg. Same (sqdist, cid) ordering semantics as `assign`. */
+  def assignJoin(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("cid"), col("x").as("cx"), col("y").as("cy"))
+    points.crossJoin(broadcast(c))
+      .withColumn("sq", sqDist(col("x"), col("y"), col("cx"), col("cy")))
+      .groupBy("pid")
+      .agg(min(struct(col("sq"), col("cid"), col("cx"), col("cy"), col("x"), col("y"))).as("b"))
+      .select(col("pid"), col("b.x").as("x"), col("b.y").as("y"),
+        col("b.cid").as("cid"), col("b.cx").as("cx"), col("b.cy").as("cy"),
+        col("b.sq").as("sqdist"))
+  }
+
+  /** DuckDB twin of `assign`: window argmin with the same tie-break. */
+  def assignSql(ptsRel: String = "pts", centsRel: String = "cents"): String =
+    s"""SELECT pid, x, y, cid, cx, cy, sq AS sqdist FROM (
+       |  SELECT p.pid, p.x, p.y, c.cid, c.x AS cx, c.y AS cy,
+       |         (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) AS sq,
+       |         ROW_NUMBER() OVER (PARTITION BY p.pid
+       |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+       |  FROM $ptsRel p CROSS JOIN $centsRel c) a WHERE rn = 1""".stripMargin
+
+  // -----------------------------------------------------------------
+  // O7/O8 — count-append + keyed sum/count aggregate
+  // (PointCounterFieldAppend + CentroidReducer, KMeans.java:297-320).
+  // -----------------------------------------------------------------
+
+  /** O7 — (cid, p) → (cid, p, 1L); Spark's count(*) subsumes it, kept as
+    * an explicit operator for surface parity. */
+  def countAppend(assigned: DataFrame): DataFrame =
+    assigned.select(col("pid"), col("cid"), lit(1L).as("cnt"))
+
+  /** O8 — per-cid Σx, Σy, n. HashAggregateExec gives the partial/final
+    * (combiner) split the reference gets from Flink's chained
+    * ReduceFunction. Decimal-exact sums → order-independent. */
+  def sumCount(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cid").agg(
+      sum(col("x").cast(Dec)).cast("double").as("sx"),
+      sum(col("y").cast(Dec)).cast("double").as("sy"),
+      count(lit(1)).as("n"))
+
+  def sumCountSql(assignedRel: String): String =
+    s"""SELECT cid, CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |       CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |       COUNT(*) AS n
+       |FROM $assignedRel GROUP BY cid""".stripMargin
+
+  // -----------------------------------------------------------------
+  // O9 — mean recompute (ComputeNewCentroids, KMeans.java:328-336),
+  // folded into the aggregate: mean = CAST(decimal Σ AS DOUBLE) / n so
+  // both engines perform the identical IEEE division.
+  // An empty cluster simply produces no group — k can shrink, matching
+  // the reference (SURVEY.md §5 edge semantics), unlike MLlib which
+  // keeps the old center.
+  // -----------------------------------------------------------------
+  def recompute(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cid").agg(
+      (sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("x"),
+      (sum(col("y").cast(Dec)).cast("double") / count(lit(1))).as("y"))
+
+  def recomputeSql(assignedRel: String): String =
+    s"""SELECT cid,
+       |       CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS x,
+       |       CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS y
+       |FROM $assignedRel GROUP BY cid""".stripMargin
+
+  /** One full Lloyd step as SQL: assign to `centsRel`, re-average. */
+  def stepSql(ptsRel: String, centsRel: String): String =
+    s"""SELECT cid,
+       |       CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS x,
+       |       CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS y
+       |FROM (
+       |  SELECT p.pid, p.x, p.y, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY p.pid
+       |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
+       |  FROM $ptsRel p CROSS JOIN $centsRel c) a
+       |WHERE rn = 1 GROUP BY cid""".stripMargin
+
+  // -----------------------------------------------------------------
+  // O13/O14 — objective function (WCSS/SSE). The reference round-trips
+  // Math.pow(sqrt(d), 2) (KMeans.java:357); we compute d directly.
+  // -----------------------------------------------------------------
+
+  /** O14 — per-point squared distance to its own centroid. */
+  def objSqdist(assigned: DataFrame): DataFrame =
+    assigned.select(col("pid"), col("sqdist"))
+
+  /** O13 — global sum → 1-row scalar, decimal-exact. sqdist magnitude is
+    * ≤ ~1e10 here so DECIMAL(38,6) holds ~1e22 worth of sum headroom. */
+  def objective(assigned: DataFrame): DataFrame =
+    assigned.agg(sum(col("sqdist").cast(DecimalType(38, 6))).cast("double").as("objective"))
+
+  def objectiveSql(assignedRel: String): String =
+    s"SELECT CAST(SUM(CAST(sqdist AS DECIMAL(38,6))) AS DOUBLE) AS objective FROM $assignedRel"
+
+  // -----------------------------------------------------------------
+  // O11/O12 — convergence check: equi join new/old on cid + theta filter
+  // dist > epsilon (strict: KMeans.java:175-181). Both sides are k rows →
+  // Catalyst picks BroadcastHashJoin on its own.
+  // -----------------------------------------------------------------
+  def convergePairs(newC: DataFrame, oldC: DataFrame): DataFrame =
+    newC.select(col("cid"), col("x").as("nx"), col("y").as("ny"))
+      .join(oldC.select(col("cid"), col("x").as("ox"), col("y").as("oy")), Seq("cid"))
+
+  def convergeFilter(pairs: DataFrame, epsilon: Double): DataFrame =
+    pairs.withColumn("displacement",
+        sqrt(sqDist(col("nx"), col("ny"), col("ox"), col("oy"))))
+      .filter(col("displacement") > lit(epsilon))
+}
