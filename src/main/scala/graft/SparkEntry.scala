@@ -1,13 +1,97 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.kmeans.KMeansOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` composes the operator kernels in
+  * [[graft.kmeans.KMeansOps]] / [[graft.Tables]] over the shared testdata
+  * parquet; every entry in `oracleSql` is the exact DuckDB twin the driver
+  * hash-compares against. Column names are aliased identically on both
+  * sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private val K = 8
+
+  /** assigned = nearest-centroid assignment of the shared points relation
+    * to the deterministic k lowest-pid initial centroids. */
+  private def assigned(s: SparkSession, dir: String): DataFrame =
+    KMeansOps.assign(Tables.points(s, dir), Tables.initCentroids(s, dir, K))
+
+  /** Oracle-side WITH scaffold: pts, cents, assigned. */
+  private def withAssigned(tail: String): String =
+    Tables.withPtsCents(s", assigned AS (${KMeansOps.assignSql()}) $tail", K)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full fixed-init Lloyd fit (10 iterations) returning the final
+    * centroids — the reference's EP1 (KMeans.java:148-186) end-to-end. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cfg = kmeans.KMeansConfig(k = K, maxIter = 10, tol = 1e-9)
+    val res = kmeans.KMeansFit.fit(
+      Tables.points(spark, dir), Tables.initCentroids(spark, dir, K), cfg)
+    Tables.centroidsDF(spark, res.centroids)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.2). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 — parquet/points scan (projection + derived key)
+    "scan_points" -> ((s, dir) => Tables.points(s, dir)),
+    // O3 — deterministic in-memory centroid source
+    "init_centroids" -> ((s, dir) =>
+      Tables.centroidsDF(s, Tables.initCentroids(s, dir, K))),
+    // O6-a — zero-shuffle codegen argmin assignment (production path)
+    "assign_nearest" -> ((s, dir) => assigned(s, dir)),
+    // O6-b — broadcast-join + min(struct) variant (oracle-checkable twin)
+    "assign_join" -> ((s, dir) =>
+      KMeansOps.assignJoin(
+        Tables.points(s, dir),
+        Tables.centroidsDF(s, Tables.initCentroids(s, dir, K)))),
+    // O7 — count-append map
+    "count_append" -> ((s, dir) => KMeansOps.countAppend(assigned(s, dir))),
+    // O8 — keyed sum/count aggregate (partial+final combiner)
+    "sum_count_agg" -> ((s, dir) => KMeansOps.sumCount(assigned(s, dir))),
+    // O9 — mean recompute (one full Lloyd step = assign + recompute)
+    "kmeans_step" -> ((s, dir) => KMeansOps.recompute(assigned(s, dir))),
+    // O14 — per-point squared distance
+    "objective_sqdist" -> ((s, dir) => KMeansOps.objSqdist(assigned(s, dir))),
+    // O13 — global sum → scalar SSE
+    "objective_sum" -> ((s, dir) => KMeansOps.objective(assigned(s, dir))),
+    // O11 — convergence equi join (new centroids vs old, k rows each)
+    "converge_pairs" -> ((s, dir) => {
+      val init = Tables.centroidsDF(s, Tables.initCentroids(s, dir, K))
+      KMeansOps.convergePairs(KMeansOps.recompute(assigned(s, dir)), init)
+    }),
+    // O12 — theta filter: centroids that moved > epsilon (strict)
+    "converge_filter" -> ((s, dir) => {
+      val init = Tables.centroidsDF(s, Tables.initCentroids(s, dir, K))
+      val pairs = KMeansOps.convergePairs(KMeansOps.recompute(assigned(s, dir)), init)
+      KMeansOps.convergeFilter(pairs, epsilon = 1.0).drop("displacement")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "scan_points" -> Tables.pointsSqlBody,
+    "init_centroids" -> Tables.withPtsCents("SELECT cid, x, y FROM cents", K),
+    "assign_nearest" -> Tables.withPtsCents(KMeansOps.assignSql(), K),
+    "assign_join" -> Tables.withPtsCents(KMeansOps.assignSql(), K),
+    "count_append" -> withAssigned("SELECT pid, cid, CAST(1 AS BIGINT) AS cnt FROM assigned"),
+    "sum_count_agg" -> withAssigned(KMeansOps.sumCountSql("assigned")),
+    "kmeans_step" -> Tables.withPtsCents(KMeansOps.stepSql("pts", "cents"), K),
+    "objective_sqdist" -> withAssigned("SELECT pid, sqdist FROM assigned"),
+    "objective_sum" -> withAssigned(KMeansOps.objectiveSql("assigned")),
+    "converge_pairs" -> withAssigned(
+      s""", newc AS (${KMeansOps.recomputeSql("assigned")})
+         |SELECT n.cid, n.x AS nx, n.y AS ny, c.x AS ox, c.y AS oy
+         |FROM newc n JOIN cents c ON n.cid = c.cid""".stripMargin),
+    "converge_filter" -> withAssigned(
+      s""", newc AS (${KMeansOps.recomputeSql("assigned")})
+         |SELECT n.cid, n.x AS nx, n.y AS ny, c.x AS ox, c.y AS oy
+         |FROM newc n JOIN cents c ON n.cid = c.cid
+         |WHERE SQRT((n.x-c.x)*(n.x-c.x) + (n.y-c.y)*(n.y-c.y)) > 1.0""".stripMargin),
+  )
 }
