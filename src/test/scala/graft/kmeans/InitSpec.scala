@@ -1,0 +1,39 @@
+package graft.kmeans
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** O3/O4 — seeded uniform init (KMeans.java:88-95) and the closest-pair
+  * re-spacing heuristic (KMeans.java:98-118). */
+class InitSpec extends SparkSpec {
+
+  test("randomInit is deterministic for a fixed seed and respects [minC, maxC]") {
+    val cfg = KMeansConfig(k = 6, minC = -15, maxC = 15, seed = 7L)
+    val a = KMeansFit.randomInit(cfg)
+    val b = KMeansFit.randomInit(cfg)
+    assert(a == b)
+    assert(a.map(_.cid) == (0 until 6))
+    assert(a.forall(c => c.x >= -15 && c.x <= 15 && c.y >= -15 && c.y <= 15))
+    val c = KMeansFit.randomInit(cfg.copy(seed = 8L))
+    assert(a != c)
+  }
+
+  test("respace re-randomizes one member of the globally closest pair") {
+    val tight = Seq(Cent(0, 0.0, 0.0), Cent(1, 0.001, 0.0), Cent(2, 50.0, 50.0))
+    val cfg = KMeansConfig(k = 3, minC = -15, maxC = 15, recompNearest = 1, seed = 1L)
+    val out = KMeansFit.respace(tight, cfg, new Random(1L))
+    // cid 2 (far away) untouched; exactly one of the close pair moved
+    assert(out.find(_.cid == 2).get == Cent(2, 50.0, 50.0))
+    val movedCount = out.zip(tight).count { case (n, o) => n != o }
+    assert(movedCount == 1)
+    // ids are preserved by re-spacing
+    assert(out.map(_.cid) == tight.map(_.cid))
+  }
+
+  test("respace with zero passes is the identity") {
+    val cents = Seq(Cent(0, 1.0, 2.0), Cent(1, 3.0, 4.0))
+    val cfg = KMeansConfig(k = 2, recompNearest = 0)
+    assert(KMeansFit.randomInit(cfg.copy(seed = 3L)).size == 2)
+    assert(KMeansFit.respace(cents, cfg, new Random(3L)) == cents)
+  }
+}
