@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.kmeans.KMeansOps
+import graft.ops.{Dedup, EmbeddingOps, EventOps, Multimodal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,6 +71,43 @@ object SparkEntry {
       val pairs = KMeansOps.convergePairs(KMeansOps.recompute(assigned(s, dir)), init)
       KMeansOps.convergeFilter(pairs, epsilon = 1.0).drop("displacement")
     }),
+
+    // ----- LLM-data-pipeline surface (SURVEY.md §2.2) -----
+    // Text analysis over `documents`
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.table(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.table(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextOps.langId(Tables.table(s, dir, "documents"))),
+    "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
+    // Dedup
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.table(s, dir, "documents"))),
+    "dedup_fingerprint" -> ((s, dir) =>
+      Dedup.exactByFingerprint(Tables.table(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.table(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.table(s, dir, "documents"))),
+    // Similarity search over `embeddings`
+    "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
+    "emb_cosine_topk" -> ((s, dir) =>
+      EmbeddingOps.cosineTopK(Tables.table(s, dir, "embeddings"))),
+    "emb_lsh_topk" -> ((s, dir) =>
+      EmbeddingOps.lshTopK(Tables.table(s, dir, "embeddings"))),
+    "emb_near_dups" -> ((s, dir) =>
+      EmbeddingOps.cosineNearDups(Tables.table(s, dir, "embeddings"))),
+    // Events: windowed agg + sessionization
+    "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
+    "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+    // Multimodal binary-column plumbing (decode stubbed, plumbing real)
+    "mm_summary" -> ((s, dir) =>
+      Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents"))).toDF()),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +131,24 @@ object SparkEntry {
          |SELECT n.cid, n.x AS nx, n.y AS ny, c.x AS ox, c.y AS oy
          |FROM newc n JOIN cents c ON n.cid = c.cid
          |WHERE SQRT((n.x-c.x)*(n.x-c.x) + (n.y-c.y)*(n.y-c.y)) > 1.0""".stripMargin),
+
+    // ----- LLM-data-pipeline twins -----
+    "text_tokens" -> TextOps.tokenCountsSql,
+    "text_quality" -> TextOps.qualityScoreSql,
+    "text_langid" -> TextOps.langIdSql,
+    "text_token_stats" -> TextOps.tokenStatsSql,
+    "text_fingerprint" -> TextOps.fingerprintsSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    "emb_norms" -> EmbeddingOps.normsSql,
+    "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
+    "events_hourly_agg" -> EventOps.hourlyTypeAggSql,
+    "events_sessionize" -> EventOps.sessionizeSql(),
+    "mm_summary" -> Multimodal.mediaSummarySql,
+    // dedup_minhash / dedup_simhash / emb_lsh_topk / emb_near_dups /
+    // mm_features / mm_frames: engine-specific hash functions or binary
+    // payloads — not DuckDB-expressible; covered by ScalaTest
+    // planted-duplicate / determinism suites instead (rows-only check).
   )
 }

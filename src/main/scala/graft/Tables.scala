@@ -17,6 +17,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The `events` table ships nanosecond parquet timestamps, which Spark
+    * only reads via the nanosAsLong legacy conf; convert to microsecond
+    * TIMESTAMP with exact integral division (a double roundtrip would
+    * lose precision — nanos-since-epoch ≈ 1.7e18 > 2^53). DuckDB performs
+    * the same truncating nanos→micros conversion on read. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   // ---------------------------------------------------------------------
   // Points relation derived from lineitem (FIXTURES.md §2).
   // pid is a radix-packed key over the unique lineitem natural key

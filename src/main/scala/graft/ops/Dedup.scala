@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface (builder
+  * brief / SURVEY.md §2.2): exact, n-gram Jaccard, MinHash+LSH banding,
+  * and SimHash. The oracle-checkable ops (exact, Jaccard) have DuckDB
+  * twins; the hash-family ops (MinHash/SimHash — engine-specific hash
+  * functions) are covered by planted-duplicate recall tests instead.
+  *
+  * 100 TB posture: nothing here is all-pairs. Exact dedup is one
+  * hash-shuffle on the key; Jaccard joins only docs sharing a shingle
+  * (inverted-index blocking); MinHash/SimHash shuffle on (band, bandHash)
+  * buckets — O(n·bands) rows through the wire, pairs generated only
+  * within buckets.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup: keep the lowest doc_id per identical text. One
+  // hash-partition shuffle on the (high-cardinality, unskewed) text key
+  // with map-side partial min — the canonical scale shape. An
+  // alternative key is TextOps.fingerprint(text) (fixed 8-byte key vs
+  // arbitrarily long text — cheaper to shuffle at 100 TB).
+  // -------------------------------------------------------------------
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+
+  val exactSql: String =
+    "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+  /** Exact-dup groups by content fingerprint: (fp, n_copies, keeper). */
+  def exactByFingerprint(docs: DataFrame): DataFrame =
+    TextOps.fingerprints(docs)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
+  val exactByFingerprintSql: String =
+    s"""SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+       |FROM (${TextOps.fingerprintsSql}) f GROUP BY fp""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Word n-gram shingles (default n=3), distinct per doc.
+  // -------------------------------------------------------------------
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(
+        col("doc_id"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(0))),
+          i => array_join(slice(col("tk"), i, lit(n)), " "))).as("shingle"))
+      .distinct()
+
+  def shinglesSql(n: Int = 3): String =
+    s"""SELECT DISTINCT doc_id,
+       |  unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |    i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS shingle
+       |FROM (SELECT doc_id,
+       |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |  FROM documents) d""".stripMargin
+
+  // -------------------------------------------------------------------
+  // N-gram Jaccard near-dup join with inverted-index blocking: only doc
+  // pairs sharing >= 1 shingle are compared. |A∩B| comes from the
+  // blocking join's group count; |A∪B| = |A|+|B|-|A∩B|. The shuffle key
+  // is the shingle (bounded skew for 3-grams); the pair aggregation
+  // shuffles candidate pairs only — never n².
+  // -------------------------------------------------------------------
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("shingle"))
+    val b = sh.select(col("doc_id").as("db"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "inter", "jaccard")
+  }
+
+  def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.8): String =
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, inter,
+       |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold""".stripMargin
+
+  // -------------------------------------------------------------------
+  // MinHash signatures + LSH banding. numPerm independent min-hashes
+  // per doc (xxhash64 seeded by the permutation index), grouped into
+  // bands of `rowsPerBand`; docs agreeing on a whole band land in the
+  // same bucket. Signature computation is a pure projection (fold over
+  // the shingle array — zero shuffle); the bucket join shuffles
+  // O(n·bands) rows. P[bucket-collision] = 1-(1-j^r)^b — with 64 perms,
+  // 16 bands × 4 rows, j=0.8 docs collide w.p. ~99.98%.
+  // -------------------------------------------------------------------
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val sh = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(0))),
+      i => array_join(slice(col("tk"), i, lit(n)), " ")))
+    docs.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), lit(numPerm - 1)),
+          p => array_min(transform(col("sh"), s => xxhash64(p, s)))).as("sig"))
+  }
+
+  def lshCandidatePairs(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numPerm / rowsPerBand
+    val sigs = minhashSignatures(docs, n, numPerm)
+    val buckets = sigs.select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "bucket")
+    val a = buckets.select(col("doc_id").as("da"), col("band"), col("bucket"))
+    val b = buckets.select(col("doc_id").as("db"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** MinHash near-dup pipeline: LSH candidates, then exact-Jaccard
+    * verification of candidates only (never all pairs). */
+  def minhashNearDups(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val cands = lshCandidatePairs(docs, n, numPerm, rowsPerBand)
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("shingle"))
+    val b = sh.select(col("doc_id").as("db"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+      .join(cands, Seq("da", "db"), "left_semi")
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash: 64-bit signature — bit j is the sign of the sum over
+  // tokens of ±1 depending on bit j of the token's hash. Near-dups =
+  // pairs within `maxHamming`. Candidate generation uses the pigeonhole
+  // trick: split the 64 bits into (maxHamming+1) chunks; any pair
+  // within maxHamming agrees exactly on >= 1 chunk → join on
+  // (chunkIdx, chunkValue), O(n·chunks) shuffle.
+  // -------------------------------------------------------------------
+  def simhash(tokensCol: Column): Column =
+    (0 until 64).map { j =>
+      val bitSum = aggregate(
+        tokensCol, lit(0L),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash(TextOps.tokens(col("text"))).as("simhash"))
+
+  /** Candidate pairs with Hamming distance <= maxHamming (pigeonhole
+    * chunk join), verified by an exact popcount on the XOR. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sh = simhashes(docs)
+    val chunked = sh.select(
+        col("doc_id"), col("simhash"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftright(col("simhash"), c * bitsPer)
+            .bitwiseAND((1L << bitsPer) - 1)
+        }: _*)))
+      .toDF("doc_id", "simhash", "chunk", "val")
+    val a = chunked.select(col("doc_id").as("da"), col("simhash").as("ha"),
+      col("chunk"), col("val"))
+    val b = chunked.select(col("doc_id").as("db"), col("simhash").as("hb"),
+      col("chunk"), col("val"))
+    a.join(b, Seq("chunk", "val"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.util.Random
+
+/** Similarity-search operators over the `embeddings` table
+  * (vec_id: long, embedding: array<float>, label: int) — builder brief /
+  * SURVEY.md §2.2.
+  *
+  * Determinism for the oracle-checked ops: every dot product / norm is a
+  * LEFT-TO-RIGHT fold over the array (Spark `aggregate` with init 0.0;
+  * DuckDB `list_reduce` over a 0.0-prepended list), so both engines
+  * perform the identical IEEE addition sequence — bit-exact matches,
+  * no decimal detour needed.
+  *
+  * 100 TB posture: brute-force top-k is the correctness baseline (one
+  * scan, per-partition top-k, k rows to the driver); the scale path is
+  * the seeded random-hyperplane LSH bucketing — candidates come from one
+  * bucket join (O(n·tables) shuffle rows), never an all-pairs compare.
+  */
+object EmbeddingOps {
+
+  /** Fold-based dot product of two array<double|float> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB twin of `dot` for a column vs an inline SQL array expr. */
+  private def dotSql(aExpr: String, bExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($aExpr)),
+       |    i -> CAST($aExpr[i] AS DOUBLE) * CAST($bExpr[i] AS DOUBLE))),
+       |  (a, b) -> a + b)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-vector L2 norms — pure projection, zero shuffle.
+  // -------------------------------------------------------------------
+  def norms(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), l2Norm(col("embedding")).as("l2_norm"))
+
+  val normsSql: String =
+    s"SELECT vec_id, SQRT(${dotSql("embedding", "embedding")}) AS l2_norm FROM embeddings"
+
+  // -------------------------------------------------------------------
+  // Brute-force cosine top-k to a fixed query vector (the vector of
+  // `queryId`). Exact-baseline ANN: one scan computing cosine as a
+  // projection, then a global top-k. The SQL twin uses a window; the
+  // Spark side uses the same window for hash-parity — at scale swap the
+  // window for orderBy(...).limit(k) (TakeOrderedAndProject: per-
+  // partition top-k, no global sort).
+  // -------------------------------------------------------------------
+  def cosineTopK(embs: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm"))
+    val scored = embs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        (dot(col("embedding"), col("q_emb"))
+          / (l2Norm(col("embedding")) * col("q_norm"))).as("cosine"))
+    val w = Window.orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  def cosineTopKSql(queryId: Long = 0L, k: Int = 10): String =
+    s"""WITH q AS (SELECT embedding AS q_emb,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS q_norm
+       |  FROM embeddings WHERE vec_id = $queryId),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    ${dotSql("e.embedding", "q.q_emb")}
+       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * q.q_norm) AS cosine
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $queryId)
+       |SELECT vec_id, cosine FROM (
+       |  SELECT vec_id, cosine,
+       |    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scored) s WHERE rn <= $k""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Seeded random-hyperplane LSH: `numBits` hyperplanes per table,
+  // `numTables` independent tables. sign-bit signature = bucket id.
+  // Hyperplanes are driver-generated (seeded Gaussian), shipped as
+  // literal arrays inside the plan (k·d doubles — tiny), so bucketing
+  // is a pure zero-shuffle projection.
+  // -------------------------------------------------------------------
+  def hyperplanes(dim: Int, numBits: Int, numTables: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numTables)(Seq.fill(numBits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  private def bucketExpr(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = array(p.map(lit): _*)
+      when(dot(emb, lits) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (vec_id, table, bucket) — the LSH index relation. */
+  def lshBuckets(
+      embs: DataFrame, dim: Int = 64, numBits: Int = 8,
+      numTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val tables = hyperplanes(dim, numBits, numTables, seed)
+    tables.zipWithIndex.map { case (planes, t) =>
+      embs.select(
+        col("vec_id"),
+        lit(t).as("table"),
+        bucketExpr(col("embedding"), planes).as("bucket"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** ANN top-k via LSH: score only same-bucket candidates, then exact
+    * cosine + top-k over that (usually tiny) candidate set. */
+  def lshTopK(
+      embs: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      numBits: Int = 8, numTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val buckets = lshBuckets(embs, dim, numBits, numTables, seed)
+    val qb = buckets.filter(col("vec_id") === queryId)
+      .select(col("table"), col("bucket"))
+    val candIds = buckets.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id").distinct()
+    cosineTopK(embs.join(candIds.unionAll(
+        embs.filter(col("vec_id") === queryId).select("vec_id")),
+      Seq("vec_id"), "left_semi"), queryId, k)
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup pairs: bucket with LSH, exact-cosine
+  // verify within buckets only.
+  // -------------------------------------------------------------------
+  def cosineNearDups(
+      embs: DataFrame, threshold: Double = 0.4, dim: Int = 64,
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val buckets = lshBuckets(embs, dim, numBits, numTables, seed)
+    val pairs = buckets.select(col("vec_id").as("ida"), col("table"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("idb"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val e = embs.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    pairs
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch analytics over the `events` table
+  * (event_id, ts, user_id, event_type, value, props) — windowed
+  * aggregation and sessionization, the batch faces of the streaming
+  * surface (the reference itself is batch-only, SURVEY.md §1.4; the
+  * streaming variants live in graft.streaming).
+  *
+  * 100 TB posture: the tumbling-window agg shuffles once on the
+  * (hour, event_type) composite (partial agg map-side; low cardinality
+  * → tiny shuffle). Sessionization shuffles once on user_id and sorts
+  * within partitions — the window spec is rangeless (lag + running sum),
+  * so no per-user materialization beyond the sort.
+  */
+object EventOps {
+
+  private val Dec = DecimalType(28, 6)
+
+  /** Tumbling 1-hour windows per event_type: count + exact sum(value). */
+  def hourlyTypeAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .drop("approx_users") // kept out of the oracle surface; see hourlyTypeAggFull
+      .select("hour", "event_type", "n_events", "sum_value")
+
+  val hourlyTypeAggSql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Same plus an HLL distinct-user sketch (not oracle-comparable —
+    * approximate by construction; covered by tests). */
+  def hourlyTypeAggFull(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Sessionization (gaps-and-islands): a new session starts when the
+    * gap to the user's previous event exceeds `gapMinutes`. Returns
+    * per-session (user_id, session_id, n_events, start/end ts). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60L
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1L)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+  }
+
+  def sessionizeSql(gapMinutes: Int = 30): String = {
+    val gapSec = gapMinutes * 60
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > $gapSec THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video payloads
+  * travel as opaque `binary` columns with a typed metadata struct; decode
+  * / feature-extract / frame-sample run as per-partition batched
+  * transforms.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container) with a deterministic fake — `decodeStub` — but the
+  * Spark-side plumbing is real and tested: schema (binary + struct
+  * metadata), partition-batched execution shape (mapPartitions over an
+  * iterator, the Scala analog of mapInPandas batch processing), and
+  * column pruning (metadata queries never touch the payload bytes).
+  *
+  * 100 TB posture: payloads dominate row size, so every transform either
+  * (a) projects metadata only — the parquet reader then never reads the
+  * payload column — or (b) streams partition iterators without
+  * collecting batches; nothing shuffles payload bytes except an explicit
+  * repartition the caller opts into.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, width: Int, height: Int, durationMs: Long)
+  case class MediaItem(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+
+  /** Build a media relation from `documents` — deterministic fake
+    * payloads (UTF-8 bytes of the text) with metadata derived from
+    * doc_id. Stands in for `spark.read.format("binaryFile")` ingestion. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (col("doc_id") % 640 + 64).cast("int").as("width"),
+        (col("doc_id") % 480 + 48).cast("int").as("height"),
+        (col("doc_id") * 33 % 10000).as("durationMs")).as("meta"))
+
+  /** Metadata-only projection — the payload column is pruned at the
+    * scan (verify with .explain: ReadSchema excludes `payload`). */
+  def mediaCatalog(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), col("meta.kind").as("kind"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.durationMs").as("duration_ms"))
+
+  /** STUB decode: a real implementation would hand the byte buffer to a
+    * codec (JPEG/PNG/PCM) and emit pixel/sample tensors. The fake is
+    * deterministic in the payload: 8 byte-histogram moments, normalized.
+    * Runs per-partition, batched by the iterator — swap the body for a
+    * real codec without touching the plumbing. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) >> 5) += 1; i += 1 }
+    val n = math.max(payload.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction over the media relation: partition-batched
+    * decode (mapPartitions — the iterator IS the batch stream; no
+    * per-row function-call overhead, no driver collect). */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta.kind").as("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, kind) =>
+          MediaFeatures(id, kind, bytes.length.toLong, decodeStub(bytes))
+        }
+      }
+  }
+
+  /** Frame sampling: cut the payload into fixed-size pseudo-frames and
+    * keep every `stride`-th one — the plumbing for video frame-sample
+    * (a real impl would seek keyframes; the slicing shape is the same). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    media.select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            greatest((length(col("payload")).cast("long") / lit(frameBytes.toLong)).cast("long") - 1L,
+              lit(0L))),
+          i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+      .toDF("doc_id", "frame_idx", "frame")
+      .filter(col("frame_idx") % stride === 0)
+      .filter(length(col("frame")) > 0)
+
+  /** Oracle-friendly summary over the fake decode: per kind, item count
+    * and total payload bytes (expressible in DuckDB over documents). */
+  def mediaSummary(media: DataFrame): DataFrame =
+    mediaCatalog(media).join(media.select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes")), Seq("doc_id"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"))
+
+  val mediaSummarySql: String =
+    """SELECT kind, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes FROM (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents) m GROUP BY kind""".stripMargin
+}

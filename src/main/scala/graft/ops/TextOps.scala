@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for the LLM-data-pipeline surface (builder
+  * brief / SURVEY.md §2.2) over the `documents` table
+  * (doc_id, text, lang, source, n_chars).
+  *
+  * Every operator is a declarative column pipeline (no UDFs — all
+  * whole-stage-codegen'd), each with an exact DuckDB SQL twin. 100 TB
+  * posture per operator is noted inline; the common theme: tokenization
+  * and scoring are per-row projections (scan-parallel, zero shuffle);
+  * only the explicitly-global ops (corpus token counts) shuffle, and
+  * those aggregate partially map-side first.
+  */
+object TextOps {
+
+  /** Lower-cased whitespace tokens, empties dropped (multiple spaces). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  private val tokensSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  // -------------------------------------------------------------------
+  // Corpus token counts (tokenize + explode + count). One shuffle on
+  // token with map-side partial agg; at 100 TB the token-id space is
+  // Zipf-skewed, but partial aggregation collapses the head on the map
+  // side so the shuffle carries at most |vocab| rows per partition.
+  // -------------------------------------------------------------------
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  val tokenCountsSql: String =
+    s"""SELECT token, COUNT(*) AS cnt FROM (
+       |  SELECT unnest($tokensSql) AS token FROM documents) t
+       |GROUP BY token""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-document quality scoring: pure projection, zero shuffle.
+  // Ratios are IEEE divisions of exact integer counts → bit-identical
+  // across engines.
+  // -------------------------------------------------------------------
+  private val stopwords = Seq("a", "the", "and", "of", "to", "in", "is")
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stops = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stops, t))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      (totalLen.cast("double") / nTok).as("avg_token_len"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      (nDistinct.cast("double") / nTok).as("type_token_ratio"))
+  }
+
+  val qualityScoreSql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(list_reduce(list_prepend(0, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+       |    / len(toks) AS avg_token_len,
+       |  CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE)
+       |    / len(toks) AS stopword_ratio,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+       |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents) d""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Language ID (n-gram/marker heuristic): score each doc against a
+  // fixed per-language marker lexicon, pick the argmax with a
+  // deterministic (score DESC, lang ASC) tie-break. The lexicon is an
+  // inline k-row relation (broadcast join at any scale); the per-doc
+  // argmax is a window over ~|langs| rows per doc.
+  // -------------------------------------------------------------------
+  private[ops] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a", "to", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht", "mit", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "en", "un", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "que", "pour", "dans", "ne"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "ni3", "ta1", "zai4", "you3", "he2"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = langMarkers
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("cand_lang", "marker")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val scores = tok.join(broadcast(markers), tok("token") === markers("marker"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+  }
+
+  val langIdSql: String = {
+    val rows = langMarkers
+      .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+    s"""WITH markers(cand_lang, marker) AS (VALUES $rows),
+       |tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |scores AS (
+       |  SELECT t.doc_id, m.cand_lang, COUNT(*) AS score
+       |  FROM tok t JOIN markers m ON t.token = m.marker
+       |  GROUP BY t.doc_id, m.cand_lang)
+       |SELECT doc_id, cand_lang AS pred_lang, score FROM (
+       |  SELECT doc_id, cand_lang, score,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, cand_lang ASC) AS rn
+       |  FROM scores) s WHERE rn = 1""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Token counting: whitespace tokens + a BPE-ish regex segmentation
+  // (letter runs | digit runs | single non-alnum marks). Pure
+  // projection, zero shuffle.
+  // -------------------------------------------------------------------
+  private val bpeIshPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(bpeIshPattern), lit(0)))
+        .cast("long").as("bpe_ish_tokens"))
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($tokensSql) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$bpeIshPattern')) AS BIGINT) AS bpe_ish_tokens
+       |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Document fingerprint: 31-base polynomial rolling hash over the
+  // character codes, mod 1e9+7 — a deterministic content hash usable as
+  // an exact-dedup key. Fold runs left-to-right in both engines
+  // (Spark `aggregate` with init 0; DuckDB `list_reduce` over a
+  // 0-prepended list). Pure projection, zero shuffle.
+  // -------------------------------------------------------------------
+  private val FpMod = 1000000007L
+
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % FpMod)
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  val fingerprintsSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % $FpMod) AS fp
+       |FROM documents""".stripMargin
+}
