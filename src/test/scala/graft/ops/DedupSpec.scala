@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Dedup family over planted duplicates: exact keeps the lowest id,
+  * MinHash-LSH and SimHash recover planted near-dups, Jaccard math is
+  * exact. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight " +
+      "while the moon rises slowly over the quiet hills and the river bends north"
+
+  // doc 2 = exact copy of 0; doc 3 = near-dup of 0 (one word changed);
+  // docs 10/11 unrelated
+  private def docs: DataFrame = Seq(
+    (0L, base),
+    (2L, base),
+    (3L, base.replace("lazy", "sleepy")),
+    (10L, "completely different content about spark catalyst optimizer rules and codegen stages for big shuffles"),
+    (11L, "yet another unrelated document mentioning parquet bloom filters and columnar page compression schemes")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest doc_id per identical text") {
+    val kept = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 10L, 11L))
+  }
+
+  test("fingerprint dedup groups exact copies only") {
+    val m = Dedup.exactByFingerprint(docs).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap // keeper -> n_copies
+    assert(m(0L) == 2L) // docs 0 and 2
+    assert(m(3L) == 1L && m(10L) == 1L && m(11L) == 1L)
+  }
+
+  test("ngram Jaccard finds the planted near-dup pair with the exact similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 1.0) // exact copy
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) > 0.5 && pairs((0L, 3L)) < 1.0)
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.keys.exists { case (a, b) => a >= 10L || b >= 10L })
+  }
+
+  test("MinHash LSH recovers planted near-dups without all-pairs comparison") {
+    val found = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 2L)))
+    assert(found.contains((0L, 3L)))
+    assert(!found.exists { case (a, b) => a >= 10L || b >= 10L })
+  }
+
+  test("identical docs collide in every MinHash band") {
+    val cands = Dedup.lshCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 2L))) // identical signature → guaranteed
+  }
+
+  test("SimHash finds near-identical docs within the Hamming radius") {
+    val found = Dedup.simhashNearDups(docs, maxHamming = 10)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 2L))) // identical → hamming 0
+    assert(!found.contains((0L, 10L)) && !found.contains((10L, 11L)))
+  }
+
+  test("simhash of identical text is identical, unrelated text differs") {
+    val hs = Dedup.simhashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(0L) == hs(2L))
+    assert(hs(0L) != hs(10L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventAndMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0, "{}"),
+    (2L, ts("2024-01-01 10:10:00"), 100L, "click", 2.0, "{}"),
+    (3L, ts("2024-01-01 11:00:00"), 100L, "view", 3.0, "{}"),  // 50 min gap → new session
+    (4L, ts("2024-01-01 10:05:00"), 200L, "click", 4.0, "{}")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val sess = EventOps.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sess((100L, 1L)) == 2L) // 10:00 + 10:10
+    assert(sess((100L, 2L)) == 1L) // 11:00
+    assert(sess((200L, 1L)) == 1L)
+  }
+
+  test("hourly agg groups by hour and type with exact sums") {
+    val m = EventOps.hourlyTypeAgg(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m(("2024-01-01 10:00:00.0", "click")) == ((3L, 7.0)))
+    assert(m(("2024-01-01 11:00:00.0", "view")) == ((1L, 3.0)))
+  }
+
+  test("events reader converts nanosecond timestamps exactly") {
+    val df = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.count() > 0)
+    val bounds = df.agg(min("ts"), max("ts")).collect()(0)
+    assert(bounds.getTimestamp(0).before(bounds.getTimestamp(1)))
+  }
+
+  // ----- multimodal plumbing -----
+
+  private def docs = Seq((0L, "hello world"), (1L, "abc"), (2L, "longer document text here"))
+    .toDF("doc_id", "text")
+
+  test("media relation has binary payload + typed metadata struct") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val meta = media.schema("meta").dataType
+    assert(meta.typeName == "struct")
+    val kinds = media.select("meta.kind").as[String].collect().toSet
+    assert(kinds.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("stub feature extraction is deterministic, batched, and 8-dimensional") {
+    val media = Multimodal.mediaFromDocuments(docs).repartition(3)
+    val a = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(a.toSeq.map(_.features.toSeq) == b.toSeq.map(_.features.toSeq))
+    assert(a.forall(_.features.length == 8))
+    // histogram fractions sum to ~1
+    a.foreach(f => assert(math.abs(f.features.sum - 1.0f) < 1e-5))
+    assert(a.map(x => (x.doc_id, x.n_bytes)).toSeq ==
+      Seq((0L, 11L), (1L, 3L), (2L, 25L)))
+  }
+
+  test("frame sampling slices payloads with the configured stride") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2).collect()
+    // doc 2: 25 bytes → ceil? frames of 4 bytes: idx 0..5 (6 full-ish), stride 2 → idx 0,2,4
+    val doc2 = frames.filter(_.getLong(0) == 2L).map(_.getAs[Number](1).longValue).sorted
+    assert(doc2.toSeq == Seq(0L, 2L, 4L))
+    frames.foreach(r => assert(r.getAs[Array[Byte]]("frame").length <= 4))
+  }
+
+  test("metadata catalog never reads the payload column (column pruning)") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val plan = Multimodal.mediaCatalog(media).queryExecution.optimizedPlan
+    // payload must be pruned out of the optimized plan's output chain
+    assert(!plan.toString.contains("payload"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "The quick the LAZY dog"),
+    (2L, "a b  c") // double space → empty token must be dropped
+  ).toDF("doc_id", "text")
+
+  test("token counts lowercase, split, and drop empty tokens") {
+    val m = TextOps.tokenCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("the") == 2L && m("lazy") == 1L && m("a") == 1L)
+    assert(!m.contains(""))
+    assert(m.values.sum == 5L + 3L)
+  }
+
+  test("quality score computes exact ratios") {
+    val r = TextOps.qualityScore(docs).filter("doc_id = 1").collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    // tokens: the, quick, the, lazy, dog → stopwords {the, the} = 2/5
+    assert(r.getAs[Double]("stopword_ratio") == 0.4)
+    // distinct: the, quick, lazy, dog = 4/5
+    assert(r.getAs[Double]("type_token_ratio") == 0.8)
+    // total len = 3+5+3+4+3 = 18
+    assert(r.getAs[Double]("avg_token_len") == 18.0 / 5)
+  }
+
+  test("language ID picks the best marker lexicon with deterministic tie-break") {
+    val d = Seq(
+      (1L, "the cat and the dog is in a house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "el perro y la casa es un lugar")
+    ).toDF("doc_id", "text")
+    val m = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en" && m(2L) == "de" && m(3L) == "es")
+  }
+
+  test("fingerprint equals the hand-computed rolling hash and is order-sensitive") {
+    val fp = TextOps.fingerprints(Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "ab": ((0*31+97) * 31 + 98) % p = 97*31+98 = 3105
+    assert(fp(1L) == 3105L)
+    assert(fp(2L) == 98L * 31 + 97)
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("token stats: whitespace vs BPE-ish regex segmentation") {
+    val d = Seq((1L, "hello world42 x-y")).toDF("doc_id", "text")
+    val r = TextOps.tokenStats(d).collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    // hello | world | 42 | x | - | y
+    assert(r.getAs[Long]("bpe_ish_tokens") == 6L)
+  }
+}
