@@ -1,24 +1,68 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: runs every registered query plus the end-to-end
+  * k-means fit on SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Queries are executed through the noop sink — full physical execution
+  * (scan, shuffles, projections) with zero write cost; a bare count()
+  * would let Catalyst prune the very work being measured. A failed query
+  * reports -1 in "queries" and its error in "errors" instead of
+  * masquerading as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def timed(body: => Unit): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { body; ((System.nanoTime() - t0) / 1e9, None) }
+      catch { case e: Throwable =>
+        (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm the JVM/codegen paths once so per-query numbers are not
+    // first-call compilation artifacts
+    try execute(Tables.points(spark, sfDir).limit(1000)) catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (sec, err) = timed(execute(fn(spark, sfDir)))
+      (name, sec, err)
+    }
+
+    // end-to-end Lloyd fit, 10 iterations (the reference's flagship run;
+    // BASELINE.md: Flink p=4 does 1M pts / 10 iters in ~12.2 s)
+    val (fitSec, fitErr) = timed {
+      val res = kmeans.KMeansFit.fit(
+        Tables.points(spark, sfDir),
+        Tables.initCentroids(spark, sfDir, 8),
+        kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false))
+      require(res.centroids.nonEmpty)
+    }
+    val all = results :+ (("kmeans_fit10", fitSec, fitErr))
+
+    val qs = all.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errs = all.collect { case (k, _, Some(e)) =>
+      s""""$k":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

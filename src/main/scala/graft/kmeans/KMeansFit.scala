@@ -81,7 +81,16 @@ object KMeansFit {
     * on exit. */
   def fit(points: DataFrame, init: Seq[Cent], cfg: KMeansConfig): FitResult = {
     require(init.nonEmpty, "fit: empty initial centroid set")
-    val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
+    // The loop re-scans the cached points every superstep; if the source
+    // scan has fewer splits than cores (small files / local runs), pay
+    // one repartition up front so all iterations run at full
+    // parallelism. On a real cluster the scan already has >> cores
+    // splits and this is a no-op.
+    val defPar = points.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (points.rdd.getNumPartitions < defPar) points.repartition(defPar)
+      else points
+    val cached = balanced.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var cents = init
       var iter = 0
