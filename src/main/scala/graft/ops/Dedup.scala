@@ -111,24 +111,26 @@ object Dedup {
   // 16 bands × 4 rows, j=0.8 docs collide w.p. ~99.98%.
   // -------------------------------------------------------------------
   def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame = {
-    val tk = TextOps.tokens(col("text"))
-    val sh = array_distinct(transform(
-      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(0))),
-      i => array_join(slice(col("tk"), i, lit(n)), " ")))
-    docs.select(col("doc_id"), tk.as("tk"))
-      .select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(
-        col("doc_id"),
-        transform(
-          sequence(lit(0), lit(numPerm - 1)),
-          p => array_min(transform(col("sh"), s => xxhash64(p, s)))).as("sig"))
+    // Shape matters: a nested transform(sequence, p -> array_min(
+    // transform(sh, ...))) would be a CodegenFallback (interpreted) per
+    // row. Exploding shingles and taking numPerm min() aggregates keeps
+    // everything inside whole-stage codegen + a partial/final
+    // HashAggregate — ~10x faster and the shuffle carries only
+    // numPerm longs per doc.
+    val sh = shingles(docs, n)
+    val aggs = (0 until numPerm)
+      .map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(p => col(s"m$p")): _*).as("sig"))
   }
 
   def lshCandidatePairs(
       docs: DataFrame, n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numPerm / rowsPerBand
-    val sigs = minhashSignatures(docs, n, numPerm)
+    // cached: the signature projection (the expensive part — numPerm
+    // hashes per shingle) feeds both sides of the bucket self-join
+    val sigs = minhashSignatures(docs, n, numPerm).cache()
     val buckets = sigs.select(
         col("doc_id"),
         posexplode(transform(
@@ -148,7 +150,7 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numPerm: Int = 64,
       rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
     val cands = lshCandidatePairs(docs, n, numPerm, rowsPerBand)
-    val sh = shingles(docs, n)
+    val sh = shingles(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("da"), col("shingle"))
     val b = sh.select(col("doc_id").as("db"), col("shingle"))
@@ -172,6 +174,9 @@ object Dedup {
   // within maxHamming agrees exactly on >= 1 chunk → join on
   // (chunkIdx, chunkValue), O(n·chunks) shuffle.
   // -------------------------------------------------------------------
+  /** Column-expression simhash (64 per-row folds — interpreted; fine for
+    * small relations / single columns). The relation-level `simhashes`
+    * below uses the codegen explode+aggregate shape instead. */
   def simhash(tokensCol: Column): Column =
     (0 until 64).map { j =>
       val bitSum = aggregate(
@@ -181,8 +186,21 @@ object Dedup {
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash(TextOps.tokens(col("text"))).as("simhash"))
+  def simhashes(docs: DataFrame): DataFrame = {
+    // explode tokens (multiset — weights count), one codegen'd
+    // HashAggregate computing the 64 signed bit sums, then compose the
+    // 64-bit signature from the sums.
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("t"))
+    val h = xxhash64(col("t"))
+    val aggs = (0 until 64).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        ).reduce(_ + _).as("simhash"))
+  }
 
   /** Candidate pairs with Hamming distance <= maxHamming (pigeonhole
     * chunk join), verified by an exact popcount on the XOR. */

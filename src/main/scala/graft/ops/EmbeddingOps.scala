@@ -100,17 +100,18 @@ object EmbeddingOps {
       when(dot(emb, lits) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (vec_id, table, bucket) — the LSH index relation. */
+  /** (vec_id, table, bucket) — the LSH index relation. All tables'
+    * buckets are computed in ONE pass over the data (a single projection
+    * + posexplode), not one scan per table. */
   def lshBuckets(
       embs: DataFrame, dim: Int = 64, numBits: Int = 8,
       numTables: Int = 4, seed: Long = 42L): DataFrame = {
     val tables = hyperplanes(dim, numBits, numTables, seed)
-    tables.zipWithIndex.map { case (planes, t) =>
-      embs.select(
+    embs.select(
         col("vec_id"),
-        lit(t).as("table"),
-        bucketExpr(col("embedding"), planes).as("bucket"))
-    }.reduce(_ unionAll _)
+        posexplode(array(tables.map(planes =>
+          bucketExpr(col("embedding"), planes)): _*)))
+      .toDF("vec_id", "table", "bucket")
   }
 
   /** ANN top-k via LSH: score only same-bucket candidates, then exact
@@ -118,7 +119,7 @@ object EmbeddingOps {
   def lshTopK(
       embs: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
       numBits: Int = 8, numTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val buckets = lshBuckets(embs, dim, numBits, numTables, seed)
+    val buckets = lshBuckets(embs, dim, numBits, numTables, seed).cache()
     val qb = buckets.filter(col("vec_id") === queryId)
       .select(col("table"), col("bucket"))
     val candIds = buckets.join(broadcast(qb), Seq("table", "bucket"))
@@ -136,7 +137,8 @@ object EmbeddingOps {
   def cosineNearDups(
       embs: DataFrame, threshold: Double = 0.4, dim: Int = 64,
       numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val buckets = lshBuckets(embs, dim, numBits, numTables, seed)
+    // cached: the bucket projection feeds both sides of the self-join
+    val buckets = lshBuckets(embs, dim, numBits, numTables, seed).cache()
     val pairs = buckets.select(col("vec_id").as("ida"), col("table"), col("bucket"))
       .join(buckets.select(col("vec_id").as("idb"), col("table"), col("bucket")),
         Seq("table", "bucket"))
