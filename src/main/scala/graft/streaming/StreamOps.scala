@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** Structured-Streaming faces of the event analytics in
+  * [[graft.ops.EventOps]]. The reference is batch-only (SURVEY.md §1.4 —
+  * its flink-streaming dependency is unused template residue); these
+  * operators are the streaming half of the §2.2 extension surface:
+  * readStream → transform → writeStream with watermarks, windowed
+  * aggregation, and custom session state via flatMapGroupsWithState.
+  *
+  * Every transform takes a DataFrame so the SAME code runs on a bounded
+  * batch frame or a `spark.readStream` frame — the Structured Streaming
+  * contract. 100 TB posture: state is keyed and bounded — windowed aggs
+  * evict on watermark, session state times out on event-time gap; no
+  * unbounded driver or executor accumulation.
+  */
+object StreamOps {
+
+  private val Dec = DecimalType(28, 6)
+
+  /** Tumbling event-time windows per event_type with late-data handling:
+    * events later than `watermarkDelay` behind max event time are
+    * dropped and the window state is evicted. Append-mode compatible. */
+  def windowedTypeAgg(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant (windowLen every slide). */
+  def slidingTypeAgg(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  // -------------------------------------------------------------------
+  // Stateful sessionization: custom per-user state via
+  // flatMapGroupsWithState + event-time timeout. A session closes when
+  // (a) a new event arrives more than `gap` after the session end, or
+  // (b) the watermark passes session end + gap (timeout fires).
+  // -------------------------------------------------------------------
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  def sessionizeStream(
+      events: Dataset[Ev],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def emit(uid: Long, s: SessionState): Session =
+      Session(uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // watermark passed session end + gap: close the open session
+            val out = state.getOption.map(emit(uid, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= emit(uid, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source stream over an events parquet directory — the
+    * readStream entry (`spark.readStream.schema(...).parquet(dir)`),
+    * normalized to the same shape `Tables.events` produces. */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory; select the events file by glob
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Drives the streaming operators with MemoryStream micro-batches and
+  * asserts on the materialized memory-sink tables. */
+class StreamOpsSpec extends SparkSpec {
+  import StreamOps._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg over a stream produces per-hour per-type counts after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = windowedTypeAgg(events, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 5.0),
+      // watermark driver: far-future event closes the earlier windows
+      (ts("2024-01-02 00:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    // append output materializes in the batch AFTER the watermark advances
+    in.addData((ts("2024-01-03 00:00:00"), "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_agg").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(rows(("2024-01-01 10:00:00.0", "click")) == ((2L, 3.0)))
+    assert(rows(("2024-01-01 11:00:00.0", "view")) == ((1L, 5.0)))
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = sessionizeStream(in.toDS(), gapMinutes = 30, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then 50-min gap (new session)
+    in.addData(
+      Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Ev(1L, ts("2024-01-01 10:10:00"), 2.0),
+      Ev(1L, ts("2024-01-01 11:00:00"), 4.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to time out the open session;
+    // the timeout fires in the batch after the watermark update
+    in.addData(Ev(99L, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(Ev(99L, ts("2024-01-03 00:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val sess = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+    val u1 = sess.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.length == 2)
+    assert(u1(0) == ((1L, "2024-01-01 10:00:00.0", 2L, 3.0)))
+    assert(u1(1) == ((1L, "2024-01-01 11:00:00.0", 1L, 4.0)))
+  }
+
+  test("the same windowed-agg code runs on a bounded batch frame") {
+    import spark.implicits._
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0)
+    ).toDF("ts", "event_type", "value")
+    val got = windowedTypeAgg(batch).collect()
+    assert(got.length == 1 && got(0).getLong(3) == 2L)
+  }
+
+  test("file-source event stream reads the real parquet with the nanos conversion") {
+    val stream = readEventStream(spark, "/root/testdata/sf0.001")
+    assert(stream.isStreaming)
+    val q = windowedTypeAgg(stream)
+      .writeStream.format("memory").queryName("file_stream_agg")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; the aggregation
+    // itself must have consumed the file without error
+    assert(spark.table("file_stream_agg").schema.fieldNames.contains("n_events"))
+  }
+}
