@@ -98,4 +98,9 @@ object Tables {
     * (KMeans.java:231-233, `setParallelism(1)` + WriteMode.OVERWRITE). */
   def writeCsvSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", false).csv(path)
+
+  /** O16 — collect-print sink (KMeans.java:143,243-245: `.print()` when
+    * no output paths are given). */
+  def printSink(df: DataFrame, numRows: Int = 100): Unit =
+    df.show(numRows, truncate = false)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** End-to-end CLI contract (EP1/EP2) + CSV sink round-trip (O1/O15). */
+class KMeansMainSpec extends SparkSpec {
+
+  private val base = "/root/reference/script_results/script_3"
+  private def tmp(name: String) = s"/tmp/graft-test/$name"
+
+  test("EP1: file-init fit reproduces the reference golden objective") {
+    assume(new java.io.File(s"$base/input/points.csv").exists())
+    KMeansMain.run(spark, Map(
+      "points" -> s"$base/input/points.csv",
+      "centroids" -> s"$base/input/centroids.csv",
+      "iterations" -> "15",
+      "pointsout" -> tmp("pts"), "centroidsout" -> tmp("cents"),
+      "objfunout" -> tmp("obj")))
+    val objFile = Files.list(Paths.get(tmp("obj"))).iterator.asScala
+      .find(_.toString.endsWith(".csv")).get
+    val obj = Files.readString(objFile).trim.toDouble
+    val golden = 264991.66158851766
+    assert(math.abs(obj - golden) / golden < 1e-9)
+    // points sink: one headerless CSV file with one row per input point
+    val ptsFile = Files.list(Paths.get(tmp("pts"))).iterator.asScala
+      .filter(_.toString.endsWith(".csv")).toList
+    assert(ptsFile.size == 1)
+    assert(Files.lines(ptsFile.head).count() == 100000L)
+  }
+
+  test("EP2: seeded random init is reproducible and respects the config") {
+    assume(new java.io.File(s"$base/input/points.csv").exists())
+    val args = Map(
+      "points" -> s"$base/input/points.csv",
+      "numcentroids" -> "4", "seed" -> "11",
+      "iterations" -> "3", "custconvergence" -> "false")
+    val a = KMeansMain.run(spark, args)
+    val b = KMeansMain.run(spark, args)
+    assert(a.centroids == b.centroids)
+    assert(a.iterations == 3)
+  }
+
+  test("CSV round-trip: write headerless, read back with positional schema") {
+    import spark.implicits._
+    val cents = Seq(kmeans.Cent(0, 1.5, -2.5), kmeans.Cent(1, 3.25, 4.75))
+    Tables.writeCsvSingle(Tables.centroidsDF(spark, cents), tmp("roundtrip"))
+    // reference reader skips the first line (ignoreFirstLine) — our
+    // writer emits no header, so prepend one like the notebook does
+    val files = Files.list(Paths.get(tmp("roundtrip"))).iterator.asScala
+      .filter(_.toString.endsWith(".csv")).toList
+    assert(files.size == 1)
+    val withHeader = tmp("roundtrip_hdr.csv")
+    Files.writeString(Paths.get(withHeader),
+      "Cluster,X,Y\n" + Files.readString(files.head))
+    val back = Tables.centroidsCsv(spark, withHeader).collect()
+      .map(r => kmeans.Cent(r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq.sortBy(_.cid)
+    assert(back == cents)
+  }
+
+  test("arg parser handles the reference flag set") {
+    val p = KMeansMain.parseArgs(Array(
+      "-points", "p.csv", "-numcentroids", "8", "-epsilon", "0.5"))
+    assert(p == Map("points" -> "p.csv", "numcentroids" -> "8", "epsilon" -> "0.5"))
+  }
+}
