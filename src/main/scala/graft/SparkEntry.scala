@@ -100,6 +100,26 @@ object SparkEntry {
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+    // N-dimensional k-means over embeddings (declarative oracle path)
+    "kmeansnd_assign" -> ((s, dir) => {
+      val vecs = graft.ops.IvfIndex.vectors(Tables.table(s, dir, "embeddings"))
+      val cents = Tables.centsNDDF(s, kmeans.KMeansND.initFromLowestIds(vecs, K))
+      kmeans.KMeansND.assign(vecs, cents)
+    }),
+    "kmeansnd_step" -> ((s, dir) => {
+      val vecs = graft.ops.IvfIndex.vectors(Tables.table(s, dir, "embeddings"))
+      val cents = Tables.centsNDDF(s, kmeans.KMeansND.initFromLowestIds(vecs, K))
+      kmeans.KMeansND.recomputeFlat(vecs, kmeans.KMeansND.assign(vecs, cents))
+    }),
+    // IVF ANN: k-means coarse quantizer + probed exact rescore
+    "ivf_topk" -> ((s, dir) => {
+      val embs = Tables.table(s, dir, "embeddings")
+      val idx = graft.ops.IvfIndex.build(embs, nlist = 16, maxIter = 5)
+      val q = graft.ops.IvfIndex.vectors(embs)
+        .filter(org.apache.spark.sql.functions.col("id") === 0L)
+        .collect()(0).getSeq[Double](1)
+      graft.ops.IvfIndex.search(s, idx, q, k = 10, nprobe = 4)
+    }),
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
@@ -143,6 +163,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
+    "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
+    "kmeansnd_step" -> Tables.withVecsCents(
+      s""", assignednd AS (${kmeans.KMeansND.assignSql()})
+         |${kmeans.KMeansND.recomputeFlatSql()}""".stripMargin),
     "events_hourly_agg" -> EventOps.hourlyTypeAggSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "mm_summary" -> Multimodal.mediaSummarySql,

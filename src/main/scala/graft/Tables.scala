@@ -65,6 +65,22 @@ object Tables {
     cents.toDF("cid", "x", "y")
   }
 
+  def centsNDDF(spark: SparkSession, cents: Seq[kmeans.KMeansND.CentND]): DataFrame = {
+    import spark.implicits._
+    cents.map(c => (c.cid, c.vec)).toDF("cid", "cvec")
+  }
+
+  /** `WITH ptsnd AS (...), centsnd AS (...) <tail>` scaffold for the
+    * n-dim k-means twins over the embeddings table. */
+  def withVecsCents(tail: String, k: Int = 8): String =
+    s"""WITH ptsnd AS (SELECT vec_id AS id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |centsnd AS (SELECT CAST(rn - 1 AS INT) AS cid, vec AS cvec FROM
+       |  (SELECT vec, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM ptsnd) t
+       |  WHERE rn <= $k)
+       |$tail""".stripMargin
+
   def centsSqlBody(k: Int): String =
     s"SELECT CAST(rn - 1 AS INT) AS cid, x, y FROM " +
       s"(SELECT x, y, ROW_NUMBER() OVER (ORDER BY pid) AS rn FROM pts) t WHERE rn <= $k"

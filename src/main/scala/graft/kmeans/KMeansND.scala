@@ -1,0 +1,196 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+/** N-dimensional K-Means — the generalization SURVEY.md §1.2 calls for
+  * (the reference hardcodes 2-D `Point.x/y`; here a point is an
+  * `array<double>` feature vector and the 2-D engine is the special
+  * case). Two assignment paths, mirroring the 2-D design:
+  *
+  *  - `assign` — declarative (broadcast crossJoin + fold sqdist +
+  *    min-struct argmin), DuckDB-checkable, used by the verified query
+  *    surface;
+  *  - `assignKernel` — MLlib-style mapPartitions over primitive arrays
+  *    with a broadcast centroid matrix: no boxing, no fold
+  *    interpretation, the production path for the fit loop at scale.
+  *
+  * 100 TB posture matches the 2-D engine: assignment is scan-parallel
+  * (broadcast centroids, zero shuffle in the kernel path), recompute is
+  * one partial/final aggregate whose shuffle carries k·dim doubles per
+  * partition, the driver holds k centroids only.
+  */
+object KMeansND {
+
+  case class CentND(cid: Int, vec: Seq[Double])
+
+  private val Dec = DecimalType(28, 6)
+
+  /** Column: squared L2 distance between two array<double> columns —
+    * left-to-right fold, bit-identical to the DuckDB twin. */
+  def sqDistND(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cast any numeric-array column (e.g. float embeddings) to
+    * array<double>. */
+  def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  // -------------------------------------------------------------------
+  // Declarative assignment (oracle path): points (id, vec) × broadcast
+  // cents (cid, cvec) → (id, cid, sqdist), first-wins tie-break on
+  // (sqdist, cid) like the 2-D engine.
+  // -------------------------------------------------------------------
+  def assign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .withColumn("sq", sqDistND(col("vec"), col("cvec")))
+      .groupBy("id")
+      .agg(min(struct(col("sq"), col("cid"))).as("b"))
+      .select(col("id"), col("b.cid").as("cid"), col("b.sq").as("sqdist"))
+
+  /** DuckDB twin of `assign` over relations pts(id, vec) / cents(cid, cvec). */
+  def assignSql(ptsRel: String = "ptsnd", centsRel: String = "centsnd"): String =
+    s"""SELECT id, cid, sq AS sqdist FROM (
+       |  SELECT p.id, c.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(p.vec)),
+       |        i -> (p.vec[i] - c.cvec[i]) * (p.vec[i] - c.cvec[i]))),
+       |      (a, b) -> a + b) AS sq,
+       |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(p.vec)),
+       |          i -> (p.vec[i] - c.cvec[i]) * (p.vec[i] - c.cvec[i]))),
+       |        (a, b) -> a + b), c.cid) AS rn
+       |  FROM $ptsRel p CROSS JOIN $centsRel c) t WHERE rn = 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Production kernel: broadcast primitive centroid matrix +
+  // mapPartitions argmin. No shuffle, no boxing, no interpreted folds.
+  // -------------------------------------------------------------------
+  def assignKernel(points: DataFrame, cents: Seq[CentND]): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "assignKernel: empty centroid set")
+    val ids = cents.map(_.cid).toArray
+    val mat = cents.map(_.vec.toArray).toArray
+    val bc = spark.sparkContext.broadcast((ids, mat))
+    points.select(col("id"), col("vec")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (cids, m) = bc.value
+        it.map { case (id, v) =>
+          val p = v.toArray
+          var bestI = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < m.length) {
+            val c = m(i)
+            var d = 0.0; var j = 0
+            while (j < c.length) { val dx = p(j) - c(j); d += dx * dx; j += 1 }
+            // strict < keeps the first (lowest-index) centroid on ties,
+            // matching the 2-D engine / reference KMeans.java:281
+            if (d < bestD) { bestD = d; bestI = i }
+            i += 1
+          }
+          (id, cids(bestI), bestD)
+        }
+      }.toDF("id", "cid", "sqdist")
+  }
+
+  // -------------------------------------------------------------------
+  // Element-wise mean recompute: explode dimensions, decimal-exact
+  // per-(cid, dim) means, re-assemble ordered vectors. One shuffle of
+  // k·dim groups. Empty clusters drop (reference semantics).
+  // -------------------------------------------------------------------
+  def recompute(points: DataFrame, assigned: DataFrame): DataFrame = {
+    val joined = points.join(assigned.select("id", "cid"), "id")
+    joined
+      .select(col("cid"), posexplode(col("vec")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("col").cast(Dec)).cast("double") / count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+  }
+
+  /** Flattened recompute — (cid, pos, m) scalar rows — used by the
+    * verified query surface (array-typed result columns don't survive
+    * the driver's sort+hash compare; the array assembly is covered by
+    * ScalaTest instead). */
+  def recomputeFlat(points: DataFrame, assigned: DataFrame): DataFrame =
+    points.join(assigned.select("id", "cid"), "id")
+      .select(col("cid"), posexplode(col("vec")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("col").cast(Dec)).cast("double") / count(lit(1))).as("m"))
+
+  def recomputeFlatSql(ptsRel: String = "ptsnd", assignedRel: String = "assignednd"): String =
+    s"""SELECT a.cid, t.pos,
+       |  CAST(SUM(CAST(t.v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+       |FROM $ptsRel p
+       |JOIN $assignedRel a ON p.id = a.id,
+       |LATERAL (SELECT unnest(generate_series(1, len(p.vec))) - 1 AS pos,
+       |                unnest(p.vec) AS v) t
+       |GROUP BY a.cid, t.pos""".stripMargin
+
+  def recomputeSql(ptsRel: String = "ptsnd", assignedRel: String = "assignednd"): String =
+    s"""SELECT cid, array_agg(m ORDER BY pos) AS cvec FROM (
+       |  SELECT a.cid, t.pos,
+       |    CAST(SUM(CAST(t.v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM $ptsRel p
+       |  JOIN $assignedRel a ON p.id = a.id,
+       |  LATERAL (SELECT unnest(generate_series(1, len(p.vec))) - 1 AS pos,
+       |                  unnest(p.vec) AS v) t
+       |  GROUP BY a.cid, t.pos) s GROUP BY cid""".stripMargin
+
+  /** Deterministic init: vectors of the k lowest ids. */
+  def initFromLowestIds(points: DataFrame, k: Int): Seq[CentND] =
+    points.orderBy("id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+      CentND(i, r.getSeq[Double](r.fieldIndex("vec")))
+    }.toSeq
+
+  /** Lloyd fit with the mapPartitions kernel; same loop contract as the
+    * 2-D `KMeansFit.fit` (strict >tol displacement, empty-cluster drop,
+    * points cached once). */
+  def fit(points: DataFrame, init: Seq[CentND], maxIter: Int, tol: Double = 0.0,
+      convergence: Boolean = true): (Seq[CentND], Int) = {
+    val spark = points.sparkSession
+    val defPar = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (points.rdd.getNumPartitions < defPar) points.repartition(defPar)
+      else points
+    val cached = balanced.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = init
+      var iter = 0
+      var go = maxIter > 0
+      while (go) {
+        val next = recompute(cached, assignKernel(cached, cents))
+          .collect()
+          .map(r => CentND(r.getInt(0), r.getSeq[Double](1)))
+          .toSeq.sortBy(_.cid)
+        iter += 1
+        go = iter < maxIter && (!convergence || moved(next, cents, tol))
+        cents = next
+      }
+      (cents, iter)
+    } finally { cached.unpersist(blocking = false) }
+  }
+
+  private def moved(newC: Seq[CentND], oldC: Seq[CentND], tol: Double): Boolean = {
+    val old = oldC.map(c => c.cid -> c.vec).toMap
+    newC.exists { n =>
+      old.get(n.cid).exists { o =>
+        var d = 0.0; var i = 0
+        while (i < n.vec.length) { val dx = n.vec(i) - o(i); d += dx * dx; i += 1 }
+        math.sqrt(d) > tol
+      }
+    }
+  }
+
+  /** SSE against a centroid set (kernel path). */
+  def sse(points: DataFrame, cents: Seq[CentND]): Double =
+    assignKernel(points, cents)
+      .agg(sum(col("sqdist").cast(DecimalType(38, 6))).cast("double"))
+      .collect()(0).getDouble(0)
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kmeans.KMeansND
+import graft.kmeans.KMeansND.CentND
+
+/** IVF (inverted-file) approximate nearest neighbor — the k-means-based
+  * scale path for similarity search (builder brief: "an IVF or
+  * LSH-bucketed variant"). The coarse quantizer IS the n-dim k-means
+  * engine ([[graft.kmeans.KMeansND]]):
+  *
+  *  1. build: fit `nlist` coarse centroids, assign every vector to its
+  *     nearest list → an inverted index (list_id → vectors);
+  *  2. search: rank the coarse centroids against the query (driver-side,
+  *     nlist·dim flops), probe the best `nprobe` lists, exact-rescore
+  *     only those candidates.
+  *
+  * 100 TB posture: the index build is one k-means fit (scan-parallel
+  * kernel, k·dim-sized shuffles); a search touches nprobe/nlist of the
+  * data — with partitioning-by-list_id at write time a probe is a
+  * partition-pruned scan, never a full pass. Rescoring is brute-force
+  * cosine over the (small) probed candidate set.
+  */
+object IvfIndex {
+
+  case class Index(lists: DataFrame, centroids: Seq[CentND])
+
+  /** Normalize the embeddings table to (id, vec: array<double>). */
+  def vectors(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id").as("id"),
+      KMeansND.vecDouble(col("embedding")).as("vec"))
+
+  def build(embs: DataFrame, nlist: Int = 16, maxIter: Int = 5): Index = {
+    val vecs = vectors(embs)
+    val init = KMeansND.initFromLowestIds(vecs, nlist)
+    val (cents, _) = KMeansND.fit(vecs, init, maxIter, tol = 1e-6)
+    val lists = KMeansND.assignKernel(vecs, cents)
+      .select(col("id"), col("cid").as("list_id"))
+    Index(lists.join(vecs, "id"), cents)
+  }
+
+  /** Top-k by cosine among the vectors in the `nprobe` lists nearest to
+    * the query vector. Ties broken by id ascending. */
+  def search(
+      spark: SparkSession, index: Index, query: Seq[Double],
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val q = query.toArray
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // rank coarse lists driver-side (nlist·dim flops)
+    val probed = index.centroids.map { c =>
+      var d = 0.0; var i = 0
+      while (i < q.length) { val dx = q(i) - c.vec(i); d += dx * dx; i += 1 }
+      (c.cid, d)
+    }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+    val qCol = array(q.map(lit).toIndexedSeq: _*)
+    index.lists
+      .filter(col("list_id").isin(probed: _*))
+      .withColumn("cosine",
+        aggregate(zip_with(col("vec"), qCol, (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v)
+          / (sqrt(aggregate(transform(col("vec"), x => x * x),
+              lit(0.0), (acc, v) => acc + v)) * lit(qNorm)))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+      .select("id", "list_id", "cosine")
+  }
+}

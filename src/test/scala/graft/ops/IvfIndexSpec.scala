@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def realEmbs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("index build partitions every vector into exactly one list") {
+    val embs = realEmbs
+    val idx = IvfIndex.build(embs, nlist = 8, maxIter = 3)
+    val n = embs.count()
+    assert(idx.lists.count() == n)
+    assert(idx.lists.select("id").distinct().count() == n)
+    val listIds = idx.lists.select("list_id").as[Int].collect().toSet
+    assert(listIds.subsetOf(idx.centroids.map(_.cid).toSet))
+  }
+
+  test("search returns k results ranked by cosine and includes good neighbors") {
+    val embs = realEmbs
+    val idx = IvfIndex.build(embs, nlist = 8, maxIter = 3)
+    val q = IvfIndex.vectors(embs).filter($"id" === 0L).collect()(0).getSeq[Double](1)
+    val got = IvfIndex.search(spark, idx, q, k = 10, nprobe = 3)
+      .select("id", "cosine").as[(Long, Double)].collect()
+    assert(got.length == 10)
+    // ranked descending
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+    // the query vector itself lives in a probed list → cosine 1.0 first
+    assert(got(0)._1 == 0L && math.abs(got(0)._2 - 1.0) < 1e-12)
+    // recall vs brute force over the same table
+    val exact = EmbeddingOps.cosineTopK(embs, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = got.map(_._1).toSet - 0L
+    assert((exact intersect approx).nonEmpty)
+  }
+
+  test("probing every list equals brute force exactly") {
+    val embs = realEmbs
+    val idx = IvfIndex.build(embs, nlist = 4, maxIter = 2)
+    val q = IvfIndex.vectors(embs).filter($"id" === 7L).collect()(0).getSeq[Double](1)
+    val full = IvfIndex.search(spark, idx, q, k = 5, nprobe = 4)
+      .select("id").as[Long].collect().toList.filter(_ != 7L)
+    val exact = EmbeddingOps.cosineTopK(embs, queryId = 7L, k = 4)
+      .select("vec_id").as[Long].collect().toList
+    assert(full.take(4) == exact)
+  }
+}
