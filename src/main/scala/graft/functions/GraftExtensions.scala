@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{VecDot, VecSqDist}
+
+/** SQL-surface registration of the native vector expressions, two ways:
+  *
+  *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (injected at session build);
+  *  - programmatic: `GraftExtensions.register(spark)` on a live session.
+  *
+  * After either, `SELECT vec_dot(a, b)` / `vec_sqdist(a, b)` work in
+  * `spark.sql(...)` and `expr(...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot expects 2 arguments")
+        VecDot(args(0), args(1))
+      }),
+    ("vec_sqdist",
+      new ExpressionInfo(classOf[VecSqDist].getName, "vec_sqdist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_sqdist expects 2 arguments")
+        VecSqDist(args(0), args(1))
+      }))
+
+  /** Register on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

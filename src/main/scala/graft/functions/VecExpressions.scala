@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{VecBridge, VecDot, VecSqDist}
+
+/** Public Column API over the native codegen vector expressions
+  * (org.apache.spark.sql.graft.VecDot / VecSqDist — see that file for
+  * why they live in the Spark namespace). */
+object VecFunctions {
+  private def e(c: Column) = VecBridge.expression(c)
+
+  def vecDot(a: Column, b: Column): Column =
+    VecBridge.column(VecDot(e(a), e(b)))
+
+  def vecSqDist(a: Column, b: Column): Column =
+    VecBridge.column(VecSqDist(e(a), e(b)))
+
+  def vecNorm(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(vecDot(a, a))
+  }
+
+  def vecCosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+}

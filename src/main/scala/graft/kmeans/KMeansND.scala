@@ -29,11 +29,10 @@ object KMeansND {
   private val Dec = DecimalType(28, 6)
 
   /** Column: squared L2 distance between two array<double> columns —
-    * left-to-right fold, bit-identical to the DuckDB twin. */
+    * native codegen expression, left-to-right accumulation,
+    * bit-identical to the DuckDB list_reduce twin. */
   def sqDistND(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecFunctions.vecSqDist(a, b)
 
   /** Cast any numeric-array column (e.g. float embeddings) to
     * array<double>. */

@@ -22,11 +22,13 @@ import scala.util.Random
   */
 object EmbeddingOps {
 
-  /** Fold-based dot product of two array<double|float> columns. */
+  /** Dot product of two array<double|float> columns via the native
+    * codegen expression (graft.functions.VecDot) — same left-to-right
+    * accumulation as the fold/list_reduce formulation, so bit-identical
+    * results, but whole-stage-codegen'd instead of interpreted. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecFunctions.vecDot(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,91 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for dense-vector math over
+  * `array<double>` columns, WITH `doGenCode` — unlike the higher-order
+  * `aggregate`/`zip_with` folds (CodegenFallback → interpreted per row)
+  * these compile into a whole-stage-codegen'd Java loop, and unlike a
+  * Scala UDF there is no serialization or boxing boundary.
+  *
+  * Lives inside the org.apache.spark.sql namespace because the types an
+  * Expression author needs (`AbstractDataType`, `ExpressionUtils`) are
+  * `private[sql]`; the public API is `graft.functions.VecFunctions`.
+  *
+  * Both loops accumulate left-to-right, so results are bit-identical to
+  * the fold-based formulation and to the DuckDB `list_reduce` twins
+  * (same IEEE addition sequence).
+  */
+abstract class VecBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  /** Java source for one loop iteration: accumulate into `acc` from
+    * element doubles `xi`, `yi`. */
+  protected def combineJava(acc: String, xi: String, yi: String): String
+  protected def combineScala(acc: Double, xi: Double, yi: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc = combineScala(acc, x.getDouble(i), y.getDouble(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |double $acc = 0.0;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = $y.getDouble($i);
+         |  ${combineJava(acc, xi, yi)}
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
+/** Σ xᵢ·yᵢ */
+case class VecDot(left: Expression, right: Expression) extends VecBinaryExpression {
+  override protected def combineJava(acc: String, xi: String, yi: String): String =
+    s"$acc += $xi * $yi;"
+  override protected def combineScala(acc: Double, xi: Double, yi: Double): Double =
+    acc + xi * yi
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Σ (xᵢ-yᵢ)² */
+case class VecSqDist(left: Expression, right: Expression) extends VecBinaryExpression {
+  override protected def combineJava(acc: String, xi: String, yi: String): String =
+    s"double d = $xi - $yi; $acc += d * d;"
+  override protected def combineScala(acc: Double, xi: Double, yi: Double): Double = {
+    val d = xi - yi; acc + d * d
+  }
+  override def prettyName: String = "vec_sqdist"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDist =
+    copy(left = l, right = r)
+}
+
+/** Column <-> Expression bridge (ExpressionUtils is private[sql]). */
+object VecBridge {
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}
