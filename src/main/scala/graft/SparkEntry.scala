@@ -100,6 +100,11 @@ object SparkEntry {
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+    // Composed curation pipeline + window-function surface
+    "pipeline_curate" -> ((s, dir) =>
+      graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
+    "text_top_tokens" -> ((s, dir) =>
+      graft.ops.CuratePipeline.topTokensPerLang(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
     "kmeansnd_assign" -> ((s, dir) => {
       val vecs = graft.ops.IvfIndex.vectors(Tables.table(s, dir, "embeddings"))
@@ -163,6 +168,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
+    "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
+    "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(
       s""", assignednd AS (${kmeans.KMeansND.assignSql()})

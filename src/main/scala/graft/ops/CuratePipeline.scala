@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Composed training-data curation pipeline — the end-to-end shape a
+  * 100 TB corpus job actually runs, built entirely from the §2.2
+  * operators: quality gate → exact dedup (fingerprint) → language tag.
+  * Every stage is individually oracle-verified; this query verifies the
+  * COMPOSITION against one DuckDB twin.
+  *
+  * 100 TB posture: quality + fingerprint are zero-shuffle projections
+  * over one shared scan; the dedup group-by shuffles 8-byte keys; the
+  * language join shuffles only the (tiny) marker-hit aggregates. Three
+  * shuffles total for the whole pipeline.
+  */
+object CuratePipeline {
+
+  def curate(
+      docs: DataFrame,
+      minTokens: Long = 20,
+      maxStopwordRatio: Double = 0.5): DataFrame = {
+    val q = TextOps.qualityScore(docs)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio)
+    val fp = TextOps.fingerprints(docs)
+    val keepers = fp.join(q.select("doc_id"), "doc_id")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val lang = TextOps.langId(docs)
+    keepers
+      .join(q.select(col("doc_id"), col("n_tokens"), col("type_token_ratio")), "doc_id")
+      .join(lang.select(col("doc_id"), col("pred_lang")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"),
+        col("n_tokens"), col("type_token_ratio"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
+  }
+
+  def curateSql(minTokens: Long = 20, maxStopwordRatio: Double = 0.5): String =
+    s"""WITH q AS (${TextOps.qualityScoreSql}),
+       |fp AS (${TextOps.fingerprintsSql}),
+       |lid AS (${TextOps.langIdSql}),
+       |keep AS (SELECT doc_id, n_tokens, type_token_ratio FROM q
+       |  WHERE n_tokens >= $minTokens AND stopword_ratio <= $maxStopwordRatio),
+       |keepers AS (
+       |  SELECT f.fp, MIN(f.doc_id) AS doc_id
+       |  FROM fp f JOIN keep k ON f.doc_id = k.doc_id GROUP BY f.fp)
+       |SELECT c.doc_id, c.fp, k.n_tokens, k.type_token_ratio,
+       |       COALESCE(l.pred_lang, 'und') AS pred_lang
+       |FROM keepers c
+       |JOIN keep k ON c.doc_id = k.doc_id
+       |LEFT JOIN lid l ON c.doc_id = l.doc_id""".stripMargin
+
+  /** Top-n tokens per corpus language (window-function surface): one
+    * token-count aggregate, then a per-lang rank. */
+  def topTokensPerLang(docs: DataFrame, topN: Int = 5): DataFrame = {
+    val counts = docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+  }
+
+  def topTokensPerLangSql(topN: Int = 5): String =
+    s"""SELECT lang, token, cnt, rank FROM (
+       |  SELECT lang, token, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY cnt DESC, token ASC) AS rank
+       |  FROM (
+       |    SELECT lang, token, COUNT(*) AS cnt FROM (
+       |      SELECT lang,
+       |        unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+       |      FROM documents) t
+       |    GROUP BY lang, token) c) r
+       |WHERE rank <= $topN""".stripMargin
+}

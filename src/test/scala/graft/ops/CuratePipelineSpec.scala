@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class CuratePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longText =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight " +
+      "while the moon rises slowly over the quiet hills and the river bends north"
+
+  test("curation gates on quality, dedups exact copies, and tags language") {
+    val docs = Seq(
+      (0L, longText),               // keeper
+      (5L, longText),               // exact copy → dropped (0 kept)
+      (7L, "too short"),            // fails min-token gate
+      (9L, "the the the the the the the the the the the the the the the the the the the the the")
+      // 21 tokens but stopword_ratio 1.0 → dropped
+    ).toDF("doc_id", "text")
+    val out = CuratePipeline.curate(docs, minTokens = 20, maxStopwordRatio = 0.5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out(0).getAs[String]("pred_lang") == "en")
+    assert(out(0).getAs[Long]("n_tokens") == 29L)
+  }
+
+  test("top tokens per lang ranks by count with deterministic ties") {
+    val docs = Seq(
+      (1L, "apple apple banana", "en"),
+      (2L, "apple cherry", "en"),
+      (3L, "zebra zebra yak", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = CuratePipeline.topTokensPerLang(docs, topN = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq == Seq(
+      ("de", "zebra", 2L, 1), ("de", "yak", 1L, 2),
+      ("en", "apple", 3L, 1), ("en", "banana", 1L, 2)))
+  }
+}
