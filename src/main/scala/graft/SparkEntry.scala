@@ -100,6 +100,8 @@ object SparkEntry {
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+    "events_percentiles" -> ((s, dir) => EventOps.typePercentiles(Tables.events(s, dir))),
+    "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
     // Composed curation pipeline + window-function surface
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
@@ -176,6 +178,9 @@ object SparkEntry {
          |${kmeans.KMeansND.recomputeFlatSql()}""".stripMargin),
     "events_hourly_agg" -> EventOps.hourlyTypeAggSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
+    "events_percentiles" -> EventOps.typePercentilesSql,
+    // events_sketches: t-digest/HLL sketches are engine-specific →
+    // rows-only check; accuracy asserted in EventAndMultimodalSpec.
     "mm_summary" -> Multimodal.mediaSummarySql,
     // dedup_minhash / dedup_simhash / emb_lsh_topk / emb_near_dups /
     // mm_features / mm_frames: engine-specific hash functions or binary

@@ -48,6 +48,36 @@ object EventOps {
         sum(col("value").cast(Dec)).cast("double").as("sum_value"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Exact interpolated percentiles of `value` per event_type — Spark's
+    * `percentile` (exact, not the approx sketch) matches DuckDB's
+    * `quantile_cont` definition, so this is oracle-checkable. At 100 TB
+    * exact percentile means a per-group sort of values — swap for
+    * `approx_percentile` (t-digest, mergeable partial aggs) and accept
+    * sketch error; both surfaces are exposed here. */
+  def typePercentiles(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
+  val typePercentilesSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Sketch variant: mergeable t-digest percentiles + HLL distinct
+    * users — the 100 TB shapes (approximate by construction → rows-only
+    * check, accuracy covered by tests). */
+  def typeSketches(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, array(0.5, 0.95), $accuracy)").as("pcts"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+
   /** Sessionization (gaps-and-islands): a new session starts when the
     * gap to the user's previous event exceeds `gapMinutes`. Returns
     * per-session (user_id, session_id, n_events, start/end ts). */

@@ -114,6 +114,18 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within
+    * the watermark horizon (state is evicted once the watermark passes —
+    * bounded memory; duplicates arriving later than `watermarkDelay`
+    * are NOT caught, the standard streaming-dedup contract). */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** File-source stream over an events parquet directory — the
     * readStream entry (`spark.readStream.schema(...).parquet(dir)`),
     * normalized to the same shape `Tables.events` produces. */

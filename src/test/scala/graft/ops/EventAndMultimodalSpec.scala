@@ -32,6 +32,20 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(m(("2024-01-01 11:00:00.0", "view")) == ((1L, 3.0)))
   }
 
+  test("exact percentiles interpolate; sketches land near them") {
+    val vals = Seq.tabulate(100)(i => (i.toLong, ts("2024-01-01 10:00:00"),
+      1L, "click", (i + 1).toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val exact = EventOps.typePercentiles(vals).collect()(0)
+    // values 1..100: p50 = 50.5 (interpolated), p95 = 95.05
+    assert(exact.getDouble(1) == 50.5)
+    assert(math.abs(exact.getDouble(2) - 95.05) < 1e-9)
+    val sk = EventOps.typeSketches(vals).collect()(0)
+    val pcts = sk.getSeq[Double](1)
+    assert(math.abs(pcts(0) - 50.5) < 2.0 && math.abs(pcts(1) - 95.05) < 2.0)
+    assert(math.abs(sk.getLong(2) - 1L) <= 1L) // HLL of a single user
+  }
+
   test("events reader converts nanosecond timestamps exactly") {
     val df = graft.Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType.typeName == "timestamp")

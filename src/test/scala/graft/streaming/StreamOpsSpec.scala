@@ -64,6 +64,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1(1) == ((1L, "2024-01-01 11:00:00.0", 1L, 4.0)))
   }
 
+  test("streaming dedup drops re-delivered events within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "value")
+    val q = StreamOps.dedupStream(events, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 2.0),
+      (1L, ts("2024-01-01 10:00:00"), 1.0)) // exact re-delivery
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:00:00"), 1.0)) // re-delivery, later batch
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("the same windowed-agg code runs on a bounded batch frame") {
     import spark.implicits._
     val batch = Seq(
