@@ -119,4 +119,19 @@ object Tables {
     * no output paths are given). */
   def printSink(df: DataFrame, numRows: Int = 100): Unit =
     df.show(numRows, truncate = false)
+
+  /** Bucketed managed-table write: rows hash-partitioned into
+    * `numBuckets` files per partition by `cols`, sorted within buckets.
+    * Two tables bucketed the same way co-locate: joins/aggregations on
+    * the bucket key plan with ZERO Exchange (verified in
+    * BucketingSpec) — the pre-shuffle strategy for repeated 100 TB
+    * joins, paying the shuffle once at write time. */
+  def writeBucketed(
+      df: DataFrame, table: String, cols: Seq[String], numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
 }
