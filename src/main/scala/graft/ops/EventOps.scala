@@ -28,10 +28,7 @@ object EventOps {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
-      .drop("approx_users") // kept out of the oracle surface; see hourlyTypeAggFull
-      .select("hour", "event_type", "n_events", "sum_value")
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
 
   val hourlyTypeAggSql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
