@@ -36,15 +36,6 @@ object EventOps {
        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
-  /** Same plus an HLL distinct-user sketch (not oracle-comparable —
-    * approximate by construction; covered by tests). */
-  def hourlyTypeAggFull(events: DataFrame): DataFrame =
-    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
-
   /** Exact interpolated percentiles of `value` per event_type — Spark's
     * `percentile` (exact, not the approx sketch) matches DuckDB's
     * `quantile_cont` definition, so this is oracle-checkable. At 100 TB
