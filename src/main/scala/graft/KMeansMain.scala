@@ -9,7 +9,9 @@ import graft.kmeans._
   * run the same invocations against this engine:
   *
   *   -points <csv>        points input (header X,Y)
-  *   -centroids <csv>     centroids input (header Cluster,X,Y) — EP1
+  *   -centroids <csv>     centroids input (header Cluster,X,Y) — EP1;
+  *                        with -numcentroids it becomes the echo sink
+  *                        for the generated centroids (KMeans.java:132)
   *   -numcentroids k      generate k random centroids instead — EP2
   *   -minc a -maxc b      random-init bounds (defaults ±15)
   *   -recompnearest r     re-spacing heuristic passes
@@ -61,19 +63,21 @@ object KMeansMain {
       .withColumn("pid", monotonically_increasing_id())
       .select("pid", "x", "y")
 
-    // EP1: centroids from file; EP2: seeded random init (+ echo, which
-    // the reference writes so the run is reproducible post-hoc)
-    val init: Seq[Cent] = p.get("centroids") match {
-      case Some(path) =>
-        Tables.centroidsCsv(spark, path).collect()
-          .map(r => Cent(r.getInt(0), r.getDouble(1), r.getDouble(2)))
-          .toSeq.sortBy(_.cid)
-      case None =>
+    // The -centroids path is dual-purpose, as in the reference
+    // (KMeans.java:60,132): with -numcentroids it is the ECHO
+    // destination for the generated centroids (so the run is
+    // reproducible post-hoc); otherwise it is the input file (EP1).
+    val init: Seq[Cent] =
+      if (p.contains("numcentroids")) {
         val cents = KMeansFit.randomInit(cfg)
-        p.get("centroidsin").foreach(path =>
+        p.get("centroids").foreach(path =>
           Tables.writeCsvSingle(Tables.centroidsDF(spark, cents), path))
         cents
-    }
+      } else {
+        Tables.centroidsCsv(spark, p("centroids")).collect()
+          .map(r => Cent(r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .toSeq.sortBy(_.cid)
+      }
 
     val res = KMeansFit.fit(points, init, cfg)
     val assigned = KMeansOps.assign(points, res.centroids)
