@@ -42,6 +42,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, err) = timed(execute(fn(spark, sfDir)))
+      // drop any caches a query created so later timings aren't
+      // distorted by accumulated memory pressure
+      spark.catalog.clearCache()
       (name, sec, err)
     }
 
