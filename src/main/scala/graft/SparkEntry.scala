@@ -25,6 +25,19 @@ object SparkEntry {
   private def withAssigned(tail: String): String =
     Tables.withPtsCents(s", assigned AS (${KMeansOps.assignSql()}) $tail", K)
 
+  /** DuckDB twin of a full `iters`-superstep fixed-init fit: the Lloyd
+    * step SQL chained through `iters` CTEs (c0 = init, c_i = step(c_i-1)),
+    * then the decimal-exact SSE against the final centroids. */
+  private def fitObjectiveSql(iters: Int): String = {
+    val steps = (1 to iters)
+      .map(i => s"c$i AS (${KMeansOps.stepSql("pts", s"c${i - 1}")})")
+      .mkString(", ")
+    Tables.withPtsCents(
+      s""", c0 AS (SELECT cid, x, y FROM cents), $steps,
+         |fin AS (${KMeansOps.assignSql("pts", s"c$iters")})
+         |${KMeansOps.objectiveSql("fin")}""".stripMargin, K)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full fixed-init Lloyd fit (10 iterations) returning the final
     * centroids — the reference's EP1 (KMeans.java:148-186) end-to-end. */
@@ -70,6 +83,15 @@ object SparkEntry {
       val init = Tables.centroidsDF(s, Tables.initCentroids(s, dir, K))
       val pairs = KMeansOps.convergePairs(KMeansOps.recompute(assigned(s, dir)), init)
       KMeansOps.convergeFilter(pairs, epsilon = 1.0).drop("displacement")
+    }),
+    // O10 — the flagship Lloyd loop itself, oracle-checked: SSE after
+    // exactly 10 fixed-init supersteps (the DuckDB twin unrolls the same
+    // 10 decimal-exact steps as chained CTEs)
+    "kmeans_fit10_obj" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val res = kmeans.KMeansFit.fit(pts, Tables.initCentroids(s, dir, K),
+        kmeans.KMeansConfig(k = K, maxIter = 10, convergence = false))
+      KMeansOps.objective(KMeansOps.assign(pts, res.centroids))
     }),
 
     // ----- LLM-data-pipeline surface (SURVEY.md §2.2) -----
@@ -130,9 +152,16 @@ object SparkEntry {
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
+    // array-typed `features` flattened to its first component — raw
+    // arrays crash the driver's sort+hash compare; full vector covered
+    // by EventAndMultimodalSpec
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents"))).toDF()),
+        Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents"))).toDF()
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("kind"),
+          org.apache.spark.sql.functions.col("n_bytes"),
+          org.apache.spark.sql.functions.col("features").getItem(0).as("f0"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
   )
@@ -158,6 +187,7 @@ object SparkEntry {
          |SELECT n.cid, n.x AS nx, n.y AS ny, c.x AS ox, c.y AS oy
          |FROM newc n JOIN cents c ON n.cid = c.cid
          |WHERE SQRT((n.x-c.x)*(n.x-c.x) + (n.y-c.y)*(n.y-c.y)) > 1.0""".stripMargin),
+    "kmeans_fit10_obj" -> fitObjectiveSql(10),
 
     // ----- LLM-data-pipeline twins -----
     "text_tokens" -> TextOps.tokenCountsSql,

@@ -35,8 +35,13 @@ case class KMeansConfig(
     seed: Long = 42L)
 
 /** Result of a fit: final centroids, iterations actually run, and the
-  * per-iteration objective (SSE) trace when requested. */
-case class FitResult(centroids: Seq[Cent], iterations: Int)
+  * per-iteration objective (SSE) trace when requested (`fit(trace=true)`;
+  * empty otherwise). `objTrace(i)` = SSE against the centroids produced
+  * by superstep i+1 — the quantity the reference's script_3 harness logs
+  * per iteration (scripts/script_3.sh:18-42,
+  * script_results/script_3/results_objfun_N.csv). */
+case class FitResult(
+    centroids: Seq[Cent], iterations: Int, objTrace: Seq[Double] = Nil)
 
 /** O10 — the bulk-iteration (Lloyd) driver loop. The reference runs this
   * as a Flink `IterativeDataSet` superstep loop (KMeans.java:148,173-185);
@@ -78,8 +83,15 @@ object KMeansFit {
 
   /** Full fit. Caches `points` for the duration of the loop (the one real
     * performance decision vs the reference — SURVEY.md §4) and unpersists
-    * on exit. */
-  def fit(points: DataFrame, init: Seq[Cent], cfg: KMeansConfig): FitResult = {
+    * on exit.
+    *
+    * @param trace record the per-iteration objective (SSE vs the freshly
+    *              updated centroids) in [[FitResult.objTrace]]. Costs one
+    *              extra pass over the cached points per superstep, so it
+    *              is opt-in — the production loop stays at one scan +
+    *              one k-group aggregate per iteration. */
+  def fit(points: DataFrame, init: Seq[Cent], cfg: KMeansConfig,
+      trace: Boolean = false): FitResult = {
     require(init.nonEmpty, "fit: empty initial centroid set")
     // The loop re-scans the cached points every superstep; if the source
     // scan has fewer splits than cores (small files / local runs), pay
@@ -95,14 +107,16 @@ object KMeansFit {
       var cents = init
       var iter = 0
       var go = cfg.maxIter > 0
+      val objs = Seq.newBuilder[Double]
       while (go) {
         val next = step(cached, cents)
         iter += 1
+        if (trace) objs += sse(cached, next)
         go = iter < cfg.maxIter &&
           (!cfg.convergence || moved(next, cents, cfg.tol))
         cents = next
       }
-      FitResult(cents, iter)
+      FitResult(cents, iter, objs.result())
     } finally { cached.unpersist(blocking = false) }
   }
 

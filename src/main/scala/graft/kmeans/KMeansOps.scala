@@ -61,16 +61,25 @@ object KMeansOps {
   /** Broadcast-hash-join variant for larger k (centroids still fit in an
     * executor but not in a codegen expression): crossJoin(broadcast) +
     * per-pid min(struct) aggregate — one shuffle on pid, map-side
-    * partial agg. Same (sqdist, cid) ordering semantics as `assign`. */
+    * partial agg. Same (sqdist, cid) ordering semantics as `assign`.
+    *
+    * The min-struct carries only (sq, cid) — the winning centroid's
+    * coordinates are re-derived after the aggregate by a broadcast join
+    * on the k-row centroid set (zero shuffle), and x/y are constant
+    * within a pid group so they ride as separate min() columns. Halves
+    * the shuffle payload vs folding all 6 fields into the struct. */
   def assignJoin(points: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("cid"), col("x").as("cx"), col("y").as("cy"))
     points.crossJoin(broadcast(c))
       .withColumn("sq", sqDist(col("x"), col("y"), col("cx"), col("cy")))
       .groupBy("pid")
-      .agg(min(struct(col("sq"), col("cid"), col("cx"), col("cy"), col("x"), col("y"))).as("b"))
-      .select(col("pid"), col("b.x").as("x"), col("b.y").as("y"),
-        col("b.cid").as("cid"), col("b.cx").as("cx"), col("b.cy").as("cy"),
-        col("b.sq").as("sqdist"))
+      .agg(min(struct(col("sq"), col("cid"))).as("b"),
+        min(col("x")).as("x"), min(col("y")).as("y"))
+      .select(col("pid"), col("x"), col("y"),
+        col("b.cid").as("cid"), col("b.sq").as("sqdist"))
+      .join(broadcast(c), Seq("cid"))
+      .select(col("pid"), col("x"), col("y"), col("cid"),
+        col("cx"), col("cy"), col("sqdist"))
   }
 
   /** DuckDB twin of `assign`: window argmin with the same tie-break. */

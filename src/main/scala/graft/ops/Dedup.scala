@@ -63,15 +63,36 @@ object Dedup {
        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
        |  FROM documents) d""".stripMargin
 
+  /** Default document-frequency cap for blocking shingles. A shingle
+    * appearing in more than `maxDf` documents contributes O(df²) pairs to
+    * the blocking join but almost no discrimination (it's corpus
+    * boilerplate) — at 100 TB one hot 3-gram is a quadratic bomb. Capped
+    * relations define Jaccard over the KEPT (discriminative) shingle
+    * sets — a standard, well-defined approximation that is EXACT whenever
+    * no shingle in either doc exceeds the cap (always true on the test
+    * fixtures; DedupSpec asserts results are unchanged). */
+  val DefaultMaxDf: Int = 1000
+
+  /** Shingles restricted to those with document frequency <= maxDf.
+    * One extra aggregate+semi-join, both keyed on `shingle` — the same
+    * key as the downstream blocking join, so co-partitioned. */
+  def cappedShingles(sh: DataFrame, maxDf: Int): DataFrame = {
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    sh.join(keep, Seq("shingle"), "left_semi")
+  }
+
   // -------------------------------------------------------------------
   // N-gram Jaccard near-dup join with inverted-index blocking: only doc
-  // pairs sharing >= 1 shingle are compared. |A∩B| comes from the
-  // blocking join's group count; |A∪B| = |A|+|B|-|A∩B|. The shuffle key
-  // is the shingle (bounded skew for 3-grams); the pair aggregation
-  // shuffles candidate pairs only — never n².
+  // pairs sharing >= 1 (DF-capped) shingle are compared. |A∩B| comes from
+  // the blocking join's group count; |A∪B| = |A|+|B|-|A∩B|. The shuffle
+  // key is the shingle (bounded skew for 3-grams, hard-bounded by the DF
+  // cap); the pair aggregation shuffles candidate pairs only — never n².
   // -------------------------------------------------------------------
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, n).cache()
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val sh = cappedShingles(shingles(docs, n), maxDf).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("da"), col("shingle"))
     val b = sh.select(col("doc_id").as("db"), col("shingle"))
@@ -87,8 +108,11 @@ object Dedup {
       .select("da", "db", "inter", "jaccard")
   }
 
-  def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.8): String =
-    s"""WITH sh AS (${shinglesSql(n)}),
+  def ngramJaccardPairsSql(
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String =
+    s"""WITH sh0 AS (${shinglesSql(n)}),
+       |sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IN (
+       |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxDf)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
@@ -145,12 +169,20 @@ object Dedup {
   }
 
   /** MinHash near-dup pipeline: LSH candidates, then exact-Jaccard
-    * verification of candidates only (never all pairs). */
+    * verification of candidates only (never all pairs). The shingle
+    * relation is semi-joined down to candidate doc_ids on BOTH sides
+    * BEFORE the pair join — without that pre-filter the verify stage
+    * regenerates every shingle-sharing pair in the corpus, defeating the
+    * LSH; with it the pair join touches only candidate docs' shingles. */
   def minhashNearDups(
       docs: DataFrame, n: Int = 3, numPerm: Int = 64,
-      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val cands = lshCandidatePairs(docs, n, numPerm, rowsPerBand)
-    val sh = shingles(docs, n).cache()
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val cands = lshCandidatePairs(docs, n, numPerm, rowsPerBand).cache()
+    val candIds = cands.select(col("da").as("doc_id"))
+      .unionAll(cands.select(col("db").as("doc_id"))).distinct()
+    val sh = cappedShingles(shingles(docs, n), maxDf)
+      .join(candIds, Seq("doc_id"), "left_semi").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("da"), col("shingle"))
     val b = sh.select(col("doc_id").as("db"), col("shingle"))

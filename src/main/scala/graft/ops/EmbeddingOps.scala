@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import scala.util.Random
 
 /** Similarity-search operators over the `embeddings` table
@@ -51,10 +50,10 @@ object EmbeddingOps {
   // -------------------------------------------------------------------
   // Brute-force cosine top-k to a fixed query vector (the vector of
   // `queryId`). Exact-baseline ANN: one scan computing cosine as a
-  // projection, then a global top-k. The SQL twin uses a window; the
-  // Spark side uses the same window for hash-parity — at scale swap the
-  // window for orderBy(...).limit(k) (TakeOrderedAndProject: per-
-  // partition top-k, no global sort).
+  // projection, then orderBy(...).limit(k) — Catalyst compiles that to
+  // TakeOrderedAndProject (per-partition top-k, k rows to the driver,
+  // NO global sort / single-partition Window). Same rows and tie-break
+  // as the SQL twin's ROW_NUMBER window, so the oracle hash matches.
   // -------------------------------------------------------------------
   def cosineTopK(embs: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val q = embs.filter(col("vec_id") === queryId)
@@ -65,9 +64,7 @@ object EmbeddingOps {
         col("vec_id"),
         (dot(col("embedding"), col("q_emb"))
           / (l2Norm(col("embedding")) * col("q_norm"))).as("cosine"))
-    val w = Window.orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn")
+    scored.orderBy(col("cosine").desc, col("vec_id").asc).limit(k)
   }
 
   def cosineTopKSql(queryId: Long = 0L, k: Int = 10): String =

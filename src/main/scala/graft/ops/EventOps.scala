@@ -65,18 +65,27 @@ object EventOps {
         expr(s"approx_percentile(value, array(0.5, 0.95), $accuracy)").as("pcts"),
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))
+      // scalar projection — array-typed result columns don't survive the
+      // driver's sort+hash compare (same discipline as KMeansND.recomputeFlat)
+      .select(col("event_type"),
+        col("pcts").getItem(0).as("p50_approx"),
+        col("pcts").getItem(1).as("p95_approx"),
+        col("approx_users"), col("n"))
 
   /** Sessionization (gaps-and-islands): a new session starts when the
     * gap to the user's previous event exceeds `gapMinutes`. Returns
     * per-session (user_id, session_id, n_events, start/end ts). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapSec = gapMinutes * 60L
+    // exact int64 microsecond arithmetic — unix_timestamp() truncates to
+    // whole seconds and mis-splits sessions near the gap boundary when
+    // events carry sub-second timestamps (DuckDB twin: epoch_us)
+    val gapUs = gapMinutes * 60L * 1000000L
     val flagged = events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull, 1L)
-          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum("new_session").over(
@@ -89,18 +98,18 @@ object EventOps {
   }
 
   def sessionizeSql(gapMinutes: Int = 30): String = {
-    val gapSec = gapMinutes * 60
+    val gapUs = gapMinutes * 60L * 1000000L
     s"""WITH flagged AS (
        |  SELECT user_id, ts, event_id,
        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-       |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > $gapSec THEN 1
+       |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs THEN 1
        |         ELSE 0 END AS new_session
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sess AS (
        |  SELECT user_id, ts,
-       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM flagged)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        |  MIN(ts) AS session_start, MAX(ts) AS session_end

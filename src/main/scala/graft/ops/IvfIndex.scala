@@ -55,13 +55,13 @@ object IvfIndex {
       (c.cid, d)
     }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
     val qCol = array(q.map(lit).toIndexedSeq: _*)
+    // codegen'd vec_dot (same left-to-right fold semantics as the
+    // interpreted aggregate/zip_with shape, but whole-stage-codegen'd)
+    val vd = graft.functions.VecFunctions.vecDot(col("vec"), qCol)
+    val vn = sqrt(graft.functions.VecFunctions.vecDot(col("vec"), col("vec")))
     index.lists
       .filter(col("list_id").isin(probed: _*))
-      .withColumn("cosine",
-        aggregate(zip_with(col("vec"), qCol, (a, b) => a * b),
-            lit(0.0), (acc, v) => acc + v)
-          / (sqrt(aggregate(transform(col("vec"), x => x * x),
-              lit(0.0), (acc, v) => acc + v)) * lit(qNorm)))
+      .withColumn("cosine", vd / (vn * lit(qNorm)))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
       .select("id", "list_id", "cosine")

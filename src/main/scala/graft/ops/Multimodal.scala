@@ -99,8 +99,10 @@ object Multimodal {
       .groupBy("kind")
       .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"))
 
+  // CAST: DuckDB SUM(BIGINT) returns HUGEINT (int128) — dtype drift vs
+  // Spark's bigint breaks the driver's hash compare
   val mediaSummarySql: String =
-    """SELECT kind, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes FROM (
+    """SELECT kind, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes FROM (
       |  SELECT doc_id,
       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

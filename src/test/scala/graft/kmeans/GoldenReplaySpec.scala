@@ -31,11 +31,12 @@ class GoldenReplaySpec extends SparkSpec {
       .collect().map(r => Cent(r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .toSeq.sortBy(_.cid)
     try {
-      var cents = init
-      val objs = (1 to 15).map { _ =>
-        cents = KMeansFit.step(pts, cents)
-        KMeansFit.sse(pts, cents)
-      }
+      // the API path: 15 forced supersteps with the objective trace on
+      val res = KMeansFit.fit(pts, init,
+        KMeansConfig(k = 8, maxIter = 15, convergence = false), trace = true)
+      assert(res.iterations == 15)
+      val objs = res.objTrace
+      assert(objs.length == 15)
       // per-iteration golden match
       for (n <- Seq(1, 2, 5, 11, 15)) {
         val want = golden(n)

@@ -41,9 +41,10 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(exact.getDouble(1) == 50.5)
     assert(math.abs(exact.getDouble(2) - 95.05) < 1e-9)
     val sk = EventOps.typeSketches(vals).collect()(0)
-    val pcts = sk.getSeq[Double](1)
-    assert(math.abs(pcts(0) - 50.5) < 2.0 && math.abs(pcts(1) - 95.05) < 2.0)
-    assert(math.abs(sk.getLong(2) - 1L) <= 1L) // HLL of a single user
+    // flattened sketch surface: (event_type, p50_approx, p95_approx, approx_users, n)
+    assert(math.abs(sk.getDouble(1) - 50.5) < 2.0 &&
+      math.abs(sk.getDouble(2) - 95.05) < 2.0)
+    assert(math.abs(sk.getLong(3) - 1L) <= 1L) // HLL of a single user
   }
 
   test("events reader converts nanosecond timestamps exactly") {
