@@ -91,7 +91,10 @@ object SparkEntry {
       val pts = Tables.points(s, dir)
       val res = kmeans.KMeansFit.fit(pts, Tables.initCentroids(s, dir, K),
         kmeans.KMeansConfig(k = K, maxIter = 10, convergence = false))
-      KMeansOps.objective(KMeansOps.assign(pts, res.centroids))
+      // small local parquet comes up under-split (~3 partitions on 32
+      // cores) — rebalance for the final full-scan objective pass
+      val balanced = pts.repartition(s.sparkContext.defaultParallelism)
+      KMeansOps.objective(KMeansOps.assign(balanced, res.centroids))
     }),
 
     // ----- LLM-data-pipeline surface (SURVEY.md §2.2) -----

@@ -95,7 +95,7 @@ object EmbeddingOps {
 
   private def bucketExpr(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val lits = array(p.map(lit): _*)
+      val lits = array(p.toIndexedSeq.map(lit): _*)
       when(dot(emb, lits) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

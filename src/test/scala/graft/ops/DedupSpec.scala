@@ -44,6 +44,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a >= 10L || b >= 10L })
   }
 
+  test("shingle DF cap leaves results unchanged below the threshold, prunes hot shingles above it") {
+    // at the default cap (1000) nothing on the fixtures is dropped —
+    // capped and uncapped pipelines produce identical pairs+similarities
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val default = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(default == uncapped)
+    // a cap of 2 drops every shingle shared by all three near-dup docs
+    // (the corpus-"hot" ones) — the exact-copy pair survives on the
+    // remaining discriminative shingles, similarity stays 1.0
+    val tight = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(tight.get((0L, 2L)).contains(1.0))
+  }
+
   test("MinHash LSH recovers planted near-dups without all-pairs comparison") {
     val found = Dedup.minhashNearDups(docs, threshold = 0.5)
       .select("da", "db").as[(Long, Long)].collect().toSet

@@ -36,6 +36,16 @@ class EmbeddingSpec extends SparkSpec {
     assert(got(2)._2 == 0.0) // orthogonal
   }
 
+  test("cosine top-k compiles to TakeOrderedAndProject, never a global Window") {
+    // scale guard: a partitionBy-less Window funnels every scored row
+    // into ONE partition; orderBy(...).limit(k) must stay the per-
+    // partition top-k physical operator
+    val plan = EmbeddingOps.cosineTopK(embs, queryId = 0L, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("LSH top-k finds the identical-direction vector (same bucket in every table)") {
     val got = EmbeddingOps.lshTopK(embs, queryId = 0L, k = 2, dim = dim)
       .select("vec_id").as[Long].collect().toSet
