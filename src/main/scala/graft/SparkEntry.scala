@@ -114,6 +114,8 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.table(s, dir, "documents"))),
+    "dedup_groups" -> ((s, dir) =>
+      Dedup.nearDupGroups(Tables.table(s, dir, "documents"))),
     // Similarity search over `embeddings`
     "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
     "emb_cosine_topk" -> ((s, dir) =>
@@ -201,6 +203,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),

@@ -199,6 +199,71 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Near-dup GROUPS: connected components over the near-dup pair
+  // relation (pairwise output alone under-deletes — A~B and B~C must
+  // collapse into ONE keeper even when A~C falls below the threshold).
+  // Min-label propagation: label(v) := min(label(v), min of neighbor
+  // labels), iterated to fixpoint — O(component diameter) rounds, and
+  // dup-cluster diameters are tiny in practice. Each round is one join +
+  // one min-aggregate, both shuffling only the (small) pair-graph
+  // relation, never the corpus. At extreme scale swap for alternating
+  // large-star/small-star (O(log n) rounds) — the driver-loop shape here
+  // is the same one KMeansFit uses.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, group_id) for every doc in `pairs` (da, db columns);
+    * group_id = the smallest doc_id reachable through the pair graph. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
+      .cache()
+    var labels = edges.groupBy("a").agg(min("b").as("mb"))
+      .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("group_id"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("group_id").as("nl")), Seq("b"))
+        .groupBy("a").agg(min("nl").as("nm"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("doc_id"), col("nm")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nm"), col("group_id"))).as("group_id"))
+        .cache()
+      changed = next
+        .join(labels.select(col("doc_id"), col("group_id").as("old")), Seq("doc_id"))
+        .filter(col("group_id") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Transitive near-dup groups from the n-gram Jaccard pair join. */
+  def nearDupGroups(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame =
+    connectedComponents(ngramJaccardPairs(docs, n, threshold, maxDf))
+
+  /** DuckDB twin: transitive closure by recursive CTE (UNION dedup makes
+    * the fixpoint terminate on cycles), then min over the reach set. */
+  def nearDupGroupsSql(
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT da, db FROM (${ngramJaccardPairsSql(n, threshold, maxDf)}) p),
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id
+       |FROM reach GROUP BY a""".stripMargin
+
+  // -------------------------------------------------------------------
   // SimHash: 64-bit signature — bit j is the sign of the sum over
   // tokens of ±1 depending on bit j of the token's hash. Near-dups =
   // pairs within `maxHamming`. Candidate generation uses the pigeonhole

@@ -40,6 +40,19 @@ object IvfIndex {
     Index(lists.join(vecs, "id"), cents)
   }
 
+  /** Persist the inverted index partitioned by list_id — the 100 TB
+    * shape: a probe filtering on list_id becomes a partition-pruned scan
+    * that reads only nprobe/nlist of the data (verify with .explain:
+    * PartitionFilters on list_id, not a post-scan filter). */
+  def writeIndex(index: Index, path: String): Unit =
+    index.lists.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Reopen a persisted index. Centroids (nlist·dim doubles — driver-
+    * sized) are re-supplied by the caller, typically stored beside the
+    * lists. `search` over the result partition-prunes automatically. */
+  def readIndex(spark: SparkSession, path: String, centroids: Seq[CentND]): Index =
+    Index(spark.read.parquet(path), centroids)
+
   /** Top-k by cosine among the vectors in the `nprobe` lists nearest to
     * the query vector. Ties broken by id ascending. */
   def search(

@@ -60,6 +60,24 @@ class DedupSpec extends SparkSpec {
     assert(tight.get((0L, 2L)).contains(1.0))
   }
 
+  test("connected components collapse a transitive near-dup chain into one group") {
+    // A~B and B~C clear the threshold; A~C (two words apart) does NOT —
+    // only transitive closure puts all three in one group
+    val chain = Seq(
+      (5L, base),
+      (6L, base.replace("lazy", "sleepy")),
+      (7L, base.replace("lazy", "sleepy").replace("quick", "swift")),
+      (20L, "totally separate corpus entry about distributed query planning and exchanges")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, n = 3, threshold = 0.7)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 6L)) && pairs.contains((6L, 7L)))
+    assert(!pairs.contains((5L, 7L))) // below threshold — chain only
+    val groups = Dedup.nearDupGroups(chain, n = 3, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(5L -> 5L, 6L -> 5L, 7L -> 5L)) // 20 untouched (no pair)
+  }
+
   test("MinHash LSH recovers planted near-dups without all-pairs comparison") {
     val found = Dedup.minhashNearDups(docs, threshold = 0.5)
       .select("da", "db").as[(Long, Long)].collect().toSet

@@ -35,6 +35,28 @@ class IvfIndexSpec extends SparkSpec {
     assert((exact intersect approx).nonEmpty)
   }
 
+  test("on-disk index partition-prunes probes and returns the in-memory results") {
+    val embs = realEmbs
+    val idx = IvfIndex.build(embs, nlist = 8, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      IvfIndex.writeIndex(idx, dir)
+      val disk = IvfIndex.readIndex(spark, dir, idx.centroids)
+      val q = IvfIndex.vectors(embs).filter($"id" === 0L).collect()(0).getSeq[Double](1)
+      val fromDisk = IvfIndex.search(spark, disk, q, k = 10, nprobe = 3)
+      // the probe must reach the scan as a PARTITION filter (directory
+      // pruning — reads nprobe/nlist of the data), not a row filter
+      val plan = fromDisk.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"), plan)
+      val inMem = IvfIndex.search(spark, idx, q, k = 10, nprobe = 3)
+        .select("id", "cosine").as[(Long, Double)].collect().toSeq
+      val got = fromDisk.select("id", "cosine").as[(Long, Double)].collect().toSeq
+      assert(got == inMem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("probing every list equals brute force exactly") {
     val embs = realEmbs
     val idx = IvfIndex.build(embs, nlist = 4, maxIter = 2)
