@@ -36,8 +36,19 @@ object Bench {
       }
     }
 
-    // warm the JVM/codegen paths once so per-query numbers are not
-    // first-call compilation artifacts
+    // Warm the JVM/codegen paths so per-query numbers measure steady-
+    // state operator cost, not first-call compilation: run every query
+    // once at the smallest SF — plan structure is scale-invariant, so
+    // the generated-code cache hits for the timed runs (first cold run
+    // measured ~3x slower than the second on identical plans). Data
+    // caches are cleared so only code stays warm.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.values.foreach { fn =>
+        try execute(fn(spark, warmDir)) catch { case _: Throwable => }
+        finally spark.catalog.clearCache()
+      }
+    }
     try execute(Tables.points(spark, sfDir).limit(1000)) catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
