@@ -217,9 +217,15 @@ object Dedup {
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
       .cache()
+    // localCheckpoint per iteration: each round references the previous
+    // labels TWICE (neighbor-min join + own-label join), so without
+    // lineage truncation the logical plan doubles every round —
+    // exponential planning cost by iteration ~10. Eager checkpoint keeps
+    // the plan depth constant (on a cluster with executor loss, swap for
+    // reliable checkpoint() to a checkpoint dir).
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("group_id"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -230,11 +236,10 @@ object Dedup {
         .join(nbrMin.select(col("a").as("doc_id"), col("nm")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nm"), col("group_id"))).as("group_id"))
-        .cache()
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("doc_id"), col("group_id").as("old")), Seq("doc_id"))
         .filter(col("group_id") =!= col("old")).count()
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
