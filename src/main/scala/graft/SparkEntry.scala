@@ -167,8 +167,14 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("kind"),
           org.apache.spark.sql.functions.col("n_bytes"),
           org.apache.spark.sql.functions.col("features").getItem(0).as("f0"))),
+    // frame bytes hex-encoded for the oracle compare (raw BLOBs crash
+    // the harness's sort on the oracle side)
     "mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("frame_idx"),
+          org.apache.spark.sql.functions.hex(
+            org.apache.spark.sql.functions.col("frame")).as("frame_hex"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -218,9 +224,11 @@ object SparkEntry {
     // events_sketches: t-digest/HLL sketches are engine-specific →
     // rows-only check; accuracy asserted in EventAndMultimodalSpec.
     "mm_summary" -> Multimodal.mediaSummarySql,
+    "mm_frames" -> Multimodal.sampleFramesSql(),
     // dedup_minhash / dedup_simhash / emb_lsh_topk / emb_near_dups /
-    // mm_features / mm_frames: engine-specific hash functions or binary
-    // payloads — not DuckDB-expressible; covered by ScalaTest
-    // planted-duplicate / determinism suites instead (rows-only check).
+    // mm_features: engine-specific hash functions (xxhash64, seeded
+    // hyperplanes) or float32 stub-decode arithmetic — not
+    // DuckDB-expressible; covered by ScalaTest planted-duplicate /
+    // determinism suites instead (rows-only check).
   )
 }

@@ -91,6 +91,24 @@ object Multimodal {
       .filter(col("frame_idx") % stride === 0)
       .filter(length(col("frame")) > 0)
 
+  /** DuckDB twin of `sampleFrames` over `mediaFromDocuments`, with the
+    * frame bytes HEX-encoded (both engines emit uppercase hex; raw BLOB
+    * result columns come back as unhashable bytearray on the oracle side
+    * and crash the compare harness). DuckDB has no BLOB substring, but
+    * the fixture text is pure ASCII at every SF (verified:
+    * octet_length(encode(text)) == length(text) for all rows), so
+    * char-slicing the text then encoding equals byte-slicing the
+    * payload. */
+  def sampleFramesSql(frameBytes: Int = 64, stride: Int = 4): String =
+    s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  hex(encode(substring(text, CAST(i*$frameBytes+1 AS INT), $frameBytes))) AS frame_hex
+       |FROM (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, GREATEST(CAST(octet_length(encode(text)) // $frameBytes AS BIGINT), 1))) AS i
+       |  FROM documents) d
+       |WHERE i % $stride = 0
+       |  AND octet_length(encode(substring(text, CAST(i*$frameBytes+1 AS INT), $frameBytes))) > 0""".stripMargin
+
   /** Oracle-friendly summary over the fake decode: per kind, item count
     * and total payload bytes (expressible in DuckDB over documents). */
   def mediaSummary(media: DataFrame): DataFrame =
