@@ -212,6 +212,8 @@ object SparkEntry {
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
+    "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
+    "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),

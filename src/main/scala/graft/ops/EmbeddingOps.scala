@@ -129,6 +129,76 @@ object EmbeddingOps {
       Seq("vec_id"), "left_semi"), queryId, k)
   }
 
+  /** DuckDB twin of `lshTopK`: the seeded hyperplanes are deterministic
+    * driver-side constants, so the SAME planes are inlined as SQL array
+    * literals (Double.toString round-trips exactly), the bucket
+    * signatures use the same left-to-right fold → bit-identical buckets,
+    * candidates, and top-k on both engines. */
+  /** SQL for the (vec_id, tbl, bucket) LSH index relation — the seeded
+    * hyperplanes inlined as array literals, one UNION ALL branch per
+    * table, same sign-bit fold as `bucketExpr`. */
+  private def bucketsUnionSql(
+      dim: Int, numBits: Int, numTables: Int, seed: Long): String = {
+    val tables = hyperplanes(dim, numBits, numTables, seed)
+    def planeLit(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ", ", "]")
+    def bucketSql(planes: Seq[Array[Double]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotSql("embedding", planeLit(p))} >= 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    tables.zipWithIndex.map { case (planes, t) =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(planes)} AS bucket FROM embeddings"
+    }.mkString(" UNION ALL ")
+  }
+
+  def lshTopKSql(
+      queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      numBits: Int = 8, numTables: Int = 4, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = $queryId),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM buckets b
+       |  JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+       |  WHERE b.vec_id <> $queryId),
+       |q AS (SELECT embedding AS q_emb,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS q_norm
+       |  FROM embeddings WHERE vec_id = $queryId),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    ${dotSql("e.embedding", "q.q_emb")}
+       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * q.q_norm) AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id IN (SELECT vec_id FROM cand))
+       |SELECT vec_id, cosine FROM (
+       |  SELECT vec_id, cosine,
+       |    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scored) s WHERE rn <= $k""".stripMargin
+  }
+
+  /** DuckDB twin of `cosineNearDups` — same inlined-hyperplane buckets,
+    * pair join within (table, bucket), exact-cosine verify. */
+  def cosineNearDupsSql(
+      threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT ida, idb, cosine FROM (
+       |  SELECT p.ida, p.idb,
+       |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
+       |  FROM cpairs p
+       |  JOIN e ea ON p.ida = ea.vec_id
+       |  JOIN e eb ON p.idb = eb.vec_id) s
+       |WHERE cosine >= $threshold""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup pairs: bucket with LSH, exact-cosine
   // verify within buckets only.
