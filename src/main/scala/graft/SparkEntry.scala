@@ -116,6 +116,8 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.table(s, dir, "documents"))),
     "dedup_groups" -> ((s, dir) =>
       Dedup.nearDupGroups(Tables.table(s, dir, "documents"))),
+    "dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupedCorpus(Tables.table(s, dir, "documents"))),
     // Similarity search over `embeddings`
     "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
     "emb_cosine_topk" -> ((s, dir) =>
@@ -210,6 +212,7 @@ object SparkEntry {
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
+    "dedup_corpus" -> Dedup.dedupedCorpusSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),

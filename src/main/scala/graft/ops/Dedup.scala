@@ -268,6 +268,24 @@ object Dedup {
        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id
        |FROM reach GROUP BY a""".stripMargin
 
+  /** The deduplicated corpus: every doc except non-keeper members of a
+    * near-dup group (keeper = the group's smallest doc_id). The
+    * "what a pipeline actually consumes" composition of
+    * [[nearDupGroups]] — one anti-join against the (small) loser set. */
+  def dedupedCorpus(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val losers = nearDupGroups(docs, n, threshold, maxDf)
+      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  def dedupedCorpusSql(
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String =
+    s"""SELECT * FROM documents WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM (${nearDupGroupsSql(n, threshold, maxDf)}) g
+       |  WHERE doc_id <> group_id)""".stripMargin
+
   // -------------------------------------------------------------------
   // SimHash: 64-bit signature — bit j is the sign of the sum over
   // tokens of ±1 depending on bit j of the token's hash. Near-dups =

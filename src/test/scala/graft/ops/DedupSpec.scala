@@ -76,6 +76,10 @@ class DedupSpec extends SparkSpec {
     val groups = Dedup.nearDupGroups(chain, n = 3, threshold = 0.7)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups == Map(5L -> 5L, 6L -> 5L, 7L -> 5L)) // 20 untouched (no pair)
+    // the cleaned corpus keeps the group keeper + untouched docs only
+    val kept = Dedup.dedupedCorpus(chain, n = 3, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 20L))
   }
 
   test("MinHash LSH recovers planted near-dups without all-pairs comparison") {
