@@ -74,12 +74,20 @@ object KMeansFit {
   /** One Lloyd step: assign each point to its nearest centroid, then
     * re-average per cluster. Empty clusters produce no group (k may
     * shrink), matching the reference's reduce semantics — NOT MLlib's
-    * keep-old-center behavior. */
-  def step(points: DataFrame, cents: Seq[Cent]): Seq[Cent] =
-    KMeansOps.recompute(KMeansOps.assign(points, cents))
-      .collect()
+    * keep-old-center behavior.
+    *
+    * @param exact decimal-exact (order-independent) sums when true — the
+    *              oracle-parity arithmetic; plain double sums when false
+    *              — the reference's own arithmetic, ~2x cheaper per row */
+  def step(points: DataFrame, cents: Seq[Cent], exact: Boolean = true): Seq[Cent] = {
+    val assigned = KMeansOps.assign(points, cents)
+    val next =
+      if (exact) KMeansOps.recompute(assigned)
+      else KMeansOps.recomputeFast(assigned)
+    next.collect()
       .map(r => Cent(r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .toSeq.sortBy(_.cid)
+  }
 
   /** Full fit. Caches `points` for the duration of the loop (the one real
     * performance decision vs the reference — SURVEY.md §4) and unpersists
@@ -89,9 +97,15 @@ object KMeansFit {
     *              updated centroids) in [[FitResult.objTrace]]. Costs one
     *              extra pass over the cached points per superstep, so it
     *              is opt-in — the production loop stays at one scan +
-    *              one k-group aggregate per iteration. */
+    *              one k-group aggregate per iteration.
+    * @param exact decimal-exact sums (bit-reproducible across partition
+    *              orders, the arithmetic the DuckDB oracle replicates)
+    *              when true; the reference's plain double sums when
+    *              false. The paths agree to within n·eps of the summed
+    *              magnitudes (golden replay passes at 1e-9 relative with
+    *              either; RecomputeSpec pins the agreement). */
   def fit(points: DataFrame, init: Seq[Cent], cfg: KMeansConfig,
-      trace: Boolean = false): FitResult = {
+      trace: Boolean = false, exact: Boolean = true): FitResult = {
     require(init.nonEmpty, "fit: empty initial centroid set")
     // The loop re-scans the cached points every superstep; if the source
     // scan has fewer splits than cores (small files / local runs), pay
@@ -109,7 +123,7 @@ object KMeansFit {
       var go = cfg.maxIter > 0
       val objs = Seq.newBuilder[Double]
       while (go) {
-        val next = step(cached, cents)
+        val next = step(cached, cents, exact)
         iter += 1
         if (trace) objs += sse(cached, next)
         go = iter < cfg.maxIter &&

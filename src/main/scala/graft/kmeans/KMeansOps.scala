@@ -129,6 +129,17 @@ object KMeansOps {
       (sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("x"),
       (sum(col("y").cast(Dec)).cast("double") / count(lit(1))).as("y"))
 
+  /** Double-sum twin of `recompute` for the production fit loop: plain
+    * IEEE accumulation (the reference's own arithmetic,
+    * KMeans.java:311-336) — order-dependent in the last ~ulp but far
+    * cheaper per row than the per-value BigDecimal conversions the
+    * oracle-exact variant pays. Golden replay passes at 1e-9 relative
+    * with either path; the oracle-checked queries keep the decimal one. */
+  def recomputeFast(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cid").agg(
+      (sum(col("x")) / count(lit(1))).as("x"),
+      (sum(col("y")) / count(lit(1))).as("y"))
+
   def recomputeSql(assignedRel: String): String =
     s"""SELECT cid,
        |       CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS x,
