@@ -82,6 +82,33 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(5L, 20L))
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 20
+      val edges = Seq.fill(nNodes / 2)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side union-find ground truth (min id per component)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial=$trial")
+    }
+  }
+
   test("MinHash LSH recovers planted near-dups without all-pairs comparison") {
     val found = Dedup.minhashNearDups(docs, threshold = 0.5)
       .select("da", "db").as[(Long, Long)].collect().toSet
