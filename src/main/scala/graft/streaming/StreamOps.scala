@@ -54,6 +54,34 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Declarative session windows via the built-in `session_window`
+    * (dynamic-gap merging handled by the engine's session-window state
+    * store) — the twin of the custom flatMapGroupsWithState sessionizer
+    * below; prefer this one unless the session logic needs custom state
+    * (e.g. emitting partial sessions or per-event side outputs). */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension relation (broadcast — no stream state, no shuffle of the
+    * stream side beyond the stateless map). The standard shape for
+    * attaching slowly-changing metadata at ingest. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // -------------------------------------------------------------------
   // Stateful sessionization: custom per-user state via
   // flatMapGroupsWithState + event-time timeout. A session closes when

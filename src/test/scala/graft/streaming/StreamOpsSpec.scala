@@ -64,6 +64,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1(1) == ((1L, "2024-01-01 11:00:00.0", 1L, 4.0)))
   }
 
+  test("built-in session_window merges within gap and splits across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.sessionWindowAgg(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0), // merges: gap 10 min < 30
+      (1L, ts("2024-01-01 11:00:00"), 4.0)) // splits: gap 50 min
+    q.processAllAvailable()
+    in.addData((9L, ts("2024-01-02 00:00:00"), 0.0)) // advance watermark
+    q.processAllAvailable()
+    in.addData((9L, ts("2024-01-03 00:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val sess = spark.table("sw_sessions").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(sess.length == 2)
+    // session end = last event + gap
+    assert(sess(0) == (("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0)))
+    assert(sess(1) == (("2024-01-01 11:00:00.0", "2024-01-01 11:30:00.0", 1L, 4.0)))
+  }
+
+  test("stream-static enrichment joins dimension rows without stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.enrichStream(events, dim, "event_type")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-01 10:01:00"), "scroll", 2.0)) // no dim row → null
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    assert(rows("click").contains("engagement"))
+    assert(rows("scroll").isEmpty) // left join keeps unmatched stream rows
+  }
+
   test("streaming dedup drops re-delivered events within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
