@@ -23,6 +23,10 @@ import graft.kmeans._
   *   -pointsout <dir>     assigned points sink (cid,x,y — headerless CSV)
   *   -centroidsout <dir>  final centroids sink (cid,x,y)
   *   -objfunout <dir>     objective value sink (single double)
+  *   -objtraceout <dir>   per-iteration objective sink (iter,objval rows
+  *                        — the reference needs one run PER iteration
+  *                        count to build this table, scripts/
+  *                        script_3.sh:18-42; we emit it from one run)
   *
   * Sinks are single-file headerless overwrite CSV (O15); with no
   * out-paths the results print to stdout (O16, KMeans.java:143,243-245).
@@ -79,9 +83,16 @@ object KMeansMain {
           .toSeq.sortBy(_.cid)
       }
 
-    val res = KMeansFit.fit(points, init, cfg)
+    val res = KMeansFit.fit(points, init, cfg, trace = p.contains("objtraceout"))
     val assigned = KMeansOps.assign(points, res.centroids)
     val objective = KMeansFit.sse(points, res.centroids)
+
+    p.get("objtraceout").foreach { path =>
+      import spark.implicits._
+      val trace = res.objTrace.zipWithIndex
+        .map { case (obj, i) => (i + 1, obj) }
+      Tables.writeCsvSingle(trace.toDF("iter", "objval"), path)
+    }
 
     val pointsOut = assigned.select("cid", "x", "y")
     val centsOut = Tables.centroidsDF(spark, res.centroids)

@@ -41,6 +41,29 @@ class KMeansMainSpec extends SparkSpec {
     assert(a.iterations == 3)
   }
 
+  test("objtraceout emits the per-iteration objective matching the reference goldens") {
+    assume(new java.io.File(s"$base/input/points.csv").exists())
+    KMeansMain.run(spark, Map(
+      "points" -> s"$base/input/points.csv",
+      "centroids" -> s"$base/input/centroids.csv",
+      "iterations" -> "5",
+      "pointsout" -> tmp("tr_pts"), "centroidsout" -> tmp("tr_cents"),
+      "objfunout" -> tmp("tr_obj"), "objtraceout" -> tmp("tr_trace")))
+    val traceFile = Files.list(Paths.get(tmp("tr_trace"))).iterator.asScala
+      .find(_.toString.endsWith(".csv")).get
+    val rows = Files.readAllLines(traceFile).asScala
+      .map(_.split(",")).map(a => a(0).toInt -> a(1).toDouble).toMap
+    assert(rows.keySet == (1 to 5).toSet)
+    // golden from the reference's script_3 per-iteration results
+    def golden(n: Int): Double = {
+      val src = scala.io.Source.fromFile(s"$base/results_objfun_$n.csv")
+      try src.getLines().drop(1).next().split(",")(1).toDouble
+      finally src.close()
+    }
+    for (n <- Seq(1, 2, 5))
+      assert(math.abs(rows(n) - golden(n)) / golden(n) < 1e-9, s"iter=$n")
+  }
+
   test("CSV round-trip: write headerless, read back with positional schema") {
     import spark.implicits._
     val cents = Seq(kmeans.Cent(0, 1.5, -2.5), kmeans.Cent(1, 3.25, 4.75))
