@@ -97,6 +97,37 @@ object KMeansND {
       }.toDF("id", "cid", "sqdist")
   }
 
+  /** Kernel assignment that carries the vector through: (id, cid, vec).
+    * Costs nothing extra (the vector is already in the row) and lets
+    * the fit loop recompute means WITHOUT re-joining assignments back
+    * to the points — at scale that join is a full shuffle of every
+    * vector per superstep. */
+  def assignKernelVec(points: DataFrame, cents: Seq[CentND]): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "assignKernelVec: empty centroid set")
+    val ids = cents.map(_.cid).toArray
+    val mat = cents.map(_.vec.toArray).toArray
+    val bc = spark.sparkContext.broadcast((ids, mat))
+    points.select(col("id"), col("vec")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (cids, m) = bc.value
+        it.map { case (id, v) =>
+          val p = v.toArray
+          var bestI = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < m.length) {
+            val c = m(i)
+            var d = 0.0; var j = 0
+            while (j < c.length) { val dx = p(j) - c(j); d += dx * dx; j += 1 }
+            if (d < bestD) { bestD = d; bestI = i }
+            i += 1
+          }
+          (id, cids(bestI), v)
+        }
+      }.toDF("id", "cid", "vec")
+  }
+
   // -------------------------------------------------------------------
   // Element-wise mean recompute: explode dimensions, decimal-exact
   // per-(cid, dim) means, re-assemble ordered vectors. One shuffle of
@@ -112,6 +143,17 @@ object KMeansND {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cvec"))
   }
+
+  /** Mean recompute over a vec-carrying assignment (id, cid, vec) — the
+    * no-join fit-loop path: one explode + one k·dim-group aggregate. */
+  def recomputeDirect(assignedVec: DataFrame): DataFrame =
+    assignedVec
+      .select(col("cid"), posexplode(col("vec")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("col").cast(Dec)).cast("double") / count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
 
   /** Flattened recompute — (cid, pos, m) scalar rows — used by the
     * verified query surface (array-typed result columns don't survive
@@ -164,7 +206,7 @@ object KMeansND {
       var iter = 0
       var go = maxIter > 0
       while (go) {
-        val next = recompute(cached, assignKernel(cached, cents))
+        val next = recomputeDirect(assignKernelVec(cached, cents))
           .collect()
           .map(r => CentND(r.getInt(0), r.getSeq[Double](1)))
           .toSeq.sortBy(_.cid)
