@@ -35,8 +35,10 @@ object KMeansND {
     graft.functions.VecFunctions.vecSqDist(a, b)
 
   /** Cast any numeric-array column (e.g. float embeddings) to
-    * array<double>. */
-  def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
+    * array<double>. An ARRAY cast stays codegen-capable; the
+    * `transform(c, _.cast(...))` formulation would be a CodegenFallback
+    * breaking the enclosing whole-stage-codegen span. */
+  def vecDouble(c: Column): Column = c.cast("array<double>")
 
   // -------------------------------------------------------------------
   // Declarative assignment (oracle path): points (id, vec) × broadcast
