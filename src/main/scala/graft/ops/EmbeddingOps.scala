@@ -113,6 +113,41 @@ object EmbeddingOps {
       .toDF("vec_id", "table", "bucket")
   }
 
+  /** Persist the LSH bucket index partitioned by (table, bucket) — the
+    * staging-write alternative to the per-query `cache()`: build once,
+    * probe many times, each probe a partition-pruned scan of the
+    * numTables matching buckets. */
+  def writeLshIndex(
+      embs: DataFrame, path: String, dim: Int = 64, numBits: Int = 8,
+      numTables: Int = 4, seed: Long = 42L): Unit =
+    lshBuckets(embs, dim, numBits, numTables, seed)
+      .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+  /** ANN top-k over a persisted LSH index. The query's own buckets are
+    * recomputed from its embedding (a numTables-row projection), then
+    * pushed as STATIC partition filters into the index scan — only
+    * numTables directories are read, never the full index. */
+  def lshTopKIndexed(
+      indexPath: String, embs: DataFrame, queryId: Long = 0L, k: Int = 10,
+      dim: Int = 64, numBits: Int = 8, numTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = embs.sparkSession
+    val qb = lshBuckets(embs.filter(col("vec_id") === queryId),
+        dim, numBits, numTables, seed)
+      .select("table", "bucket").collect()
+    require(qb.nonEmpty, s"lshTopKIndexed: query vector $queryId not found")
+    val index = spark.read.parquet(indexPath)
+    val cond = qb.map { r =>
+      (col("table") === lit(r.get(0))) && (col("bucket") === lit(r.get(1)))
+    }.reduce(_ || _)
+    val candIds = index.filter(cond)
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id").distinct()
+    cosineTopK(embs.join(candIds.unionAll(
+        embs.filter(col("vec_id") === queryId).select("vec_id")),
+      Seq("vec_id"), "left_semi"), queryId, k)
+  }
+
   /** ANN top-k via LSH: score only same-bucket candidates, then exact
     * cosine + top-k over that (usually tiny) candidate set. */
   def lshTopK(

@@ -36,6 +36,24 @@ class EmbeddingSpec extends SparkSpec {
     assert(got(2)._2 == 0.0) // orthogonal
   }
 
+  test("on-disk LSH index partition-prunes probes and matches the in-memory path") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    try {
+      EmbeddingOps.writeLshIndex(embs, dir)
+      val fromDisk = EmbeddingOps.lshTopKIndexed(dir, embs, queryId = 0L, k = 5)
+      val inMem = EmbeddingOps.lshTopK(embs, queryId = 0L, k = 5)
+        .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+      // the probe reaches the index scan as a partition filter
+      val plan = fromDisk.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), plan)
+      val got = fromDisk.select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+      assert(got == inMem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("cosine top-k compiles to TakeOrderedAndProject, never a global Window") {
     // scale guard: a partitionBy-less Window funnels every scored row
     // into ONE partition; orderBy(...).limit(k) must stay the per-
