@@ -131,6 +131,10 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.typePercentiles(Tables.events(s, dir))),
     "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
+    // 24h window: the synthetic events are sparse per user, so the
+    // default 60 min yields too few conversions to be a meaningful check
+    "events_funnel" -> ((s, dir) =>
+      EventOps.funnel(Tables.events(s, dir), withinMinutes = 1440)),
     // Composed curation pipeline + window-function surface
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
@@ -226,6 +230,7 @@ object SparkEntry {
     "events_hourly_agg" -> EventOps.hourlyTypeAggSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_percentiles" -> EventOps.typePercentilesSql,
+    "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     // events_sketches: t-digest/HLL sketches are engine-specific →
     // rows-only check; accuracy asserted in EventAndMultimodalSpec.
     "mm_summary" -> Multimodal.mediaSummarySql,

@@ -97,6 +97,48 @@ object EventOps {
         max("ts").as("session_end"))
   }
 
+  /** Two-step funnel: per user, the FIRST `stepA` event and the first
+    * `stepB` event STRICTLY after it within `withinMinutes`. Exact
+    * microsecond arithmetic (same discipline as sessionize). One
+    * partial-agg shuffle per side + one user_id-keyed join — at scale
+    * both sides are pre-aggregated to ≤ one row per user before the
+    * join, so the shuffle carries users, not events. */
+  def funnel(
+      events: DataFrame, stepA: String = "view", stepB: String = "click",
+      withinMinutes: Int = 60): DataFrame = {
+    val winUs = withinMinutes * 60L * 1000000L
+    val a = events.filter(col("event_type") === stepA)
+      .groupBy("user_id").agg(min("ts").as("a_ts"))
+    val b = events.filter(col("event_type") === stepB)
+      .select(col("user_id"), col("ts").as("b_ts"))
+    a.join(b, Seq("user_id"))
+      .filter(unix_micros(col("b_ts")) > unix_micros(col("a_ts")) &&
+        unix_micros(col("b_ts")) <= unix_micros(col("a_ts")) + winUs)
+      .groupBy("user_id", "a_ts").agg(min("b_ts").as("b_ts"))
+      .withColumn("delta_us",
+        unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+  }
+
+  def funnelSql(
+      stepA: String = "view", stepB: String = "click",
+      withinMinutes: Int = 60): String = {
+    val winUs = withinMinutes * 60L * 1000000L
+    s"""WITH a AS (
+       |  SELECT user_id, MIN(ts) AS a_ts FROM events
+       |  WHERE event_type = '$stepA' GROUP BY user_id),
+       |b AS (
+       |  SELECT user_id, ts AS b_ts FROM events WHERE event_type = '$stepB'),
+       |conv AS (
+       |  SELECT a.user_id, a.a_ts, MIN(b.b_ts) AS b_ts
+       |  FROM a JOIN b ON a.user_id = b.user_id
+       |  WHERE epoch_us(b.b_ts) > epoch_us(a.a_ts)
+       |    AND epoch_us(b.b_ts) <= epoch_us(a.a_ts) + $winUs
+       |  GROUP BY a.user_id, a.a_ts)
+       |SELECT user_id, a_ts, b_ts,
+       |  epoch_us(b_ts) - epoch_us(a_ts) AS delta_us
+       |FROM conv""".stripMargin
+  }
+
   def sessionizeSql(gapMinutes: Int = 30): String = {
     val gapUs = gapMinutes * 60L * 1000000L
     s"""WITH flagged AS (

@@ -47,6 +47,24 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(math.abs(sk.getLong(3) - 1L) <= 1L) // HLL of a single user
   }
 
+  test("funnel attributes the first B after the user's FIRST A within the window") {
+    val evs = Seq(
+      // user 1: first view 10:00, click 10:30 → converts, delta 30 min
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:40:00"), 1L, "click", 0.0, "{}"), // later click ignored
+      // user 2: first view 09:00; only click is at 10:30 — outside 60 min
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:30:00"), 2L, "click", 0.0, "{}"),
+      // user 3: click BEFORE any view — no conversion (strictly after)
+      (6L, ts("2024-01-01 08:00:00"), 3L, "click", 0.0, "{}"),
+      (7L, ts("2024-01-01 09:00:00"), 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.funnel(evs, "view", "click", withinMinutes = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 30L * 60L * 1000000L))
+  }
+
   test("events reader converts nanosecond timestamps exactly") {
     val df = graft.Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType.typeName == "timestamp")
