@@ -135,6 +135,7 @@ object SparkEntry {
     // default 60 min yields too few conversions to be a meaningful check
     "events_funnel" -> ((s, dir) =>
       EventOps.funnel(Tables.events(s, dir), withinMinutes = 1440)),
+    "events_rollup" -> ((s, dir) => EventOps.dailyTypeRollup(Tables.events(s, dir))),
     // Composed curation pipeline + window-function surface
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
@@ -231,6 +232,7 @@ object SparkEntry {
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_percentiles" -> EventOps.typePercentilesSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
+    "events_rollup" -> EventOps.dailyTypeRollupSql,
     // events_sketches: t-digest/HLL sketches are engine-specific →
     // rows-only check; accuracy asserted in EventAndMultimodalSpec.
     "mm_summary" -> Multimodal.mediaSummarySql,

@@ -97,6 +97,32 @@ object EventOps {
         max("ts").as("session_end"))
   }
 
+  /** Multi-level aggregate via ROLLUP (grouping sets): per (event_type,
+    * day) counts plus per-event_type subtotals plus the grand total in
+    * ONE pass — Catalyst expands the grouping sets before the partial
+    * aggregate, so the shuffle still carries one row per (group, set).
+    * The grouping-level columns disambiguate subtotal NULLs from data
+    * NULLs (exactly what GROUPING() is for). */
+  def dailyTypeRollup(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("value"))
+      .rollup("event_type", "day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
+        grouping("event_type").cast("int").as("g_type"),
+        grouping("day").cast("int").as("g_day"))
+
+  val dailyTypeRollupSql: String =
+    """SELECT event_type, date_trunc('day', ts) AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+      |  CAST(GROUPING(event_type) AS INT) AS g_type,
+      |  CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day
+      |FROM events
+      |GROUP BY ROLLUP (event_type, date_trunc('day', ts))""".stripMargin
+
   /** Two-step funnel: per user, the FIRST `stepA` event and the first
     * `stepB` event STRICTLY after it within `withinMinutes`. Exact
     * microsecond arithmetic (same discipline as sessionize). One

@@ -47,6 +47,24 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(math.abs(sk.getLong(3) - 1L) <= 1L) // HLL of a single user
   }
 
+  test("rollup emits leaf, subtotal, and grand-total rows with grouping flags") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.dailyTypeRollup(evs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)).map(_.toString),
+        r.getInt(4), r.getInt(5)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // leaf: click on Jan 1
+    assert(rows((Some("click"), Some("2024-01-01 00:00:00.0"), 0, 0)) == ((1L, 1.0)))
+    // subtotal per type (day rolled up → NULL day, g_day = 1)
+    assert(rows((Some("click"), None, 0, 1)) == ((2L, 3.0)))
+    assert(rows((Some("view"), None, 0, 1)) == ((1L, 4.0)))
+    // grand total
+    assert(rows((None, None, 1, 1)) == ((3L, 7.0)))
+  }
+
   test("funnel attributes the first B after the user's FIRST A within the window") {
     val evs = Seq(
       // user 1: first view 10:00, click 10:30 → converts, delta 30 min
