@@ -125,10 +125,11 @@ object EventOps {
 
   /** Two-step funnel: per user, the FIRST `stepA` event and the first
     * `stepB` event STRICTLY after it within `withinMinutes`. Exact
-    * microsecond arithmetic (same discipline as sessionize). One
-    * partial-agg shuffle per side + one user_id-keyed join — at scale
-    * both sides are pre-aggregated to ≤ one row per user before the
-    * join, so the shuffle carries users, not events. */
+    * microsecond arithmetic (same discipline as sessionize). The A side
+    * pre-aggregates to one row per user; the B side cannot (min-after-A
+    * depends on a_ts), so B events shuffle ONCE on user_id through the
+    * join — O(|B|) rows, no amplification — and the post-filter min
+    * collapses map-side via partial aggregation. */
   def funnel(
       events: DataFrame, stepA: String = "view", stepB: String = "click",
       withinMinutes: Int = 60): DataFrame = {
