@@ -136,6 +136,7 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       EventOps.funnel(Tables.events(s, dir), withinMinutes = 1440)),
     "events_rollup" -> ((s, dir) => EventOps.dailyTypeRollup(Tables.events(s, dir))),
+    "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // Composed curation pipeline + window-function surface
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
@@ -233,6 +234,7 @@ object SparkEntry {
     "events_percentiles" -> EventOps.typePercentilesSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
+    "events_retention" -> EventOps.weeklyRetentionSql,
     // events_sketches: t-digest/HLL sketches are engine-specific →
     // rows-only check; accuracy asserted in EventAndMultimodalSpec.
     "mm_summary" -> Multimodal.mediaSummarySql,

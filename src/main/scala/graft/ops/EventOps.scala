@@ -97,6 +97,31 @@ object EventOps {
         max("ts").as("session_end"))
   }
 
+  /** Weekly cohort retention: cohort = the user's first active week;
+    * one row per (cohort_week, active_week) with the distinct-user
+    * count. Two aggregates + one user-keyed join; the (user, week)
+    * relation is pre-distinct'd so the join input is bounded by
+    * users × active-weeks, not raw events. Both engines truncate weeks
+    * to Monday. */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohorts = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weekly.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), col("week").as("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val weeklyRetentionSql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id)
+      |SELECT c.cohort_week, w.week AS active_week, COUNT(*) AS n_users
+      |FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+      |GROUP BY c.cohort_week, w.week""".stripMargin
+
   /** Multi-level aggregate via ROLLUP (grouping sets): per (event_type,
     * day) counts plus per-event_type subtotals plus the grand total in
     * ONE pass — Catalyst expands the grouping sets before the partial

@@ -47,6 +47,24 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(math.abs(sk.getLong(3) - 1L) <= 1L) // HLL of a single user
   }
 
+  test("weekly retention assigns users to first-week cohorts") {
+    val evs = Seq(
+      // user 1 active in week of Jan 1 (Mon) and week of Jan 8
+      (1L, ts("2024-01-02 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "view", 0.0, "{}"), // same week, distinct'd
+      (3L, ts("2024-01-09 10:00:00"), 1L, "click", 0.0, "{}"),
+      // user 2 first appears in week of Jan 8
+      (4L, ts("2024-01-10 10:00:00"), 2L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.weeklyRetention(evs).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10),
+        r.getTimestamp(1).toString.take(10)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", "2024-01-01") -> 1L,  // cohort week-0 activity
+      ("2024-01-01", "2024-01-08") -> 1L,  // user 1 retained in week 1
+      ("2024-01-08", "2024-01-08") -> 1L)) // user 2's own cohort
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows with grouping flags") {
     val evs = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
