@@ -51,42 +51,103 @@ object Bench {
     }
     try execute(Tables.points(spark, sfDir).limit(1000)) catch { case _: Throwable => }
 
-    // Best of two runs per query: single-run timings on a shared host
-    // show up to 10x scheduler/IO noise on individual queries (observed:
-    // the same 1-shuffle k-group aggregate at 1.5 s and 15 s across
-    // consecutive runs of the same binary). The minimum is the
-    // steady-state operator cost; errors are taken from the first run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
-        val r = timed(execute(fn(spark, sfDir)))
+    // Best of three runs per query, ALL run times emitted (the r5 min-
+    // only report hid the spread needed to adjudicate a 1.9 s -> 8.6 s
+    // single-query anomaly): single-run timings on a shared host show up
+    // to 10x scheduler/IO noise on individual queries (observed: the
+    // same 1-shuffle k-group aggregate at 1.5 s and 15 s across
+    // consecutive runs of the same binary). The minimum is the steady-
+    // state operator cost and stays the headline "queries" value; the
+    // per-run spread lands in "runs"; errors are taken from the first
+    // failing run.
+    def bestOf(n: Int)(body: => Unit): (Seq[Double], Double, Option[String]) = {
+      val runs = (1 to n).map { _ =>
+        val r = timed(body)
         // drop any caches a query created so later timings aren't
         // distorted by accumulated memory pressure
         spark.catalog.clearCache()
         r
       }
       val ok = runs.filter(_._2.isEmpty)
-      if (ok.nonEmpty) (name, ok.map(_._1).min, None)
-      else (name, -1.0, runs.head._2)
+      if (ok.nonEmpty) (runs.map(_._1), ok.map(_._1).min, None)
+      else (runs.map(_._1), -1.0, runs.head._2)
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (runs, best, err) = bestOf(3)(execute(fn(spark, sfDir)))
+      (name, runs, best, err)
     }
 
     // end-to-end Lloyd fit, 10 iterations (the reference's flagship run;
     // BASELINE.md: Flink p=4 does 1M pts / 10 iters in ~12.2 s)
-    val (fitSec, fitErr) = timed {
+    val (fitRuns, fitSec, fitErr) = bestOf(2) {
       val res = kmeans.KMeansFit.fit(
         Tables.points(spark, sfDir),
         Tables.initCentroids(spark, sfDir, 8),
         kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false))
       require(res.centroids.nonEmpty)
     }
-    val all = results :+ (("kmeans_fit10", fitSec, fitErr))
+    val all = results :+ (("kmeans_fit10", fitRuns, fitSec, fitErr))
 
-    val qs = all.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val errs = all.collect { case (k, _, Some(e)) =>
+    // The fit at the baseline's own headline scale (BASELINE.md: 10M
+    // points / 10 iters / p=4 = 90.8 s): 10M deterministic synthetic
+    // points materialized once as parquet scratch under target/, then
+    // the identical fit path. Reported OUTSIDE "queries" so the
+    // cross-round sf0.1 total stays comparable.
+    val fit10m =
+      if (sys.env.get("SPARK_GRAFT_SKIP_10M").contains("1")) None
+      else Some(timed10m(spark))
+
+    val qs = all.map { case (k, _, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val runsJson = all.map { case (k, rs, _, _) =>
+      s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val errs = all.collect { case (k, _, _, Some(e)) =>
       s""""$k":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}""""
     }.mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum
+    val total = all.map(_._3).filter(_ >= 0).sum
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").head
+    } catch { case _: Throwable => "-1" }
+    val fit10mJson = fit10m.map { case (rs, err) =>
+      val v = if (rs.nonEmpty) rs.min else -1.0
+      s""","fit10m":{"sec":$v,"runs":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")},""" +
+        s""""rows":10000000,"iters":10,"baseline_flink_p4_sec":90.8""" +
+        err.map(e => s""","error":"${e.replace("\"", "'")}"""").getOrElse("") + "}"
+    }.getOrElse("")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,""" +
+        s""""errors":$errs,"loadavg":$load$fit10mJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Generate-once 10M-point parquet scratch + two timed fits over it.
+    * x/y are hash-derived uniforms on [0, 100000) — deterministic, no
+    * RNG state, and the same value range as the testdata points. */
+  private def timed10m(spark: SparkSession): (Seq[Double], Option[String]) = {
+    import org.apache.spark.sql.functions._
+    val path = "target/bench_points_10m.parquet"
+    try {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        spark.range(0, 10000000L, 1, 32)
+          .select(col("id").as("pid"),
+            (pmod(xxhash64(col("id"), lit(1)), lit(10000000L)) / 100.0).as("x"),
+            (pmod(xxhash64(col("id"), lit(2)), lit(10000000L)) / 100.0).as("y"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val pts = spark.read.parquet(path)
+      val init = pts.orderBy("pid").limit(8).collect().zipWithIndex
+        .map { case (r, i) => kmeans.Cent(i, r.getDouble(1), r.getDouble(2)) }.toSeq
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val res = kmeans.KMeansFit.fit(pts, init,
+          kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false))
+        require(res.centroids.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (runs, None)
+    } catch { case e: Throwable =>
+      (Seq.empty, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+    }
   }
 }

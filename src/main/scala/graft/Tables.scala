@@ -52,13 +52,22 @@ object Tables {
   /** Deterministic initial centroids: the k lowest-pid points, cid = rank.
     * Uses takeOrdered-style `orderBy(pid).limit(k)` (top-k per partition,
     * no global sort/shuffle) then builds a tiny in-memory relation —
-    * reference O3 `env.fromCollection` (KMeans.java:120). */
-  def initCentroids(spark: SparkSession, dir: String, k: Int = 8): Seq[kmeans.Cent] = {
-    val rows = points(spark, dir).orderBy("pid").limit(k).collect()
-    rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
-      kmeans.Cent(i, r.getDouble(1), r.getDouble(2))
-    }.toSeq
-  }
+    * reference O3 `env.fromCollection` (KMeans.java:120).
+    *
+    * Memoized per (dir, k): the init set is a pure function of the
+    * immutable testdata, and many registered queries compose it — like
+    * the reference computing its broadcast init once per job, the top-k
+    * scan should run once per process, not once per downstream query. */
+  def initCentroids(spark: SparkSession, dir: String, k: Int = 8): Seq[kmeans.Cent] =
+    centsMemo.computeIfAbsent((dir, k), { _ =>
+      val rows = points(spark, dir).orderBy("pid").limit(k).collect()
+      rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
+        kmeans.Cent(i, r.getDouble(1), r.getDouble(2))
+      }.toSeq
+    })
+
+  private val centsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[kmeans.Cent]]()
 
   def centroidsDF(spark: SparkSession, cents: Seq[kmeans.Cent]): DataFrame = {
     import spark.implicits._

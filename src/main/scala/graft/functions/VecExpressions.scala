@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{VecBridge, VecDot, VecSqDist}
+import org.apache.spark.sql.graft.{BitsDouble, DoubleBits, VecBridge, VecDot, VecSqDist}
 
 /** Public Column API over the native codegen vector expressions
   * (org.apache.spark.sql.graft.VecDot / VecSqDist — see that file for
@@ -22,4 +22,10 @@ object VecFunctions {
 
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Raw IEEE bits of a non-negative double (order-preserving). */
+  def doubleBits(a: Column): Column = VecBridge.column(DoubleBits(e(a)))
+
+  /** Reinterpret raw IEEE bits as a double. */
+  def bitsDouble(a: Column): Column = VecBridge.column(BitsDouble(e(a)))
 }

@@ -60,23 +60,42 @@ object KMeansOps {
 
   /** Broadcast-hash-join variant for larger k (centroids still fit in an
     * executor but not in a codegen expression): crossJoin(broadcast) +
-    * per-pid min(struct) aggregate — one shuffle on pid, map-side
+    * per-pid packed-argmin aggregate — one shuffle on pid, map-side
     * partial agg. Same (sqdist, cid) ordering semantics as `assign`.
     *
-    * The min-struct carries only (sq, cid) — the winning centroid's
-    * coordinates are re-derived after the aggregate by a broadcast join
-    * on the k-row centroid set (zero shuffle), and x/y are constant
-    * within a pid group so they ride as separate min() columns. Halves
-    * the shuffle payload vs folding all 6 fields into the struct. */
+    * The argmin key is NOT a struct — `min(struct(sq, cid))` has a
+    * non-primitive aggregation buffer, which disqualifies
+    * HashAggregateExec and silently plans TWO SortAggregates with full
+    * sorts of the k-times-exploded relation (measured 4x slower at
+    * sf0.1). Instead (sq, cid) is packed lexicographic-order-preserving
+    * into ONE fixed-width DECIMAL(38,0): sq >= 0 always (sum of
+    * squares), so its raw IEEE bits are order-isomorphic to its value
+    * (`DoubleBits`), and `bits * 2^31 + cid` fits decimal-38 with exact
+    * integer arithmetic for any int cid. A decimal buffer is
+    * UnsafeRow-mutable, so the plan is partial HashAggregate (collapses
+    * the k-fold blowup map-side, before the shuffle) -> Exchange(pid) ->
+    * final HashAggregate — the 100 TB shape.
+    *
+    * The winning centroid's coordinates are re-derived after the
+    * aggregate by a broadcast join on the k-row centroid set (zero
+    * shuffle); x/y are constant within a pid group so they ride as
+    * separate min() columns. */
   def assignJoin(points: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.VecFunctions.{bitsDouble, doubleBits}
+    val M = 2147483648L // 2^31: cid headroom in the packed key
+    val Dec38 = DecimalType(38, 0)
     val c = centroids.select(col("cid"), col("x").as("cx"), col("y").as("cy"))
+    val packed =
+      doubleBits(col("sq")).cast(Dec38) * lit(M) + col("cid").cast(Dec38)
+    val bk = col("bk")
+    val cidDec = bk % lit(M) // packed keys are non-negative: % == pmod
     points.crossJoin(broadcast(c))
       .withColumn("sq", sqDist(col("x"), col("y"), col("cx"), col("cy")))
       .groupBy("pid")
-      .agg(min(struct(col("sq"), col("cid"))).as("b"),
-        min(col("x")).as("x"), min(col("y")).as("y"))
+      .agg(min(packed).as("bk"), min(col("x")).as("x"), min(col("y")).as("y"))
       .select(col("pid"), col("x"), col("y"),
-        col("b.cid").as("cid"), col("b.sq").as("sqdist"))
+        cidDec.cast("int").as("cid"),
+        bitsDouble(floor((bk - cidDec) / lit(M)).cast("long")).as("sqdist"))
       .join(broadcast(c), Seq("cid"))
       .select(col("pid"), col("x"), col("y"), col("cid"),
         col("cx"), col("cy"), col("sqdist"))

@@ -16,18 +16,31 @@ object PlanAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      // static audit: disable AQE so the executed plan is a plain tree
+      // (AdaptiveSparkPlanExec hides its inner plan from collect)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       try {
-        val plan = graft.SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan.toString
+        val physical = graft.SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan
+        // count DISTINCT exchange operators: a ReusedExchangeExec
+        // reprints its target's subtree in toString, so substring
+        // counting double-counts shared exchanges (the bug that inflated
+        // early PLANS.md numbers). ReusedExchangeExec is a leaf, so a
+        // tree collect sees each real exchange once; dedupe by node id
+        // anyway for safety.
+        import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+        val shuffles = physical.collect {
+          case e: ShuffleExchangeLike => e.id
+        }.distinct.size
+        val bcasts = physical.collect {
+          case e: BroadcastExchangeLike => e.id
+        }.distinct.size
+        val plan = physical.toString
         val lines = plan.linesIterator.toSeq
-        val shuffles = lines.count(_.contains("Exchange hashpartitioning")) +
-          lines.count(_.contains("Exchange rangepartitioning")) +
-          lines.count(_.contains("Exchange RoundRobinPartitioning"))
-        val bcasts = lines.count(_.contains("BroadcastExchange"))
         val window = lines.exists(_.trim.startsWith("Window"))
         val topk = plan.contains("TakeOrderedAndProject")
         println(f"PLAN $name%-22s shuffles=$shuffles%-3d broadcasts=$bcasts%-3d" +

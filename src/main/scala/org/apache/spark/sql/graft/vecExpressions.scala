@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for dense-vector math over
   * `array<double>` columns, WITH `doGenCode` — unlike the higher-order
@@ -82,6 +82,37 @@ case class VecSqDist(left: Expression, right: Expression) extends VecBinaryExpre
   override def prettyName: String = "vec_sqdist"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDist =
     copy(left = l, right = r)
+}
+
+/** Raw IEEE-754 bits of a double, as a long. For NON-NEGATIVE doubles
+  * the bit pattern (sign 0, then exponent, then mantissa) is
+  * order-isomorphic to the numeric value, so an argmin over a
+  * non-negative double key can run over its bits instead — which packs
+  * with a tie-break id into one fixed-width scalar that HashAggregate
+  * can buffer (a struct buffer forces SortAggregate; see
+  * KMeansOps.assignJoin). Not order-preserving for negatives/NaN. */
+case class DoubleBits(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToRawLongBits($c)")
+  override def prettyName: String = "double_bits"
+  override protected def withNewChildInternal(c: Expression): DoubleBits = copy(child = c)
+}
+
+/** Inverse of [[DoubleBits]]: reinterpret a long as the double whose
+  * IEEE-754 bit pattern it is. */
+case class BitsDouble(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.longBitsToDouble(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.longBitsToDouble($c)")
+  override def prettyName: String = "bits_double"
+  override protected def withNewChildInternal(c: Expression): BitsDouble = copy(child = c)
 }
 
 /** Column <-> Expression bridge (ExpressionUtils is private[sql]). */
