@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{VecDot, VecSqDist}
+import org.apache.spark.sql.graft.{StringFingerprint, VecDot, VecSqDist}
 
 /** SQL-surface registration of the native vector expressions, two ways:
   *
@@ -38,6 +38,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_sqdist expects 2 arguments")
         VecSqDist(args(0), args(1))
+      }),
+    ("doc_fingerprint",
+      new ExpressionInfo(classOf[StringFingerprint].getName, "doc_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "doc_fingerprint expects 1 argument")
+        StringFingerprint(args(0))
       }))
 
   /** Register on an existing session (idempotent). */

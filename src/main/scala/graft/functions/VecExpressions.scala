@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BitsDouble, DoubleBits, VecBridge, VecDot, VecSqDist}
+import org.apache.spark.sql.graft.{BitsDouble, DoubleBits, StringFingerprint, VecBridge, VecDot, VecSqDist}
 
 /** Public Column API over the native codegen vector expressions
   * (org.apache.spark.sql.graft.VecDot / VecSqDist — see that file for
@@ -28,4 +28,7 @@ object VecFunctions {
 
   /** Reinterpret raw IEEE bits as a double. */
   def bitsDouble(a: Column): Column = VecBridge.column(BitsDouble(e(a)))
+
+  /** 31-base polynomial rolling hash mod 1e9+7 (document fingerprint). */
+  def docFingerprint(a: Column): Column = VecBridge.column(StringFingerprint(e(a)))
 }

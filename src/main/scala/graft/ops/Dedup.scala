@@ -218,11 +218,11 @@ object Dedup {
       .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
       .cache()
     // localCheckpoint per iteration: each round references the previous
-    // labels TWICE (neighbor-min join + own-label join), so without
-    // lineage truncation the logical plan doubles every round —
-    // exponential planning cost by iteration ~10. Eager checkpoint keeps
-    // the plan depth constant (on a cluster with executor loss, swap for
-    // reliable checkpoint() to a checkpoint dir).
+    // labels in the neighbor-min join, so without lineage truncation the
+    // logical plan grows every round — exponential planning cost by
+    // iteration ~10. Eager checkpoint keeps the plan depth constant (on
+    // a cluster with executor loss, swap for reliable checkpoint() to a
+    // checkpoint dir).
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("group_id"))
       .localCheckpoint(true)
@@ -232,18 +232,32 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("group_id").as("nl")), Seq("b"))
         .groupBy("a").agg(min("nl").as("nm"))
+      // The changed-this-round flag rides INSIDE the checkpointed frame:
+      // the eager localCheckpoint is already the round's one real job,
+      // so the convergence test becomes a short-circuit scan of the
+      // materialized in-memory labels instead of the extra
+      // join-with-previous + count() job each round used to pay
+      // (halves the job count of the whole loop).
       val next = labels
         .join(nbrMin.select(col("a").as("doc_id"), col("nm")), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("nm"), col("group_id"))).as("group_id"))
+          least(col("group_id"), coalesce(col("nm"), col("group_id"))).as("group_id"),
+          (col("nm").isNotNull && col("nm") < col("group_id")).as("chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("doc_id"), col("group_id").as("old")), Seq("doc_id"))
-        .filter(col("group_id") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).limit(1).count()
+      labels = next.drop("chg")
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // Min-label propagation needs O(component diameter) rounds; a dup
+    // chain longer than maxIter hops would exit here with SPLIT groups
+    // and no other signal — make that loudly visible rather than return
+    // silently-wrong labels. (At extreme diameters switch to
+    // large-star/small-star, O(log n) rounds.)
+    require(changed == 0L,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component has diameter > maxIter; raise maxIter or use a " +
+        "doubling (large-star/small-star) propagation")
     labels
   }
 

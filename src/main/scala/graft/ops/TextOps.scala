@@ -141,17 +141,18 @@ object TextOps {
   // -------------------------------------------------------------------
   // Document fingerprint: 31-base polynomial rolling hash over the
   // character codes, mod 1e9+7 — a deterministic content hash usable as
-  // an exact-dedup key. Fold runs left-to-right in both engines
-  // (Spark `aggregate` with init 0; DuckDB `list_reduce` over a
-  // 0-prepended list). Pure projection, zero shuffle.
+  // an exact-dedup key. Native codegen expression (StringFingerprint):
+  // the earlier `aggregate(split(text,''), ...)` higher-order fold was
+  // CodegenFallback — interpreted per row AND it broke the hosting
+  // Project's whole-stage-codegen span, in the hot path of both
+  // pipeline_curate and dedup_fingerprint. Same left-to-right fold, so
+  // values (and the DuckDB list_reduce twin) are unchanged. Pure
+  // projection, zero shuffle.
   // -------------------------------------------------------------------
   private val FpMod = 1000000007L
 
   def fingerprint(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, c) => (acc * 31L + ascii(c).cast("long")) % FpMod)
+    graft.functions.VecFunctions.docFingerprint(text)
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for dense-vector math over
   * `array<double>` columns, WITH `doGenCode` — unlike the higher-order
@@ -113,6 +114,42 @@ case class BitsDouble(child: Expression) extends UnaryExpression with ExpectsInp
     defineCodeGen(ctx, ev, c => s"java.lang.Double.longBitsToDouble($c)")
   override def prettyName: String = "bits_double"
   override protected def withNewChildInternal(c: Expression): BitsDouble = copy(child = c)
+}
+
+/** 31-base polynomial rolling hash of a string's Unicode code points,
+  * mod 1e9+7 — the document-fingerprint kernel (TextOps.fingerprint).
+  * Replaces the `aggregate(split(text, ''), ...)` higher-order fold,
+  * which is CodegenFallback (interpreted per row, and it breaks the
+  * whole-stage-codegen span of the hosting Project). Identical values:
+  * same left-to-right fold, and per-BMP-character `ascii()` equals the
+  * code point (the corpus is ASCII; code points also match DuckDB's
+  * per-character `ascii` for all of Unicode). */
+case class StringFingerprint(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    StringFingerprint.hash(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.StringFingerprint.hash($c.toString())")
+  override def prettyName: String = "doc_fingerprint"
+  override protected def withNewChildInternal(c: Expression): StringFingerprint =
+    copy(child = c)
+}
+
+object StringFingerprint {
+  /** Shared by interpreted eval and generated code (called from the
+    * codegen'd Java via this static-forwarder-friendly signature). */
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }
 
 /** Column <-> Expression bridge (ExpressionUtils is private[sql]). */

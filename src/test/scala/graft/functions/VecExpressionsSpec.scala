@@ -51,6 +51,37 @@ class VecExpressionsSpec extends SparkSpec {
     assert(got(1) == ((2L, 0.0, 3.0)))
   }
 
+  test("doc_fingerprint matches the higher-order fold it replaced") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = d.select(col("doc_id"), VecFunctions.docFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fold = d.select(col("doc_id"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == fold)
+    assert(native.nonEmpty)
+  }
+
+  test("doc_fingerprint null and empty semantics") {
+    val d = Seq((1L, Some("")), (2L, None: Option[String]), (3L, Some("ab")))
+      .toDF("id", "t")
+    val got = d.select(col("id"), VecFunctions.docFingerprint(col("t")))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) == Some(0L))
+    assert(got(2L) == None)
+    assert(got(3L) == Some(('a'.toInt * 31L + 'b'.toInt) % 1000000007L))
+  }
+
+  test("doc_fingerprint participates in whole-stage codegen (no fallback)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val projected = graft.ops.TextOps.fingerprints(d)
+    val planLines = projected.queryExecution.executedPlan.toString.split("\n")
+    val projLine = planLines.find(_.contains("doc_fingerprint")).get
+    assert(projLine.trim.matches("""^\*\(\d+\).*"""), s"not codegen'd: $projLine")
+    assert(!projected.queryExecution.executedPlan.toString.contains("CodegenFallback"))
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // Probe over a parquet array column; higher-order lambdas in the
     // same position would break the project out of the codegen span
