@@ -131,6 +131,11 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.typePercentiles(Tables.events(s, dir))),
     "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
+    // the deterministic spine of the sketch aggregate (grouping + n),
+    // oracle-checked; the t-digest/HLL estimates themselves stay
+    // test-carried (EventAndMultimodalSpec accuracy bounds)
+    "events_sketches_n" -> ((s, dir) =>
+      EventOps.typeSketches(Tables.events(s, dir)).select("event_type", "n")),
     // 24h window: the synthetic events are sparse per user, so the
     // default 60 min yields too few conversions to be a meaningful check
     "events_funnel" -> ((s, dir) =>
@@ -153,10 +158,14 @@ object SparkEntry {
       val cents = Tables.centsNDDF(s, kmeans.KMeansND.initFromLowestIds(vecs, K))
       kmeans.KMeansND.recomputeFlat(vecs, kmeans.KMeansND.assign(vecs, cents))
     }),
-    // IVF ANN: k-means coarse quantizer + probed exact rescore
+    // IVF ANN: k-means coarse quantizer + probed exact rescore.
+    // convergence=false → exactly 5 Lloyd steps, no data-dependent
+    // early exit, so the whole search (build included) is oracle-checked
+    // against a chained-CTE DuckDB twin (IvfIndex.ivfTopKSql).
     "ivf_topk" -> ((s, dir) => {
       val embs = Tables.table(s, dir, "embeddings")
-      val idx = graft.ops.IvfIndex.build(embs, nlist = 16, maxIter = 5)
+      val idx = graft.ops.IvfIndex.build(embs, nlist = 16, maxIter = 5,
+        convergence = false)
       val q = graft.ops.IvfIndex.vectors(embs)
         .filter(org.apache.spark.sql.functions.col("id") === 0L)
         .collect()(0).getSeq[Double](1)
@@ -235,13 +244,20 @@ object SparkEntry {
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_retention" -> EventOps.weeklyRetentionSql,
-    // events_sketches: t-digest/HLL sketches are engine-specific →
-    // rows-only check; accuracy asserted in EventAndMultimodalSpec.
+    // events_sketches: the t-digest/HLL estimate columns are
+    // engine-specific → rows-only check there; the deterministic spine
+    // is oracle-checked via events_sketches_n, and estimate accuracy is
+    // asserted in EventAndMultimodalSpec.
+    "events_sketches_n" ->
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+    // ivf_topk: fixed-iteration (convergence=false) build → the full
+    // quantize+probe+rescore pipeline unrolls into DuckDB CTEs.
+    "ivf_topk" -> graft.ops.IvfIndex.ivfTopKSql(
+      nlist = 16, maxIter = 5, k = 10, nprobe = 4),
     "mm_summary" -> Multimodal.mediaSummarySql,
     "mm_frames" -> Multimodal.sampleFramesSql(),
-    // dedup_minhash / dedup_simhash / emb_lsh_topk / emb_near_dups /
-    // mm_features: engine-specific hash functions (xxhash64, seeded
-    // hyperplanes) or float32 stub-decode arithmetic — not
+    // dedup_minhash / dedup_simhash / mm_features: engine-specific hash
+    // functions (xxhash64) or float32 stub-decode arithmetic — not
     // DuckDB-expressible; covered by ScalaTest planted-duplicate /
     // determinism suites instead (rows-only check).
   )

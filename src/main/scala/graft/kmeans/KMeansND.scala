@@ -52,6 +52,21 @@ object KMeansND {
       .agg(min(struct(col("sq"), col("cid"))).as("b"))
       .select(col("id"), col("b.cid").as("cid"), col("b.sq").as("sqdist"))
 
+  /** DuckDB text of the left-to-right dot-product fold — bit-identical
+    * to `VecFunctions.vecDot` and to a driver-side `array.map(...).sum`
+    * (same IEEE addition sequence, 0.0-seeded). */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+       |      (x, y) -> x + y)""".stripMargin
+
+  /** DuckDB text of the left-to-right squared-L2 fold (`vecSqDist`). */
+  def sqDistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($a)),
+       |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |      (x, y) -> x + y)""".stripMargin
+
   /** DuckDB twin of `assign` over relations pts(id, vec) / cents(cid, cvec). */
   def assignSql(ptsRel: String = "ptsnd", centsRel: String = "centsnd"): String =
     s"""SELECT id, cid, sq AS sqdist FROM (

@@ -31,10 +31,17 @@ object IvfIndex {
     embs.select(col("vec_id").as("id"),
       KMeansND.vecDouble(col("embedding")).as("vec"))
 
-  def build(embs: DataFrame, nlist: Int = 16, maxIter: Int = 5): Index = {
+  /** `convergence = false` runs exactly `maxIter` Lloyd steps (no
+    * tol early-exit) — a deterministic, DuckDB-unrollable build; the
+    * registered `ivf_topk` query uses it so the full search is
+    * oracle-checkable ([[ivfTopKSql]]). Default keeps the early-exit
+    * for interactive builds. */
+  def build(embs: DataFrame, nlist: Int = 16, maxIter: Int = 5,
+      convergence: Boolean = true): Index = {
     val vecs = vectors(embs)
     val init = KMeansND.initFromLowestIds(vecs, nlist)
-    val (cents, _) = KMeansND.fit(vecs, init, maxIter, tol = 1e-6)
+    val (cents, _) =
+      KMeansND.fit(vecs, init, maxIter, tol = 1e-6, convergence = convergence)
     val lists = KMeansND.assignKernel(vecs, cents)
       .select(col("id"), col("cid").as("list_id"))
     Index(lists.join(vecs, "id"), cents)
@@ -78,5 +85,39 @@ object IvfIndex {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
       .select("id", "list_id", "cosine")
+  }
+
+  /** DuckDB twin of the FULL fixed-iteration IVF search over the
+    * embeddings table, query vector = the id-0 vector: unrolls the
+    * `maxIter` decimal-exact ND Lloyd steps as chained CTEs
+    * (c0 = lowest-id init, c_i = step(c_{i-1})) — the same unrolling
+    * recipe as the 2-D `kmeans_fit10_obj` twin — then ranks the coarse
+    * lists against the query, probes the best `nprobe`, and
+    * exact-rescores by cosine with the identical left-to-right IEEE
+    * folds the Spark side uses. Requires the Spark side built with
+    * `convergence = false` (no data-dependent early exit). */
+  def ivfTopKSql(nlist: Int = 16, maxIter: Int = 5, k: Int = 10,
+      nprobe: Int = 4): String = {
+    val steps = (1 to maxIter).map { i =>
+      s"a$i AS (${KMeansND.assignSql("ptsnd", s"c${i - 1}")}), " +
+        s"c$i AS (${KMeansND.recomputeSql("ptsnd", s"a$i")})"
+    }.mkString(", ")
+    val fin = s"c$maxIter"
+    graft.Tables.withVecsCents(
+      s""", c0 AS (SELECT cid, cvec FROM centsnd), $steps,
+         |q AS (SELECT vec FROM ptsnd WHERE id = 0),
+         |probed AS (
+         |  SELECT c.cid FROM $fin c CROSS JOIN q
+         |  ORDER BY ${KMeansND.sqDistSql("c.cvec", "q.vec")}, c.cid
+         |  LIMIT $nprobe),
+         |lists AS (${KMeansND.assignSql("ptsnd", fin)})
+         |SELECT p.id, l.cid AS list_id,
+         |  ${KMeansND.dotSql("p.vec", "q.vec")} /
+         |    (SQRT(${KMeansND.dotSql("p.vec", "p.vec")}) *
+         |     SQRT(${KMeansND.dotSql("q.vec", "q.vec")})) AS cosine
+         |FROM ptsnd p JOIN lists l ON p.id = l.id CROSS JOIN q
+         |WHERE l.cid IN (SELECT cid FROM probed)
+         |ORDER BY cosine DESC, p.id LIMIT $k""".stripMargin,
+      nlist)
   }
 }
