@@ -64,6 +64,51 @@ class KMeansMainSpec extends SparkSpec {
       assert(math.abs(rows(n) - golden(n)) / golden(n) < 1e-9, s"iter=$n")
   }
 
+  test("CLI binary path: main(argv) in a fresh JVM replays all 15 script_3 goldens") {
+    assume(new java.io.File(s"$base/input/points.csv").exists())
+    // The real user entry point — graft.KMeansMain.main with the
+    // reference's own flag syntax — in its OWN JVM (main builds and
+    // stops its own SparkSession; running it in-process would stop the
+    // suite's shared session). Same classpath + JDK17 module flags as
+    // this forked test JVM.
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java", "-Xmx4g",
+      "-Dspark.ui.enabled=false", "-cp", System.getProperty("java.class.path")) ++
+      addOpens ++ Seq(
+      "graft.KMeansMain",
+      "-points", s"$base/input/points.csv",
+      "-centroids", s"$base/input/centroids.csv",
+      "-iterations", "15",
+      "-pointsout", tmp("cli_pts"), "-centroidsout", tmp("cli_cents"),
+      "-objfunout", tmp("cli_obj"), "-objtraceout", tmp("cli_trace"))
+    val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val exit = proc.waitFor()
+    assert(exit == 0, s"CLI exited $exit:\n${out.takeRight(2000)}")
+    val traceFile = Files.list(Paths.get(tmp("cli_trace"))).iterator.asScala
+      .find(_.toString.endsWith(".csv")).get
+    val rows = Files.readAllLines(traceFile).asScala
+      .map(_.split(",")).map(a => a(0).toInt -> a(1).toDouble).toMap
+    assert(rows.keySet == (1 to 15).toSet)
+    def golden(n: Int): Double = {
+      val src = scala.io.Source.fromFile(s"$base/results_objfun_$n.csv")
+      try src.getLines().drop(1).next().split(",")(1).toDouble
+      finally src.close()
+    }
+    for (n <- 1 to 15)
+      assert(math.abs(rows(n) - golden(n)) / golden(n) < 1e-6, s"iter=$n")
+  }
+
   test("CSV round-trip: write headerless, read back with positional schema") {
     import spark.implicits._
     val cents = Seq(kmeans.Cent(0, 1.5, -2.5), kmeans.Cent(1, 3.25, 4.75))
