@@ -40,8 +40,11 @@ object PlanAudit {
           case e: BroadcastExchangeLike => e.id
         }.distinct.size
         val plan = physical.toString
-        val lines = plan.linesIterator.toSeq
-        val window = lines.exists(_.trim.startsWith("Window"))
+        // operator-name match anywhere in the tree: the old
+        // trim.startsWith probe missed every non-root Window because
+        // toString lines keep their "+- "/":- " tree prefixes
+        val window = """(?m)^[\s+:*()\d-]*Window(Group)?Exec|^[\s+:*()\d-]*Window\s""".r
+          .findFirstIn(plan).isDefined
         val topk = plan.contains("TakeOrderedAndProject")
         println(f"PLAN $name%-22s shuffles=$shuffles%-3d broadcasts=$bcasts%-3d" +
           f" window=$window%-5s takeOrdered=$topk")
