@@ -232,32 +232,42 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("group_id").as("nl")), Seq("b"))
         .groupBy("a").agg(min("nl").as("nm"))
+      val stepped = labels
+        .join(nbrMin.select(col("a").as("doc_id"), col("nm")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("group_id").as("old"),
+          least(col("group_id"), coalesce(col("nm"), col("group_id"))).as("g1"))
+      // Pointer doubling (PRAM path-jumping): g2 = label(g1). One extra
+      // join against the n-row label table per round collapses label
+      // chains geometrically, so convergence takes O(log diameter)
+      // rounds instead of O(diameter) — a 1000-hop dup chain resolves in
+      // ~10 rounds, not 1000. Labels only ever decrease and label
+      // values are always node ids present in the table (group_id <=
+      // doc_id by construction), so the fixpoint — every node at its
+      // component minimum — is unchanged.
+      //
       // The changed-this-round flag rides INSIDE the checkpointed frame:
       // the eager localCheckpoint is already the round's one real job,
       // so the convergence test becomes a short-circuit scan of the
       // materialized in-memory labels instead of the extra
       // join-with-previous + count() job each round used to pay
       // (halves the job count of the whole loop).
-      val next = labels
-        .join(nbrMin.select(col("a").as("doc_id"), col("nm")), Seq("doc_id"), "left")
+      val next = stepped
+        .join(labels.select(col("doc_id").as("g1"), col("group_id").as("pl")),
+          Seq("g1"), "left")
         .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("nm"), col("group_id"))).as("group_id"),
-          (col("nm").isNotNull && col("nm") < col("group_id")).as("chg"))
+          least(col("g1"), coalesce(col("pl"), col("g1"))).as("group_id"),
+          (least(col("g1"), coalesce(col("pl"), col("g1"))) < col("old")).as("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).limit(1).count()
       labels = next.drop("chg")
       iter += 1
     }
     edges.unpersist(blocking = false)
-    // Min-label propagation needs O(component diameter) rounds; a dup
-    // chain longer than maxIter hops would exit here with SPLIT groups
-    // and no other signal — make that loudly visible rather than return
-    // silently-wrong labels. (At extreme diameters switch to
-    // large-star/small-star, O(log n) rounds.)
+    // With doubling, maxIter=20 covers components of diameter ~2^20;
+    // exhausting it means something is deeply wrong — fail loudly
+    // rather than return silently split groups.
     require(changed == 0L,
-      s"connectedComponents did not converge within $maxIter rounds — " +
-        "a component has diameter > maxIter; raise maxIter or use a " +
-        "doubling (large-star/small-star) propagation")
+      s"connectedComponents did not converge within $maxIter rounds")
     labels
   }
 

@@ -109,6 +109,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pointer doubling resolves a 300-hop chain within the default round budget") {
+    // a path graph 0-1-2-...-300: diameter 300 >> maxIter=20, so plain
+    // min-label propagation could never converge — only the O(log d)
+    // doubling path can (and non-convergence now throws, so reaching
+    // the assert proves it)
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 300L).toSet)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("MinHash LSH recovers planted near-dups without all-pairs comparison") {
     val found = Dedup.minhashNearDups(docs, threshold = 0.5)
       .select("da", "db").as[(Long, Long)].collect().toSet
