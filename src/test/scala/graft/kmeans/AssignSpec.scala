@@ -37,6 +37,24 @@ class AssignSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("assignJoin's packed argmin hash-aggregates (no SortAggregate regression)") {
+    // min(struct(...)) buffers a struct — not UnsafeRow-mutable — which
+    // silently planned TWO SortAggregates with full sorts of the
+    // k-times-exploded relation (4x slower at sf0.1). The packed
+    // DECIMAL(38,0) argmin must keep the plan on HashAggregate; this
+    // assert is the regression guard for that round-6 fix.
+    val plan = KMeansOps.assignJoin(pts, graft.Tables.centroidsDF(spark, cents))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no HashAggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"SortAggregate crept back in:\n$plan")
+    val nd = graft.kmeans.KMeansND.assign(
+      Seq((1L, Seq(0.0, 1.0)), (2L, Seq(2.0, 2.0))).toDF("id", "vec"),
+      Seq((0, Seq(0.0, 0.0)), (1, Seq(2.0, 2.0))).toDF("cid", "cvec"))
+      .queryExecution.executedPlan.toString
+    assert(nd.contains("HashAggregate") && !nd.contains("SortAggregate"),
+      s"ND packed argmin lost hash aggregation:\n$nd")
+  }
+
   test("assign carries the chosen centroid coordinates and squared distance") {
     val r = KMeansOps.assign(pts, cents).filter("pid = 2").collect()(0)
     assert(r.getAs[Double]("cx") == 2.0 && r.getAs[Double]("cy") == 0.0)
