@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-at-scale probe: the testdata documents table tops out at a few
+  * thousand rows, which verifies correctness but says nothing about how
+  * the dedup operators GROW. This generates a deterministic synthetic
+  * corpus of `n` documents (hash-derived words — no RNG state, same
+  * corpus every run) with planted near-duplicates, materializes it as
+  * parquet scratch, and times the dedup surface end-to-end at each
+  * requested size, so the scaling exponent is measured rather than
+  * argued from the plan.
+  *
+  *   runMain graft.tools.DedupBench [n1 n2 ...]   (default 20000 80000)
+  *
+  * Corpus shape: ~60 words/doc from a 5000-word vocabulary (Zipf-free
+  * uniform hashing — worst case for the shingle DF cap, which exists for
+  * hot shingles); every 20th doc re-uses the previous doc's words plus
+  * one extra word → a planted near-dup pair (~5% dup rate, comparable to
+  * web-crawl dedup ratios).
+  */
+object DedupBench {
+
+  def corpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_id"),
+        // base: dup docs (id % 20 == 19) borrow the words of id-1
+        when(pmod(col("id"), lit(20)) === 19, col("id") - 1)
+          .otherwise(col("id")).as("base"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          concat(
+            transform(sequence(lit(1), lit(60)),
+              i => conv(pmod(xxhash64(col("base"), i), lit(5000)) + 10000, 10, 36)),
+            when(pmod(col("doc_id"), lit(20)) === 19,
+              array(conv(pmod(xxhash64(col("doc_id")), lit(5000)) + 20000, 10, 36)))
+              .otherwise(array()))).as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(20000L, 80000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(label: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      println(f"DEDUPBENCH $label ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+    }
+
+    sizes.foreach { n =>
+      val path = s"target/dedup_bench_$n.parquet"
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        corpus(spark, n).write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      println(s"DEDUPBENCH === n=$n ===")
+      timed(s"n=$n exact          ", graft.ops.Dedup.exact(docs))
+      timed(s"n=$n fingerprint    ", graft.ops.Dedup.exactByFingerprint(docs))
+      timed(s"n=$n minhash        ", graft.ops.Dedup.minhashNearDups(docs))
+      timed(s"n=$n simhash        ", graft.ops.Dedup.simhashNearDups(docs))
+      timed(s"n=$n ngram_jaccard  ", graft.ops.Dedup.ngramJaccardPairs(docs))
+      timed(s"n=$n groups         ", graft.ops.Dedup.nearDupGroups(docs))
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
