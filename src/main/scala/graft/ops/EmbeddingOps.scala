@@ -117,35 +117,71 @@ object EmbeddingOps {
     * staging-write alternative to the per-query `cache()`: build once,
     * probe many times, each probe a partition-pruned scan of the
     * numTables matching buckets. */
+  /** Persist the LSH index partitioned by (table, bucket), CARRYING the
+    * embedding: numTables copies of every vector — the classic LSH
+    * space-for-time trade (IVF stores 1 copy; LSH multi-table recall
+    * needs the redundancy anyway) — so a probe rescans NOTHING but its
+    * own bucket directories; the base table is touched only for the
+    * query vector's point lookup.
+    *
+    * The pre-write repartition co-locates each (table, bucket) into one
+    * task: without it every input task writes a fragment into every
+    * bucket directory — numTables·2^numBits·tasks small files (measured
+    * 62 s for a 100k-vector build, flat in n because file creation
+    * dominated; 1 file/bucket builds in ~6-12 s and makes the probe's
+    * directory listing proportionally cheaper). */
   def writeLshIndex(
       embs: DataFrame, path: String, dim: Int = 64, numBits: Int = 8,
       numTables: Int = 4, seed: Long = 42L): Unit =
     lshBuckets(embs, dim, numBits, numTables, seed)
+      .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .repartition(col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
 
   /** ANN top-k over a persisted LSH index. The query's own buckets are
-    * recomputed from its embedding (a numTables-row projection), then
-    * pushed as STATIC partition filters into the index scan — only
-    * numTables directories are read, never the full index. */
+    * recomputed from its embedding (a numTables-row projection over a
+    * pushed-down point lookup), then pushed as STATIC partition filters
+    * into the index scan — only numTables directories are read, never
+    * the full index, and candidates rescore from the index's own
+    * embedding copies (no join back to the base table). */
   def lshTopKIndexed(
       indexPath: String, embs: DataFrame, queryId: Long = 0L, k: Int = 10,
       dim: Int = 64, numBits: Int = 8, numTables: Int = 4,
       seed: Long = 42L): DataFrame = {
     val spark = embs.sparkSession
-    val qb = lshBuckets(embs.filter(col("vec_id") === queryId),
-        dim, numBits, numTables, seed)
-      .select("table", "bucket").collect()
-    require(qb.nonEmpty, s"lshTopKIndexed: query vector $queryId not found")
+    val qRow = embs.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>")).collect()
+    require(qRow.nonEmpty, s"lshTopKIndexed: query vector $queryId not found")
+    val q = qRow(0).getSeq[Double](0)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qCol = array(q.map(lit).toIndexedSeq: _*)
+    val tables = hyperplanes(dim, numBits, numTables, seed)
+    // same bit layout as bucketExpr: plane i contributes bit (1L << i)
+    // when dot(emb, plane) >= 0; dot accumulates left-to-right over
+    // min(len) like VecDot, so the driver-side bucket equals the one
+    // the index was written with, bit-exactly
+    val qb = tables.zipWithIndex.map { case (planes, t) =>
+      var b = 0L
+      planes.zipWithIndex.foreach { case (p, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(p.length, q.length)
+        while (j < n) { d += q(j) * p(j); j += 1 }
+        if (d >= 0) b |= (1L << i)
+      }
+      (t, b)
+    }
     val index = spark.read.parquet(indexPath)
-    val cond = qb.map { r =>
-      (col("table") === lit(r.get(0))) && (col("bucket") === lit(r.get(1)))
+    val cond = qb.map { case (t, b) =>
+      (col("table") === lit(t)) && (col("bucket") === lit(b))
     }.reduce(_ || _)
-    val candIds = index.filter(cond)
+    index.filter(cond)
       .filter(col("vec_id") =!= queryId)
-      .select("vec_id").distinct()
-    cosineTopK(embs.join(candIds.unionAll(
-        embs.filter(col("vec_id") === queryId).select("vec_id")),
-      Seq("vec_id"), "left_semi"), queryId, k)
+      // a vector colliding in several tables appears once per table
+      .groupBy("vec_id").agg(first(col("embedding")).as("embedding"))
+      .select(col("vec_id"),
+        (dot(col("embedding"), qCol)
+          / (l2Norm(col("embedding")) * lit(qNorm))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(k)
   }
 
   /** ANN top-k via LSH: score only same-bucket candidates, then exact

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN-at-scale probe: the embeddings fixture tops out at 2 000 vectors
+  * (sf0.1), so the brute-vs-indexed trade-off cannot be seen there —
+  * everything is broadcast-sized. This generates a deterministic
+  * synthetic embedding table (hash-derived 64-dim doubles in [-1, 1]),
+  * materializes it as parquet scratch, and times at each size:
+  *
+  *  - brute-force exact cosine top-k (the baseline every ANN answer is
+  *    judged against);
+  *  - LSH over the on-disk (table, bucket)-partitioned index —
+  *    build once + partition-pruned probe;
+  *  - IVF over the on-disk list_id-partitioned index — build once
+  *    (k-means quantizer) + pruned probe.
+  *
+  * Probe times are what matter at scale (indexes are build-once); both
+  * index probes must stay ~flat as n grows while brute force grows
+  * linearly. runMain graft.tools.AnnBench [n1 n2 ...]
+  * (default 100000 400000).
+  */
+object AnnBench {
+
+  /** Clustered vectors, not uniform noise: 200 hash-derived cluster
+    * centers with per-vector jitter at 1/10 the center scale. Uniform
+    * random vectors are the DEGENERATE case for ANN (in high dim all
+    * pairs are nearly equidistant, so "top-10 nearest" is meaningless
+    * and LSH recall collapses by construction — measured 0.0-0.2 on a
+    * first uniform attempt); real embedding spaces are clustered, and
+    * recall against the exact answer is only informative there. */
+  def vectors(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(200)).as("c"))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(xxhash64(col("c"), i), lit(2000001L)) - 1000000L) / 1000000.0
+            + (pmod(xxhash64(col("vec_id"), i), lit(2000001L)) - 1000000L) / 10000000.0)
+          .as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 400000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"ANNBENCH $label ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    sizes.foreach { n =>
+      val path = s"target/ann_bench_$n.parquet"
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        vectors(spark, n).write.mode("overwrite").parquet(path)
+      val embs = spark.read.parquet(path)
+      println(s"ANNBENCH === n=$n dim=64 ===")
+
+      val brute = timed(s"n=$n brute_topk      ") {
+        graft.ops.EmbeddingOps.cosineTopK(embs, queryId = 1L).collect()
+      }
+
+      val lshPath = s"target/ann_lsh_$n"
+      if (!new java.io.File(lshPath).isDirectory)
+        timed(s"n=$n lsh_index_build ") {
+          graft.ops.EmbeddingOps.writeLshIndex(embs, lshPath)
+        }
+      val lsh = timed(s"n=$n lsh_probe       ") {
+        graft.ops.EmbeddingOps.lshTopKIndexed(lshPath, embs, queryId = 1L).collect()
+      }
+
+      val ivfPath = s"target/ann_ivf_$n"
+      val nlist = 64
+      val idx = timed(s"n=$n ivf_build       ") {
+        val i = graft.ops.IvfIndex.build(embs, nlist = nlist, maxIter = 3)
+        graft.ops.IvfIndex.writeIndex(i, ivfPath)
+        i
+      }
+      val onDisk = graft.ops.IvfIndex.readIndex(spark, ivfPath, idx.centroids)
+      val q = graft.ops.IvfIndex.vectors(embs)
+        .filter(col("id") === 1L).collect()(0).getSeq[Double](1)
+      val ivf = timed(s"n=$n ivf_probe       ") {
+        graft.ops.IvfIndex.search(spark, onDisk, q, k = 10, nprobe = 8).collect()
+      }
+
+      // recall@10 of each index path vs the exact answer
+      val truth = brute.map(_.getLong(0)).toSet
+      val rLsh = lsh.map(_.getLong(0)).count(truth) / 10.0
+      val rIvf = ivf.map(_.getLong(0)).count(truth) / 10.0
+      println(f"ANNBENCH n=$n recall@10: lsh=$rLsh%.1f ivf=$rIvf%.1f")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
