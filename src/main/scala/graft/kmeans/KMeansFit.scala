@@ -80,7 +80,10 @@ object KMeansFit {
     *              oracle-parity arithmetic; plain double sums when false
     *              — the reference's own arithmetic, ~2x cheaper per row */
   def step(points: DataFrame, cents: Seq[Cent], exact: Boolean = true): Seq[Cent] = {
-    val assigned = KMeansOps.assign(points, cents)
+    // label-only assignment: the recompute reads nothing but (cid, x, y),
+    // so the full assign's carried centroid coords / distance are dead
+    // work in the hot loop (KMeansOps.assignLabel doc)
+    val assigned = KMeansOps.assignLabel(points, cents)
     val next =
       if (exact) KMeansOps.recompute(assigned)
       else KMeansOps.recomputeFast(assigned)
