@@ -16,11 +16,13 @@ object Fit10M {
     val pts = spark.read.parquet("target/bench_points_10m.parquet")
     val init = pts.orderBy("pid").limit(8).collect().zipWithIndex
       .map { case (r, i) => graft.kmeans.Cent(i, r.getDouble(1), r.getDouble(2)) }.toSeq
-    for (r <- 1 to reps) {
+    for (r <- 1 to reps; exact <- Seq(true, false)) {
       val t0 = System.nanoTime()
       val res = graft.kmeans.KMeansFit.fit(pts, init,
-        graft.kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false))
-      println(f"FIT10M rep=$r ${(System.nanoTime() - t0) / 1e9}%.2f s c0=${res.centroids.head}")
+        graft.kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false),
+        exact = exact)
+      println(f"FIT10M rep=$r exact=$exact ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        s" c0=${res.centroids.head}")
     }
     spark.stop()
   }
