@@ -214,8 +214,15 @@ object Dedup {
   /** (doc_id, group_id) for every doc in `pairs` (da, db columns);
     * group_id = the smallest doc_id reachable through the pair graph. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
+    // symmetrize in ONE pass over `pairs`: the unionAll(select, select)
+    // formulation plans the (expensive — e.g. the full n-gram Jaccard
+    // join) pairs subtree TWICE, and both copies execute during edge
+    // materialization; explode duplicates each row after it is computed
+    // once
+    val edges = pairs.select(explode(array(
+        struct(col("da").as("a"), col("db").as("b")),
+        struct(col("db").as("a"), col("da").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
     // localCheckpoint per iteration: each round references the previous
     // labels in the neighbor-min join, so without lineage truncation the
