@@ -199,7 +199,7 @@ object KMeansND {
 
   def recomputeFlatSql(ptsRel: String = "ptsnd", assignedRel: String = "assignednd"): String =
     s"""SELECT a.cid, t.pos,
-       |  CAST(SUM(CAST(t.v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+       |  CAST(CAST(SUM(CAST(t.v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
        |FROM $ptsRel p
        |JOIN $assignedRel a ON p.id = a.id,
        |LATERAL (SELECT unnest(generate_series(1, len(p.vec))) - 1 AS pos,
@@ -209,7 +209,7 @@ object KMeansND {
   def recomputeSql(ptsRel: String = "ptsnd", assignedRel: String = "assignednd"): String =
     s"""SELECT cid, array_agg(m ORDER BY pos) AS cvec FROM (
        |  SELECT a.cid, t.pos,
-       |    CAST(SUM(CAST(t.v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+       |    CAST(CAST(SUM(CAST(t.v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
        |  FROM $ptsRel p
        |  JOIN $assignedRel a ON p.id = a.id,
        |  LATERAL (SELECT unnest(generate_series(1, len(p.vec))) - 1 AS pos,

@@ -148,8 +148,8 @@ object KMeansOps {
       count(lit(1)).as("n"))
 
   def sumCountSql(assignedRel: String): String =
-    s"""SELECT cid, CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-       |       CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+    s"""SELECT cid, CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+       |       CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
        |       COUNT(*) AS n
        |FROM $assignedRel GROUP BY cid""".stripMargin
 
@@ -179,15 +179,15 @@ object KMeansOps {
 
   def recomputeSql(assignedRel: String): String =
     s"""SELECT cid,
-       |       CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS x,
-       |       CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS y
+       |       CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS x,
+       |       CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS y
        |FROM $assignedRel GROUP BY cid""".stripMargin
 
   /** One full Lloyd step as SQL: assign to `centsRel`, re-average. */
   def stepSql(ptsRel: String, centsRel: String): String =
     s"""SELECT cid,
-       |       CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS x,
-       |       CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS y
+       |       CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS x,
+       |       CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS y
        |FROM (
        |  SELECT p.pid, p.x, p.y, c.cid,
        |         ROW_NUMBER() OVER (PARTITION BY p.pid
@@ -210,7 +210,7 @@ object KMeansOps {
     assigned.agg(sum(col("sqdist").cast(DecimalType(38, 6))).cast("double").as("objective"))
 
   def objectiveSql(assignedRel: String): String =
-    s"SELECT CAST(SUM(CAST(sqdist AS DECIMAL(38,6))) AS DOUBLE) AS objective FROM $assignedRel"
+    s"SELECT CAST(CAST(SUM(CAST(sqdist AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS objective FROM $assignedRel"
 
   // -----------------------------------------------------------------
   // O11/O12 — convergence check: equi join new/old on cid + theta filter

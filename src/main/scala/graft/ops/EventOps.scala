@@ -33,7 +33,7 @@ object EventOps {
   val hourlyTypeAggSql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |  COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Exact interpolated percentiles of `value` per event_type — Spark's
@@ -142,7 +142,7 @@ object EventOps {
   val dailyTypeRollupSql: String =
     """SELECT event_type, date_trunc('day', ts) AS day,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  CAST(GROUPING(event_type) AS INT) AS g_type,
       |  CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day
       |FROM events
