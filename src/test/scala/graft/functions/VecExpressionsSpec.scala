@@ -82,6 +82,34 @@ class VecExpressionsSpec extends SparkSpec {
     assert(!projected.queryExecution.executedPlan.toString.contains("CodegenFallback"))
   }
 
+  test("packed-decimal argmin key orders exactly like lexicographic (sq, cid)") {
+    // the ordering identity underlying assignJoin / KMeansND.assign:
+    // for non-negative doubles, doubleToRawLongBits is order-isomorphic
+    // to the value, so bits*2^31 + cid compares like (sq, cid). Checked
+    // against scala's lexicographic tuple ordering over seeded
+    // ScalaCheck samples including exact ties and denormals.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sqGen = Gen.oneOf(
+      Gen.choose(0.0, 1e12),
+      Gen.oneOf(0.0, 1e-300, 4.9e-324, 1.0, 2.0),  // denormal + exact-tie pool
+    )
+    val pairGen = Gen.listOfN(200, Gen.zip(sqGen, Gen.choose(0, 1 << 20)))
+    val pairs = (1 to 5).flatMap(i =>
+      pairGen.apply(Gen.Parameters.default, Seed(i.toLong))).flatten
+    def pack(sq: Double, cid: Int): BigInt =
+      (BigInt(java.lang.Double.doubleToRawLongBits(sq)) << 31) + cid
+    for (Seq((s1, c1), (s2, c2)) <- pairs.sliding(2)) {
+      val lex = Ordering.Tuple2[Double, Int].compare((s1, c1), (s2, c2))
+      val packed = pack(s1, c1).compare(pack(s2, c2))
+      assert(lex.sign == packed.sign,
+        s"ordering mismatch: ($s1,$c1) vs ($s2,$c2): lex=$lex packed=$packed")
+    }
+    // and exact ties on sq tie-break by cid
+    assert(pack(1.5, 3) < pack(1.5, 4))
+    assert(pack(0.0, 0) < pack(0.0, 1))
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // Probe over a parquet array column; higher-order lambdas in the
     // same position would break the project out of the codegen span
