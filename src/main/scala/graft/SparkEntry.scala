@@ -108,6 +108,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.table(s, dir, "documents"))),
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.exactByFingerprint(Tables.table(s, dir, "documents"))),
+    // 128-bit digest key — the collision-safe exact-dedup key at corpus
+    // scale (the 30-bit rolling fingerprint is the fast path only)
+    "dedup_digest" -> ((s, dir) =>
+      Dedup.exactByDigest(Tables.table(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) =>
@@ -225,6 +229,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
+    "dedup_digest" -> Dedup.exactByDigestSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "dedup_corpus" -> Dedup.dedupedCorpusSql(),

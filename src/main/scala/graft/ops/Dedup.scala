@@ -41,6 +41,24 @@ object Dedup {
     s"""SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
        |FROM (${TextOps.fingerprintsSql}) f GROUP BY fp""".stripMargin
 
+  /** Exact-dup groups by 128-bit content digest. The rolling-hash
+    * fingerprint key is 30 bits — expected n²/2·1e-9 collisions make it
+    * a FAST PATH only (26 measured at 200k docs, DedupBench); at
+    * LLM-corpus scale (1e10+ docs) the production exact-dedup key is a
+    * 128-bit digest, where collisions are ~n²/2^129 ≈ never. Still a
+    * fixed 16-byte shuffle key vs arbitrarily long text, and both
+    * engines emit the identical lowercase hex, so it stays fully
+    * oracle-checkable. */
+  def exactByDigest(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
+  val exactByDigestSql: String =
+    """SELECT md5(text) AS digest, COUNT(*) AS n_copies,
+      |       MIN(doc_id) AS keeper
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
   // -------------------------------------------------------------------
   // Word n-gram shingles (default n=3), distinct per doc.
   // -------------------------------------------------------------------

@@ -109,6 +109,13 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("digest dedup groups agree with exact text dedup") {
+    val byText = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
+    val byDigest = Dedup.exactByDigest(docs)
+      .select("keeper").as[Long].collect().toSet
+    assert(byDigest == byText) // md5: no collisions → identical keepers
+  }
+
   test("pointer doubling resolves a 300-hop chain within the default round budget") {
     // a path graph 0-1-2-...-300: diameter 300 >> maxIter=20, so plain
     // min-label propagation could never converge — only the O(log d)
