@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BitsDouble, DoubleBits, StringFingerprint, VecBridge, VecDot, VecSqDist}
+import org.apache.spark.sql.graft.{BitsDouble, DoubleBits, StringFingerprint, TextStats, VecBridge, VecDot, VecSqDist}
 
 /** Public Column API over the native codegen vector expressions
   * (org.apache.spark.sql.graft.VecDot / VecSqDist — see that file for
@@ -31,4 +31,10 @@ object VecFunctions {
 
   /** 31-base polynomial rolling hash mod 1e9+7 (document fingerprint). */
   def docFingerprint(a: Column): Column = VecBridge.column(StringFingerprint(e(a)))
+
+  /** Single-pass token stats `[n_tokens, total_token_chars, n_stop,
+    * n_distinct]` of an already-lower-cased string (see
+    * org.apache.spark.sql.graft.TextStats). */
+  def textStats(a: Column, stopwords: Seq[String]): Column =
+    VecBridge.column(TextStats(e(a), stopwords))
 }

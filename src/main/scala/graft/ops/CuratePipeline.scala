@@ -54,8 +54,7 @@ object CuratePipeline {
   /** Top-n tokens per corpus language (window-function surface): one
     * token-count aggregate, then a per-lang rank. */
   def topTokensPerLang(docs: DataFrame, topN: Int = 5): DataFrame = {
-    val counts = docs
-      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+    val counts = TextOps.explodedTokens(docs, "token", col("lang"))
       .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang")
       .orderBy(col("cnt").desc, col("token").asc)

@@ -359,8 +359,7 @@ object Dedup {
     // explode tokens (multiset — weights count), one codegen'd
     // HashAggregate computing the 64 signed bit sums, then compose the
     // 64-bit signature from the sums.
-    val tok = docs.select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("t"))
+    val tok = TextOps.explodedTokens(docs, "t", col("doc_id"))
     val h = xxhash64(col("t"))
     val aggs = (0 until 64).map(j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))

@@ -17,9 +17,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
-  /** Lower-cased whitespace tokens, empties dropped (multiple spaces). */
+  /** Lower-cased whitespace tokens, empties dropped (multiple spaces).
+    * NOTE: the `filter` lambda is a CodegenFallback — use this only
+    * where an array VALUE is needed (shingling); relation-level
+    * tokenization should `explode(split(...))` and drop empties with a
+    * row-level Filter (whole-stage codegen), see [[explodedTokens]]. */
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
+
+  /** (doc rows) -> one row per non-empty lower-cased token, keeping
+    * `keep` columns. explode + row Filter stays entirely inside
+    * whole-stage codegen (no interpreted array lambda). */
+  def explodedTokens(docs: DataFrame, as: String, keep: Column*): DataFrame =
+    docs.select(keep :+ explode(split(lower(col("text")), " ")).as(as): _*)
+      .filter(col(as) =!= "")
 
   private val tokensSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
@@ -30,7 +41,7 @@ object TextOps {
   // side so the shuffle carries at most |vocab| rows per partition.
   // -------------------------------------------------------------------
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("token"))
+    explodedTokens(docs, "token")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
   val tokenCountsSql: String =
@@ -39,26 +50,29 @@ object TextOps {
        |GROUP BY token""".stripMargin
 
   // -------------------------------------------------------------------
-  // Per-document quality scoring: pure projection, zero shuffle.
-  // Ratios are IEEE divisions of exact integer counts → bit-identical
-  // across engines.
+  // Per-document quality scoring: pure projection, zero shuffle. All
+  // four token statistics come from ONE single-pass native codegen
+  // expression (org.apache.spark.sql.graft.TextStats) — the previous
+  // formulation spent four CodegenFallback higher-order lambdas
+  // (filter/aggregate/array_contains/array_distinct) per row, ~8x
+  // slower and outside whole-stage codegen. Ratios are IEEE divisions
+  // of exact integer counts → bit-identical across engines (the DuckDB
+  // twin below is unchanged).
   // -------------------------------------------------------------------
   private val stopwords = Seq("a", "the", "and", "of", "to", "in", "is")
 
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val stops = array(stopwords.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stops, t))).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
-    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      nTok.as("n_tokens"),
-      (totalLen.cast("double") / nTok).as("avg_token_len"),
-      (nStop.cast("double") / nTok).as("stopword_ratio"),
-      (nDistinct.cast("double") / nTok).as("type_token_ratio"))
+    val st = graft.functions.VecFunctions.textStats(lower(col("text")), stopwords)
+    // two-step select: TextStats is non-cheap, so CollapseProject keeps
+    // the intermediate — the kernel runs once per row, not four times
+    docs.select(col("doc_id"), col("text"), st.as("st"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("st").getItem(0).as("n_tokens"),
+        (col("st").getItem(1).cast("double") / col("st").getItem(0)).as("avg_token_len"),
+        (col("st").getItem(2).cast("double") / col("st").getItem(0)).as("stopword_ratio"),
+        (col("st").getItem(3).cast("double") / col("st").getItem(0)).as("type_token_ratio"))
   }
 
   val qualityScoreSql: String = {
@@ -93,7 +107,10 @@ object TextOps {
     import spark.implicits._
     val markers = langMarkers
       .flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("cand_lang", "marker")
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // no empties filter needed: "" can never match a marker, so the
+    // inner join drops it — the explode+join stays fully codegen'd
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("token"))
     val scores = tok.join(broadcast(markers), tok("token") === markers("marker"))
       .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
     val w = Window.partitionBy("doc_id")
@@ -128,7 +145,8 @@ object TextOps {
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      graft.functions.VecFunctions.textStats(lower(col("text")), Nil)
+        .getItem(0).as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(bpeIshPattern), lit(0)))
         .cast("long").as("bpe_ish_tokens"))
 

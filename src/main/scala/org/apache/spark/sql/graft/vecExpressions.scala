@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -149,6 +149,70 @@ object StringFingerprint {
       i += Character.charCount(cp)
     }
     acc
+  }
+}
+
+/** Single-pass whitespace-token statistics of an (already lower-cased)
+  * string, as `array<bigint>` `[n_tokens, total_token_chars,
+  * n_stopword_tokens, n_distinct_tokens]` — the kernel of
+  * `TextOps.qualityScore`. Replaces four higher-order-function lambdas
+  * (`filter`/`aggregate`/`array_contains`/`array_distinct` over the
+  * token array), each CodegenFallback (interpreted per row) and each
+  * breaking the hosting Project's whole-stage-codegen span; this walks
+  * the string once, materializing no token array. Token = maximal run
+  * of non-space chars (split-on-' ' with empties dropped — identical to
+  * the DuckDB `list_filter(string_split(...))` twin); token length is
+  * counted in code points, matching Spark `length()`/DuckDB `length()`.
+  */
+case class TextStats(child: Expression, stopwords: Seq[String])
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextStats.stats(v.asInstanceOf[UTF8String].toString, stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw (non-generic) type: the generated Java is compiled by Janino,
+    // which does not support generics
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextStats.stats($c.toString(), $setRef)")
+  }
+
+  override def prettyName: String = "text_stats"
+  override protected def withNewChildInternal(c: Expression): TextStats =
+    copy(child = c)
+}
+
+object TextStats {
+  /** Shared by interpreted eval and the codegen'd Java. */
+  def stats(s: String, stops: java.util.HashSet[String]): ArrayData = {
+    var nTok = 0L
+    var totalLen = 0L
+    var nStop = 0L
+    val seen = new java.util.HashSet[String]()
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      var j = i
+      while (j < len && s.charAt(j) != ' ') j += 1
+      if (j > i) {
+        val tok = s.substring(i, j)
+        nTok += 1
+        totalLen += tok.codePointCount(0, tok.length)
+        if (stops.contains(tok)) nStop += 1
+        seen.add(tok)
+      }
+      i = j + 1
+    }
+    new GenericArrayData(Array(nTok, totalLen, nStop, seen.size.toLong))
   }
 }
 

@@ -110,6 +110,60 @@ class VecExpressionsSpec extends SparkSpec {
     assert(pack(0.0, 0) < pack(0.0, 1))
   }
 
+  test("text_stats matches the four-lambda formulation it replaced, bit-for-bit") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.ops.TextOps.qualityScore(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // the pre-TextStats formulation (higher-order lambdas), verbatim
+    val stops = array(Seq("a", "the", "and", "of", "to", "in", "is").map(lit): _*)
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => array_contains(stops, t))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val old = d.select(
+        col("doc_id"),
+        length(col("text")).cast("long"),
+        nTok,
+        totalLen.cast("double") / nTok,
+        nStop.cast("double") / nTok,
+        nDistinct.cast("double") / nTok)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == old) // exact ==: integer counts + identical IEEE divisions
+    assert(got.nonEmpty)
+  }
+
+  test("text_stats edge semantics: empties, multi-space, null") {
+    val d = Seq(
+      (1L, Some("the the  cat")),   // dup token + double space
+      (2L, Some("   ")),            // only spaces -> zero tokens
+      (3L, Some("")),               // empty string -> zero tokens
+      (4L, None: Option[String]))   // null -> null
+      .toDF("id", "t")
+    val got = d.select(col("id"),
+        VecFunctions.textStats(lower(col("t")), Seq("the")).as("st"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+    assert(got(1L) == Some(Seq(3L, 9L, 2L, 2L))) // 3 tokens, 9 chars, 2 "the", 2 distinct
+    assert(got(2L) == Some(Seq(0L, 0L, 0L, 0L)))
+    assert(got(3L) == Some(Seq(0L, 0L, 0L, 0L)))
+    assert(got(4L) == None)
+  }
+
+  test("text_stats participates in whole-stage codegen and runs once per row") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.TextOps.qualityScore(d).queryExecution.executedPlan.toString
+    val statsLine = plan.split("\n").find(_.contains("text_stats")).get
+    assert(statsLine.trim.matches("""^[*+:\- ]*\(\d+\).*"""), s"not codegen'd: $statsLine")
+    assert(!plan.contains("CodegenFallback"))
+    // the kernel appears in ONE project expression, not four: the
+    // two-step select survives CollapseProject (TextStats is non-cheap)
+    assert(plan.split("text_stats").length - 1 <= 2,
+      s"text_stats duplicated into per-column copies:\n$plan")
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // Probe over a parquet array column; higher-order lambdas in the
     // same position would break the project out of the codegen span
