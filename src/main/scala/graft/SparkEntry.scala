@@ -118,6 +118,13 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.table(s, dir, "documents"))),
+    // md5-60 hash family: same pipeline DAG as the xxhash64 queries
+    // above, but every hash is DuckDB-expressible → the full
+    // signatures→banding→candidates→verify chain is oracle-checked
+    "dedup_minhash_md5" -> ((s, dir) =>
+      Dedup.minhashNearDupsMd5(Tables.table(s, dir, "documents"))),
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashNearDupsMd5(Tables.table(s, dir, "documents"))),
     "dedup_groups" -> ((s, dir) =>
       Dedup.nearDupGroups(Tables.table(s, dir, "documents"))),
     "dedup_corpus" -> ((s, dir) =>
@@ -231,6 +238,8 @@ object SparkEntry {
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    "dedup_minhash_md5" -> Dedup.minhashNearDupsMd5Sql(),
+    "dedup_simhash_md5" -> Dedup.simhashNearDupsMd5Sql(),
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "dedup_corpus" -> Dedup.dedupedCorpusSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
@@ -264,6 +273,9 @@ object SparkEntry {
     // dedup_minhash / dedup_simhash / mm_features: engine-specific hash
     // functions (xxhash64) or float32 stub-decode arithmetic — not
     // DuckDB-expressible; covered by ScalaTest planted-duplicate /
-    // determinism suites instead (rows-only check).
+    // determinism suites instead (rows-only check). The xxhash64
+    // pipelines additionally have fully-oracle-checked md5-60 twins
+    // (dedup_minhash_md5 / dedup_simhash_md5) exercising the identical
+    // operator DAG with a DuckDB-expressible hash family.
   )
 }

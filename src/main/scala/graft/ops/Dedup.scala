@@ -144,15 +144,48 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold""".stripMargin
 
   // -------------------------------------------------------------------
+  // Hash families. Production is xxhash64 (codegen'd, engine-native —
+  // not DuckDB-expressible, so those queries are test-carried). The
+  // md5-60 family below is the ORACLE twin family: both engines agree
+  // bit-exactly on "value of the first 15 hex digits (60 bits) of
+  // md5(seed || '|' || s)", which makes the ENTIRE minhash/simhash
+  // pipeline (signatures → banding → candidates → verify) replayable in
+  // DuckDB. Same operator shapes, same shuffle structure — only the
+  // hash kernel differs.
+  // -------------------------------------------------------------------
+
+  /** 60-bit seeded hash both engines compute identically. */
+  def md5Hash60(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), s).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  def md5Hash60Sql(seed: Int, expr: String): String =
+    s"CAST(('0x' || substr(md5('$seed|' || $expr), 1, 15)) AS BIGINT)"
+
+  /** Seeded per-permutation shingle hash: production family. */
+  val XxHash: (Int, Column) => Column = (p, c) => xxhash64(lit(p), c)
+  /** Seeded per-permutation shingle hash: oracle family. */
+  val Md5Hash: (Int, Column) => Column = (p, c) => md5Hash60(p, c)
+
+  /** Band-bucket key from a band's signature slice: production family. */
+  val XxBandHash: Column => Column = arr => xxhash64(arr)
+  /** Oracle family: md5 hex of the comma-joined decimal values (DuckDB:
+    * md5(m0::VARCHAR || ',' || ...)). */
+  val Md5BandHash: Column => Column = arr =>
+    md5(concat_ws(",", transform(arr, _.cast("string"))).cast("binary"))
+
+  // -------------------------------------------------------------------
   // MinHash signatures + LSH banding. numPerm independent min-hashes
-  // per doc (xxhash64 seeded by the permutation index), grouped into
-  // bands of `rowsPerBand`; docs agreeing on a whole band land in the
-  // same bucket. Signature computation is a pure projection (fold over
+  // per doc (seeded by the permutation index), grouped into bands of
+  // `rowsPerBand`; docs agreeing on a whole band land in the same
+  // bucket. Signature computation is a pure projection (fold over
   // the shingle array — zero shuffle); the bucket join shuffles
   // O(n·bands) rows. P[bucket-collision] = 1-(1-j^r)^b — with 64 perms,
   // 16 bands × 4 rows, j=0.8 docs collide w.p. ~99.98%.
   // -------------------------------------------------------------------
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame = {
+  def minhashSignatures(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64,
+      hash: (Int, Column) => Column = XxHash): DataFrame = {
     // Shape matters: a nested transform(sequence, p -> array_min(
     // transform(sh, ...))) would be a CodegenFallback (interpreted) per
     // row. Exploding shingles and taking numPerm min() aggregates keeps
@@ -161,23 +194,25 @@ object Dedup {
     // numPerm longs per doc.
     val sh = shingles(docs, n)
     val aggs = (0 until numPerm)
-      .map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p"))
+      .map(p => min(hash(p, col("shingle"))).as(s"m$p"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numPerm).map(p => col(s"m$p")): _*).as("sig"))
   }
 
   def lshCandidatePairs(
-      docs: DataFrame, n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      hash: (Int, Column) => Column = XxHash,
+      bandHash: Column => Column = XxBandHash): DataFrame = {
     val numBands = numPerm / rowsPerBand
     // cached: the signature projection (the expensive part — numPerm
     // hashes per shingle) feeds both sides of the bucket self-join
-    val sigs = minhashSignatures(docs, n, numPerm).cache()
+    val sigs = minhashSignatures(docs, n, numPerm, hash).cache()
     val buckets = sigs.select(
         col("doc_id"),
         posexplode(transform(
           sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          b => bandHash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "bucket")
     val a = buckets.select(col("doc_id").as("da"), col("band"), col("bucket"))
     val b = buckets.select(col("doc_id").as("db"), col("band"), col("bucket"))
@@ -195,8 +230,10 @@ object Dedup {
   def minhashNearDups(
       docs: DataFrame, n: Int = 3, numPerm: Int = 64,
       rowsPerBand: Int = 4, threshold: Double = 0.8,
-      maxDf: Int = DefaultMaxDf): DataFrame = {
-    val cands = lshCandidatePairs(docs, n, numPerm, rowsPerBand).cache()
+      maxDf: Int = DefaultMaxDf,
+      hash: (Int, Column) => Column = XxHash,
+      bandHash: Column => Column = XxBandHash): DataFrame = {
+    val cands = lshCandidatePairs(docs, n, numPerm, rowsPerBand, hash, bandHash).cache()
     val candIds = cands.select(col("da").as("doc_id"))
       .unionAll(cands.select(col("db").as("doc_id"))).distinct()
     val sh = cappedShingles(shingles(docs, n), maxDf)
@@ -393,5 +430,133 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------------------
+  // Oracle twins of the hash-family pipelines (md5-60 family). Same
+  // operator DAG and shuffle structure as the xxhash64 production
+  // queries — signatures are min-aggregates over exploded shingles,
+  // banding is a posexplode + bucket equi-join, verification is the
+  // candidate-bounded exact Jaccard — but every hash is
+  // DuckDB-expressible, so the driver hash-checks the WHOLE pipeline.
+  // -------------------------------------------------------------------
+
+  /** [[minhashNearDups]] over the md5-60 hash family. */
+  def minhashNearDupsMd5(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame =
+    minhashNearDups(docs, n, numPerm, rowsPerBand, threshold, maxDf,
+      Md5Hash, Md5BandHash)
+
+  def minhashNearDupsMd5Sql(
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String = {
+    val numBands = numPerm / rowsPerBand
+    val mins = (0 until numPerm)
+      .map(p => s"MIN(${md5Hash60Sql(p, "shingle")}) AS m$p").mkString(",\n    ")
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(p => s"CAST(m$p AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh0 AS (${shinglesSql(n)}),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh0 GROUP BY doc_id),
+       |buckets AS (
+       |  $bands),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |cids AS (SELECT da AS doc_id FROM cands UNION SELECT db FROM cands),
+       |sh AS (SELECT doc_id, shingle FROM sh0
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxDf)
+       |  AND doc_id IN (SELECT doc_id FROM cids)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE EXISTS (SELECT 1 FROM cands c
+       |                WHERE c.da = a.doc_id AND c.db = b.doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT da, db,
+       |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold""".stripMargin
+  }
+
+  /** [[simhashes]] over the md5-60 family: 60-bit signature (bit j =
+    * sign of the ±1 sum over token hashes' bit j). */
+  def simhashesMd5(docs: DataFrame): DataFrame = {
+    val tok = TextOps.explodedTokens(docs, "t", col("doc_id"))
+    val h = md5Hash60(0, col("t"))
+    val aggs = (0 until 60).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        ).reduce(_ + _).as("simhash"))
+  }
+
+  /** [[simhashNearDups]] over the md5-60 family: 60-bit signatures,
+    * pigeonhole chunks of 15 bits (maxHamming=3 → 4 chunks). */
+  def simhashNearDupsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 60 / chunks
+    val sh = simhashesMd5(docs)
+    val chunked = sh.select(
+        col("doc_id"), col("simhash"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftright(col("simhash"), c * bitsPer)
+            .bitwiseAND((1L << bitsPer) - 1)
+        }: _*)))
+      .toDF("doc_id", "simhash", "chunk", "val")
+    val a = chunked.select(col("doc_id").as("da"), col("simhash").as("ha"),
+      col("chunk"), col("val"))
+    val b = chunked.select(col("doc_id").as("db"), col("simhash").as("hb"),
+      col("chunk"), col("val"))
+    a.join(b, Seq("chunk", "val"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashNearDupsMd5Sql(maxHamming: Int = 3): String = {
+    val chunks = maxHamming + 1
+    val bitsPer = 60 / chunks
+    val mask = (1L << bitsPer) - 1
+    val chunkRows = (0 until chunks).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * bitsPer}) & $mask AS val FROM sig"
+    ).mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${md5Hash60Sql(0, "t")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |chunked AS (
+       |  $chunkRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $maxHamming""".stripMargin
   }
 }

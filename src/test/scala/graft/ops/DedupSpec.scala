@@ -155,4 +155,33 @@ class DedupSpec extends SparkSpec {
     assert(hs(0L) == hs(2L))
     assert(hs(0L) != hs(10L))
   }
+
+  test("md5-60 MinHash pipeline recovers the same planted near-dups as production") {
+    val md5Found = Dedup.minhashNearDupsMd5(docs, threshold = 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(md5Found.contains((0L, 2L)))
+    assert(md5Found.contains((0L, 3L)))
+    assert(!md5Found.exists { case (a, b) => a >= 10L || b >= 10L })
+    // verified pairs carry the EXACT Jaccard — identical to the n-gram
+    // truth path on the same pairs (the hash family only gates
+    // candidacy, never the verified similarity)
+    val md5J = Dedup.minhashNearDupsMd5(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    md5J.foreach { case (pair, j) => assert(truth(pair) == j) }
+  }
+
+  test("md5-60 SimHash pipeline finds near-identical docs within the Hamming radius") {
+    val found = Dedup.simhashNearDupsMd5(docs, maxHamming = 10)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 2L))) // identical → hamming 0
+    assert(!found.contains((0L, 10L)) && !found.contains((10L, 11L)))
+    val hs = Dedup.simhashesMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(0L) == hs(2L))
+    assert(hs(0L) != hs(10L))
+    // 60-bit signatures: top 4 bits clear
+    hs.values.foreach(h => assert(h >= 0L && h < (1L << 60)))
+  }
 }
