@@ -16,6 +16,12 @@ object SparkEntry {
 
   private val K = 8
 
+  /** Fixture mix weights for `corpus_mix` (shared by query + twin):
+    * integer+fraction upsample, pure-fraction downsample, drop, and
+    * default pass-through for the remaining sources. */
+  private val mixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0, "src3" -> 1.0)
+
   /** assigned = nearest-centroid assignment of the shared points relation
     * to the deterministic k lowest-pid initial centroids. */
   private def assigned(s: SparkSession, dir: String): DataFrame =
@@ -129,6 +135,22 @@ object SparkEntry {
       Dedup.nearDupGroups(Tables.table(s, dir, "documents"))),
     "dedup_corpus" -> ((s, dir) =>
       Dedup.dedupedCorpus(Tables.table(s, dir, "documents"))),
+    // SemDeDup (embedding-space semantic dedup): fixed-iteration
+    // quantizer build → within-cluster cosine pairs → anti-join;
+    // tau=0.4 matches the synthetic embeddings' near-dup range (the
+    // 0.95 paper default finds nothing on random-ish vectors)
+    "dedup_semantic_pairs" -> ((s, dir) =>
+      graft.ops.SemDedup.semanticNearDups(
+        Tables.table(s, dir, "embeddings"), tau = 0.4)),
+    "dedup_semantic" -> ((s, dir) =>
+      graft.ops.SemDedup.semanticDedup(
+        Tables.table(s, dir, "embeddings"), tau = 0.4)),
+    // Deterministic hash-bucket splits + weighted source mixing
+    "sample_split" -> ((s, dir) =>
+      graft.ops.Sampling.splitAssign(Tables.table(s, dir, "documents"))),
+    "corpus_mix" -> ((s, dir) =>
+      graft.ops.Sampling.weightedMix(
+        Tables.table(s, dir, "documents"), mixWeights)),
     // Similarity search over `embeddings`
     "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
     "emb_cosine_topk" -> ((s, dir) =>
@@ -240,6 +262,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_minhash_md5" -> Dedup.minhashNearDupsMd5Sql(),
     "dedup_simhash_md5" -> Dedup.simhashNearDupsMd5Sql(),
+    "dedup_semantic_pairs" -> graft.ops.SemDedup.semanticNearDupsSql(tau = 0.4),
+    "dedup_semantic" -> graft.ops.SemDedup.semanticDedupSql(tau = 0.4),
+    "sample_split" -> graft.ops.Sampling.splitAssignSql(),
+    "corpus_mix" -> graft.ops.Sampling.weightedMixSql(mixWeights),
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "dedup_corpus" -> Dedup.dedupedCorpusSql(),
     "emb_norms" -> EmbeddingOps.normsSql,

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / corpus-mixing operators for the
+  * LLM-data-pipeline surface. Everything here is keyed on a
+  * content-independent hash bucket of the document id — NOT on `rand()`
+  * — because at corpus scale the properties that matter are exactly the
+  * ones randomness destroys:
+  *
+  *  - reproducible: the same doc lands in the same split on every run,
+  *    every cluster size, every partitioning (rand() is none of these);
+  *  - stable under growth: adding documents never reassigns existing
+  *    ones (critical for train/test contamination control);
+  *  - oracle-checkable: the md5-60 bucket ([[Dedup.md5Hash60]]) is
+  *    bit-identical in DuckDB, so split assignment, sampling, and
+  *    mixing are all hash-verified against SQL twins.
+  *
+  * 100 TB posture: every operator is a pure per-row projection (the
+  * bucket is computed from the id in-place — zero shuffle, scan-
+  * parallel, whole-stage-codegen'd); the mix explode multiplies rows
+  * but never shuffles them.
+  */
+object Sampling {
+
+  /** Bucket granularity: basis points of basis points (1e4) — rates are
+    * exact multiples of 0.01%. */
+  val Buckets: Int = 10000
+
+  /** Deterministic bucket in [0, Buckets) from a key column. */
+  def bucket(key: Column, seed: Int = 42): Column =
+    pmod(Dedup.md5Hash60(seed, key.cast("string")), lit(Buckets))
+
+  def bucketSql(expr: String, seed: Int = 42): String =
+    s"(${Dedup.md5Hash60Sql(seed, s"CAST($expr AS VARCHAR)")}) % $Buckets"
+
+  // -------------------------------------------------------------------
+  // Train/valid/test split assignment. Thresholds are integer bucket
+  // counts (no float compares): train = [0, trainBp), valid =
+  // [trainBp, trainBp+validBp), test = the rest.
+  // -------------------------------------------------------------------
+  def splitAssign(
+      docs: DataFrame, trainBp: Int = 9800, validBp: Int = 100,
+      seed: Int = 42): DataFrame = {
+    val b = bucket(col("doc_id"), seed)
+    docs.select(
+      col("doc_id"),
+      b.as("bucket"),
+      when(b < trainBp, "train")
+        .when(b < trainBp + validBp, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  def splitAssignSql(
+      trainBp: Int = 9800, validBp: Int = 100, seed: Int = 42): String =
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < $trainBp THEN 'train'
+       |       WHEN bucket < ${trainBp + validBp} THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${bucketSql("doc_id", seed)} AS bucket
+       |      FROM documents) b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Weighted corpus mixing: per-source sampling weights, including
+  // upsampling (weight > 1 repeats documents — the "epochs per source"
+  // knob of LLM data recipes). A doc from a source with weight w is
+  // emitted floor(w) times, plus once more iff its bucket falls under
+  // the fractional part — deterministic, exact in expectation, and
+  // stable per document. weight 0 drops the source; absent sources get
+  // `defaultWeight`.
+  // -------------------------------------------------------------------
+  def weightedMix(
+      docs: DataFrame, weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0, seed: Int = 7): DataFrame = {
+    def perSource(f: Double => Int): Column =
+      weights.foldLeft(lit(f(defaultWeight))) { case (acc, (s, w)) =>
+        when(col("source") === s, lit(f(w))).otherwise(acc)
+      }
+    val base = perSource(w => math.floor(w).toInt)
+    val fracBp = perSource(w => math.round((w - math.floor(w)) * Buckets).toInt)
+    val copies = base + when(bucket(col("doc_id"), seed) < fracBp, 1).otherwise(0)
+    docs
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+  }
+
+  def weightedMixSql(
+      weights: Seq[(String, Double)], defaultWeight: Double = 1.0,
+      seed: Int = 7): String = {
+    def perSource(f: Double => Int): String =
+      weights.map { case (s, w) => s"WHEN source = '$s' THEN ${f(w)}" }
+        .mkString("CASE ", " ", s" ELSE ${f(defaultWeight)} END")
+    val base = perSource(w => math.floor(w).toInt)
+    val fracBp = perSource(w => math.round((w - math.floor(w)) * Buckets).toInt)
+    s"""SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ($base) + (CASE WHEN ${bucketSql("doc_id", seed)} < ($fracBp)
+       |               THEN 1 ELSE 0 END) AS n_copies
+       |  FROM documents) m
+       |WHERE n_copies >= 1""".stripMargin
+  }
+}

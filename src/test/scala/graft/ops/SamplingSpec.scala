@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting/mixing: reproducible, stable under
+  * corpus growth, exact integer bucket math. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("split assignment is a deterministic partition of the corpus") {
+    val a = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)                                   // reproducible
+    assert(a.size == docs.count())                   // total
+    assert(a.values.toSet.subsetOf(Set("train", "valid", "test")))
+    assert(a.values.count(_ == "train") > a.size / 2) // 98% target
+  }
+
+  test("split assignment is stable under corpus growth") {
+    // adding documents must never reassign existing ones: assignment
+    // over a half-corpus equals the full-corpus assignment restricted
+    // to it (this is the anti-contamination property rand() lacks)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val fromHalf = Sampling.splitAssign(half).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val fromFull = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    fromHalf.foreach { case (id, s) => assert(fromFull(id) == s) }
+  }
+
+  test("different seeds give different partitions") {
+    val a = Sampling.splitAssign(docs, seed = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.splitAssign(docs, seed = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a != b)
+  }
+
+  test("weighted mix: drop, downsample, pass-through, and upsample with fractions") {
+    val weights = Seq("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0, "src3" -> 1.0)
+    val mixed = Sampling.weightedMix(docs, weights)
+    val perDoc = mixed.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("copy").as("maxc"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    // copy index is dense 1..n
+    perDoc.values.foreach { case (n, maxc) => assert(n == maxc) }
+    assert(!perDoc.keys.exists(_._2 == "src2"))            // dropped
+    val bySource = perDoc.groupBy(_._1._2).view
+      .mapValues(_.values.map(_._1).toSeq).toMap
+    bySource("src0").foreach(n => assert(n == 2L || n == 3L)) // 2.5x
+    assert(bySource("src0").exists(_ == 2L) || bySource("src0").exists(_ == 3L))
+    bySource("src3").foreach(n => assert(n == 1L))            // exactly 1
+    bySource.get("src1").foreach(_.foreach(n => assert(n == 1L))) // kept docs once
+    // unlisted sources default to weight 1.0
+    bySource.filterKeys(s => !weights.exists(_._1 == s))
+      .foreach { case (_, ns) => ns.foreach(n => assert(n == 1L)) }
+    // src1 at 0.4: strictly fewer docs survive than exist
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(bySource.get("src1").map(_.size.toLong).getOrElse(0L) < src1Total)
+  }
+
+  test("weighted mix is deterministic") {
+    val weights = Seq("src0" -> 1.5)
+    val a = Sampling.weightedMix(docs, weights).collect().toSet
+    val b = Sampling.weightedMix(docs, weights).collect().toSet
+    assert(a == b)
+  }
+}
