@@ -207,16 +207,12 @@ object SparkEntry {
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
-    // array-typed `features` flattened to its first component — raw
-    // arrays crash the driver's sort+hash compare; full vector covered
-    // by EventAndMultimodalSpec
-    "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents"))).toDF()
-        .select(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("kind"),
-          org.apache.spark.sql.functions.col("n_bytes"),
-          org.apache.spark.sql.functions.col("features").getItem(0).as("f0"))),
+    // the float32 stub-decode math, flattened to one row per feature
+    // component and fully oracle-checked (DuckDB FLOAT division is
+    // bit-exact IEEE float32; see Multimodal.featuresFlatSql)
+    "mm_features_full" -> ((s, dir) =>
+      Multimodal.featuresFlat(
+        Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
     // frame bytes hex-encoded for the oracle compare (raw BLOBs crash
     // the harness's sort on the oracle side)
     "mm_frames" -> ((s, dir) =>
@@ -296,12 +292,15 @@ object SparkEntry {
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
     "mm_summary" -> Multimodal.mediaSummarySql,
     "mm_frames" -> Multimodal.sampleFramesSql(),
-    // dedup_minhash / dedup_simhash / mm_features: engine-specific hash
-    // functions (xxhash64) or float32 stub-decode arithmetic — not
-    // DuckDB-expressible; covered by ScalaTest planted-duplicate /
-    // determinism suites instead (rows-only check). The xxhash64
-    // pipelines additionally have fully-oracle-checked md5-60 twins
-    // (dedup_minhash_md5 / dedup_simhash_md5) exercising the identical
-    // operator DAG with a DuckDB-expressible hash family.
+    "mm_features_full" -> Multimodal.featuresFlatSql,
+    // dedup_minhash / dedup_simhash: engine-specific hash functions
+    // (xxhash64) — not DuckDB-expressible; covered by ScalaTest
+    // planted-duplicate suites (rows-only check), AND each has a
+    // fully-oracle-checked md5-60 twin (dedup_minhash_md5 /
+    // dedup_simhash_md5) exercising the identical operator DAG with a
+    // DuckDB-expressible hash family. events_sketches: t-digest/HLL
+    // estimate columns are engine-specific; the deterministic spine is
+    // oracle-checked via events_sketches_n, estimate accuracy asserted
+    // in EventAndMultimodalSpec.
   )
 }

@@ -109,6 +109,46 @@ object Multimodal {
        |WHERE i % $stride = 0
        |  AND octet_length(encode(substring(text, CAST(i*$frameBytes+1 AS INT), $frameBytes))) > 0""".stripMargin
 
+  /** [[extractFeatures]] flattened to one row per feature component —
+    * the oracle surface for the float32 decode math (array-typed result
+    * columns crash the compare harness). */
+  def featuresFlat(media: DataFrame): DataFrame =
+    extractFeatures(media).toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")))
+      .toDF("doc_id", "kind", "n_bytes", "bucket", "f")
+
+  /** DuckDB twin of [[featuresFlat]] over `mediaFromDocuments`. The
+    * stub's float32 arithmetic IS DuckDB-expressible: both operands of
+    * the per-bucket division are integers < 2^24 (exact in float32),
+    * and DuckDB FLOAT/FLOAT division is true IEEE float32 (verified
+    * bit-exact over a 144k-case sweep) — matching the JVM's
+    * `Long.toFloat / Float`. Byte buckets come from `ascii(c) // 32`,
+    * which equals `(byte & 0xff) >> 5` on the (verified ASCII-pure)
+    * fixture text; absent buckets materialize as 0 via the
+    * generate_series left join, mirroring the stub's dense 8-slot
+    * histogram. */
+  val featuresFlatSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |chars AS (
+      |  SELECT doc_id, ascii(c) // 32 AS bucket
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM m) t),
+      |counts AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT m.doc_id, m.kind, m.n_bytes, b.bucket,
+      |         COALESCE(c.cnt, 0) AS cnt
+      |  FROM m CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bucket) b
+      |  LEFT JOIN counts c ON c.doc_id = m.doc_id AND c.bucket = b.bucket)
+      |SELECT doc_id, kind, n_bytes, CAST(bucket AS INT) AS bucket,
+      |       CAST(cnt AS FLOAT) / CAST(GREATEST(n_bytes, 1) AS FLOAT) AS f
+      |FROM dense""".stripMargin
+
   /** Oracle-friendly summary over the fake decode: per kind, item count
     * and total payload bytes (expressible in DuckDB over documents). */
   def mediaSummary(media: DataFrame): DataFrame =
