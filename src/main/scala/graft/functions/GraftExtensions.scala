@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{StringFingerprint, VecDot, VecSqDist}
+import org.apache.spark.sql.graft.{StringFingerprint, TextStats, VecDot, VecSqDist}
 
 /** SQL-surface registration of the native vector expressions, two ways:
   *
@@ -44,6 +44,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "doc_fingerprint expects 1 argument")
         StringFingerprint(args(0))
+      }),
+    ("text_stats",
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (args: Seq[Expression]) => {
+        // text_stats(text, stop1, stop2, ...) — stopwords must be
+        // string literals (folded at registration, not per row)
+        require(args.nonEmpty, "text_stats expects at least 1 argument")
+        val stops = args.tail.map { e =>
+          require(e.foldable, "text_stats stopwords must be literals")
+          String.valueOf(e.eval())
+        }
+        TextStats(args.head, stops)
       }))
 
   /** Register on an existing session (idempotent). */

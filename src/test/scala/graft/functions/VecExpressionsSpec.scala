@@ -152,6 +152,19 @@ class VecExpressionsSpec extends SparkSpec {
     assert(got(4L) == None)
   }
 
+  test("text_stats is SQL-callable via GraftExtensions with literal stopwords") {
+    GraftExtensions.register(spark)
+    Seq((1L, "the cat the hat")).toDF("id", "t").createOrReplaceTempView("ts_docs")
+    val r = spark.sql(
+      "SELECT text_stats(t, 'the', 'a') AS st FROM ts_docs").collect()(0).getSeq[Long](0)
+    assert(r == Seq(4L, 12L, 2L, 3L))
+    // non-literal stopword args are rejected at resolution
+    val e = intercept[Exception] {
+      spark.sql("SELECT text_stats(t, t) FROM ts_docs").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("text_stats participates in whole-stage codegen and runs once per row") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.ops.TextOps.qualityScore(d).queryExecution.executedPlan.toString

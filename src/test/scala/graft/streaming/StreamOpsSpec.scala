@@ -130,6 +130,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("hash-bucket split assignment runs unchanged on a stream and agrees with batch") {
+    // Sampling.splitAssign is a stateless projection, so the SAME
+    // operator works under readStream — and because the bucket is a
+    // content hash, the streaming assignment must agree row-for-row
+    // with the batch assignment of the same ids (rand()-based splits
+    // cannot make that promise)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.ops.Sampling.splitAssign(docs)
+      .writeStream.format("memory").queryName("stream_split")
+      .outputMode("append").start()
+    in.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val batch = graft.ops.Sampling
+      .splitAssign(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("the same windowed-agg code runs on a bounded batch frame") {
     import spark.implicits._
     val batch = Seq(
