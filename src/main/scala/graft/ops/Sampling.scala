@@ -40,10 +40,15 @@ object Sampling {
   // counts (no float compares): train = [0, trainBp), valid =
   // [trainBp, trainBp+validBp), test = the rest.
   // -------------------------------------------------------------------
+  /** `key` defaults to the document id; production corpora usually key
+    * on a coarser unit (URL, domain, source document of a chunk) so
+    * near-duplicates and derived chunks cannot straddle the train/test
+    * boundary — any column (or expression) works, the bucket math is
+    * unchanged. */
   def splitAssign(
       docs: DataFrame, trainBp: Int = 9800, validBp: Int = 100,
-      seed: Int = 42): DataFrame = {
-    val b = bucket(col("doc_id"), seed)
+      seed: Int = 42, key: Column = col("doc_id")): DataFrame = {
+    val b = bucket(key, seed)
     docs.select(
       col("doc_id"),
       b.as("bucket"),

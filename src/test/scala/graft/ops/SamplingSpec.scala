@@ -34,6 +34,16 @@ class SamplingSpec extends SparkSpec {
     fromHalf.foreach { case (id, s) => assert(fromFull(id) == s) }
   }
 
+  test("splitting on a coarser key puts every group member in one split") {
+    // key = source: all docs of a source must land in the same split
+    // (the anti-leakage property for chunked/near-dup corpora)
+    val bySource = Sampling.splitAssign(docs, key = col("source"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "split").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bySource.map(_._1).distinct.length == bySource.length)
+  }
+
   test("different seeds give different partitions") {
     val a = Sampling.splitAssign(docs, seed = 1).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
