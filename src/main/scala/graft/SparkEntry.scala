@@ -178,6 +178,10 @@ object SparkEntry {
     // Composed curation pipeline + window-function surface
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
+    // the full pre-training composition: curate -> near-dup removal ->
+    // deterministic split assignment
+    "pipeline_pretrain" -> ((s, dir) =>
+      graft.ops.CuratePipeline.pretrain(Tables.table(s, dir, "documents"))),
     "text_top_tokens" -> ((s, dir) =>
       graft.ops.CuratePipeline.topTokensPerLang(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
@@ -269,6 +273,7 @@ object SparkEntry {
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
     "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
+    "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(

@@ -51,6 +51,43 @@ object CuratePipeline {
        |JOIN keep k ON c.doc_id = k.doc_id
        |LEFT JOIN lid l ON c.doc_id = l.doc_id""".stripMargin
 
+  /** The COMPLETE pre-training data-prep composition — what a 100 TB
+    * corpus job actually runs end to end: quality gate + exact dedup +
+    * language tag ([[curate]]) → transitive near-dup removal
+    * ([[Dedup.nearDupGroups]]) → deterministic train/valid/test
+    * assignment ([[Sampling.splitAssign]]). Every stage is individually
+    * oracle-verified; this query verifies the composition.
+    *
+    * 100 TB posture = the sum of its parts (each documented at its
+    * definition): projections share one scan, dedup shuffles keys not
+    * documents, the loser set is broadcast for the anti-join, the split
+    * is a zero-shuffle hash bucket. */
+  def pretrain(
+      docs: DataFrame,
+      minTokens: Long = 20,
+      maxStopwordRatio: Double = 0.5,
+      nearDupThreshold: Double = 0.8): DataFrame = {
+    val curated = curate(docs, minTokens, maxStopwordRatio)
+    val losers = Dedup.nearDupGroups(docs, threshold = nearDupThreshold)
+      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    val split = Sampling.splitAssign(docs).select("doc_id", "split")
+    curated.join(losers, Seq("doc_id"), "left_anti")
+      .join(split, "doc_id")
+      .select("doc_id", "pred_lang", "n_tokens", "split")
+  }
+
+  def pretrainSql(
+      minTokens: Long = 20, maxStopwordRatio: Double = 0.5,
+      nearDupThreshold: Double = 0.8): String =
+    s"""WITH curated AS (SELECT * FROM (${curateSql(minTokens, maxStopwordRatio)}) cu),
+       |losers AS (SELECT doc_id
+       |  FROM (${Dedup.nearDupGroupsSql(threshold = nearDupThreshold)}) g
+       |  WHERE doc_id <> group_id),
+       |split AS (${Sampling.splitAssignSql()})
+       |SELECT c.doc_id, c.pred_lang, c.n_tokens, s.split
+       |FROM curated c JOIN split s ON c.doc_id = s.doc_id
+       |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
   /** Top-n tokens per corpus language (window-function surface): one
     * token-count aggregate, then a per-lang rank. */
   def topTokensPerLang(docs: DataFrame, topN: Int = 5): DataFrame = {

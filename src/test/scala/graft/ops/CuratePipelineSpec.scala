@@ -24,6 +24,24 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 29L)
   }
 
+  test("pretrain composition: curate gate, near-dup removal, and split assignment agree with the stages") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CuratePipeline.pretrain(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // kept = curated minus near-dup losers, exactly
+    val curated = CuratePipeline.curate(docs).collect().map(_.getLong(0)).toSet
+    val losers = graft.ops.Dedup.nearDupGroups(docs)
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("group_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out.keySet == curated.diff(losers))
+    // split values come verbatim from the standalone split operator
+    val split = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { case (id, s) => assert(split(id) == s) }
+    assert(out.nonEmpty)
+  }
+
   test("top tokens per lang ranks by count with deterministic ties") {
     val docs = Seq(
       (1L, "apple apple banana", "en"),
