@@ -1,0 +1,66 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench-output contract: the harness keeps only the LAST
+  * ~2000 chars of the bench process's output (observed tail_len=2000 in
+  * every BENCH_r*.json) and parses the JSON line out of that window, with
+  * sbt's trailing "[success] Total time ..." line (~80 chars) also inside
+  * it. Rounds 1-6 all landed parsed:null because the line outgrew the
+  * window — this spec fails the build before that can happen again. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  /** Worst-case-width fake results for every registered query: 3-digit
+    * integer parts so the 3-decimal rendering is at its widest. */
+  private def fakeResults(names: Seq[String]): Seq[Bench.QueryResult] =
+    names.map(n => (n, Seq(123.456789, 998.7654321, 101.5), 998.7654321, None))
+
+  private val allNames: Seq[String] =
+    (SparkEntry.queries.keys.toSeq :+ "kmeans_fit10").sorted
+
+  test("summary line fits the harness tail window with headroom") {
+    val line = Bench.summaryLine(fakeResults(allNames), "12.34",
+      Some((Seq(123.456, 98.765), None)), "/root/testdata/sf0.1")
+    assert(!line.contains("\n"))
+    assert(line.length <= 1800,
+      s"summary line is ${line.length} chars — over the 1800 budget " +
+        "(2000-char harness tail minus sbt's ~80-char success line and " +
+        "margin); slim the line or move fields to BENCH_DETAIL.json:\n" + line)
+  }
+
+  test("summary line is valid JSON with the driver-contract fields") {
+    val line = Bench.summaryLine(fakeResults(allNames), "7.80",
+      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
+    val root = mapper.readTree(line)
+    assert(root.get("metric").asText == "total")
+    assert(root.get("unit").asText == "sec")
+    assert(root.get("value").asDouble > 0)
+    assert(root.get("queries").size == allNames.size)
+    assert(root.get("queries").get("kmeans_fit10").asDouble == 998.765)
+    assert(root.get("fit10m").get("baseline_flink_p4_sec").asDouble == 90.8)
+    assert(root.get("sf").asText == "/root/testdata/sf0.1")
+  }
+
+  test("summary line survives error messages with quotes and backslashes") {
+    val bad: Bench.QueryResult =
+      ("q_bad", Seq(-1.0), -1.0, Some("""IllegalStateException: "x\y" bad"""))
+    val line = Bench.summaryLine(Seq(bad), "1.0", None, "/tmp/sf")
+    val root = mapper.readTree(line)
+    assert(root.get("errors").get("q_bad").asText.contains("bad"))
+    assert(root.get("queries").get("q_bad").asDouble == -1.0)
+  }
+
+  test("detail json is valid and carries every per-run timing") {
+    val detail = Bench.detailJson(fakeResults(allNames), "7.80", "32",
+      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
+    val root = mapper.readTree(detail)
+    assert(root.get("runs").size == allNames.size)
+    assert(root.get("runs").get(allNames.head).size == 3)
+    assert(root.get("queries").get(allNames.head).asDouble == 998.7654321)
+    assert(root.get("fit10m_runs").size == 2)
+    assert(root.get("cpus").asText == "32")
+  }
+}
