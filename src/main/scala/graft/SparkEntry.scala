@@ -175,6 +175,14 @@ object SparkEntry {
       EventOps.funnel(Tables.events(s, dir), withinMinutes = 1440)),
     "events_rollup" -> ((s, dir) => EventOps.dailyTypeRollup(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
+    // Corpus shaping: context-window chunking, sequence packing,
+    // PII scrub (planted-PII twin — the testdata has none by construction)
+    "doc_chunks" -> ((s, dir) =>
+      graft.ops.PretrainOps.chunkDocs(Tables.table(s, dir, "documents"))),
+    "seq_pack" -> ((s, dir) =>
+      graft.ops.PretrainOps.packSequences(Tables.table(s, dir, "documents"))),
+    "pii_scrub" -> ((s, dir) =>
+      graft.ops.PretrainOps.scrubPlanted(Tables.table(s, dir, "documents"))),
     // Composed curation pipeline + window-function surface
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
@@ -272,6 +280,9 @@ object SparkEntry {
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
     "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
+    "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
+    "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
+    "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
     "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+class PretrainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "source")
+
+  /** Distinct shuffle count with AQE off for planning —
+    * AdaptiveSparkPlanExec is a leaf that hides its inner plan from
+    * collect (same dodge as graft.tools.PlanAudit). */
+  private def exchanges(mkDf: => DataFrame): Int = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try mkDf.queryExecution.executedPlan
+      .collect { case e: Exchange => e.id }.distinct.size
+    finally spark.conf.set(key, prev)
+  }
+
+  // ---------------- chunking ----------------
+
+  test("chunkDocs: stride windows with overlap, short tail kept") {
+    // 10 tokens, size 4, overlap 1 -> starts 0,3,6,9
+    val d = docs((1L, (1 to 10).map(i => s"t$i").mkString(" "), "s"))
+    val out = PretrainOps.chunkDocs(d, size = 4, overlap = 1)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getInt(2)).toSeq == Seq(4, 4, 4, 1))
+    assert(out.head.getString(3) == "t1 t2 t3 t4")
+    assert(out(1).getString(3) == "t4 t5 t6 t7")
+    assert(out.last.getString(3) == "t10")
+  }
+
+  test("chunkDocs: doc shorter than one window is a single chunk") {
+    val d = docs((1L, "a b c", "s"))
+    val out = PretrainOps.chunkDocs(d, size = 64, overlap = 16).collect()
+    assert(out.length == 1 && out.head.getInt(2) == 3)
+    assert(out.head.getString(3) == "a b c")
+  }
+
+  test("chunkDocs: whitespace runs are normalized before chunking") {
+    val d = docs((1L, "  a   b c  ", "s"))
+    val out = PretrainOps.chunkDocs(d, size = 2, overlap = 0)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getString(3)).toSeq == Seq("a b", "c"))
+  }
+
+  test("chunkDocs: zero-shuffle projection plan") {
+    val d = docs((1L, "a b c", "s"))
+    assert(exchanges(PretrainOps.chunkDocs(d)) == 0)
+  }
+
+  // ---------------- packing ----------------
+
+  test("packSequences: bins fill in doc order, straddlers carry offset") {
+    // tokens: 3, 4, 2 with capacity 5 -> cum_before 0, 3, 7
+    val d = docs(
+      (1L, "a b c", "s"),
+      (2L, "d e f g", "s"),
+      (3L, "h i", "s"))
+    val out = PretrainOps.packSequences(d, capacity = 5)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 0L), (0L, 3L), (1L, 2L)))
+  }
+
+  test("packSequences: shards pack independently") {
+    val d = docs((1L, "a b", "s1"), (2L, "c d", "s2"), (3L, "e f", "s1"))
+    val out = PretrainOps.packSequences(d, capacity = 3)
+      .orderBy("doc_id").collect()
+    // s1: cum 0,2 ; s2: cum 0 -> doc 2 starts its own shard at bin 0
+    assert(out.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 0L), (0L, 0L), (0L, 2L)))
+  }
+
+  test("packSequences: exactly one shuffle (per-shard window, no global sort)") {
+    val d = docs((1L, "a b", "s1"), (2L, "c d", "s2"))
+    val df = PretrainOps.packSequences(d)
+    assert(exchanges(df) == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "packing must never funnel through one partition:\n" + plan)
+  }
+
+  // ---------------- PII scrub ----------------
+
+  test("scrubPii: redacts emails, urls, phones and counts each") {
+    val d = docs(
+      (1L, "mail a.user+x@sub.ex.org now via https://ex.org/a?b=1 or 555-123-4567", "s"),
+      (2L, "nothing sensitive here", "s"))
+    val out = PretrainOps.scrubPii(d).orderBy("doc_id").collect()
+    assert(out.head.getString(1) == "mail <EMAIL> now via <URL> or <PHONE>")
+    assert((out.head.getInt(2), out.head.getInt(3), out.head.getInt(4)) == ((1, 1, 1)))
+    assert(out(1).getString(1) == "nothing sensitive here")
+    assert((out(1).getInt(2), out(1).getInt(3), out(1).getInt(4)) == ((0, 0, 0)))
+  }
+
+  test("scrubPii: idempotent — scrubbing clean output changes nothing") {
+    val d = docs((1L, "u@ex.org and https://a.b and 111-222-3333", "s"))
+    val once = PretrainOps.scrubPii(d).select(col("doc_id"), col("clean_text").as("text"))
+      .withColumn("source", lit("s"))
+    val twice = PretrainOps.scrubPii(once).collect()
+    assert(twice.head.getString(1) == "<EMAIL> and <URL> and <PHONE>")
+    assert(twice.head.getInt(2) == 0 && twice.head.getInt(3) == 0)
+  }
+
+  test("scrubPii: zero-shuffle projection plan") {
+    val d = docs((1L, "a", "s"))
+    assert(exchanges(PretrainOps.scrubPii(d)) == 0)
+  }
+
+  test("scrubPlanted: every planted marker is removed on the real table") {
+    val d = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = PretrainOps.scrubPlanted(d)
+    assert(out.filter(col("n_emails") < 1 || col("n_urls") < 1 || col("n_phones") < 1)
+      .count() == 0)
+    assert(out.filter(col("clean_text").rlike("@|https?://|[0-9]{3}-[0-9]{3}-[0-9]{4}"))
+      .count() == 0)
+  }
+}
