@@ -183,6 +183,9 @@ object SparkEntry {
       graft.ops.PretrainOps.packSequences(Tables.table(s, dir, "documents"))),
     "pii_scrub" -> ((s, dir) =>
       graft.ops.PretrainOps.scrubPlanted(Tables.table(s, dir, "documents"))),
+    // the full shaping composition: scrub -> chunk -> pack in one plan
+    "pipeline_sequences" -> ((s, dir) =>
+      graft.ops.PretrainOps.makeSequences(Tables.table(s, dir, "documents"))),
     // Composed curation pipeline + window-function surface
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
@@ -283,6 +286,7 @@ object SparkEntry {
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
     "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),
+    "pipeline_sequences" -> graft.ops.PretrainOps.makeSequencesSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
     "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),

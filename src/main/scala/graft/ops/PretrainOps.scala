@@ -38,22 +38,24 @@ object PretrainOps {
   // semantics). Pure projection + Generate: zero shuffle; the explode
   // multiplies rows ~n_tokens/stride-fold but never moves them.
   // -------------------------------------------------------------------
-  def chunkDocs(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+  def chunkDocs(
+      docs: DataFrame, size: Int = 64, overlap: Int = 16,
+      keep: Seq[String] = Nil, textCol: Column = col("text")): DataFrame = {
     require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size, got $overlap/$size")
     val stride = size - overlap
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), normTokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id") +: kept :+ normTokens(textCol).as("toks"): _*)
+      .select(col("doc_id") +: kept :+ col("toks") :+
         posexplode(sequence(lit(0),
           org.apache.spark.sql.functions.size(col("toks")) - 1, lit(stride)))
-          .as(Seq("chunk_id", "start")))
-      .select(
-        col("doc_id"),
-        col("chunk_id"),
+          .as(Seq("chunk_id", "start")): _*)
+      .select(col("doc_id") +: kept :+
+        col("chunk_id") :+
         org.apache.spark.sql.functions.size(
-          slice(col("toks"), col("start") + 1, lit(size))).as("n_chunk_tokens"),
+          slice(col("toks"), col("start") + 1, lit(size))).as("n_chunk_tokens") :+
         array_join(slice(col("toks"), col("start") + 1, lit(size)), " ")
-          .as("chunk_text"))
+          .as("chunk_text"): _*)
   }
 
   def chunkDocsSql(size: Int = 64, overlap: Int = 16): String = {
@@ -80,19 +82,27 @@ object PretrainOps {
   // the per-shard sort is exactly the order a per-worker packer
   // consumes — no single-partition bottleneck at any scale.
   // -------------------------------------------------------------------
-  def packSequences(docs: DataFrame, capacity: Int = 512): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+  /** Generic packer: appends (bin_id, offset_in_bin) to `rows` from the
+    * running total of `tokenCol` over `orderCols` within each
+    * `shardCol` partition. */
+  def packBy(
+      rows: DataFrame, tokenCol: String, shardCol: String,
+      orderCols: Seq[String], capacity: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), col("source"),
-        org.apache.spark.sql.functions.size(normTokens(col("text")))
-          .cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(
-        col("doc_id"), col("source"), col("n_tokens"),
-        floor(col("cum_before") / lit(capacity)).cast("long").as("bin_id"),
-        (col("cum_before") % lit(capacity)).as("offset_in_bin"))
+    rows
+      .withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("cum_before") / lit(capacity)).cast("long"))
+      .withColumn("offset_in_bin", col("cum_before") % lit(capacity))
+      .drop("cum_before")
   }
+
+  def packSequences(docs: DataFrame, capacity: Int = 512): DataFrame =
+    packBy(
+      docs.select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(normTokens(col("text")))
+          .cast("long").as("n_tokens")),
+      "n_tokens", "source", Seq("doc_id"), capacity)
 
   def packSequencesSql(capacity: Int = 512): String =
     s"""SELECT doc_id, source, n_tokens,
@@ -117,15 +127,25 @@ object PretrainOps {
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  /** The redaction chain as a column expression (email → URL → phone). */
+  def scrubText(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
+  def scrubTextSql(textExpr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($textExpr,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$UrlRe', '<URL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')""".stripMargin
+
   /** Redacted text + per-kind match counts for every input row. */
   def scrubPii(docs: DataFrame, textCol: Column = col("text")): DataFrame =
     docs.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(textCol, EmailRe, "<EMAIL>"),
-          UrlRe, "<URL>"),
-        PhoneRe, "<PHONE>").as("clean_text"),
+      scrubText(textCol).as("clean_text"),
       org.apache.spark.sql.functions.size(
         regexp_extract_all(textCol, lit(EmailRe), lit(0))).as("n_emails"),
       org.apache.spark.sql.functions.size(
@@ -135,10 +155,7 @@ object PretrainOps {
 
   def scrubPiiSql(textExpr: String = "text"): String =
     s"""SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace($textExpr,
-       |    '$EmailRe', '<EMAIL>', 'g'),
-       |    '$UrlRe', '<URL>', 'g'),
-       |    '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+       |  ${scrubTextSql(textExpr)} AS clean_text,
        |  CAST(len(regexp_extract_all($textExpr, '$EmailRe')) AS INTEGER) AS n_emails,
        |  CAST(len(regexp_extract_all($textExpr, '$UrlRe')) AS INTEGER) AS n_urls,
        |  CAST(len(regexp_extract_all($textExpr, '$PhoneRe')) AS INTEGER) AS n_phones
@@ -168,4 +185,41 @@ object PretrainOps {
         .stripMargin.replace("\n", "")
     scrubPiiSql(s"($planted)")
   }
+
+  // -------------------------------------------------------------------
+  // The full shaping composition: documents in, packed training
+  // sequences out — scrub → chunk (overlap 0: training sequences must
+  // not repeat tokens) → pack the chunks. Scrub and chunk fuse into one
+  // zero-shuffle scan stage; packing adds the single per-shard window
+  // shuffle, so the whole pipeline is scan + one exchange.
+  // -------------------------------------------------------------------
+  def makeSequences(
+      docs: DataFrame, size: Int = 64, capacity: Int = 256): DataFrame = {
+    val cleaned = docs.select(
+      col("doc_id"), col("source"), scrubText(col("text")).as("text"))
+    val chunks = chunkDocs(cleaned, size, overlap = 0, keep = Seq("source"))
+    packBy(chunks, "n_chunk_tokens", "source", Seq("doc_id", "chunk_id"), capacity)
+  }
+
+  def makeSequencesSql(size: Int = 64, capacity: Int = 256): String =
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, source, ${scrubTextSql("text")} AS text FROM documents),
+       |toks AS (
+       |  SELECT doc_id, source, $normTokensSql AS toks FROM cleaned),
+       |chunks AS (
+       |  SELECT doc_id, source,
+       |    CAST(s / $size AS INTEGER) AS chunk_id,
+       |    CAST(len(list_slice(toks, s + 1, s + $size)) AS INTEGER) AS n_chunk_tokens,
+       |    array_to_string(list_slice(toks, s + 1, s + $size), ' ') AS chunk_text
+       |  FROM (SELECT doc_id, source, toks,
+       |          unnest(generate_series(0, len(toks) - 1, $size)) AS s
+       |        FROM toks) w)
+       |SELECT doc_id, source, chunk_id, n_chunk_tokens, chunk_text,
+       |  CAST(FLOOR(cum_before / $capacity) AS BIGINT) AS bin_id,
+       |  CAST(cum_before % $capacity AS BIGINT) AS offset_in_bin
+       |FROM (
+       |  SELECT *, COALESCE(SUM(n_chunk_tokens) OVER (
+       |    PARTITION BY source ORDER BY doc_id, chunk_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM chunks) p""".stripMargin
 }

@@ -115,6 +115,52 @@ class PretrainOpsSpec extends SparkSpec {
     assert(exchanges(PretrainOps.scrubPii(d)) == 0)
   }
 
+  // ---------------- composition ----------------
+
+  test("makeSequences: scrub feeds chunker, chunks fill shard bins in order") {
+    // doc 1 (src a): 5 tokens + a planted URL token -> scrubbed to 6 toks
+    // -> chunks of 3: [3, 3]; doc 2 (src a): 4 tokens -> chunks [3, 1]
+    val d = docs(
+      (1L, "a b c d e https://x.y/z", "sa"),
+      (2L, "p q r s", "sa"),
+      (3L, "m n", "sb"))
+    val out = PretrainOps.makeSequences(d, size = 3, capacity = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byKey = out.map(r =>
+      (r.getLong(0), r.getInt(2)) ->
+        (r.getString(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byKey((1L, 0)) == (("a b c", 0L, 0L)))
+    assert(byKey((1L, 1)) == (("d e <URL>", 0L, 3L)))
+    // shard sa cum: 3,6,9,12 -> bins 0,0,1,2 at capacity 4
+    assert(byKey((2L, 0))._2 == 1L && byKey((2L, 1))._2 == 2L)
+    // shard sb packs from zero independently
+    assert(byKey((3L, 0)) == (("m n", 0L, 0L)))
+  }
+
+  test("makeSequences: scan + exactly one shuffle for the whole pipeline") {
+    val d = docs((1L, "a b c", "s"))
+    assert(exchanges(PretrainOps.makeSequences(d)) == 1)
+  }
+
+  // ---------------- streaming ----------------
+
+  test("scrub + chunk are stateless: identical code runs on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val docsStream = in.toDF().toDF("doc_id", "text", "source")
+    val cleaned = docsStream.select(
+      col("doc_id"), col("source"),
+      PretrainOps.scrubText(col("text")).as("text"))
+    val q = PretrainOps.chunkDocs(cleaned, size = 2, overlap = 0, keep = Seq("source"))
+      .writeStream.format("memory").queryName("chunks_stream")
+      .outputMode("append").start()
+    in.addData((1L, "a b c mail u@ex.org", "s"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("chunks_stream").orderBy("chunk_id").collect()
+    assert(rows.map(_.getString(4)).toSeq == Seq("a b", "c mail", "<EMAIL>"))
+  }
+
   test("scrubPlanted: every planted marker is removed on the real table") {
     val d = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val out = PretrainOps.scrubPlanted(d)
