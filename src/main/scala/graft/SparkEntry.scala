@@ -110,6 +110,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.table(s, dir, "documents"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // Dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.table(s, dir, "documents"))),
     "dedup_fingerprint" -> ((s, dir) =>
@@ -267,6 +268,7 @@ object SparkEntry {
     "text_langid" -> TextOps.langIdSql,
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
+    "text_repetition" -> TextOps.repetitionStatsSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,

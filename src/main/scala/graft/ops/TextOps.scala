@@ -182,4 +182,61 @@ object TextOps {
        |      list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
        |    (a, b) -> (a * 31 + b) % $FpMod) AS fp
        |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Repetition statistics (the Gopher-style repetition quality gates,
+  // Rae et al. 2021 §A1.1): fraction of mass in the most frequent
+  // token, in the most frequent bigram, and in bigrams occurring more
+  // than once. Boilerplate and degenerate generations score high;
+  // curation drops docs above a threshold. Counting is per-(doc, gram)
+  // keyed aggregation — partial aggs collapse repeats map-side, the
+  // per-doc reduction and the final join all share the doc_id
+  // partitioning, so the explode never amplifies the shuffle beyond
+  // distinct grams per doc.
+  // -------------------------------------------------------------------
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ucnt = explodedTokens(docs, "token", col("doc_id"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val uagg = ucnt.groupBy("doc_id").agg(
+      (max("c").cast("double") / sum("c")).as("top_token_frac"))
+    // docs with <2 tokens have no bigrams: filtered here, re-attached
+    // as 0.0 by the left join (Spark's sequence(1, 0) would descend —
+    // DuckDB's generate_series is empty — so the guard also keeps the
+    // two engines aligned)
+    val bi = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => array_join(slice(col("tk"), i, lit(2)), " "))).as("bigram"))
+    val bagg = bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (max("c").cast("double") / sum("c")).as("top_bigram_frac"),
+        (sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double") / sum("c"))
+          .as("dup_bigram_frac"))
+    uagg.join(bagg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |uni AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+       |ucnt AS (SELECT doc_id, token, COUNT(*) AS c FROM uni GROUP BY doc_id, token),
+       |uagg AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+       |         FROM ucnt GROUP BY doc_id),
+       |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+       |         i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS bigram
+       |       FROM tk WHERE len(tk) >= 2),
+       |bcnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram),
+       |bagg AS (SELECT doc_id,
+       |    CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+       |      AS dup_bigram_frac
+       |  FROM bcnt GROUP BY doc_id)
+       |SELECT u.doc_id, u.top_token_frac,
+       |  COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       |  COALESCE(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
+       |FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id""".stripMargin
 }

@@ -57,4 +57,17 @@ class TextOpsSpec extends SparkSpec {
     // hello | world | 42 | x | - | y
     assert(r.getAs[Long]("bpe_ish_tokens") == 6L)
   }
+
+  test("repetition stats: top-token, top-bigram, and dup-bigram fractions") {
+    // tokens a,a,a,b → top token 3/4
+    // bigrams "a a","a a","a b" → top 2/3, duplicated mass 2/3
+    val d = Seq((1L, "a A a b"), (2L, "x y z"), (3L, "solo")).toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((3.0 / 4, 2.0 / 3, 2.0 / 3)))
+    // all-distinct doc: top token 1/3, top bigram 1/2, no duplicated bigram
+    assert(m(2L) == ((1.0 / 3, 1.0 / 2, 0.0)))
+    // single-token doc: no bigrams at all → 0.0, not a dropped row
+    assert(m(3L) == ((1.0, 0.0, 0.0)))
+  }
 }
