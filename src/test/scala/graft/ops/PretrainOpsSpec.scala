@@ -161,6 +161,42 @@ class PretrainOpsSpec extends SparkSpec {
     assert(rows.map(_.getString(4)).toSeq == Seq("a b", "c mail", "<EMAIL>"))
   }
 
+  test("property: chunks reconstruct the corpus; pack offsets are consistent") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "zz")
+    val docGen = Gen.listOfN(24, Gen.zip(
+      Gen.choose(1, 17).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))),
+      Gen.oneOf("sa", "sb")))
+    (1 to 4).foreach { seed =>
+      val rows = docGen(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case ((t, src), i) => (i.toLong, t, src) }
+      val d = docs(rows: _*)
+      val size = 1 + seed // exercise several chunk sizes
+      val cap = 7
+      val seqs = PretrainOps.makeSequences(d, size = size, capacity = cap)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getInt(3), r.getString(4), r.getLong(5), r.getLong(6)))
+      // 1. reassembling chunks in order reproduces every doc's token stream
+      val rebuilt = seqs.groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._3).map(_._5).mkString(" ")
+      }
+      rows.foreach { case (id, t, _) =>
+        assert(rebuilt(id) == t, s"doc $id not reconstructed")
+      }
+      // 2. within a shard, each chunk starts where the previous ended
+      seqs.groupBy(_._2).foreach { case (_, cs) =>
+        val ordered = cs.sortBy(c => (c._1, c._3))
+        ordered.zip(ordered.tail).foreach { case (a, b) =>
+          val nextOff = (a._6 * cap + a._7 + a._4) // absolute position after a
+          assert(b._6 * cap + b._7 == nextOff,
+            s"gap between chunks $a -> $b")
+        }
+        assert(ordered.head._6 == 0L && ordered.head._7 == 0L)
+      }
+    }
+  }
+
   test("scrubPlanted: every planted marker is removed on the real table") {
     val d = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val out = PretrainOps.scrubPlanted(d)
