@@ -194,6 +194,10 @@ object SparkEntry {
     // deterministic split assignment
     "pipeline_pretrain" -> ((s, dir) =>
       graft.ops.CuratePipeline.pretrain(Tables.table(s, dir, "documents"))),
+    // ...and its shaping tail: the train split scrubbed, chunked, and
+    // packed into training sequences — raw corpus to model-ready in one plan
+    "pipeline_pretrain_seqs" -> ((s, dir) =>
+      graft.ops.CuratePipeline.pretrainSequences(Tables.table(s, dir, "documents"))),
     "text_top_tokens" -> ((s, dir) =>
       graft.ops.CuratePipeline.topTokensPerLang(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
@@ -291,6 +295,7 @@ object SparkEntry {
     "pipeline_sequences" -> graft.ops.PretrainOps.makeSequencesSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
     "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
+    "pipeline_pretrain_seqs" -> graft.ops.CuratePipeline.pretrainSequencesSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(

@@ -88,6 +88,33 @@ object CuratePipeline {
        |FROM curated c JOIN split s ON c.doc_id = s.doc_id
        |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
+  /** The WHOLE data-prep path in one declarative plan — what "switch
+    * your pipeline to this library" means end to end: curate (quality
+    * gate + exact dedup + language tag) → transitive near-dup removal →
+    * deterministic split assignment → take the train split → PII-scrub
+    * → chunk to context windows → pack into fixed-capacity bins.
+    * Documents in, packed training sequences out, every stage the same
+    * operator that is individually oracle-verified.
+    *
+    * 100 TB posture: the shaping tail adds one doc_id-keyed join (the
+    * keeper set arrives already hash-partitioned on doc_id from the
+    * split projection) and the single per-shard packing window on top
+    * of [[pretrain]]'s documented shuffles. */
+  def pretrainSequences(
+      docs: DataFrame, size: Int = 64, capacity: Int = 256): DataFrame = {
+    val kept = pretrain(docs)
+      .filter(col("split") === "train").select("doc_id")
+    PretrainOps.makeSequences(docs.join(kept, "doc_id"), size, capacity)
+  }
+
+  def pretrainSequencesSql(size: Int = 64, capacity: Int = 256): String =
+    s"""WITH pre AS (SELECT * FROM (${pretrainSql()}) q),
+       |kept_docs AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN pre p ON d.doc_id = p.doc_id WHERE p.split = 'train')
+       |SELECT * FROM (
+       |  ${PretrainOps.makeSequencesSql(size, capacity, docsRel = "kept_docs")}) seqs""".stripMargin
+
   /** Top-n tokens per corpus language (window-function surface): one
     * token-count aggregate, then a per-lang rank. */
   def topTokensPerLang(docs: DataFrame, topN: Int = 5): DataFrame = {

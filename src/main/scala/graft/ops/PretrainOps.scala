@@ -201,9 +201,11 @@ object PretrainOps {
     packBy(chunks, "n_chunk_tokens", "source", Seq("doc_id", "chunk_id"), capacity)
   }
 
-  def makeSequencesSql(size: Int = 64, capacity: Int = 256): String =
+  def makeSequencesSql(
+      size: Int = 64, capacity: Int = 256,
+      docsRel: String = "documents"): String =
     s"""WITH cleaned AS (
-       |  SELECT doc_id, source, ${scrubTextSql("text")} AS text FROM documents),
+       |  SELECT doc_id, source, ${scrubTextSql("text")} AS text FROM $docsRel),
        |toks AS (
        |  SELECT doc_id, source, $normTokensSql AS toks FROM cleaned),
        |chunks AS (

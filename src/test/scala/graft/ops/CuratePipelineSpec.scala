@@ -42,6 +42,25 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("pretrain sequences: only train-split survivors, all their tokens, nothing else") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seqs = CuratePipeline.pretrainSequences(docs).collect()
+    val seqDocs = seqs.map(_.getLong(0)).toSet
+    val expect = CuratePipeline.pretrain(docs)
+      .filter(col("split") === "train").collect().map(_.getLong(0)).toSet
+    assert(seqDocs == expect)
+    // token conservation: packed chunk tokens re-add to each doc's
+    // scrubbed token count (the corpus has no PII, so == raw count)
+    val nTokens = docs
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    seqs.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      assert(cs.map(_.getInt(3)).sum == nTokens(id), s"token loss in doc $id")
+    }
+  }
+
   test("top tokens per lang ranks by count with deterministic ties") {
     val docs = Seq(
       (1L, "apple apple banana", "en"),
