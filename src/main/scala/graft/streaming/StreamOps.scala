@@ -154,6 +154,42 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCols :+ "ts")
 
+  // -------------------------------------------------------------------
+  // Streaming sequence packer: the stateful twin of
+  // PretrainOps.packBy. Per-shard cumulative token totals live in
+  // GroupState, so documents arriving across micro-batches keep
+  // receiving contiguous (bin_id, offset_in_bin) slots exactly as the
+  // batch window would assign them (within a batch, docs are processed
+  // in doc_id order; across batches, arrival order IS the pack order —
+  // the streaming contract). State is one long per shard: bounded by
+  // shard count, no watermark needed.
+  // -------------------------------------------------------------------
+
+  case class Doc(doc_id: Long, source: String, n_tokens: Long)
+  case class Packed(
+      doc_id: Long, source: String, n_tokens: Long,
+      bin_id: Long, offset_in_bin: Long)
+
+  def packStream(docs: Dataset[Doc], capacity: Int = 512): Dataset[Packed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Packed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: String, ds: Iterator[Doc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = ds.toSeq.sortBy(_.doc_id).map { d =>
+            val p = Packed(d.doc_id, shard, d.n_tokens,
+              cum / capacity, cum % capacity)
+            cum += d.n_tokens
+            p
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** File-source stream over an events parquet directory — the
     * readStream entry (`spark.readStream.schema(...).parquet(dir)`),
     * normalized to the same shape `Tables.events` produces. */

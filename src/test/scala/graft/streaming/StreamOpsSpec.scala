@@ -164,6 +164,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getLong(3) == 2L)
   }
 
+  test("streaming packer carries per-shard offsets across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val q = packStream(in.toDS(), capacity = 5)
+      .writeStream.format("memory").queryName("packed_stream")
+      .outputMode("append").start()
+    in.addData(Doc(1L, "sa", 3), Doc(2L, "sa", 4), Doc(3L, "sb", 2))
+    q.processAllAvailable()
+    in.addData(Doc(4L, "sa", 2)) // must continue sa's running total (7)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("packed_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 3L)), 3L -> ((0L, 0L)),
+      4L -> ((1L, 2L)))) // cum 7 at capacity 5 -> bin 1, offset 2
+    // identical layout to the batch packer over the same arrival order
+    val batch = graft.ops.PretrainOps.packBy(
+      Seq((1L, "sa", 3L), (2L, "sa", 4L), (3L, "sb", 2L), (4L, "sa", 2L))
+        .toDF("doc_id", "source", "n_tokens"),
+      "n_tokens", "source", Seq("doc_id"), capacity = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(batch == got)
+  }
+
   test("file-source event stream reads the real parquet with the nanos conversion") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
