@@ -175,6 +175,9 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       EventOps.funnel(Tables.events(s, dir), withinMinutes = 1440)),
     "events_rollup" -> ((s, dir) => EventOps.dailyTypeRollup(Tables.events(s, dir))),
+    // point-in-time enrichment: each purchase joined to the user's most
+    // recent at-or-before view (union-window as-of join, 1 shuffle)
+    "events_asof" -> ((s, dir) => EventOps.asofJoin(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // Corpus shaping: context-window chunking, sequence packing,
     // PII scrub (planted-PII twin — the testdata has none by construction)
@@ -306,6 +309,7 @@ object SparkEntry {
     "events_percentiles" -> EventOps.typePercentilesSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
+    "events_asof" -> EventOps.asofJoinSql(),
     "events_retention" -> EventOps.weeklyRetentionSql,
     // events_sketches: the t-digest/HLL estimate columns are
     // engine-specific → rows-only check there; the deterministic spine

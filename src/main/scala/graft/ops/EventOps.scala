@@ -191,6 +191,56 @@ object EventOps {
        |FROM conv""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // As-of join: attach to each `aType` event the user's most recent
+  // `bType` event at-or-before it (the point-in-time enrichment join
+  // Spark has no native operator for; DuckDB spells it ASOF JOIN).
+  // Implemented as the union-window trick — tag both sides, one window
+  // per user carries the last-seen B attributes forward, keep the A
+  // rows — so the whole join is ONE user_id shuffle + in-partition
+  // sort, never a per-row range probe. The B side is first reduced to
+  // one row per (user, ts) (greatest event_id wins) to make equal-ts
+  // matches deterministic in both engines.
+  // -------------------------------------------------------------------
+  def asofJoin(
+      events: DataFrame,
+      aType: String = "purchase", bType: String = "view"): DataFrame = {
+    val a = events.filter(col("event_type") === aType)
+      .select(col("user_id"), col("ts"), lit(1).as("is_a"),
+        col("event_id"), col("value"))
+    val b = events.filter(col("event_type") === bType)
+      .select(col("user_id"), col("ts"), lit(0).as("is_a"),
+        col("event_id"), col("value"))
+    // B sorts before A at equal ts (an exactly-simultaneous B counts as
+    // "at-or-before", ASOF's >= bound); among equal-ts B rows the
+    // greatest event_id sorts last and wins — the oracle's arg_max —
+    // without a separate dedup aggregate (and its extra shuffle)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_a").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.unionByName(b)
+      .withColumn("prior_view_ts",
+        last(when(col("is_a") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("prior_view_value",
+        last(when(col("is_a") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("is_a") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("prior_view_ts"), col("prior_view_value"))
+  }
+
+  def asofJoinSql(
+      aType: String = "purchase", bType: String = "view"): String =
+    s"""WITH a AS (
+       |  SELECT event_id, user_id, ts, value FROM events
+       |  WHERE event_type = '$aType'),
+       |b AS (
+       |  SELECT user_id, ts, arg_max(value, event_id) AS value FROM events
+       |  WHERE event_type = '$bType' GROUP BY user_id, ts)
+       |SELECT a.event_id, a.user_id, a.ts, a.value,
+       |       b.ts AS prior_view_ts, b.value AS prior_view_value
+       |FROM a ASOF LEFT JOIN b
+       |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin
+
   def sessionizeSql(gapMinutes: Int = 30): String = {
     val gapUs = gapMinutes * 60L * 1000000L
     s"""WITH flagged AS (

@@ -150,4 +150,21 @@ class EventAndMultimodalSpec extends SparkSpec {
     // payload must be pruned out of the optimized plan's output chain
     assert(!plan.toString.contains("payload"))
   }
+
+  test("as-of join matches the latest at-or-before view, null when none") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "view", 20.0, "{}"),
+      // equal-ts duplicate views: greatest event_id must win
+      (3L, ts("2024-01-01 10:00:00"), 1L, "view", 30.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 1L, "purchase", 5.0, "{}"), // exact tie → matches
+      (5L, ts("2024-01-01 11:00:00"), 1L, "purchase", 6.0, "{}"),
+      (6L, ts("2024-01-01 08:00:00"), 2L, "purchase", 7.0, "{}")  // no prior view
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.asofJoin(ev).collect()
+      .map(r => r.getLong(0) -> Option(r.get(5)).map(_.asInstanceOf[Double])).toMap
+    assert(got(4L) == Some(30.0)) // tie-ts view visible, arg-max dedup picked id 3
+    assert(got(5L) == Some(30.0)) // latest view before 11:00 is the 10:00 one
+    assert(got(6L) == None)       // user 2 never viewed
+  }
 }
