@@ -201,6 +201,9 @@ object SparkEntry {
     // packed into training sequences — raw corpus to model-ready in one plan
     "pipeline_pretrain_seqs" -> ((s, dir) =>
       graft.ops.CuratePipeline.pretrainSequences(Tables.table(s, dir, "documents"))),
+    // eval-set contamination check: non-train docs sharing n-grams with train
+    "pipeline_decontam" -> ((s, dir) =>
+      graft.ops.CuratePipeline.decontaminate(Tables.table(s, dir, "documents"))),
     "text_top_tokens" -> ((s, dir) =>
       graft.ops.CuratePipeline.topTokensPerLang(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
@@ -299,6 +302,7 @@ object SparkEntry {
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
     "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
     "pipeline_pretrain_seqs" -> graft.ops.CuratePipeline.pretrainSequencesSql(),
+    "pipeline_decontam" -> graft.ops.CuratePipeline.decontaminateSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(

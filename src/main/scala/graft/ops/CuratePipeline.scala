@@ -115,6 +115,41 @@ object CuratePipeline {
        |SELECT * FROM (
        |  ${PretrainOps.makeSequencesSql(size, capacity, docsRel = "kept_docs")}) seqs""".stripMargin
 
+  /** Train/eval decontamination: every non-train document that shares
+    * at least one word n-gram with the train split, with its overlap
+    * count — the contamination check run before any eval set is
+    * trusted (the published recipes use 13-grams; n is a parameter and
+    * the testdata's short docs use 3). Built from the verified pieces:
+    * [[Sampling.splitAssign]] buckets + [[Dedup.shingles]] n-grams.
+    *
+    * 100 TB posture: the split is a zero-shuffle projection; shingles
+    * explode then immediately `distinct` per doc; the contamination
+    * join is keyed on the shingle (two hash shuffles of fixed-width
+    * keys + the per-doc count) — never a doc×doc comparison. */
+  def decontaminate(docs: DataFrame, n: Int = 3): DataFrame = {
+    val split = Sampling.splitAssign(docs).select("doc_id", "split")
+    val sh = Dedup.shingles(docs, n)
+    val trainShingles = sh
+      .join(split.filter(col("split") === "train"), "doc_id")
+      .select("shingle").distinct()
+    sh.join(split.filter(col("split") =!= "train"), "doc_id")
+      .join(trainShingles, "shingle")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  def decontaminateSql(n: Int = 3): String =
+    s"""WITH split AS (SELECT doc_id, split FROM (${Sampling.splitAssignSql()}) s),
+       |sh AS (${Dedup.shinglesSql(n)}),
+       |train_sh AS (
+       |  SELECT DISTINCT sh.shingle FROM sh
+       |  JOIN split ON sh.doc_id = split.doc_id AND split.split = 'train')
+       |SELECT sh.doc_id, split.split, COUNT(*) AS n_shared_ngrams
+       |FROM sh
+       |JOIN split ON sh.doc_id = split.doc_id AND split.split <> 'train'
+       |JOIN train_sh ON sh.shingle = train_sh.shingle
+       |GROUP BY sh.doc_id, split.split""".stripMargin
+
   /** Top-n tokens per corpus language (window-function surface): one
     * token-count aggregate, then a per-lang rank. */
   def topTokensPerLang(docs: DataFrame, topN: Int = 5): DataFrame = {

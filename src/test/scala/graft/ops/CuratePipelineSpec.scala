@@ -61,6 +61,32 @@ class CuratePipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontamination flags exactly the non-train docs sharing n-grams with train") {
+    import org.apache.spark.sql.functions.col
+    // enough docs that the 98/1/1 split leaves a non-train remainder;
+    // vocabulary engineered so overlaps are knowable in plain Scala
+    val rows = (0L until 60L).map { i =>
+      val text =
+        if (i % 3 == 0) s"common phrase alpha w$i extra" // shares "common phrase alpha"
+        else s"u${i}a u${i}b u${i}c u${i}d u${i}e"       // all-unique 3-grams
+      (i, text, "s")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val split = Sampling.splitAssign(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    def shingles(t: String): Set[String] =
+      t.toLowerCase.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val trainSh = rows.filter(r => split(r._1) == "train").flatMap(r => shingles(r._2)).toSet
+    val expected = rows.filter(r => split(r._1) != "train")
+      .map(r => r._1 -> shingles(r._2).count(trainSh.contains))
+      .filter(_._2 > 0).toMap
+    val got = CuratePipeline.decontaminate(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong })
+    assert(rows.exists(r => split(r._1) != "train" && r._1 % 3 == 0),
+      "fixture must produce at least one contaminated non-train doc")
+  }
+
   test("top tokens per lang ranks by count with deterministic ties") {
     val docs = Seq(
       (1L, "apple apple banana", "en"),
