@@ -239,6 +239,10 @@ object SparkEntry {
     "mm_features_full" -> ((s, dir) =>
       Multimodal.featuresFlat(
         Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
+    // box-downsample resize (stub codec, real bin math + plumbing)
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeFlat(
+        Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
     // frame bytes hex-encoded for the oracle compare (raw BLOBs crash
     // the harness's sort on the oracle side)
     "mm_frames" -> ((s, dir) =>
@@ -328,6 +332,7 @@ object SparkEntry {
     "mm_summary" -> Multimodal.mediaSummarySql,
     "mm_frames" -> Multimodal.sampleFramesSql(),
     "mm_features_full" -> Multimodal.featuresFlatSql,
+    "mm_resize" -> Multimodal.resizeFlatSql(),
     // dedup_minhash / dedup_simhash: engine-specific hash functions
     // (xxhash64) — not DuckDB-expressible; covered by ScalaTest
     // planted-duplicate suites (rows-only check), AND each has a

@@ -149,6 +149,69 @@ object Multimodal {
       |       CAST(cnt AS FLOAT) / CAST(GREATEST(n_bytes, 1) AS FLOAT) AS f
       |FROM dense""".stripMargin
 
+  /** STUB resize: box-downsample the payload byte stream to `target`
+    * bins — the 1-D shape of an image/audio resample, with byte i
+    * assigned to bin (i · target) / len (integer division, the mapping
+    * the SQL twin replays exactly) and each bin averaging its bytes. A
+    * real implementation would resample decoded pixels; the batched
+    * per-partition plumbing, bin math, and float32 output are the
+    * production shape. */
+  def resizeStub(payload: Array[Byte], target: Int): Array[Float] = {
+    val len = payload.length
+    val sums = new Array[Long](target)
+    val cnts = new Array[Long](target)
+    var i = 0
+    while (i < len) {
+      val bin = (i.toLong * target / len).toInt
+      sums(bin) += (payload(i) & 0xff)
+      cnts(bin) += 1
+      i += 1
+    }
+    Array.tabulate(target)(j =>
+      if (cnts(j) > 0) sums(j).toFloat / cnts(j).toFloat else 0f)
+  }
+
+  /** Resize over the media relation, flattened to one row per bin (the
+    * oracle surface — array columns crash the compare harness). Same
+    * partition-batched kernel shape as [[extractFeatures]]. */
+  def resizeFlat(media: DataFrame, target: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, resizeStub(bytes, target)) })
+      .toDF("doc_id", "resized")
+      .select(col("doc_id"), posexplode(col("resized")))
+      .toDF("doc_id", "bin", "v")
+  }
+
+  /** DuckDB twin of [[resizeFlat]]: ascii char values over the
+    * (ASCII-pure) fixture text replay the payload bytes; the bin
+    * mapping and the float32 sum/count division follow the
+    * featuresFlatSql precedent (both operands exact in float32). */
+  def resizeFlatSql(target: Int = 4): String =
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents),
+       |bytes AS (
+       |  SELECT doc_id, len,
+       |    CAST((CAST(i - 1 AS BIGINT) * $target) // len AS BIGINT) AS bin,
+       |    ascii(substring(text, CAST(i AS INT), 1)) AS b
+       |  FROM (SELECT doc_id, len, text, unnest(range(1, CAST(len + 1 AS BIGINT))) AS i
+       |        FROM m) t),
+       |sums AS (
+       |  SELECT doc_id, bin, CAST(SUM(b) AS BIGINT) AS s, COUNT(*) AS cnt
+       |  FROM bytes GROUP BY doc_id, bin),
+       |dense AS (
+       |  SELECT m.doc_id, g.bin, COALESCE(s.s, 0) AS s, COALESCE(s.cnt, 0) AS cnt
+       |  FROM m CROSS JOIN (SELECT unnest(generate_series(0, ${target - 1})) AS bin) g
+       |  LEFT JOIN sums s ON s.doc_id = m.doc_id AND s.bin = g.bin)
+       |SELECT doc_id, CAST(bin AS INT) AS bin,
+       |  CASE WHEN cnt > 0 THEN CAST(s AS FLOAT) / CAST(cnt AS FLOAT)
+       |       ELSE CAST(0 AS FLOAT) END AS v
+       |FROM dense""".stripMargin
+
   /** Oracle-friendly summary over the fake decode: per kind, item count
     * and total payload bytes (expressible in DuckDB over documents). */
   def mediaSummary(media: DataFrame): DataFrame =

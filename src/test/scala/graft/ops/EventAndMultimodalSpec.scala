@@ -151,6 +151,20 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(!plan.toString.contains("payload"))
   }
 
+  test("resize stub box-averages bytes into target bins; short payloads zero-fill") {
+    val r = Multimodal.resizeStub(Array[Byte](0, 100, 200.toByte, 255.toByte), 2)
+    assert(r.toSeq == Seq(50.0f, 227.5f))
+    val short = Multimodal.resizeStub(Array[Byte](10), 4)
+    assert(short.toSeq == Seq(10.0f, 0f, 0f, 0f))
+    assert(Multimodal.resizeStub(Array.empty[Byte], 3).toSeq == Seq(0f, 0f, 0f))
+    // relation path: every doc gets exactly `target` dense rows
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val out = Multimodal.resizeFlat(media, target = 4)
+    val perDoc = out.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("as-of join matches the latest at-or-before view, null when none") {
     val ev = Seq(
       (1L, ts("2024-01-01 09:00:00"), 1L, "view", 10.0, "{}"),
