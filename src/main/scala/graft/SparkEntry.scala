@@ -178,6 +178,8 @@ object SparkEntry {
     // point-in-time enrichment: each purchase joined to the user's most
     // recent at-or-before view (union-window as-of join, 1 shuffle)
     "events_asof" -> ((s, dir) => EventOps.asofJoin(Tables.events(s, dir))),
+    // typed JSON extraction from the semi-structured props column
+    "events_json" -> ((s, dir) => EventOps.propsKStats(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // Corpus shaping: context-window chunking, sequence packing,
     // PII scrub (planted-PII twin — the testdata has none by construction)
@@ -318,6 +320,7 @@ object SparkEntry {
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_asof" -> EventOps.asofJoinSql(),
+    "events_json" -> EventOps.propsKStatsSql,
     "events_retention" -> EventOps.weeklyRetentionSql,
     // events_sketches: the t-digest/HLL estimate columns are
     // engine-specific → rows-only check there; the deterministic spine

@@ -192,6 +192,30 @@ object EventOps {
   }
 
   // -------------------------------------------------------------------
+  // Semi-structured props: parse the JSON payload column with a typed
+  // schema (from_json — schema-on-read, null on malformed) and
+  // aggregate the extracted field per type. Extraction is a per-row
+  // projection in the scan stage; the aggregate is the usual
+  // low-cardinality partial/final pair.
+  // -------------------------------------------------------------------
+  def propsKStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  val propsKStatsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // As-of join: attach to each `aType` event the user's most recent
   // `bType` event at-or-before it (the point-in-time enrichment join
   // Spark has no native operator for; DuckDB spells it ASOF JOIN).

@@ -151,6 +151,17 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(!plan.toString.contains("payload"))
   }
 
+  test("props JSON extraction parses k, nulls malformed rows out of min/max") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, """{"k": 7}"""),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, """{"k": 3}"""),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "click", 1.0, "not json")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.propsKStats(ev).collect()(0)
+    assert(r.getString(0) == "click" && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 10L && r.getLong(3) == 3L && r.getLong(4) == 7L)
+  }
+
   test("resize stub box-averages bytes into target bins; short payloads zero-fill") {
     val r = Multimodal.resizeStub(Array[Byte](0, 100, 200.toByte, 255.toByte), 2)
     assert(r.toSeq == Seq(50.0f, 227.5f))
