@@ -129,20 +129,20 @@ object Bench {
     * LAST ~2000 chars of this process's output and extracts the JSON line
     * from that window — every prior round's line, carrying the full
     * per-run arrays at full precision, overflowed the window and landed
-    * as parsed:null. So this stays compact (3-decimal best-of values
+    * as parsed:null. So this stays compact (2-decimal best-of values
     * only; `BenchFormatSpec` guards the budget) and the per-run spreads
     * go to BENCH_DETAIL.json via [[detailJson]]. */
   private[graft] def summaryLine(
       all: Seq[QueryResult], load: String,
       fit10m: Option[(Seq[Double], Option[String])], sfDir: String): String = {
-    val qs = all.map { case (k, _, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = all.map { case (k, _, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val total = all.map(_._3).filter(_ >= 0).sum
     val fit10mJson = fit10m.map { case (rs, err) =>
       val v = if (rs.nonEmpty) rs.min else -1.0
-      f""","fit10m":{"sec":$v%.3f,"rows":10000000,"iters":10,"baseline_flink_p4_sec":90.8""" +
+      f""","fit10m":{"sec":$v%.2f,"rows":10000000,"iters":10,"baseline_flink_p4_sec":90.8""" +
         err.map(e => s""","error":"${jsonEsc(e.replace("\"", "'"))}"""").getOrElse("") + "}"
     }.getOrElse("")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
       s""""errors":${errsJson(all)},"loadavg":$load$fit10mJson,""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
   }

@@ -180,6 +180,11 @@ object SparkEntry {
     "events_asof" -> ((s, dir) => EventOps.asofJoin(Tables.events(s, dir))),
     // typed JSON extraction from the semi-structured props column
     "events_json" -> ((s, dir) => EventOps.propsKStats(Tables.events(s, dir))),
+    // star-schema join surface: fact x fact x dim x broadcast-dim
+    "star_revenue" -> ((s, dir) =>
+      graft.ops.Relational.starRevenue(
+        Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "orders"),
+        Tables.table(s, dir, "customer"), Tables.table(s, dir, "nation"))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // Corpus shaping: context-window chunking, sequence packing,
     // PII scrub (planted-PII twin — the testdata has none by construction)
@@ -321,6 +326,7 @@ object SparkEntry {
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_asof" -> EventOps.asofJoinSql(),
     "events_json" -> EventOps.propsKStatsSql,
+    "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "events_retention" -> EventOps.weeklyRetentionSql,
     // events_sketches: the t-digest/HLL estimate columns are
     // engine-specific → rows-only check there; the deterministic spine

@@ -14,7 +14,7 @@ class BenchFormatSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
   /** Worst-case-width fake results for every registered query: 3-digit
-    * integer parts so the 3-decimal rendering is at its widest. */
+    * integer parts so the 2-decimal rendering is at its widest. */
   private def fakeResults(names: Seq[String]): Seq[Bench.QueryResult] =
     names.map(n => (n, Seq(123.456789, 998.7654321, 101.5), 998.7654321, None))
 
@@ -39,7 +39,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("unit").asText == "sec")
     assert(root.get("value").asDouble > 0)
     assert(root.get("queries").size == allNames.size)
-    assert(root.get("queries").get("kmeans_fit10").asDouble == 998.765)
+    assert(root.get("queries").get("kmeans_fit10").asDouble == 998.77)
     assert(root.get("fit10m").get("baseline_flink_p4_sec").asDouble == 90.8)
     assert(root.get("sf").asText == "/root/testdata/sf0.1")
   }

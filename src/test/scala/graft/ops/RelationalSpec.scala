@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  private def tables = {
+    val dir = "/root/testdata/sf0.001"
+    (spark.read.parquet(s"$dir/lineitem.parquet"),
+      spark.read.parquet(s"$dir/orders.parquet"),
+      spark.read.parquet(s"$dir/customer.parquet"),
+      spark.read.parquet(s"$dir/nation.parquet"))
+  }
+
+  test("star revenue aggregates per nation with positive revenue") {
+    val (l, o, c, n) = tables
+    val rows = Relational.starRevenue(l, o, c, n).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0, s"non-positive revenue for ${r.getString(0)}")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("plan broadcasts the nation dim and pushes the date filter to the scan") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val (l, o, c, n) = tables
+      val plan = Relational.starRevenue(l, o, c, n)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), "nation dim must broadcast:\n" + plan)
+      assert(
+        "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+        "orderdate range must reach the parquet scan:\n" + plan)
+    } finally spark.conf.set(key, prev)
+  }
+}
