@@ -185,6 +185,9 @@ object SparkEntry {
       graft.ops.Relational.starRevenue(
         Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "orders"),
         Tables.table(s, dir, "customer"), Tables.table(s, dir, "nation"))),
+    // TPC-H Q1 shape: pushed scan filter + single-pass multi-agg
+    "pricing_summary" -> ((s, dir) =>
+      graft.ops.Relational.pricingSummary(Tables.table(s, dir, "lineitem"))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // Corpus shaping: context-window chunking, sequence packing,
     // PII scrub (planted-PII twin — the testdata has none by construction)
@@ -327,6 +330,7 @@ object SparkEntry {
     "events_asof" -> EventOps.asofJoinSql(),
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
+    "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
     "events_retention" -> EventOps.weeklyRetentionSql,
     // events_sketches: the t-digest/HLL estimate columns are
     // engine-specific → rows-only check there; the deterministic spine

@@ -35,6 +35,48 @@ object Relational {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** TPC-H Q1-shape pricing summary: one scan, a pushed shipdate
+    * filter, and a 4-sum/3-avg/1-count aggregate over a tiny group key
+    * — the classic single-pass partial/final reduction. Every SUM is
+    * decimal-routed; each AVG is the decimal sum divided by the count
+    * as one IEEE double division, replayed identically in the twin. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-01"): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
+        sum(disc.cast(Dec)).cast("double").as("sum_disc_price"),
+        sum((disc * (lit(1.0) + col("l_tax"))).cast(Dec)).cast("double")
+          .as("sum_charge"),
+        (sum(col("l_quantity").cast(Dec)).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        (sum(col("l_extendedprice").cast(Dec)).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        (sum(col("l_discount").cast(Dec)).cast("double") / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def pricingSummarySql(cutoff: String = "1998-09-01"): String = {
+    def decSum(e: String) =
+      s"CAST(CAST(SUM(CAST($e AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${decSum("l_quantity")} AS sum_qty,
+       |  ${decSum("l_extendedprice")} AS sum_base_price,
+       |  ${decSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${decSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${decSum("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${decSum("l_extendedprice")} / COUNT(*) AS avg_price,
+       |  ${decSum("l_discount")} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$cutoff 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
+
   def starRevenueSql(year: Int = 1995): String =
     s"""SELECT n.n_name AS nation,
        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)

@@ -22,6 +22,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pricing summary: sums and averages agree with a direct recomputation") {
+    import org.apache.spark.sql.functions.col
+    val (l, _, _, _) = tables
+    val out = Relational.pricingSummary(l).collect()
+    assert(out.nonEmpty)
+    val filtered = l.filter(
+      col("l_shipdate") <= org.apache.spark.sql.functions
+        .lit("1998-09-01").cast("timestamp"))
+    val total = filtered.count()
+    assert(out.map(_.getLong(9)).sum == total)
+    out.foreach { r =>
+      // avg_qty must equal sum_qty / count exactly (same division)
+      assert(r.getDouble(6) == r.getDouble(2) / r.getLong(9))
+    }
+  }
+
   test("plan broadcasts the nation dim and pushes the date filter to the scan") {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
