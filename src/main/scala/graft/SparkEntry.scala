@@ -188,6 +188,17 @@ object SparkEntry {
     // TPC-H Q1 shape: pushed scan filter + single-pass multi-agg
     "pricing_summary" -> ((s, dir) =>
       graft.ops.Relational.pricingSummary(Tables.table(s, dir, "lineitem"))),
+    // salted two-stage aggregation — identical result to the plain
+    // groupBy (decimal sums → order-independent), hot keys spread over
+    // saltFactor reducers
+    "skew_salted_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, dir).withColumn("v",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      graft.ops.Skew.saltedAgg(ev, "event_type", saltFactor = 8, sums = Seq("v"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_v").cast("double").as("sum_value"))
+    }),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // Corpus shaping: context-window chunking, sequence packing,
     // PII scrub (planted-PII twin — the testdata has none by construction)
@@ -331,6 +342,10 @@ object SparkEntry {
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_retention" -> EventOps.weeklyRetentionSql,
     // events_sketches: the t-digest/HLL estimate columns are
     // engine-specific → rows-only check there; the deterministic spine
