@@ -603,7 +603,8 @@ object Dedup {
        |  GROUP BY doc_id, j),
        |sig AS (
        |  SELECT doc_id,
-       |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+       |         AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id),
        |chunked AS (
        |  $chunkRows),

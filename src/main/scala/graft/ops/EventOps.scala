@@ -210,9 +210,9 @@ object EventOps {
 
   val propsKStatsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
@@ -242,14 +242,18 @@ object EventOps {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("is_a").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // One last() over a (ts, value) struct so both carried fields come
+    // from the SAME winning B row — two independent last(ignoreNulls)
+    // calls would skip a winning row whose value is NULL and pair its ts
+    // with an older row's value, diverging from the oracle's arg_max.
     a.unionByName(b)
-      .withColumn("prior_view_ts",
-        last(when(col("is_a") === 0, col("ts")), ignoreNulls = true).over(w))
-      .withColumn("prior_view_value",
-        last(when(col("is_a") === 0, col("value")), ignoreNulls = true).over(w))
+      .withColumn("prior_view",
+        last(when(col("is_a") === 0, struct(col("ts"), col("value"))),
+          ignoreNulls = true).over(w))
       .filter(col("is_a") === 1)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        col("prior_view_ts"), col("prior_view_value"))
+        col("prior_view.ts").as("prior_view_ts"),
+        col("prior_view.value").as("prior_view_value"))
   }
 
   def asofJoinSql(

@@ -107,7 +107,7 @@ object PretrainOps {
   def packSequencesSql(capacity: Int = 512): String =
     s"""SELECT doc_id, source, n_tokens,
        |  CAST(FLOOR(cum_before / $capacity) AS BIGINT) AS bin_id,
-       |  cum_before % $capacity AS offset_in_bin
+       |  CAST(cum_before % $capacity AS BIGINT) AS offset_in_bin
        |FROM (
        |  SELECT doc_id, source, n_tokens,
        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -179,6 +179,15 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (shard: String, ds: Iterator[Doc], state: GroupState[Long]) =>
           var cum = state.getOption.getOrElse(0L)
+          // The sortBy materializes ONE shard's slice of ONE micro-batch
+          // (not the stream): per-invocation memory is bounded by
+          // (batch rows) / (shards hit), and doc rows here are 3 scalars
+          // — no text payload. A deployment whose hottest shard can
+          // exceed executor memory within a single micro-batch must
+          // either bound the trigger (maxFilesPerTrigger /
+          // maxOffsetsPerTrigger) or drop the in-batch doc_id sort and
+          // accept pure arrival order (delete the sortBy — the
+          // cross-batch contract is arrival order already).
           val out = ds.toSeq.sortBy(_.doc_id).map { d =>
             val p = Packed(d.doc_id, shard, d.n_tokens,
               cum / capacity, cum % capacity)

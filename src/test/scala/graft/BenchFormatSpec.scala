@@ -19,14 +19,20 @@ class BenchFormatSpec extends AnyFunSuite {
     names.map(n => (n, Seq(123.456789, 998.7654321, 101.5), 998.7654321, None))
 
   private val allNames: Seq[String] =
-    (SparkEntry.queries.keys.toSeq :+ "kmeans_fit10").sorted
+    (SparkEntry.queries.keys.toSeq ++
+      Seq("ivf_topk_indexed", "kmeans_fit10")).sorted
 
   test("summary line fits the harness tail window with headroom") {
     val line = Bench.summaryLine(fakeResults(allNames), "12.34",
       Some((Seq(123.456, 98.765), None)), "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
-    assert(line.length <= 1800,
-      s"summary line is ${line.length} chars — over the 1800 budget " +
+    // Bench prints the line AFTER spark.stop() as the process's last
+    // stdout write, so the only thing between it and the end of the
+    // 2000-char tail window is sbt's ~80-char "[success] Total time"
+    // line: 2000 - 80 - 40 margin = 1880. (And this is the worst case —
+    // every query faked at 998 s; a real sf0.1 line runs ~1500 chars.)
+    assert(line.length <= 1880,
+      s"summary line is ${line.length} chars — over the 1880 budget " +
         "(2000-char harness tail minus sbt's ~80-char success line and " +
         "margin); slim the line or move fields to BENCH_DETAIL.json:\n" + line)
   }
@@ -40,7 +46,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("value").asDouble > 0)
     assert(root.get("queries").size == allNames.size)
     assert(root.get("queries").get("kmeans_fit10").asDouble == 998.77)
-    assert(root.get("fit10m").get("baseline_flink_p4_sec").asDouble == 90.8)
+    assert(root.get("fit10m").get("baseline_sec").asDouble == 90.8)
+    assert(root.get("fit10m").get("runs").size == 2)
+    // noisy fake runs (101.5 .. 998.77) put every watch query over the
+    // 1.3x gate; the cap keeps at most 4 in the line
+    assert(root.get("noise").size == 4)
     assert(root.get("sf").asText == "/root/testdata/sf0.1")
   }
 
