@@ -198,12 +198,15 @@ object EventOps {
   // projection in the scan stage; the aggregate is the usual
   // low-cardinality partial/final pair.
   // -------------------------------------------------------------------
+  /** Typed schema for the `props` JSON payload — a constant so repeated
+    * query registrations don't re-parse the DDL. */
+  private val PropsSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+
   def propsKStats(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-          .getField("k").as("k"))
+        from_json(col("props"), PropsSchema).getField("k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))

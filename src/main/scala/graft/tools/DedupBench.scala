@@ -37,6 +37,19 @@ object DedupBench {
               array(conv(pmod(xxhash64(col("doc_id")), lit(5000)) + 20000, 10, 36)))
               .otherwise(array()))).as("text"))
 
+  /** The corpus with a genuinely hot shingle planted: 30% of documents
+    * (doc_id % 10 < 3) open with the SAME 8-word boilerplate header —
+    * the web-crawl "same site template on every page" shape. Each header
+    * contributes 6 identical 3-gram shingles with df = 0.3n, which
+    * uncapped would feed the blocking join (0.3n)² candidate pairs per
+    * shingle — THE quadratic bomb the DF cap exists for. */
+  def skewedCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val header = "terms of service apply to all pages here"
+    corpus(spark, n).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) < 3,
+        concat(lit(header + " "), col("text"))).otherwise(col("text")).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(20000L, 80000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +78,20 @@ object DedupBench {
       timed(s"n=$n simhash        ", graft.ops.Dedup.simhashNearDups(docs))
       timed(s"n=$n ngram_jaccard  ", graft.ops.Dedup.ngramJaccardPairs(docs))
       timed(s"n=$n groups         ", graft.ops.Dedup.nearDupGroups(docs))
+      spark.catalog.clearCache()
+
+      // Skew stress: identical boilerplate header in 30% of docs. The DF
+      // cap prunes the hot shingles before the blocking join, so the
+      // capped runs must stay ~flat vs the unskewed corpus above;
+      // without the cap the same query is a (0.3n)²-pair bomb (run it
+      // yourself with maxDf = Int.MaxValue at n=2000 to watch it go off
+      // — deliberately not part of the timed sweep).
+      val skewPath = s"target/dedup_bench_skew_$n.parquet"
+      if (!new java.io.File(skewPath, "_SUCCESS").exists())
+        skewedCorpus(spark, n).write.mode("overwrite").parquet(skewPath)
+      val skewed = spark.read.parquet(skewPath)
+      timed(s"n=$n SKEW ngram_jacc", graft.ops.Dedup.ngramJaccardPairs(skewed))
+      timed(s"n=$n SKEW minhash   ", graft.ops.Dedup.minhashNearDups(skewed))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -60,6 +60,46 @@ class DedupSpec extends SparkSpec {
     assert(tight.get((0L, 2L)).contains(1.0))
   }
 
+  test("planted hot shingle: DF cap removes the quadratic candidate work, not the answer") {
+    // DedupBench.skewedCorpus at n=400: 120 docs (30%) open with the
+    // SAME 8-word boilerplate header; planted near-dup pairs
+    // (doc_id % 20 == 19 borrows id-1's words) are all header-free, so
+    // the cap cannot change their similarity — only the work.
+    val skewed = graft.tools.DedupBench.skewedCorpus(spark, 400).cache()
+    val sh = Dedup.shingles(skewed, n = 3).cache()
+
+    // the header's 6 3-grams are corpus-hot (df = 120), everything else
+    // is cold (60-word docs over a 5000-word hashed vocabulary)
+    val dfs = sh.groupBy("shingle").count()
+    val hot = dfs.filter($"count" > 50).collect()
+    assert(hot.length == 6, s"expected the 6 header shingles hot, got ${hot.length}")
+    assert(hot.forall(_.getLong(1) == 120L))
+
+    // capping prunes exactly those 6 shingles → the blocking join loses
+    // its 6 * C(120,2) = 42 840 boilerplate candidate pairs
+    def candidates(s: DataFrame): Long = {
+      val a = s.select($"doc_id".as("da"), $"shingle")
+      val b = s.select($"doc_id".as("db"), $"shingle")
+      a.join(b, "shingle").filter($"da" < $"db").count()
+    }
+    val uncappedCand = candidates(sh)
+    val cappedCand = candidates(Dedup.cappedShingles(sh, maxDf = 50))
+    assert(uncappedCand - cappedCand >= 6L * (120L * 119L / 2),
+      s"cap removed only ${uncappedCand - cappedCand} candidates")
+
+    // ...while the RESULT is bit-identical: boilerplate-only pairs share
+    // 6 of ~120 shingles (jaccard ~0.05, far under threshold) and the
+    // planted pairs carry no header
+    def resultSet(maxDf: Int) =
+      Dedup.ngramJaccardPairs(skewed, n = 3, threshold = 0.8, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val capped = resultSet(50)
+    assert(capped == resultSet(Int.MaxValue))
+    assert(capped.size == 20) // n/20 planted pairs, nothing spurious
+    assert(capped.forall { case (da, db, j) => db == da + 1 && j >= 0.8 })
+    skewed.unpersist(); sh.unpersist()
+  }
+
   test("connected components collapse a transitive near-dup chain into one group") {
     // A~B and B~C clear the threshold; A~C (two words apart) does NOT —
     // only transitive closure puts all three in one group

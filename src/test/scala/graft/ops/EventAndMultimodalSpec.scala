@@ -192,4 +192,19 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(got(5L) == Some(30.0)) // latest view before 11:00 is the 10:00 one
     assert(got(6L) == None)       // user 2 never viewed
   }
+
+  test("as-of join: a winning view row with NULL value yields NULL, not an older row's value") {
+    // prior_view_ts and prior_view_value must come from the SAME winning
+    // B row — a last(ignoreNulls) per column would skip the NULL value
+    // and pair the 10:00 ts with the 09:00 row's 40.0
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", Some(40.0), "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "view", None, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase", Some(5.0), "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.asofJoin(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[java.sql.Timestamp]("prior_view_ts") == ts("2024-01-01 10:00:00"))
+    assert(r(0).isNullAt(r(0).fieldIndex("prior_view_value")))
+  }
 }
