@@ -85,8 +85,12 @@ object Bench {
     // other 60+ queries sharing the BlockManager.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.view.filterKeys(names).toMap)
+    // ivf_topk_indexed is timed separately below with its index built
+    // OUTSIDE the timed body (the registered query rebuilds+rewrites the
+    // index inside the query fn for the oracle gate's sake — benching
+    // that would just re-measure ivf_topk plus a parquet write)
+    val selected = (only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)) - "ivf_topk_indexed"
 
     var loads = Map.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -251,6 +251,23 @@ object SparkEntry {
         .collect()(0).getSeq[Double](1)
       graft.ops.IvfIndex.search(s, idx, q, k = 10, nprobe = 4)
     }),
+    // The production IVF shape: the same fixed-iteration build persisted
+    // as a list_id-partitioned parquet index, then probed through
+    // readIndex — the probe is a partition-pruned scan of nprobe/nlist
+    // of the data. The parquet round-trip is exact (doubles), so the
+    // result — and therefore the oracle — is identical to ivf_topk's.
+    "ivf_topk_indexed" -> ((s, dir) => {
+      val embs = Tables.table(s, dir, "embeddings")
+      val built = graft.ops.IvfIndex.build(embs, nlist = 16, maxIter = 5,
+        convergence = false)
+      val path = "target/ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.IvfIndex.writeIndex(built, path)
+      val q = graft.ops.IvfIndex.vectors(embs)
+        .filter(org.apache.spark.sql.functions.col("id") === 0L)
+        .collect()(0).getSeq[Double](1)
+      val idx = graft.ops.IvfIndex.readIndex(s, path, built.centroids)
+      graft.ops.IvfIndex.search(s, idx, q, k = 10, nprobe = 4)
+    }),
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
@@ -356,6 +373,10 @@ object SparkEntry {
     // ivf_topk: fixed-iteration (convergence=false) build → the full
     // quantize+probe+rescore pipeline unrolls into DuckDB CTEs.
     "ivf_topk" -> graft.ops.IvfIndex.ivfTopKSql(
+      nlist = 16, maxIter = 5, k = 10, nprobe = 4),
+    // identical result by construction: the indexed variant probes a
+    // parquet round-trip of the same fixed-iteration build
+    "ivf_topk_indexed" -> graft.ops.IvfIndex.ivfTopKSql(
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
     "mm_summary" -> Multimodal.mediaSummarySql,
     "mm_frames" -> Multimodal.sampleFramesSql(),

@@ -18,9 +18,10 @@ class BenchFormatSpec extends AnyFunSuite {
   private def fakeResults(names: Seq[String]): Seq[Bench.QueryResult] =
     names.map(n => (n, Seq(123.456789, 998.7654321, 101.5), 998.7654321, None))
 
+  // ivf_topk_indexed is in SparkEntry.queries (oracle gate) and is
+  // re-timed by Bench outside the generic loop, so it appears once here
   private val allNames: Seq[String] =
-    (SparkEntry.queries.keys.toSeq ++
-      Seq("ivf_topk_indexed", "kmeans_fit10")).sorted
+    (SparkEntry.queries.keys.toSeq :+ "kmeans_fit10").sorted
 
   test("summary line fits the harness tail window with headroom") {
     val line = Bench.summaryLine(fakeResults(allNames), "12.34",
