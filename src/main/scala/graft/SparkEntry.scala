@@ -111,6 +111,16 @@ object SparkEntry {
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
+    // Ranked retrieval: portable-log tf-idf / BM25 / hybrid RRF fusion
+    // (PortableMath.plog keeps the log-weighted scores hash-exact
+    // against DuckDB — raw ln() differs by 1 ulp on ~8% of idf inputs)
+    "text_tfidf" -> ((s, dir) =>
+      graft.ops.RetrievalOps.tfidf(Tables.table(s, dir, "documents"))),
+    "text_bm25_topk" -> ((s, dir) =>
+      graft.ops.RetrievalOps.bm25TopK(Tables.table(s, dir, "documents"))),
+    "hybrid_rrf_topk" -> ((s, dir) =>
+      graft.ops.RetrievalOps.hybridRrfTopK(
+        Tables.table(s, dir, "documents"), Tables.table(s, dir, "embeddings"))),
     // Dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.table(s, dir, "documents"))),
     "dedup_fingerprint" -> ((s, dir) =>
@@ -321,6 +331,9 @@ object SparkEntry {
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
+    "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
+    "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
+    "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,

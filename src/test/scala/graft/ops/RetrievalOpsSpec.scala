@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RetrievalOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  test("tfidf: rare terms outweigh common ones, idf tracks ln((N+1)/(df+1))+1") {
+    val d = docs(
+      0L -> "alpha beta beta", 1L -> "alpha gamma", 2L -> "alpha delta",
+      3L -> "alpha epsilon")
+    val out = RetrievalOps.tfidf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // alpha: df=4 (all docs) → idf = plog(5/5)+1 = 1 exactly
+    val (tfA, dfA, idfA, tfidfA) = out((0L, "alpha"))
+    assert(tfA == 1L && dfA == 4L && idfA == 1.0 && tfidfA == 1.0)
+    // beta: df=1, tf=2 → idf = plog(5/2)+1, within portable-log error
+    val (tfB, dfB, idfB, tfidfB) = out((0L, "beta"))
+    assert(tfB == 2L && dfB == 1L)
+    assert(math.abs(idfB - (StrictMath.log(2.5) + 1.0)) < 1e-12)
+    assert(tfidfB == 2.0 * idfB)
+    assert(idfB > idfA)
+  }
+
+  test("bm25: higher tf ranks first; shorter doc wins at equal tf") {
+    val filler = Seq.fill(30)("filler").mkString(" ")
+    val d = docs(
+      0L -> s"spark spark spark $filler",
+      1L -> s"spark $filler",
+      2L -> s"spark filler",
+      3L -> filler)
+    val top = RetrievalOps.bm25TopK(d, Seq("spark"), k = 10).collect()
+    // k1=1.2 saturates tf, so the 2-token doc's length normalization
+    // outweighs doc 0's tf=3 over 33 tokens; the no-match doc is absent
+    assert(top.map(_.getLong(0)).toSeq == Seq(2L, 0L, 1L))
+    assert(top.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("bm25 score is the fixed-order fold of per-term contributions") {
+    val d = docs(0L -> "spark join", 1L -> "spark", 2L -> "other words")
+    val top = RetrievalOps.bm25TopK(d, Seq("spark", "join"), k = 3).collect()
+    // doc 0 matches both terms — its score must strictly exceed doc 1's
+    assert(top.head.getLong(0) == 0L)
+    assert(top(1).getLong(0) == 1L)
+    assert(top.head.getDouble(1) > top(1).getDouble(1))
+  }
+
+  test("bm25 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val d = docs((0L to 40L).map(i => i -> s"spark doc $i words"): _*)
+    val plan = RetrievalOps.bm25TopK(d, Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("hybrid RRF: a doc ranked by both lists beats single-list docs") {
+    import spark.implicits._
+    // corpus: doc 1 is the lexical hit; embeddings: vec 1 is also the
+    // nearest neighbor of the query vec 0 → doc 1 fuses two ranks
+    val d = docs(
+      1L -> "spark spark spark", 2L -> "spark other", 3L -> "unrelated text")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.9f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val out = RetrievalOps.hybridRrfTopK(d, embs, Seq("spark"),
+      queryVecId = 0L, kEach = 3, k = 4).collect()
+    assert(out.head.getLong(0) == 1L)
+    // rrf of doc1 = 1/(60+lex_rank) + 1/(60+vec_rank), both rank 1
+    assert(out.head.getDouble(3) == 1.0 / 61 + 1.0 / 61)
+    // every returned doc carries at least one rank
+    assert(out.forall(r => !r.isNullAt(1) || !r.isNullAt(2)))
+  }
+
+  test("registered query/oracle pairs agree on column names") {
+    for (n <- Seq("text_tfidf", "text_bm25_topk", "hybrid_rrf_topk")) {
+      assert(graft.SparkEntry.queries.contains(n), n)
+      assert(graft.SparkEntry.oracleSql.contains(n), n)
+    }
+  }
+}
