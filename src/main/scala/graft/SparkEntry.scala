@@ -129,6 +129,12 @@ object SparkEntry {
     // scale (the 30-bit rolling fingerprint is the fast path only)
     "dedup_digest" -> ((s, dir) =>
       Dedup.exactByDigest(Tables.table(s, dir, "documents"))),
+    // Substring-level dedup (Lee et al. 2022): corpus-duplicated token
+    // spans + per-doc span-duplication profile
+    "dedup_spans" -> ((s, dir) =>
+      graft.ops.SpanDedup.dupSpans(Tables.table(s, dir, "documents"))),
+    "dedup_span_stats" -> ((s, dir) =>
+      graft.ops.SpanDedup.spanStats(Tables.table(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) =>
@@ -337,6 +343,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,
+    "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),
+    "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_minhash_md5" -> Dedup.minhashNearDupsMd5Sql(),
     "dedup_simhash_md5" -> Dedup.simhashNearDupsMd5Sql(),
