@@ -284,6 +284,11 @@ object SparkEntry {
       val idx = graft.ops.IvfIndex.readIndex(s, path, built.centroids)
       graft.ops.IvfIndex.search(s, idx, q, k = 10, nprobe = 4)
     }),
+    // Product quantization ANN: per-subspace fixed-iteration codebooks,
+    // asymmetric-distance top-k — train→encode→ADC fully oracle-checked
+    // (same unrolling recipe as ivf_topk)
+    "pq_topk" -> ((s, dir) =>
+      graft.ops.PqIndex.pqTopK(Tables.table(s, dir, "embeddings"))),
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
@@ -399,6 +404,7 @@ object SparkEntry {
     // parquet round-trip of the same fixed-iteration build
     "ivf_topk_indexed" -> graft.ops.IvfIndex.ivfTopKSql(
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
+    "pq_topk" -> graft.ops.PqIndex.pqTopKSql(),
     "mm_summary" -> Multimodal.mediaSummarySql,
     "mm_frames" -> Multimodal.sampleFramesSql(),
     "mm_features_full" -> Multimodal.featuresFlatSql,

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqIndexSpec extends SparkSpec {
+
+  /** 4 well-separated clusters in 8-dim space, 10 vectors each; cluster
+    * centers at 10·e_{2c}, members jittered deterministically. */
+  private def clustered: DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(2 * c) = 10.0f + (i % 3) * 0.1f
+      v(2 * c + 1) = (i % 5) * 0.05f
+      ((c * 10 + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("train yields m codebooks of <= nlist codewords with subDim dims") {
+    val cb = PqIndex.train(IvfIndex.vectors(clustered), m = 4, nlist = 4, maxIter = 3)
+    assert(cb.m == 4 && cb.subDim == 2 && cb.books.length == 4)
+    assert(cb.books.forall(b => b.nonEmpty && b.length <= 4))
+    assert(cb.books.forall(_.forall(_.vec.length == 2)))
+  }
+
+  test("encode assigns every vector a code per subspace, from the book") {
+    val vecs = IvfIndex.vectors(clustered)
+    val cb = PqIndex.train(vecs, m = 4, nlist = 4, maxIter = 3)
+    val codes = PqIndex.encode(vecs, cb).collect()
+    assert(codes.length == 40)
+    for (r <- codes; s <- 0 until 4) {
+      val code = r.getInt(r.fieldIndex(s"code$s"))
+      assert(cb.books(s).exists(_.cid == code))
+    }
+  }
+
+  test("ADC top-k returns the query's own cluster on separated data") {
+    val top = PqIndex.pqTopK(clustered, m = 4, nlist = 8, maxIter = 3,
+      queryId = 0L, k = 10).collect()
+    assert(top.length == 10)
+    // query 0 is in cluster 0 (ids 0-9); ADC must keep the cluster
+    // together: all 10 results from ids 0-9
+    assert(top.forall(_.getLong(0) < 10L), top.map(_.getLong(0)).mkString(","))
+    // distances are non-negative and sorted ascending with id tiebreak
+    val ds = top.map(_.getDouble(1))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.sameElements(ds.sorted))
+  }
+
+  test("pq top-k plans as TakeOrderedAndProject over broadcast joins") {
+    val plan = PqIndex.pqTopK(clustered, m = 4, nlist = 4, maxIter = 2,
+      queryId = 0L, k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(plan.contains("BroadcastHashJoin"), "codebook joins must broadcast")
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("registered query/oracle pair exists") {
+    assert(graft.SparkEntry.queries.contains("pq_topk"))
+    assert(graft.SparkEntry.oracleSql.contains("pq_topk"))
+  }
+}
