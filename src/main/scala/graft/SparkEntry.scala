@@ -22,6 +22,10 @@ object SparkEntry {
   private val mixWeights: Seq[(String, Double)] = Seq(
     "src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0, "src3" -> 1.0)
 
+  /** Per-language keep rates (basis points) for `sample_stratified`. */
+  private val stratRates: Seq[(String, Int)] = Seq(
+    "en" -> 10000, "de" -> 5000, "es" -> 2500, "fr" -> 1000)
+
   /** assigned = nearest-centroid assignment of the shared points relation
     * to the deterministic k lowest-pid initial centroids. */
   private def assigned(s: SparkSession, dir: String): DataFrame =
@@ -168,6 +172,13 @@ object SparkEntry {
     "corpus_mix" -> ((s, dir) =>
       graft.ops.Sampling.weightedMix(
         Tables.table(s, dir, "documents"), mixWeights)),
+    // per-language keep rates (zero-shuffle) + exact per-stratum cap
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        Tables.table(s, dir, "documents"), stratRates)),
+    "sample_cap_stratum" -> ((s, dir) =>
+      graft.ops.Sampling.capPerStratum(
+        Tables.table(s, dir, "documents"), n = 40)),
     // Similarity search over `embeddings`
     "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
     "emb_cosine_topk" -> ((s, dir) =>
@@ -357,6 +368,8 @@ object SparkEntry {
     "dedup_semantic" -> graft.ops.SemDedup.semanticDedupSql(tau = 0.4),
     "sample_split" -> graft.ops.Sampling.splitAssignSql(),
     "corpus_mix" -> graft.ops.Sampling.weightedMixSql(mixWeights),
+    "sample_stratified" -> graft.ops.Sampling.stratifiedSampleSql(stratRates),
+    "sample_cap_stratum" -> graft.ops.Sampling.capPerStratumSql(n = 40),
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "dedup_corpus" -> Dedup.dedupedCorpusSql(),
     "emb_norms" -> EmbeddingOps.normsSql,

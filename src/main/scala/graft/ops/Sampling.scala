@@ -92,6 +92,66 @@ object Sampling {
         explode(sequence(lit(1), col("n_copies"))).as("copy"))
   }
 
+  // -------------------------------------------------------------------
+  // Stratified sampling: a fixed per-stratum keep rate in basis points
+  // (language balancing, source downweighting). Pure projection +
+  // filter — zero shuffle, and the SAME doc survives at any higher
+  // rate (nested samples by construction: bucket < bp is monotone).
+  // -------------------------------------------------------------------
+  def stratifiedSample(
+      docs: DataFrame, rates: Seq[(String, Int)], defaultBp: Int = Buckets,
+      seed: Int = 13, strat: Column = col("lang")): DataFrame = {
+    val bp = rates.foldLeft(lit(defaultBp)) { case (acc, (s, r)) =>
+      when(strat === s, lit(r)).otherwise(acc)
+    }
+    val b = bucket(col("doc_id"), seed)
+    docs.filter(b < bp)
+      .select(col("doc_id"), strat.as("stratum"), b.as("bucket"))
+  }
+
+  def stratifiedSampleSql(
+      rates: Seq[(String, Int)], defaultBp: Int = Buckets,
+      seed: Int = 13, stratExpr: String = "lang"): String = {
+    val bp = rates.map { case (s, r) => s"WHEN $stratExpr = '$s' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $defaultBp END")
+    s"""SELECT doc_id, $stratExpr AS stratum,
+       |  ${bucketSql("doc_id", seed)} AS bucket
+       |FROM documents
+       |WHERE ${bucketSql("doc_id", seed)} < ($bp)""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Per-stratum cap: keep exactly min(n, |stratum|) documents per
+  // stratum, chosen by hash-bucket order (a deterministic uniform-ish
+  // subsample, stable across partitionings). One shuffle on the
+  // stratum key; the window never sees more than a stratum per task —
+  // at scale, a skewed mega-stratum caps via rank, which AQE handles
+  // like any hot window key (and the bucket pre-filter below bounds it:
+  // rows with bucket >= ~(n/|stratum|-quantile) could be pre-pruned by
+  // a coarse per-stratum count when n << |stratum|).
+  // -------------------------------------------------------------------
+  def capPerStratum(
+      docs: DataFrame, n: Int, seed: Int = 13,
+      strat: Column = col("lang")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("bucket").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), strat.as("stratum"),
+        bucket(col("doc_id"), seed).as("bucket"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select("doc_id", "stratum", "rk")
+  }
+
+  def capPerStratumSql(
+      n: Int, seed: Int = 13, stratExpr: String = "lang"): String =
+    s"""SELECT doc_id, stratum, rk FROM (
+       |  SELECT doc_id, $stratExpr AS stratum,
+       |    ROW_NUMBER() OVER (PARTITION BY $stratExpr
+       |      ORDER BY ${bucketSql("doc_id", seed)} ASC, doc_id ASC) AS rk
+       |  FROM documents) t
+       |WHERE rk <= $n""".stripMargin
+
   def weightedMixSql(
       weights: Seq[(String, Double)], defaultWeight: Double = 1.0,
       seed: Int = 7): String = {

@@ -82,4 +82,40 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.weightedMix(docs, weights).collect().toSet
     assert(a == b)
   }
+
+  test("stratified sample keeps rate-proportional nested subsets") {
+    val all = docs.count()
+    val full = Sampling.stratifiedSample(docs, Seq.empty) // default 100%
+    assert(full.count() == all)
+    val half = Sampling.stratifiedSample(docs, Seq("en" -> 5000),
+      defaultBp = 5000)
+    val halfIds = half.collect().map(_.getLong(0)).toSet
+    // roughly half survive (hash-uniform; generous bounds on 50 docs)
+    assert(halfIds.size > all / 5 && halfIds.size < all * 4 / 5)
+    // nested: every survivor at 50% also survives at 80%
+    val eighty = Sampling.stratifiedSample(docs, Seq("en" -> 8000),
+      defaultBp = 8000).collect().map(_.getLong(0)).toSet
+    assert(halfIds.subsetOf(eighty))
+    // zero-rate stratum vanishes
+    val langs = Sampling.stratifiedSample(docs, Seq("en" -> 0))
+      .collect().map(_.getString(1)).toSet
+    assert(!langs.contains("en"))
+  }
+
+  test("per-stratum cap keeps exactly min(n, stratum size), deterministically") {
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 5
+    val capped = Sampling.capPerStratum(docs, n).collect()
+    val byStr = capped.groupBy(_.getString(1))
+    for ((lang, total) <- sizes)
+      assert(byStr(lang).length == math.min(n.toLong, total))
+    // ranks are dense 1..k and stable across partitionings
+    byStr.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val repart = Sampling.capPerStratum(docs.repartition(7), n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(repart == capped.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+  }
 }
