@@ -16,14 +16,14 @@ import graft.functions.PortableMath
   * could not (Spark's StrictMath.log vs DuckDB libm disagree by 1 ulp on
   * ~8% of the idf domain; see PortableMath).
   *
-  * 100 TB posture: tf and df are token-keyed aggregates with map-side
-  * partials (the vocabulary, not the corpus, crosses the wire); the
-  * per-term idf join keys on `term` — the df relation is |vocab|-sized
-  * and already partitioned by term from its own aggregate, so Catalyst
-  * reuses the exchange. BM25 restricts to the (few) query terms before
-  * aggregating — a pushed-down `isin` filter at the scan — and the final
-  * top-k is TakeOrderedAndProject, never a global sort. Nothing
-  * collects to the driver.
+  * 100 TB posture: tf-idf is two shuffles — the (doc,term) aggregate
+  * with map-side partials (the vocabulary, not the corpus, crosses the
+  * wire) and a term-partitioned window for df (no second aggregate, no
+  * join). BM25 is ONE corpus pass: the doc_id aggregate emits dl plus
+  * every per-term tf as pivoted columns, corpus stats (N, Σdl, df_t)
+  * reduce that to a single broadcast row, and the final top-k is
+  * TakeOrderedAndProject, never a global sort. Nothing collects to
+  * the driver.
   */
 object RetrievalOps {
 
@@ -50,11 +50,15 @@ object RetrievalOps {
   def tfidf(docs: DataFrame): DataFrame = {
     val tf = tok(docs, col("doc_id"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a term-partitioned window over the tf relation: one term
+    // shuffle instead of a separate aggregate + term join (2 shuffles
+    // total — the (doc_id,term) agg and the term window)
+    val df = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("term"))
     val n = docs.agg(count(lit(1)).as("n"))
     val ratio = (col("n") + lit(1L)).cast("double") /
       (col("df") + lit(1L)).cast("double")
-    tf.join(df, "term").crossJoin(broadcast(n))
+    tf.withColumn("df", df).crossJoin(broadcast(n))
       .withColumn("idf", PortableMath.plog(ratio) + lit(1.0))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("idf"), (col("tf").cast("double") * col("idf")).as("tfidf"))
@@ -77,84 +81,79 @@ object RetrievalOps {
   // BM25 top-k for a fixed term list. Per-doc score
   //   Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
   // idf_t = plog(1 + (N-df+0.5)/(df+0.5)).
-  // The Σ is NOT a float groupBy-sum (addition order would be
-  // partitioning-dependent): each term's contribution lands in its own
-  // pivoted column — max() over a singleton group — and the final score
-  // folds those columns in one fixed left-to-right chain, identical in
-  // the SQL twin. doc lengths come from one corpus-wide token count.
+  //
+  // ONE corpus pass: the doc_id aggregate produces dl AND every
+  // per-term tf as pivoted columns (the term list is fixed); the
+  // corpus stats (N, Σdl, every df) reduce that relation to a single
+  // broadcast row. Two shuffles total — the per-doc aggregate and the
+  // 1-row stats reduction — and the final top-k is
+  // TakeOrderedAndProject. The Σ over terms is a fixed left-to-right
+  // column fold (never a float groupBy-sum, whose addition order would
+  // be partitioning-dependent), identical in the SQL twin.
   // -------------------------------------------------------------------
   def bm25TopK(docs: DataFrame, terms: Seq[String] = DefaultQuery,
       k: Int = 10): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct)
-    val dl = tok(docs, col("doc_id")).groupBy("doc_id")
-      .agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-    val tf = tok(docs, col("doc_id"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = tok(docs, col("doc_id")).groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols = Seq(count(lit(1)).as("n"), sum("dl").as("sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
 
     val nD = col("n").cast("double")
-    val dfD = col("df").cast("double")
-    val idf = PortableMath.plog(
-      lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val avgdl = col("sumdl").cast("double") / col("n").cast("double")
-    val tfD = col("tf").cast("double")
-    val contrib = col("idf") * ((tfD * lit(K1 + 1.0)) /
-      (tfD + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl")))))
-
-    val scored = tf
-      .join(df.crossJoin(broadcast(stats))
-        .withColumn("idf", idf)
-        .withColumn("avgdl", avgdl)
-        .select("term", "idf", "avgdl"), "term")
-      .join(dl, "doc_id")
-      .withColumn("contrib", contrib)
-    // pivot into fixed per-term columns (singleton max), then fold in a
-    // fixed order — bit-stable under any partitioning
-    val pivots = terms.zipWithIndex.map { case (t, i) =>
-      max(when(col("term") === t, col("contrib"))).as(s"c$i")
+    def idf(i: Int): Column = {
+      val dfD = col(s"df$i").cast("double")
+      PortableMath.plog(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
     }
-    val folded = terms.indices
-      .map(i => coalesce(col(s"c$i"), lit(0.0)))
-      .reduceLeft[Column](_ + _)
-    scored.groupBy("doc_id").agg(pivots.head, pivots.tail: _*)
-      .select(col("doc_id"), folded.as("score"))
+    def contrib(i: Int): Column = {
+      val tfD = col(s"tf$i").cast("double")
+      when(col(s"tf$i") > 0L,
+        idf(i) * ((tfD * lit(K1 + 1.0)) /
+          (tfD + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+    val matched = terms.indices.map(i => col(s"tf$i") > 0L).reduce(_ || _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(matched)
+      .select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
 
   def bm25TopKSql(terms: Seq[String] = DefaultQuery, k: Int = 10): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    val idfArg = "(1.0 + ((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))"
+    val k1 = java.lang.Double.toString(K1)
     val k1p1 = java.lang.Double.toString(K1 + 1.0)
     val oneMb = java.lang.Double.toString(1.0 - B)
-    val pivots = terms.zipWithIndex.map { case (t, i) =>
-      s"MAX(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+    val bS = java.lang.Double.toString(B)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf$i"
     }.mkString(", ")
-    val folded = terms.indices
-      .map(i => s"COALESCE(c$i, 0.0)")
-      .reduceLeft((a, b) => s"($a + $b)")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val rCols = terms.indices.map(i =>
+      s"(1.0 + ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) AS r$i")
+      .mkString(", ")
+    def contrib(i: Int): String =
+      s"""CASE WHEN tf$i > 0 THEN
+         |  (${PortableMath.plogSql(s"r$i")}) * ((CAST(tf$i AS DOUBLE) * $k1p1) /
+         |    (CAST(tf$i AS DOUBLE) + $k1 * ($oneMb + $bS *
+         |      (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+         |  ELSE 0.0 END""".stripMargin
+    val score = terms.indices.map(contrib).reduceLeft((a, b) => s"($a + $b)")
+    val matched = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
     s"""WITH tok AS ($tokSql),
-       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-       |s AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
-       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-       |       WHERE term IN ($termList) GROUP BY doc_id, term),
-       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-       |w AS (SELECT x.term,
-       |        (${PortableMath.plogSql("r")}) AS idf, avgdl
-       |      FROM (SELECT df.term, df.df, $idfArg AS r,
-       |              CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE) AS avgdl
-       |            FROM df CROSS JOIN s) x),
-       |scored AS (
-       |  SELECT tf.doc_id, tf.term,
-       |    w.idf * ((CAST(tf.tf AS DOUBLE) * $k1p1) /
-       |      (CAST(tf.tf AS DOUBLE) + ${java.lang.Double.toString(K1)} *
-       |        ($oneMb + ${java.lang.Double.toString(B)} *
-       |          (CAST(dl.dl AS DOUBLE) / w.avgdl)))) AS contrib
-       |  FROM tf JOIN w ON tf.term = w.term JOIN dl ON tf.doc_id = dl.doc_id),
-       |piv AS (SELECT doc_id, $pivots FROM scored GROUP BY doc_id)
-       |SELECT doc_id, $folded AS score FROM piv
+       |perdoc AS (SELECT doc_id, COUNT(*) AS dl, $tfCols FROM tok GROUP BY doc_id),
+       |stats0 AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfCols FROM perdoc),
+       |stats AS (SELECT n, sumdl, $rCols FROM stats0)
+       |SELECT doc_id, $score AS score
+       |FROM perdoc CROSS JOIN stats
+       |WHERE $matched
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
