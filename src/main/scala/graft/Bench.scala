@@ -90,7 +90,8 @@ object Bench {
     // index inside the query fn for the oracle gate's sake — benching
     // that would just re-measure ivf_topk plus a parquet write)
     val selected = (only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.view.filterKeys(names).toMap)) - "ivf_topk_indexed"
+      SparkEntry.queries.view.filterKeys(names).toMap)) -
+      "ivf_topk_indexed" - "pq_topk_indexed"
 
     var loads = Map.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -144,9 +145,31 @@ object Bench {
       }
     }
     ivfIndexed.foreach(_ => loads += "ivf_topk_indexed" -> loadNow())
+    // Same amortization for PQ: codebooks + codes persisted once
+    // (untimed); the timed body reads ONLY the codes table + rescores.
+    val runPqIndexed = only.forall(_.contains("pq_topk_indexed"))
+    val pqIndexed: Option[QueryResult] = if (!runPqIndexed) None else Some {
+      try {
+        val embs = Tables.table(spark, sfDir, "embeddings")
+        val vecs = ops.IvfIndex.vectors(embs)
+        val cb = ops.PqIndex.train(vecs, m = 4, nlist = 16, maxIter = 3)
+        val path = "target/bench_pq_index.parquet"
+        ops.PqIndex.writeIndex(vecs, cb, path)
+        val q = vecs
+          .filter(org.apache.spark.sql.functions.col("id") === 0L)
+          .collect()(0).getSeq[Double](1)
+        val (runs, best, err) =
+          bestOf(3)(execute(ops.PqIndex.searchIndex(spark, path, q, k = 10)))
+        ("pq_topk_indexed", runs, best, err)
+      } catch { case e: Throwable =>
+        ("pq_topk_indexed", Seq(-1.0), -1.0,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
+    }
+    pqIndexed.foreach(_ => loads += "pq_topk_indexed" -> loadNow())
     if (runFit) loads += "kmeans_fit10" -> loadNow()
 
-    val all = results ++ ivfIndexed.toSeq ++
+    val all = results ++ ivfIndexed.toSeq ++ pqIndexed.toSeq ++
       (if (runFit) Seq(("kmeans_fit10", fitRuns, fitSec, fitErr)) else Nil)
 
     // The fit at the baseline's own headline scale (BASELINE.md: 10M

@@ -300,6 +300,19 @@ object SparkEntry {
     // (same unrolling recipe as ivf_topk)
     "pq_topk" -> ((s, dir) =>
       graft.ops.PqIndex.pqTopK(Tables.table(s, dir, "embeddings"))),
+    // the production PQ shape: codes + codebooks persisted once, the
+    // probe reads ONLY the m-bytes-per-vector codes table; parquet
+    // round-trip is exact, so pqTopKSql is its oracle too
+    "pq_topk_indexed" -> ((s, dir) => {
+      val embs = Tables.table(s, dir, "embeddings")
+      val vecs = graft.ops.IvfIndex.vectors(embs)
+      val cb = graft.ops.PqIndex.train(vecs, m = 4, nlist = 16, maxIter = 3)
+      val path = "target/pq_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.PqIndex.writeIndex(vecs, cb, path)
+      val q = vecs.filter(org.apache.spark.sql.functions.col("id") === 0L)
+        .collect()(0).getSeq[Double](1)
+      graft.ops.PqIndex.searchIndex(s, path, q, k = 10)
+    }),
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
@@ -418,6 +431,7 @@ object SparkEntry {
     "ivf_topk_indexed" -> graft.ops.IvfIndex.ivfTopKSql(
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
     "pq_topk" -> graft.ops.PqIndex.pqTopKSql(),
+    "pq_topk_indexed" -> graft.ops.PqIndex.pqTopKSql(),
     "mm_summary" -> Multimodal.mediaSummarySql,
     "mm_frames" -> Multimodal.sampleFramesSql(),
     "mm_features_full" -> Multimodal.featuresFlatSql,

@@ -80,6 +80,51 @@ object PqIndex {
       .limit(k)
   }
 
+  /** Persist the PQ index: the m-byte-per-vector codes table (the only
+    * thing a query rescore ever reads — the raw vectors stay cold) and
+    * the driver-sized codebooks beside it. At 100 TB the codes table is
+    * ~m/(4·d) of the vector data (1/64 here) — the whole point of PQ. */
+  def writeIndex(vecs: DataFrame, cb: Codebooks, path: String): Unit = {
+    encode(vecs, cb).write.mode("overwrite").parquet(s"$path/codes")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    cb.books.zipWithIndex
+      .flatMap { case (book, s) => book.map(c => (s, c.cid, c.vec)) }
+      .toDF("subspace", "cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  def readCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(s"$path/books").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(r => CentND(r.getInt(1), r.getSeq[Double](2))).toSeq
+    }
+    Codebooks(books.length, books.head.head.vec.length, books)
+  }
+
+  /** ADC top-k over a persisted index: reads ONLY the codes table.
+    * Same arithmetic as [[pqTopK]]'s tail, so a fixed-iteration build's
+    * probe shares pqTopKSql as its oracle (the parquet round-trip is
+    * exact for ints and doubles). */
+  def searchIndex(spark: SparkSession, path: String, query: Seq[Double],
+      k: Int = 10): DataFrame = {
+    val cb = readCodebooks(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    val qvec = array(query.map(lit): _*)
+    val scored = (0 until cb.m).foldLeft(codes) { (acc, s) =>
+      val book = graft.Tables.centsNDDF(spark, cb.books(s))
+        .select(col("cid").as(s"code$s"), col("cvec").as(s"cvec$s"))
+      acc.join(broadcast(book), s"code$s")
+        .withColumn(s"adc$s", KMeansND.sqDistND(
+          slice(qvec, s * cb.subDim + 1, cb.subDim), col(s"cvec$s")))
+    }
+    val total = (0 until cb.m).map(s => col(s"adc$s")).reduceLeft(_ + _)
+    scored.select(col("id"), total.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(k)
+  }
+
   /** DuckDB twin: per subspace, the sliced relation, `maxIter` unrolled
     * decimal-exact Lloyd steps, final code assignment; then the ADC join
     * with the identical left-to-right subspace fold. */

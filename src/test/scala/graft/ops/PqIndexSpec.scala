@@ -62,8 +62,29 @@ class PqIndexSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("persisted-index probe returns exactly the in-plan pqTopK result") {
+    val vecs = IvfIndex.vectors(clustered)
+    val cb = PqIndex.train(vecs, m = 4, nlist = 8, maxIter = 3)
+    val path = "/tmp/graft-test-pq-index"
+    PqIndex.writeIndex(vecs, cb, path)
+    val q = vecs.filter(col("id") === 0L).collect()(0).getSeq[Double](1)
+    val probed = PqIndex.searchIndex(spark, path, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = PqIndex.pqTopK(clustered, m = 4, nlist = 8, maxIter = 3,
+      queryId = 0L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == direct) // parquet round-trip is exact
+    // the probe plan reads the codes table, never the embeddings
+    val probePlan = PqIndex.searchIndex(spark, path, q, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("codes"))
+    assert(!probePlan.contains("embedding"))
+  }
+
   test("registered query/oracle pair exists") {
-    assert(graft.SparkEntry.queries.contains("pq_topk"))
-    assert(graft.SparkEntry.oracleSql.contains("pq_topk"))
+    for (n <- Seq("pq_topk", "pq_topk_indexed")) {
+      assert(graft.SparkEntry.queries.contains(n), n)
+      assert(graft.SparkEntry.oracleSql.contains(n), n)
+    }
   }
 }
