@@ -232,7 +232,11 @@ object Bench {
   private[graft] def summaryLine(
       all: Seq[QueryResult], load: String,
       fit10m: Option[(Seq[Double], Option[String])], sfDir: String): String = {
-    val qs = all.map { case (k, _, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    // adaptive precision keeps the worst case (every query at 998 s)
+    // inside the tail budget: 0.1 s resolution is plenty above 10 s
+    def fmt(v: Double): String =
+      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    val qs = all.map { case (k, _, v, _) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val total = all.map(_._3).filter(_ >= 0).sum
     // Per-run noise (max/min ratio) for the r7 regression-watch queries —
     // the min is already in "queries", so the ratio reconstructs the max

@@ -46,7 +46,8 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("unit").asText == "sec")
     assert(root.get("value").asDouble > 0)
     assert(root.get("queries").size == allNames.size)
-    assert(root.get("queries").get("kmeans_fit10").asDouble == 998.77)
+    // adaptive precision: >=100 s renders as an integer second count
+    assert(root.get("queries").get("kmeans_fit10").asDouble == 999.0)
     assert(root.get("fit10m").get("baseline_sec").asDouble == 90.8)
     assert(root.get("fit10m").get("runs").size == 2)
     // noisy fake runs (101.5 .. 998.77) put every watch query over the
