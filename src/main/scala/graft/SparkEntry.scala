@@ -107,6 +107,21 @@ object SparkEntry {
       KMeansOps.objective(KMeansOps.assign(balanced, res.centroids))
     }),
 
+    // O15∘O1 — the reference CSV sink (single-file, header-less,
+    // overwrite; KMeans.java:231-233) composed with the positional-schema
+    // CSV scan (KMeans.java:73-77): write the shared points relation out,
+    // read it back, hash it against the parquet original. Closes the
+    // "file sinks have no oracle row" gap — the round trip is value-exact.
+    "csv_roundtrip" -> ((s, dir) =>
+      Tables.csvRoundtrip(Tables.points(s, dir),
+        "target/csv_points_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
+    // O15∘O2 — same round trip for the centroid schema (cid INT, x, y):
+    // one Lloyd step's output through the sink and back
+    "csv_roundtrip_centroids" -> ((s, dir) =>
+      Tables.csvRoundtrip(
+        KMeansOps.recompute(assigned(s, dir)),
+        "target/csv_cents_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
+
     // ----- LLM-data-pipeline surface (SURVEY.md §2.2) -----
     // Text analysis over `documents`
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.table(s, dir, "documents"))),
@@ -156,6 +171,10 @@ object SparkEntry {
       Dedup.nearDupGroups(Tables.table(s, dir, "documents"))),
     "dedup_corpus" -> ((s, dir) =>
       Dedup.dedupedCorpus(Tables.table(s, dir, "documents"))),
+    // quality-aware variant: each near-dup group keeps its longest
+    // member (tie -> lowest doc_id) instead of the lowest id
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupKeepBest(Tables.table(s, dir, "documents"))),
     // SemDeDup (embedding-space semantic dedup): fixed-iteration
     // quantizer build → within-cluster cosine pairs → anti-join;
     // tau=0.4 matches the synthetic embeddings' near-dup range (the
@@ -172,6 +191,10 @@ object SparkEntry {
     "corpus_mix" -> ((s, dir) =>
       graft.ops.Sampling.weightedMix(
         Tables.table(s, dir, "documents"), mixWeights)),
+    // temperature mixing (α=0.5): source weights ∝ √n_s computed fully
+    // in-plan — counts agg + broadcast of |sources| rates onto the scan
+    "mix_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(Tables.table(s, dir, "documents"))),
     // per-language keep rates (zero-shuffle) + exact per-stratum cap
     "sample_stratified" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(
@@ -192,6 +215,12 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.typePercentiles(Tables.events(s, dir))),
     "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
+    // fixed-bin histogram quantiles: the deterministic (merge-order-
+    // independent) sketch — same mergeable-partial-agg shape as t-digest
+    // but oracle-EXACT, closing the "sketch estimates can't be
+    // hash-checked" gap for the histogram family
+    "events_quantile_bins" -> ((s, dir) =>
+      EventOps.binnedQuantiles(Tables.events(s, dir))),
     // the deterministic spine of the sketch aggregate (grouping + n),
     // oracle-checked; the t-digest/HLL estimates themselves stay
     // test-carried (EventAndMultimodalSpec accuracy bounds)
@@ -358,6 +387,10 @@ object SparkEntry {
          |FROM newc n JOIN cents c ON n.cid = c.cid
          |WHERE SQRT((n.x-c.x)*(n.x-c.x) + (n.y-c.y)*(n.y-c.y)) > 1.0""".stripMargin),
     "kmeans_fit10_obj" -> fitObjectiveSql(10),
+    // the CSV round trips are value-exact, so the originals are the oracles
+    "csv_roundtrip" -> Tables.pointsSqlBody,
+    "csv_roundtrip_centroids" ->
+      Tables.withPtsCents(KMeansOps.stepSql("pts", "cents"), K),
 
     // ----- LLM-data-pipeline twins -----
     "text_tokens" -> TextOps.tokenCountsSql,
@@ -385,6 +418,8 @@ object SparkEntry {
     "sample_cap_stratum" -> graft.ops.Sampling.capPerStratumSql(n = 40),
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "dedup_corpus" -> Dedup.dedupedCorpusSql(),
+    "dedup_keep_best" -> Dedup.dedupKeepBestSql(),
+    "mix_temperature" -> graft.ops.Sampling.temperatureMixSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
@@ -422,6 +457,7 @@ object SparkEntry {
     // asserted in EventAndMultimodalSpec.
     "events_sketches_n" ->
       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+    "events_quantile_bins" -> EventOps.binnedQuantilesSql(),
     // ivf_topk: fixed-iteration (convergence=false) build → the full
     // quantize+probe+rescore pipeline unrolls into DuckDB CTEs.
     "ivf_topk" -> graft.ops.IvfIndex.ivfTopKSql(

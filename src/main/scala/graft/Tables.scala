@@ -124,6 +124,18 @@ object Tables {
   def writeCsvSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", false).csv(path)
 
+  /** O15∘O1 composed for the oracle gate: single-file header-less CSV
+    * write, then a positional-schema read-back of the same directory.
+    * Spark's CSV writer emits shortest-roundtrip doubles
+    * (`Double.toString` → `Double.parseDouble` is value-exact by spec),
+    * so the round trip preserves every numeric bit and the read-back
+    * hashes identically to the original relation (csv_roundtrip /
+    * csv_roundtrip_centroids in CORRECTNESS). */
+  def csvRoundtrip(df: DataFrame, path: String): DataFrame = {
+    writeCsvSingle(df, path)
+    df.sparkSession.read.schema(df.schema).option("header", false).csv(path)
+  }
+
   /** O16 — collect-print sink (KMeans.java:143,243-245: `.print()` when
     * no output paths are given). */
   def printSink(df: DataFrame, numRows: Int = 100): Unit =

@@ -423,6 +423,38 @@ object Dedup {
        |  SELECT doc_id FROM (${nearDupGroupsSql(n, threshold, maxDf)}) g
        |  WHERE doc_id <> group_id)""".stripMargin
 
+  /** Quality-aware dedup: like [[dedupedCorpus]] but each near-dup
+    * group keeps its argmax-quality member — here most `n_chars`, tie →
+    * lowest doc_id — instead of blindly the lowest id. This is the
+    * policy production pipelines actually run (keep-longest /
+    * keep-highest-score); any scalar quality column drops in for
+    * n_chars unchanged. Costs one extra broadcast-scale join + a
+    * group-sized window over the (tiny) near-dup membership — the
+    * corpus itself still only sees the final anti-join. */
+  def dedupKeepBest(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val losers = nearDupGroups(docs, n, threshold, maxDf)
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1).select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  def dedupKeepBestSql(
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String =
+    s"""SELECT * FROM documents WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM (
+       |    SELECT g.doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY g.group_id
+       |        ORDER BY d.n_chars DESC, g.doc_id ASC) AS rk
+       |    FROM (${nearDupGroupsSql(n, threshold, maxDf)}) g
+       |    JOIN documents d ON g.doc_id = d.doc_id) r
+       |  WHERE rk > 1)""".stripMargin
+
   // -------------------------------------------------------------------
   // SimHash: 64-bit signature — bit j is the sign of the sum over
   // tokens of ±1 depending on bit j of the token's hash. Near-dups =

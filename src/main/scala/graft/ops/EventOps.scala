@@ -72,6 +72,54 @@ object EventOps {
         col("pcts").getItem(1).as("p95_approx"),
         col("approx_users"), col("n"))
 
+  /** Fixed-bin histogram quantiles — the deterministic member of the
+    * sketch family. Bin edges are value-independent constants
+    * (width = domain/bins, clamped to [0, bins-1]), so per-partition
+    * partial histograms merge associatively in any order at any scale;
+    * unlike t-digest (whose centroids are merge-order-dependent) the
+    * estimate is a pure function of the data, which makes this sketch
+    * oracle-EXACT: estimate(q) = upper edge of the first bin whose
+    * cumulative count reaches ceil(q·n), within-width of the true
+    * quantile. One groupBy (map-side combined) + one k-bins-per-type
+    * window — the scan dominates at 100 TB. */
+  def binnedQuantiles(
+      events: DataFrame, domain: Double = 1000.0, bins: Int = 1000): DataFrame = {
+    val width = domain / bins
+    val bin = least(greatest(floor(col("value") / width), lit(0L)), lit(bins - 1L))
+    val hist = events.groupBy(col("event_type"), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    def est(q: Double) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")),
+        (col("bin") + lit(1L)) * lit(width)))
+    cum.groupBy("event_type").agg(
+      est(0.5).as("p50_est"), est(0.95).as("p95_est"), max("n").as("n"))
+  }
+
+  def binnedQuantilesSql(domain: Double = 1000.0, bins: Int = 1000): String = {
+    val width = domain / bins
+    def est(q: Double) =
+      s"MIN(CASE WHEN cum >= CEIL($q * n) THEN (bin + 1) * $width END)"
+    s"""WITH hist AS (
+       |  SELECT event_type,
+       |    LEAST(GREATEST(CAST(FLOOR(value / $width) AS BIGINT), 0), ${bins - 1}) AS bin,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bin, c,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM hist)
+       |SELECT event_type,
+       |  ${est(0.5)} AS p50_est,
+       |  ${est(0.95)} AS p95_est,
+       |  MAX(n) AS n
+       |FROM cum GROUP BY event_type""".stripMargin
+  }
+
   /** Sessionization (gaps-and-islands): a new session starts when the
     * gap to the user's previous event exceeds `gapMinutes`. Returns
     * per-session (user_id, session_id, n_events, start/end ts). */

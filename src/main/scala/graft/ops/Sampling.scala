@@ -152,6 +152,63 @@ object Sampling {
        |  FROM documents) t
        |WHERE rk <= $n""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Temperature mixing: the data-recipe reweighting where source s gets
+  // sampling weight ∝ n_s^α (α<1 flattens the source distribution so
+  // big crawls stop drowning small high-quality sources). α is fixed at
+  // 0.5 — SQRT is correctly-rounded IEEE in both engines, while POWER
+  // with an arbitrary exponent is libm-dependent and would break the
+  // hash gate. Everything is computed IN the plan (no driver trip):
+  // per-source counts → Σ√n_s (decimal-exact, order-independent) →
+  // per-doc expected copies c_s = N·√n_s / (Z·n_s), emitted via the
+  // same floor + fractional-bucket scheme as weightedMix. Output size ≈
+  // input size (T = N), deterministic per document.
+  // 100 TB posture: one count agg (map-side combined) + a broadcast of
+  // |sources| rates rows back onto the scan — no data shuffle at all.
+  // -------------------------------------------------------------------
+  def temperatureMix(docs: DataFrame, seed: Int = 7): DataFrame = {
+    val stats = docs.groupBy("source").agg(count(lit(1)).cast("double").as("ns"))
+    val tot = stats.agg(
+      sum(sqrt(col("ns")).cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double").as("z"),
+      sum(col("ns")).as("t"))
+    val c = (col("t") * sqrt(col("ns"))) / (col("z") * col("ns"))
+    val rates = stats.crossJoin(broadcast(tot)).select(
+      col("source"),
+      floor(c).as("base"),
+      floor((c - floor(c)) * Buckets).as("frac_bp"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("n_copies",
+        col("base") + when(bucket(col("doc_id"), seed) < col("frac_bp"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
+  def temperatureMixSql(seed: Int = 7): String = {
+    val c = "(t * SQRT(ns)) / (z * ns)"
+    s"""WITH stats AS (
+       |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS ns
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(CAST(SUM(CAST(SQRT(ns) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS z,
+       |         SUM(ns) AS t
+       |  FROM stats),
+       |rates AS (
+       |  SELECT source,
+       |    CAST(FLOOR($c) AS BIGINT) AS base,
+       |    CAST(FLOOR(($c - FLOOR($c)) * $Buckets) AS BIGINT) AS frac_bp
+       |  FROM stats, tot)
+       |SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+       |FROM (
+       |  SELECT d.doc_id, d.source,
+       |    r.base + (CASE WHEN ${bucketSql("doc_id", seed)} < r.frac_bp
+       |              THEN 1 ELSE 0 END) AS n_copies
+       |  FROM documents d JOIN rates r USING (source)) m
+       |WHERE n_copies >= 1""".stripMargin
+  }
+
   def weightedMixSql(
       weights: Seq[(String, Double)], defaultWeight: Double = 1.0,
       seed: Int = 7): String = {

@@ -199,6 +199,45 @@ object StreamOps {
       }
   }
 
+  /** Bounded-memory packer — the production default. Identical
+    * cross-batch contract to [[packStream]] (arrival order IS the pack
+    * order) but O(1) per-group memory: documents pack in pure arrival
+    * order through a one-pass iterator — no per-batch doc_id sort, no
+    * materialized micro-batch slice — so a hot shard can never exceed
+    * executor memory no matter how large the trigger. The shard's
+    * cumulative total is written to GroupState when the input iterator
+    * exhausts; that is safe because Structured Streaming commits a
+    * group's state only AFTER fully consuming the group's output
+    * iterator (FlatMapGroupsWithStateExec wraps it in a
+    * CompletionIterator — StreamOpsSpec pins this contract with a
+    * cross-batch scenario). Use [[packStream]] only when in-batch
+    * doc_id determinism is worth a batch-slice sort. */
+  def packStreamBounded(docs: Dataset[Doc], capacity: Int = 512): Dataset[Packed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Packed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: String, ds: Iterator[Doc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          new Iterator[Packed] {
+            def hasNext: Boolean = {
+              val h = ds.hasNext
+              if (!h) state.update(cum) // idempotent; runs before commit
+              h
+            }
+            def next(): Packed = {
+              val d = ds.next()
+              val p = Packed(d.doc_id, shard, d.n_tokens,
+                cum / capacity, cum % capacity)
+              cum += d.n_tokens
+              p
+            }
+          }
+      }
+  }
+
   /** File-source stream over an events parquet directory — the
     * readStream entry (`spark.readStream.schema(...).parquet(dir)`),
     * normalized to the same shape `Tables.events` produces. */

@@ -50,10 +50,43 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("queries").get("kmeans_fit10").asDouble == 999.0)
     assert(root.get("fit10m").get("baseline_sec").asDouble == 90.8)
     assert(root.get("fit10m").get("runs").size == 2)
-    // noisy fake runs (101.5 .. 998.77) put every watch query over the
-    // 1.3x gate; the cap keeps at most 4 in the line
-    assert(root.get("noise").size == 4)
+    // no failures in the fake results → the empty errors object is
+    // omitted entirely (budget) — absence IS the no-error signal
+    assert(root.get("errors") == null)
     assert(root.get("sf").asText == "/root/testdata/sf0.1")
+  }
+
+  test("summary line carries the isolated re-measure and stays in budget") {
+    // the r8 shape: fresh-JVM re-measures of the four weak queries
+    val rm = Map("assign_join" -> 65.8, "dedup_simhash_md5" -> 15.1,
+      "pipeline_pretrain_seqs" -> 9.9, "csv_roundtrip_centroids" -> 8.8,
+      "events_quantile_bins" -> 7.7, "dedup_ngram_jaccard" -> 6.6)
+    val line = Bench.summaryLine(fakeResults(allNames), "12.34",
+      Some((Seq(123.456, 98.765), None)), "/root/testdata/sf0.1", rm)
+    val root = mapper.readTree(line)
+    // worst case (every query 999 s): remeasure self-trims to the budget,
+    // possibly to nothing — BENCH_DETAIL.json always has the full map
+    assert(root.get("remeasure") == null || root.get("remeasure").size >= 1)
+    assert(line.length <= Bench.LineBudget,
+      s"summary line with remeasure is ${line.length} chars")
+
+    // realistic case (single-digit bests): the line fits and the trim
+    // keeps the SLOWEST re-measured entries — the adjudication signal
+    val realistic: Seq[Bench.QueryResult] =
+      allNames.map(n => (n, Seq(1.5, 1.2, 1.1), 1.23, None))
+    val line2 = Bench.summaryLine(realistic, "7.80",
+      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1", rm)
+    val root2 = mapper.readTree(line2)
+    assert(root2.get("remeasure") != null, "remeasure must fit realistically")
+    assert(root2.get("remeasure").get("assign_join").asDouble == 65.8,
+      "the top anomaly must survive the trim")
+    assert(line2.length <= Bench.LineBudget)
+
+    // a failed fork surfaces as remeasure_error
+    val line3 = Bench.summaryLine(realistic, "7.80", None,
+      "/root/testdata/sf0.1", Map.empty, Some("remeasure timeout"))
+    assert(mapper.readTree(line3).get("remeasure_error").asText
+      .contains("timeout"))
   }
 
   test("summary line survives error messages with quotes and backslashes") {

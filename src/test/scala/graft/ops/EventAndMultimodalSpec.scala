@@ -45,6 +45,16 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(math.abs(sk.getDouble(1) - 50.5) < 2.0 &&
       math.abs(sk.getDouble(2) - 95.05) < 2.0)
     assert(math.abs(sk.getLong(3) - 1L) <= 1L) // HLL of a single user
+
+    // fixed-bin histogram: estimate = upper edge of the bin holding the
+    // quantile -> within one bin width of the true quantile, and (unlike
+    // t-digest) a deterministic pure function of the data
+    val hb = EventOps.binnedQuantiles(vals).collect()(0)
+    assert(math.abs(hb.getDouble(1) - 50.5) <= 1.0, s"p50_est ${hb.getDouble(1)}")
+    assert(math.abs(hb.getDouble(2) - 95.05) <= 1.0, s"p95_est ${hb.getDouble(2)}")
+    assert(hb.getLong(3) == 100L)
+    val hb2 = EventOps.binnedQuantiles(vals).collect()(0)
+    assert(hb == hb2) // determinism: same input -> bit-identical output
   }
 
   test("weekly retention assigns users to first-week cohorts") {

@@ -189,6 +189,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("bounded packer matches the sorted packer's cross-batch state contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val q = packStreamBounded(in.toDS(), capacity = 5)
+      .writeStream.format("memory").queryName("packed_bounded")
+      .outputMode("append").start()
+    in.addData(Doc(1L, "sa", 3), Doc(2L, "sa", 4), Doc(3L, "sb", 2))
+    q.processAllAvailable()
+    // cross-batch: the lazy in-iterator state.update must have committed
+    // cum=7 for sa when the first batch's output iterator was drained —
+    // this pins the CompletionIterator contract the packer relies on
+    in.addData(Doc(4L, "sa", 2), Doc(5L, "sb", 1))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("packed_bounded").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 3L)), 3L -> ((0L, 0L)),
+      4L -> ((1L, 2L)), // sa cum 7 at capacity 5 -> bin 1, offset 2
+      5L -> ((0L, 2L)))) // sb cum 2 -> bin 0, offset 2
+  }
+
   test("file-source event stream reads the real parquet with the nanos conversion") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
