@@ -98,10 +98,38 @@ object Bench {
       "ivf_topk_indexed" - "pq_topk_indexed"
 
     var loads = Map.empty[String, String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (runs, best, err) = bestOf(3)(execute(fn(spark, sfDir)))
-      loads += name -> loadNow()
-      (name, runs, best, err)
+    // Three INTERLEAVED full passes over the query set instead of three
+    // consecutive runs per query: host-level stall windows here last
+    // minutes (r8's official session measured assign_join at 66-87s in
+    // all three back-to-back runs while the same commit did 2.4s in a
+    // fresh session; SpanDedupBench reproduced 15s-vs-3s first-run
+    // spreads on an idle host), so consecutive runs share fate with
+    // whatever window they land in. Spreading a query's three runs
+    // across the whole session decorrelates them — one clean run is
+    // enough for the best-of to report steady-state cost.
+    val ordered = selected.toSeq.sortBy(_._1)
+    val runsAcc = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]
+    (1 to 3).foreach { pass =>
+      ordered.foreach { case (name, fn) =>
+        val prior = runsAcc.getOrElse(name, Vector.empty)
+        // an errored query stays errored — don't burn two more passes on it
+        if (!prior.exists(_._2.nonEmpty)) {
+          val r = timed(execute(fn(spark, sfDir)))
+          // Drop EVERYTHING a query persisted so later timings aren't
+          // distorted by accumulated memory pressure (see bestOf note).
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          runsAcc(name) = prior :+ r
+        }
+        if (pass == 3) loads += name -> loadNow()
+      }
+    }
+    val results = ordered.map { case (name, _) =>
+      val rs = runsAcc(name)
+      val ok = rs.filter(_._2.isEmpty)
+      if (ok.nonEmpty) (name, rs.map(_._1), ok.map(_._1).min, None)
+      else (name, rs.map(_._1), -1.0, rs.head._2)
     }
 
     // end-to-end Lloyd fit, 10 iterations (the reference's flagship run;

@@ -30,11 +30,28 @@ object SpanDedupBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink, not count(): count() lets Catalyst eliminate the
+    // cardinality-preserving left joins in span_stats (unique-key agg
+    // outputs), timing a bare scan instead of the operator
+    // best-of-2 with an explicit GC between runs: these aggregates churn
+    // tens of millions of rows per run, and single-shot timings in a
+    // shared JVM otherwise measure the PREVIOUS query's garbage as much
+    // as this query's cost (observed 73s vs 16s for the same op
+    // depending on session position)
     def timed(label: String, df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val rows = df.count()
-      println(f"SPANBENCH $label ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      val runs = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SPANBENCH $label ${runs.min}%8.2f s  (runs ${runs.map(r => f"$r%.2f").mkString(" ")})")
     }
+
+    // codegen/JVM warmup on a small corpus so size 1 isn't compile-bound
+    val warm = DedupBench.corpus(spark, 2000)
+    graft.ops.SpanDedup.dupSpans(warm).write.format("noop").mode("overwrite").save()
+    graft.ops.SpanDedup.spanStats(warm).write.format("noop").mode("overwrite").save()
 
     sizes.foreach { n =>
       val plain = s"target/dedup_bench_$n.parquet"
