@@ -431,9 +431,18 @@ object Bench {
     val f10 = fit10m.map { case (rs, _) =>
       s""","fit10m_runs":${rs.mkString("[", ",", "]")}"""
     }.getOrElse("")
+    // build-vs-probe labels: a reader comparing ANN numbers must know
+    // which entries amortize their index build and which pay it in the
+    // timed body (r8 lesson: "pq_topk 5.3s" is really codebook TRAINING
+    // plus search; the production search path is the _indexed probe)
+    val notes = """"notes":{""" +
+      """"pq_topk":"codebook train + encode + ADC search — build inside the timed body",""" +
+      """"pq_topk_indexed":"codes-only probe; index persisted untimed (production path)",""" +
+      """"ivf_topk":"coarse-quantizer build + probe inside the timed body",""" +
+      """"ivf_topk_indexed":"partition-pruned probe; index persisted untimed (production path)"}"""
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
-      s"""$remeasureJson,"sf":"$sfDir"}"""
+      s"""$remeasureJson,$notes,"sf":"$sfDir"}"""
   }
 
   /** Generate-once 10M-point parquet scratch + two timed fits over it.

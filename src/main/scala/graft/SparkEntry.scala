@@ -130,6 +130,13 @@ object SparkEntry {
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
+    // corpus-trained top-V vocab (TakeOrdered + broadcast id map) ->
+    // per-position token ids, OOV -> 0
+    "text_tokenize_ids" -> ((s, dir) =>
+      TextOps.tokenizeIds(Tables.table(s, dir, "documents"))),
+    // unigram-LM mean log-prob quality score (CCNet-style proxy)
+    "text_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.table(s, dir, "documents"))),
     // Ranked retrieval: portable-log tf-idf / BM25 / hybrid RRF fusion
     // (PortableMath.plog keeps the log-weighted scores hash-exact
     // against DuckDB — raw ln() differs by 1 ulp on ~8% of idf inputs)
@@ -399,6 +406,8 @@ object SparkEntry {
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
+    "text_tokenize_ids" -> TextOps.tokenizeIdsSql(),
+    "text_lm_score" -> TextOps.lmScoreSql,
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),

@@ -239,4 +239,89 @@ object TextOps {
        |  COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
        |  COALESCE(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
        |FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Vocabulary tokenization: train a top-V frequency vocab from the
+  // corpus itself (rank by count DESC, token ASC — fully deterministic),
+  // then map every token position to its id (OOV → 0). The top-V
+  // selection is orderBy+limit → TakeOrderedAndProject (per-partition
+  // top-k, never a single-partition global sort of the whole vocab);
+  // only the V selected rows pass through the id-assigning window. The
+  // id map then broadcasts back onto the token stream — at 100 TB the
+  // corpus side stays scan-partitioned, zero data shuffle.
+  // -------------------------------------------------------------------
+  def tokenizeIds(docs: DataFrame, vocabSize: Int = 1024): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val counts = explodedTokens(docs, "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      .withColumn("token_id", row_number().over(byFreq).cast("long"))
+      .select("token", "token_id")
+    toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "token")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
+  def tokenizeIdsSql(vocabSize: Int = 1024): String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |counts AS (SELECT t AS token, COUNT(*) AS cnt
+       |           FROM (SELECT unnest(tk) AS t FROM toks) u GROUP BY 1),
+       |top AS (SELECT token, cnt FROM counts
+       |        ORDER BY cnt DESC, token ASC LIMIT $vocabSize),
+       |vocab AS (SELECT token,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT)
+       |      AS token_id FROM top),
+       |flat AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    tk[CAST(i AS INT)] AS token
+       |  FROM toks CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i))
+       |SELECT f.doc_id, f.pos, COALESCE(v.token_id, 0) AS token_id
+       |FROM flat f LEFT JOIN vocab v USING (token)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Unigram-LM quality score (the CCNet-style proxy): score each doc by
+  // the mean log-probability of its tokens under the corpus's own
+  // unigram distribution — boilerplate/common-token docs score high,
+  // gibberish and rare-token soup score low. log p = -plog(T/cnt) is
+  // computed per DISTINCT token (PortableMath keeps it bit-reproducible
+  // against the oracle), the per-doc mean goes through the decimal-sum
+  // discipline so token order can't shift a bit. Two aggs + one join on
+  // token — all map-side combinable; the logp relation is |vocab|-sized.
+  // -------------------------------------------------------------------
+  def lmScore(docs: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val counts = explodedTokens(docs, "token", col("doc_id"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("t"))
+    val logp = counts.crossJoin(broadcast(tot)).select(
+      col("token"),
+      (lit(0.0) - graft.functions.PortableMath.plog(
+        col("t").cast("double") / col("cnt").cast("double"))).as("logp"))
+    explodedTokens(docs, "token", col("doc_id"))
+      .join(logp, Seq("token"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("logp").cast(Dec)).cast("double") / count(lit(1)))
+          .as("avg_logp"))
+  }
+
+  def lmScoreSql: String =
+    s"""WITH flat AS (SELECT doc_id, t AS token FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS t FROM documents) u),
+       |counts AS (SELECT token, COUNT(*) AS cnt FROM flat GROUP BY token),
+       |tot AS (SELECT SUM(cnt) AS t FROM counts),
+       |logp AS (SELECT token,
+       |    0.0 - (${graft.functions.PortableMath.plogSql(
+                 "CAST(t AS DOUBLE) / CAST(cnt AS DOUBLE)")}) AS logp
+       |  FROM counts, tot)
+       |SELECT f.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(CAST(SUM(CAST(l.logp AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+       |    / COUNT(*) AS avg_logp
+       |FROM flat f JOIN logp l USING (token)
+       |GROUP BY f.doc_id""".stripMargin
 }

@@ -49,11 +49,18 @@ class BenchFormatSpec extends AnyFunSuite {
     // adaptive precision: >=100 s renders as an integer second count
     assert(root.get("queries").get("kmeans_fit10").asDouble == 999.0)
     assert(root.get("fit10m").get("baseline_sec").asDouble == 90.8)
-    assert(root.get("fit10m").get("runs").size == 2)
     // no failures in the fake results → the empty errors object is
     // omitted entirely (budget) — absence IS the no-error signal
     assert(root.get("errors") == null)
-    assert(root.get("sf").asText == "/root/testdata/sf0.1")
+    assert(root.get("sf").asText.endsWith("sf0.1"))
+
+    // with an uncrowded line (few queries) the top tier applies and the
+    // fit10m run spread rides along
+    val small = Bench.summaryLine(fakeResults(allNames.take(10)), "7.80",
+      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
+    val sroot = mapper.readTree(small)
+    assert(sroot.get("fit10m").get("runs").size == 2)
+    assert(sroot.get("sf").asText == "/root/testdata/sf0.1")
   }
 
   test("summary line carries the isolated re-measure and stays in budget") {

@@ -70,4 +70,28 @@ class TextOpsSpec extends SparkSpec {
     // single-token doc: no bigrams at all → 0.0, not a dropped row
     assert(m(3L) == ((1.0, 0.0, 0.0)))
   }
+
+  test("tokenize ids: frequency-ranked vocab, OOV -> 0, 1-based positions") {
+    // counts: b=3, a=2, c=1, z=1 → vocab(2): b=1, a=2; c,z OOV
+    val d = Seq((1L, "a b c B"), (2L, "b a z")).toDF("doc_id", "text")
+    val got = TextOps.tokenizeIds(d, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 2L, (1L, 2L) -> 1L, (1L, 3L) -> 0L, (1L, 4L) -> 1L,
+      (2L, 1L) -> 1L, (2L, 2L) -> 2L, (2L, 3L) -> 0L))
+  }
+
+  test("lm score: common-token docs outscore rare-token docs; uniform doc is exact") {
+    val d = Seq((1L, "the the the the"), (2L, "qq zz"),
+      (3L, "the the")).toDF("doc_id", "text")
+    val m = TextOps.lmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: the=6, qq=1, zz=1, T=8
+    assert(m(1L)._1 == 4L && m(2L)._1 == 2L)
+    assert(m(1L)._2 > m(2L)._2, "common tokens must score higher")
+    // docs 1 and 3 are all-'the' → identical mean log p(the)
+    assert(m(1L)._2 == m(3L)._2)
+    // p(the) = 6/8 → mean = -plog(8/6); plog tracks ln to ~1e-12
+    assert(math.abs(m(1L)._2 - math.log(6.0 / 8.0)) < 1e-9)
+  }
 }
