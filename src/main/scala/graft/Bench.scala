@@ -259,7 +259,11 @@ object Bench {
     * triggers a fork. Flagging is cheap — a false positive costs one
     * isolated re-run that simply confirms the number. */
   private val ExpectedSec = Map(
-    "pq_topk" -> 4.0, "kmeans_fit10" -> 3.5)
+    "pq_topk" -> 4.0, "kmeans_fit10" -> 3.5,
+    // full 10-iteration Lloyd loop — 3-6.5 s at sf0.1 is steady state,
+    // not an anomaly (the r9 run flagged 6.5 s under the default 6 s
+    // floor and burned a fork confirming nothing)
+    "kmeans_fit10_obj" -> 3.0)
   private def anomalyThreshold(name: String): Double =
     sys.env.get("SPARK_GRAFT_ANOMALY_SEC").map(_.toDouble)
       .getOrElse(math.max(6.0, 3.0 * ExpectedSec.getOrElse(name, 2.0)))
@@ -339,9 +343,10 @@ object Bench {
     * only; `BenchFormatSpec` guards the budget) and the per-run spreads
     * go to BENCH_DETAIL.json via [[detailJson]]. */
   /** Hard ceiling for the summary line: the harness tail keeps 2000
-    * chars with sbt's ~80-char "[success]" line inside the window, minus
-    * safety margin. BenchFormatSpec asserts the worst case fits. */
-  private[graft] val LineBudget = 1880
+    * chars with sbt's ~75-char "[success]" line inside the window
+    * (observed across BENCH_r1..r8), minus safety margin.
+    * BenchFormatSpec asserts the worst case fits. */
+  private[graft] val LineBudget = 1900
 
   private[graft] def summaryLine(
       all: Seq[QueryResult], load: String,
@@ -359,8 +364,12 @@ object Bench {
     // remeasure object self-trims greedily inside whatever room the
     // chosen tier leaves, and the tier chooser prefers the first tier
     // that carries the FULL remeasure map.
-    def render(prec: Int, fitRuns: Boolean, fullSf: Boolean = true,
-        withLoad: Boolean = true, withFit: Boolean = true): (String, Int) = {
+    // fitMode: 0 = sec + run spread + baseline, 1 = sec + baseline,
+    // 2 = sec only (baseline_sec is the 90.8 constant in BASELINE.md),
+    // 3 = omitted (safety valve only — the ladder never chooses it
+    // while a tier with fit10m fits, remeasure trimmed to zero or not)
+    def render(prec: Int, fitMode: Int, fullSf: Boolean = true,
+        withLoad: Boolean = true): (String, Int) = {
       def fmt(v: Double): String =
         if (v >= 100) f"$v%.0f"
         else if (v >= 10 || prec == 1) f"$v%.1f"
@@ -371,13 +380,14 @@ object Bench {
       // errors only when present — the empty object is pure budget spend
       val errs =
         if (all.exists(_._4.nonEmpty)) s""","errors":${errsJson(all)}""" else ""
-      val fit10mJson = fit10m.filter(_ => withFit).map { case (rs, err) =>
+      val fit10mJson = fit10m.filter(_ => fitMode < 3).map { case (rs, err) =>
         val v = if (rs.nonEmpty) rs.min else -1.0
         val spr =
-          if (rs.nonEmpty && fitRuns)
+          if (rs.nonEmpty && fitMode == 0)
             f""","runs":[${rs.min}%.2f,${rs.max}%.2f]"""
           else ""
-        f""","fit10m":{"sec":$v%.2f$spr,"baseline_sec":90.8""" +
+        val base = if (fitMode <= 1) ""","baseline_sec":90.8""" else ""
+        f""","fit10m":{"sec":$v%.2f$spr$base""" +
           err.map(e => s""","error":"${jsonEsc(e.replace("\"", "'"))}"""").getOrElse("") + "}"
       }.getOrElse("")
       val loadJson = if (withLoad) s""","loadavg":$load""" else ""
@@ -400,15 +410,22 @@ object Bench {
         }
       (base + rm + tail, keptN)
     }
-    val attempts = Seq(
-      render(2, true), render(1, true), render(1, false),
-      render(1, false, fullSf = false),
-      render(1, false, fullSf = false, withLoad = false),
-      render(1, false, fullSf = false, withLoad = false, withFit = false))
-    val fits = attempts.filter(_._1.length <= LineBudget)
+    // Tiers T1-T4 all carry fit10m (the baseline-comparison headline);
+    // the chooser prefers the first tier that fits with the FULL
+    // remeasure map, else the fitting tier keeping the most remeasure
+    // entries — so remeasure gives way to fit10m, never the reverse.
+    // T5 (no fit10m) exists only for a far-future query count where
+    // T4's base alone overflows.
+    val tiers = Seq(
+      render(2, 0), render(1, 0), render(1, 1),
+      render(1, 2, fullSf = false, withLoad = false))
+    val fits = tiers.filter(_._1.length <= LineBudget)
     fits.find(_._2 == remeasure.size).map(_._1)
       .orElse(fits.maxByOption(_._2).map(_._1))
-      .getOrElse(attempts.last._1)
+      .getOrElse {
+        val t5 = render(1, 3, fullSf = false, withLoad = false)._1
+        if (t5.length <= LineBudget) t5 else tiers.last._1
+      }
   }
 
   /** Full-precision companion written next to the repo's round artifacts:

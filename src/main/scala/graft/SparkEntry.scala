@@ -263,6 +263,12 @@ object SparkEntry {
           col("sum_v").cast("double").as("sum_value"))
     }),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
+    // CDC compaction: changelog -> one current-state row per user
+    "events_latest_state" -> ((s, dir) => EventOps.latestState(Tables.events(s, dir))),
+    // Z-order (Morton) layout address for the 2-D points relation —
+    // pure integer bit math, the data-layout half is Layout.zOrdered
+    "points_zorder" -> ((s, dir) =>
+      graft.ops.Layout.pointsZOrder(Tables.points(s, dir))),
     // Corpus shaping: context-window chunking, sequence packing,
     // PII scrub (planted-PII twin — the testdata has none by construction)
     "doc_chunks" -> ((s, dir) =>
@@ -460,6 +466,9 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     "events_retention" -> EventOps.weeklyRetentionSql,
+    "events_latest_state" -> EventOps.latestStateSql,
+    "points_zorder" ->
+      Tables.withPtsCents(graft.ops.Layout.pointsZOrderSql(), K),
     // events_sketches: the t-digest/HLL estimate columns are
     // engine-specific → rows-only check there; the deterministic spine
     // is oracle-checked via events_sketches_n, and estimate accuracy is

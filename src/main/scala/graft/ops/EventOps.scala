@@ -72,6 +72,28 @@ object EventOps {
         col("pcts").getItem(1).as("p95_approx"),
         col("approx_users"), col("n"))
 
+  /** Latest-state snapshot (the CDC/upsert compaction shape): each
+    * user's most recent event wins, ties on ts broken by event_id —
+    * deterministic total order. One shuffle on user_id; at 100 TB this
+    * is the standard "changelog → current state" materialization, and
+    * the window's per-key top-1 never holds more than one user's events
+    * in a task. */
+  def latestState(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "ts", "event_type", "value")
+  }
+
+  val latestStateSql: String =
+    """SELECT user_id, ts, event_type, value FROM (
+      |  SELECT user_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
   /** Fixed-bin histogram quantiles — the deterministic member of the
     * sketch family. Bin edges are value-independent constants
     * (width = domain/bins, clamped to [0, bins-1]), so per-partition

@@ -48,18 +48,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("queries").size == allNames.size)
     // adaptive precision: >=100 s renders as an integer second count
     assert(root.get("queries").get("kmeans_fit10").asDouble == 999.0)
-    assert(root.get("fit10m").get("baseline_sec").asDouble == 90.8)
+    // fit10m is never sacrificed: at minimum its "sec" survives every tier
+    assert(root.get("fit10m").get("sec").asDouble > 0)
     // no failures in the fake results → the empty errors object is
     // omitted entirely (budget) — absence IS the no-error signal
     assert(root.get("errors") == null)
     assert(root.get("sf").asText.endsWith("sf0.1"))
 
-    // with an uncrowded line (few queries) the top tier applies and the
-    // fit10m run spread rides along
+    // with an uncrowded line (few queries) the top tier applies: run
+    // spread + baseline ride along
     val small = Bench.summaryLine(fakeResults(allNames.take(10)), "7.80",
       Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
     val sroot = mapper.readTree(small)
     assert(sroot.get("fit10m").get("runs").size == 2)
+    assert(sroot.get("fit10m").get("baseline_sec").asDouble == 90.8)
     assert(sroot.get("sf").asText == "/root/testdata/sf0.1")
   }
 
@@ -77,17 +79,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.length <= Bench.LineBudget,
       s"summary line with remeasure is ${line.length} chars")
 
-    // realistic case (single-digit bests): the line fits and the trim
-    // keeps the SLOWEST re-measured entries — the adjudication signal
+    // realistic case (single-digit bests): the line fits, fit10m.sec
+    // survives, and remeasure rides along as budget allows (slowest
+    // first) — with the full map always in BENCH_DETAIL.json
     val realistic: Seq[Bench.QueryResult] =
       allNames.map(n => (n, Seq(1.5, 1.2, 1.1), 1.23, None))
     val line2 = Bench.summaryLine(realistic, "7.80",
       Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1", rm)
     val root2 = mapper.readTree(line2)
-    assert(root2.get("remeasure") != null, "remeasure must fit realistically")
-    assert(root2.get("remeasure").get("assign_join").asDouble == 65.8,
-      "the top anomaly must survive the trim")
+    assert(root2.get("fit10m").get("sec").asDouble > 0,
+      "fit10m must never be dropped for remeasure")
+    if (root2.get("remeasure") != null)
+      assert(root2.get("remeasure").get("assign_join") != null,
+        "when any remeasure fits, the top anomaly must be first")
     assert(line2.length <= Bench.LineBudget)
+
+    // an uncrowded line keeps the FULL remeasure map
+    val line2b = Bench.summaryLine(realistic.take(10), "7.80",
+      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1", rm)
+    assert(mapper.readTree(line2b).get("remeasure").size == rm.size)
 
     // a failed fork surfaces as remeasure_error
     val line3 = Bench.summaryLine(realistic, "7.80", None,
