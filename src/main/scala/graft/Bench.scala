@@ -59,6 +59,20 @@ object Bench {
       }
     }
     try execute(Tables.points(spark, sfDir).limit(1000)) catch { case _: Throwable => }
+    // Isolation runs (the fork re-measure path) get one untimed pass at
+    // the TARGET SF too: their whole point is steady-state adjudication,
+    // and a cold JVM pays per-iteration codegen/JIT exactly where the
+    // long-lived main session doesn't (the r9 fork measured a 10-
+    // iteration fit at 45s that the warm session ran in 6.5s — compile
+    // cost masquerading as operator cost).
+    if (only.nonEmpty) warmSet.values.foreach { fn =>
+      try execute(fn(spark, sfDir)) catch { case _: Throwable => }
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+    }
 
     // Best of three runs per query, ALL run times emitted (the r5 min-
     // only report hid the spread needed to adjudicate a 1.9 s -> 8.6 s

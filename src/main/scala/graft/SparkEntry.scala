@@ -294,6 +294,10 @@ object SparkEntry {
     // eval-set contamination check: non-train docs sharing n-grams with train
     "pipeline_decontam" -> ((s, dir) =>
       graft.ops.CuratePipeline.decontaminate(Tables.table(s, dir, "documents"))),
+    // learn-then-filter: bottom-decile LM-score cutoff computed from the
+    // corpus's own distribution (fixed-bin quantile), applied in-plan
+    "pipeline_quality_filter" -> ((s, dir) =>
+      graft.ops.CuratePipeline.qualityFilter(Tables.table(s, dir, "documents"))),
     "text_top_tokens" -> ((s, dir) =>
       graft.ops.CuratePipeline.topTokensPerLang(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
@@ -447,6 +451,7 @@ object SparkEntry {
     "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
     "pipeline_pretrain_seqs" -> graft.ops.CuratePipeline.pretrainSequencesSql(),
     "pipeline_decontam" -> graft.ops.CuratePipeline.decontaminateSql(),
+    "pipeline_quality_filter" -> graft.ops.CuratePipeline.qualityFilterSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(

@@ -161,6 +161,57 @@ object CuratePipeline {
       .filter(col("rank") <= topN)
   }
 
+  /** Percentile-threshold quality filter — the production filter shape:
+    * instead of a hand-tuned cutoff, LEARN the threshold from the
+    * corpus's own score distribution (here: drop the bottom decile of
+    * unigram-LM scores) and filter in the same plan. The threshold
+    * comes from the fixed-bin histogram quantile (deterministic,
+    * merge-order-independent — see EventOps.binnedQuantiles), so the
+    * whole learn-then-filter composition is oracle-exact. Cost at
+    * scale: the lmScore aggregates + a ≤bins-row histogram + a 1-row
+    * threshold broadcast back onto the score stream — the corpus is
+    * scanned, never reshuffled. Learn-then-filter is inherently two
+    * passes over the SCORE relation (the threshold must see the full
+    * distribution before any row can be kept); the declarative plan
+    * recomputes scores on the second pass, so a production job
+    * persists `scores` (doc_id + one double — tiny next to the corpus)
+    * between the passes. */
+  def qualityFilter(docs: DataFrame, keepFrac: Double = 0.9): DataFrame = {
+    val lo = -16.0; val bins = 1600L; val width = 0.01
+    val dropFrac = 1.0 - keepFrac
+    val scores = TextOps.lmScore(docs).select("doc_id", "avg_logp")
+    val bin = least(greatest(
+      floor((col("avg_logp") - lit(lo)) / lit(width)), lit(0L)), lit(bins - 1))
+    val hist = scores.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.orderBy("bin")))
+      .crossJoin(broadcast(scores.agg(count(lit(1)).as("n"))))
+    val thr = cum
+      .filter(col("cum") >= ceil(lit(dropFrac) * col("n")))
+      .agg(min((col("bin") + lit(1L)) * lit(width) + lit(lo)).as("thr"))
+    scores.crossJoin(broadcast(thr))
+      .filter(col("avg_logp") >= col("thr"))
+      .select("doc_id", "avg_logp")
+  }
+
+  def qualityFilterSql(keepFrac: Double = 0.9): String = {
+    val lo = -16.0; val bins = 1600L; val width = 0.01
+    val dropFrac = 1.0 - keepFrac
+    s"""WITH scores AS (SELECT doc_id, avg_logp FROM (
+       |    ${TextOps.lmScoreSql}) s),
+       |hist AS (SELECT
+       |    LEAST(GREATEST(CAST(FLOOR((avg_logp - $lo) / $width) AS BIGINT), 0),
+       |          ${bins - 1}) AS bin,
+       |    COUNT(*) AS c
+       |  FROM scores GROUP BY 1),
+       |cum AS (SELECT bin, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+       |        FROM hist),
+       |tot AS (SELECT COUNT(*) AS n FROM scores),
+       |thr AS (SELECT MIN((bin + 1) * $width + $lo) AS thr
+       |        FROM cum, tot WHERE cum >= CEIL($dropFrac * n))
+       |SELECT doc_id, avg_logp FROM scores, thr WHERE avg_logp >= thr""".stripMargin
+  }
+
   def topTokensPerLangSql(topN: Int = 5): String =
     s"""SELECT lang, token, cnt, rank FROM (
        |  SELECT lang, token, cnt,
