@@ -137,6 +137,10 @@ object SparkEntry {
     // unigram-LM mean log-prob quality score (CCNet-style proxy)
     "text_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.table(s, dir, "documents"))),
+    // drift diagnostic: JS divergence between the train split's and the
+    // holdout's token distributions (signed portable log, decimal sums)
+    "corpus_js_divergence" -> ((s, dir) =>
+      TextOps.corpusJsDivergence(Tables.table(s, dir, "documents"))),
     // Ranked retrieval: portable-log tf-idf / BM25 / hybrid RRF fusion
     // (PortableMath.plog keeps the log-weighted scores hash-exact
     // against DuckDB — raw ln() differs by 1 ulp on ~8% of idf inputs)
@@ -418,6 +422,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_tokenize_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
+    "corpus_js_divergence" -> TextOps.corpusJsDivergenceSql,
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),

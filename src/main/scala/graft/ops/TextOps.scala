@@ -310,6 +310,88 @@ object TextOps {
           .as("avg_logp"))
   }
 
+  // -------------------------------------------------------------------
+  // Corpus drift diagnostic: Jensen-Shannon divergence between the
+  // train split's and the holdout's unigram distributions — the
+  // standard "did my split/mix shift the data?" check. JSD =
+  // ½Σ p·log(p/m) + ½Σ q·log(q/m), m=(p+q)/2; each log goes through
+  // the signed portable log (log x = -log 1/x keeps PortableMath.plog
+  // in its x≥1 domain), zero-count tokens contribute 0 exactly, and
+  // both Σ run through decimal casts so token order can't move a bit —
+  // the whole scalar is oracle-exact. One token-keyed agg + a 1-row
+  // totals broadcast; nats, bounded by ln 2.
+  // -------------------------------------------------------------------
+  def corpusJsDivergence(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val split = Sampling.splitAssign(docs).select("doc_id", "split")
+    val flat = explodedTokens(docs, "token", col("doc_id"))
+      .join(split, Seq("doc_id"))
+    val counts = flat.groupBy("token").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(
+      sum("ca").cast("double").as("ta"), sum("cb").cast("double").as("tb"))
+    val pqm = counts.crossJoin(broadcast(tot)).select(
+      (col("ca").cast("double") / col("ta")).as("p"),
+      (col("cb").cast("double") / col("tb")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+    def term(x: Column) =
+      when(x > 0,
+        x * when(x / col("m") >= 1, plog(x / col("m")))
+          .otherwise(lit(0.0) - plog(col("m") / x)))
+        .otherwise(lit(0.0))
+    // Exact cross-engine sum of IRRATIONAL doubles: snap each term to a
+    // 1e-12 integer grid in DOUBLE space (ROUND of the same IEEE
+    // product is identical in both engines; integral doubles < 2^53
+    // cast to DECIMAL with NO fractional rounding), sum the exact
+    // integers, convert ONCE. The usual fractional-DECIMAL cast is
+    // unsound here: DuckDB's double→DECIMAL(·,20) rounds a scaled
+    // float, not the exact expansion — measured 1-digit disagreements
+    // with the JVM's exact HALF_UP on ~half of 17-sig-digit inputs.
+    // Cost: ≤ 5e-13 absolute error per term vs the untruncated sum.
+    val grid = 1.0e12
+    val DecInt = org.apache.spark.sql.types.DecimalType(38, 0)
+    pqm
+      .select(term(col("p")).as("term_a"), term(col("q")).as("term_b"))
+      .agg(
+        (lit(0.5) * (sum((round(col("term_a") * grid) +
+          round(col("term_b") * grid)).cast(DecInt)).cast("double")
+          / lit(grid))).as("jsd"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  def corpusJsDivergenceSql: String = {
+    import graft.functions.PortableMath.plogSql
+    def term(x: String) =
+      s"""CASE WHEN $x > 0 THEN $x * (CASE WHEN $x / m >= 1
+         |    THEN ${plogSql(s"$x / m")}
+         |    ELSE 0.0 - (${plogSql(s"m / $x")}) END)
+         |  ELSE 0.0 END""".stripMargin
+    s"""WITH split AS (SELECT doc_id, split FROM (
+       |    ${Sampling.splitAssignSql()}) sp),
+       |flat AS (SELECT s.split, t.token FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS token FROM documents) t
+       |  JOIN split s USING (doc_id)),
+       |counts AS (SELECT token,
+       |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+       |    SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS cb
+       |  FROM flat GROUP BY token),
+       |tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS ta,
+       |               CAST(SUM(cb) AS DOUBLE) AS tb FROM counts),
+       |pqm AS (SELECT p, q, (p + q) / 2.0 AS m FROM (
+       |    SELECT CAST(ca AS DOUBLE) / ta AS p, CAST(cb AS DOUBLE) / tb AS q
+       |    FROM counts, tot) x),
+       |terms AS (SELECT
+       |    ${term("p")} AS term_a,
+       |    ${term("q")} AS term_b
+       |  FROM pqm)
+       |SELECT 0.5 * (CAST(CAST(SUM(CAST(ROUND(term_a * 1000000000000.0)
+       |                       + ROUND(term_b * 1000000000000.0) AS DECIMAL(38,0)))
+       |                 AS VARCHAR) AS DOUBLE) / 1000000000000.0) AS jsd,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |FROM terms""".stripMargin
+  }
+
   def lmScoreSql: String =
     s"""WITH flat AS (SELECT doc_id, t AS token FROM (
        |    SELECT doc_id, unnest($tokensSql) AS t FROM documents) u),

@@ -94,4 +94,26 @@ class TextOpsSpec extends SparkSpec {
     // p(the) = 6/8 → mean = -plog(8/6); plog tracks ln to ~1e-12
     assert(math.abs(m(1L)._2 - math.log(6.0 / 8.0)) < 1e-9)
   }
+
+  test("JS divergence: identical distributions -> exactly 0; disjoint vocab -> ln 2") {
+    // split membership is hash-determined — discover one train doc and
+    // one holdout doc instead of assuming ids
+    val probe = (1L to 400L).map(i => (i, "x")).toDF("doc_id", "text")
+    val splits = Sampling.splitAssign(probe).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = splits.collectFirst { case (id, "train") => id }.get
+    val holdId = splits.collectFirst { case (id, s) if s != "train" => id }.get
+
+    // same text on both sides → p = q for every token → every term is
+    // plog(1) = 0 → jsd is EXACTLY zero
+    val same = Seq((trainId, "x y"), (holdId, "x y")).toDF("doc_id", "text")
+    val r0 = TextOps.corpusJsDivergence(same).collect()(0)
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 2L)
+
+    // disjoint vocabularies → maximal divergence ln 2 (within plog +
+    // 1e-12 grid tolerance)
+    val disj = Seq((trainId, "aa bb"), (holdId, "cc dd")).toDF("doc_id", "text")
+    val r1 = TextOps.corpusJsDivergence(disj).collect()(0)
+    assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-9)
+  }
 }
