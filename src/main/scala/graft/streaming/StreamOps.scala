@@ -142,6 +142,36 @@ object StreamOps {
       }
   }
 
+  case class EvKeyed(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  case class Latest(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+  /** Streaming twin of EventOps.latestState (CDC changelog → current
+    * state): per user, the event with the greatest (ts, event_id) seen
+    * so far wins; each micro-batch emits the user's updated current row
+    * (update-mode semantics). State is ONE row per user — bounded by
+    * key cardinality, no watermark needed, exactly the batch query's
+    * window top-1 computed incrementally. */
+  def latestStateStream(events: Dataset[EvKeyed]): Dataset[Latest] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Latest, Latest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvKeyed], state: GroupState[Latest]) =>
+          var cur = state.getOption.orNull
+          evs.foreach { e =>
+            // Timestamp.compareTo carries the sub-millisecond nanos —
+            // getTime would truncate to millis and mis-order ties
+            val c = if (cur == null) 1 else e.ts.compareTo(cur.ts)
+            if (c > 0 || (c == 0 && e.event_id > cur.event_id))
+              cur = Latest(uid, e.ts, e.event_id, e.value)
+          }
+          if (cur == null) Iterator.empty
+          else { state.update(cur); Iterator.single(cur) }
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key within
     * the watermark horizon (state is evicted once the watermark passes —
     * bounded memory; duplicates arriving later than `watermarkDelay`

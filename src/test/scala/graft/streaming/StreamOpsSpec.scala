@@ -211,6 +211,44 @@ class StreamOpsSpec extends SparkSpec {
       5L -> ((0L, 2L)))) // sb cum 2 -> bin 0, offset 2
   }
 
+  test("streaming latest-state emits each user's current row across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EvKeyed]
+    val q = latestStateStream(in.toDS())
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode("update").start()
+    in.addData(
+      EvKeyed(1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      EvKeyed(1L, ts("2024-01-01 11:00:00"), 2L, 2.0), // newer wins in-batch
+      EvKeyed(2L, ts("2024-01-01 10:30:00"), 3L, 3.0))
+    q.processAllAvailable()
+    // batch 2: a STALE event for user 1 must NOT displace state; a tie
+    // on ts for user 2 resolves by event_id
+    in.addData(
+      EvKeyed(1L, ts("2024-01-01 09:00:00"), 4L, 9.0),
+      EvKeyed(2L, ts("2024-01-01 10:30:00"), 5L, 5.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("latest_state").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // last emission per user is the current state
+    val last = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (u, xs) => u -> xs.maxBy(_._2)._1 }
+    assert(last(1L) == ((1L, 2L, 2.0)), "stale event must not displace")
+    assert(last(2L) == ((2L, 5L, 5.0)), "ts tie resolves by event_id")
+    // agrees with the batch operator over the full replay
+    val batch = graft.ops.EventOps.latestState(
+      Seq((1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (1L, ts("2024-01-01 11:00:00"), 2L, 2.0),
+        (2L, ts("2024-01-01 10:30:00"), 3L, 3.0),
+        (1L, ts("2024-01-01 09:00:00"), 4L, 9.0),
+        (2L, ts("2024-01-01 10:30:00"), 5L, 5.0))
+        .toDF("user_id", "ts", "event_id", "value")
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("t")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(batch == last.map { case (u, (_, _, v)) => u -> v })
+  }
+
   test("file-source event stream reads the real parquet with the nanos conversion") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
