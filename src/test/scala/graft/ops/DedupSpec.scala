@@ -122,6 +122,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(5L, 20L))
   }
 
+  test("keep-best dedup retains the LONGEST group member, not the lowest id") {
+    import org.apache.spark.sql.functions.{col, length}
+    // 6 is a near-dup of 5 but longer (extra tail words survive the
+    // 0.7 Jaccard gate) — dedupedCorpus keeps 5, keepBest must keep 6
+    val chain = Seq(
+      (5L, base),
+      (6L, base + " with two extra trailing words"),
+      (20L, "totally separate corpus entry about distributed query planning and exchanges")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Dedup.dedupedCorpus(chain, n = 3, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 20L))
+    assert(Dedup.dedupKeepBest(chain, n = 3, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet == Set(6L, 20L))
+    // equal lengths fall back to the lowest id — same answer as corpus
+    val tie = Seq(
+      (5L, base), (6L, base.replace("lazy", "hazy")),
+      (20L, "totally separate corpus entry about distributed query planning and exchanges")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Dedup.dedupKeepBest(tie, n = 3, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 20L))
+  }
+
   test("connected components match a union-find reference on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {

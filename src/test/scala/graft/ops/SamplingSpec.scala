@@ -76,6 +76,36 @@ class SamplingSpec extends SparkSpec {
     assert(bySource.get("src1").map(_.size.toLong).getOrElse(0L) < src1Total)
   }
 
+  test("temperature mix flattens the source distribution toward sqrt weights") {
+    val mixed = Sampling.temperatureMix(docs)
+    val in = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected per-source output: N * sqrt(n_s) / sum(sqrt(n_t)) —
+    // realized counts land within 1 of n_s * rate's integer split
+    val n = in.values.sum.toDouble
+    val z = in.values.map(v => math.sqrt(v.toDouble)).sum
+    in.foreach { case (s, ns) =>
+      val expect = n * math.sqrt(ns.toDouble) / z
+      assert(math.abs(out(s) - expect) <= ns * 0.01 + 2,
+        s"$s: got ${out(s)}, expected ~$expect")
+    }
+    // α=0.5 flattening: a source bigger than another in the input must
+    // not be SMALLER after mixing, and the big/small ratio must shrink
+    val (big, small) = (in.maxBy(_._2), in.minBy(_._2))
+    assert(out(big._1) >= out(small._1) ||
+      math.abs(out(big._1) - out(small._1)).toDouble <= 2)
+    val ratioIn = big._2.toDouble / small._2
+    val ratioOut = out(big._1).toDouble / math.max(out(small._1), 1)
+    assert(ratioOut <= ratioIn, s"flattening must shrink $ratioIn -> $ratioOut")
+    // total size is preserved up to per-source integer rounding
+    assert(math.abs(out.values.sum - in.values.sum) <= in.size.toLong * 2)
+    // deterministic
+    assert(Sampling.temperatureMix(docs).collect().toSet ==
+      mixed.collect().toSet)
+  }
+
   test("weighted mix is deterministic") {
     val weights = Seq("src0" -> 1.5)
     val a = Sampling.weightedMix(docs, weights).collect().toSet
