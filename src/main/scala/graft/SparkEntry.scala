@@ -117,7 +117,7 @@ object SparkEntry {
         "target/csv_points_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
     // O15∘O2 — same round trip for the centroid schema (cid INT, x, y):
     // one Lloyd step's output through the sink and back
-    "csv_roundtrip_centroids" -> ((s, dir) =>
+    "csv_rt_cents" -> ((s, dir) =>
       Tables.csvRoundtrip(
         KMeansOps.recompute(assigned(s, dir)),
         "target/csv_cents_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
@@ -132,14 +132,14 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // corpus-trained top-V vocab (TakeOrdered + broadcast id map) ->
     // per-position token ids, OOV -> 0
-    "text_tokenize_ids" -> ((s, dir) =>
+    "text_tok_ids" -> ((s, dir) =>
       TextOps.tokenizeIds(Tables.table(s, dir, "documents"))),
     // unigram-LM mean log-prob quality score (CCNet-style proxy)
     "text_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.table(s, dir, "documents"))),
     // drift diagnostic: JS divergence between the train split's and the
     // holdout's token distributions (signed portable log, decimal sums)
-    "corpus_js_divergence" -> ((s, dir) =>
+    "corpus_jsd" -> ((s, dir) =>
       TextOps.corpusJsDivergence(Tables.table(s, dir, "documents"))),
     // Ranked retrieval: portable-log tf-idf / BM25 / hybrid RRF fusion
     // (PortableMath.plog keeps the log-weighted scores hash-exact
@@ -184,7 +184,7 @@ object SparkEntry {
       Dedup.dedupedCorpus(Tables.table(s, dir, "documents"))),
     // quality-aware variant: each near-dup group keeps its longest
     // member (tie -> lowest doc_id) instead of the lowest id
-    "dedup_keep_best" -> ((s, dir) =>
+    "dedup_best" -> ((s, dir) =>
       Dedup.dedupKeepBest(Tables.table(s, dir, "documents"))),
     // SemDeDup (embedding-space semantic dedup): fixed-iteration
     // quantizer build → within-cluster cosine pairs → anti-join;
@@ -204,7 +204,7 @@ object SparkEntry {
         Tables.table(s, dir, "documents"), mixWeights)),
     // temperature mixing (α=0.5): source weights ∝ √n_s computed fully
     // in-plan — counts agg + broadcast of |sources| rates onto the scan
-    "mix_temperature" -> ((s, dir) =>
+    "mix_temp" -> ((s, dir) =>
       graft.ops.Sampling.temperatureMix(Tables.table(s, dir, "documents"))),
     // per-language keep rates (zero-shuffle) + exact per-stratum cap
     "sample_stratified" -> ((s, dir) =>
@@ -221,6 +221,10 @@ object SparkEntry {
       EmbeddingOps.lshTopK(Tables.table(s, dir, "embeddings"))),
     "emb_near_dups" -> ((s, dir) =>
       EmbeddingOps.cosineNearDups(Tables.table(s, dir, "embeddings"))),
+    // every vector's top-k neighbors among its LSH-bucket candidates —
+    // the k-NN graph semantic clustering / curriculum ordering consume
+    "emb_knn_graph" -> ((s, dir) =>
+      EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"))),
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
@@ -230,7 +234,7 @@ object SparkEntry {
     // independent) sketch — same mergeable-partial-agg shape as t-digest
     // but oracle-EXACT, closing the "sketch estimates can't be
     // hash-checked" gap for the histogram family
-    "events_quantile_bins" -> ((s, dir) =>
+    "events_qbins" -> ((s, dir) =>
       EventOps.binnedQuantiles(Tables.events(s, dir))),
     // the deterministic spine of the sketch aggregate (grouping + n),
     // oracle-checked; the t-digest/HLL estimates themselves stay
@@ -268,7 +272,7 @@ object SparkEntry {
     }),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // CDC compaction: changelog -> one current-state row per user
-    "events_latest_state" -> ((s, dir) => EventOps.latestState(Tables.events(s, dir))),
+    "events_latest" -> ((s, dir) => EventOps.latestState(Tables.events(s, dir))),
     // Z-order (Morton) layout address for the 2-D points relation —
     // pure integer bit math, the data-layout half is Layout.zOrdered
     "points_zorder" -> ((s, dir) =>
@@ -300,7 +304,7 @@ object SparkEntry {
       graft.ops.CuratePipeline.decontaminate(Tables.table(s, dir, "documents"))),
     // learn-then-filter: bottom-decile LM-score cutoff computed from the
     // corpus's own distribution (fixed-bin quantile), applied in-plan
-    "pipeline_quality_filter" -> ((s, dir) =>
+    "pipe_quality" -> ((s, dir) =>
       graft.ops.CuratePipeline.qualityFilter(Tables.table(s, dir, "documents"))),
     "text_top_tokens" -> ((s, dir) =>
       graft.ops.CuratePipeline.topTokensPerLang(Tables.table(s, dir, "documents"))),
@@ -410,7 +414,7 @@ object SparkEntry {
     "kmeans_fit10_obj" -> fitObjectiveSql(10),
     // the CSV round trips are value-exact, so the originals are the oracles
     "csv_roundtrip" -> Tables.pointsSqlBody,
-    "csv_roundtrip_centroids" ->
+    "csv_rt_cents" ->
       Tables.withPtsCents(KMeansOps.stepSql("pts", "cents"), K),
 
     // ----- LLM-data-pipeline twins -----
@@ -420,9 +424,9 @@ object SparkEntry {
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
-    "text_tokenize_ids" -> TextOps.tokenizeIdsSql(),
+    "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
-    "corpus_js_divergence" -> TextOps.corpusJsDivergenceSql,
+    "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
@@ -442,12 +446,13 @@ object SparkEntry {
     "sample_cap_stratum" -> graft.ops.Sampling.capPerStratumSql(n = 40),
     "dedup_groups" -> Dedup.nearDupGroupsSql(),
     "dedup_corpus" -> Dedup.dedupedCorpusSql(),
-    "dedup_keep_best" -> Dedup.dedupKeepBestSql(),
-    "mix_temperature" -> graft.ops.Sampling.temperatureMixSql(),
+    "dedup_best" -> Dedup.dedupKeepBestSql(),
+    "mix_temp" -> graft.ops.Sampling.temperatureMixSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
     "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
+    "emb_knn_graph" -> EmbeddingOps.knnGraphSql(),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
     "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),
@@ -456,7 +461,7 @@ object SparkEntry {
     "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
     "pipeline_pretrain_seqs" -> graft.ops.CuratePipeline.pretrainSequencesSql(),
     "pipeline_decontam" -> graft.ops.CuratePipeline.decontaminateSql(),
-    "pipeline_quality_filter" -> graft.ops.CuratePipeline.qualityFilterSql(),
+    "pipe_quality" -> graft.ops.CuratePipeline.qualityFilterSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(
@@ -476,7 +481,7 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     "events_retention" -> EventOps.weeklyRetentionSql,
-    "events_latest_state" -> EventOps.latestStateSql,
+    "events_latest" -> EventOps.latestStateSql,
     "points_zorder" ->
       Tables.withPtsCents(graft.ops.Layout.pointsZOrderSql(), K),
     // events_sketches: the t-digest/HLL estimate columns are
@@ -485,7 +490,7 @@ object SparkEntry {
     // asserted in EventAndMultimodalSpec.
     "events_sketches_n" ->
       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
-    "events_quantile_bins" -> EventOps.binnedQuantilesSql(),
+    "events_qbins" -> EventOps.binnedQuantilesSql(),
     // ivf_topk: fixed-iteration (convergence=false) build → the full
     // quantize+probe+rescore pipeline unrolls into DuckDB CTEs.
     "ivf_topk" -> graft.ops.IvfIndex.ivfTopKSql(

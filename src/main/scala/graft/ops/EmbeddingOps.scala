@@ -250,6 +250,64 @@ object EmbeddingOps {
 
   /** DuckDB twin of `cosineNearDups` — same inlined-hyperplane buckets,
     * pair join within (table, bucket), exact-cosine verify. */
+  // -------------------------------------------------------------------
+  // k-NN graph: every vector's top-k neighbors among its LSH-bucket
+  // candidates — the structure semantic-dedup clustering, curriculum
+  // ordering, and graph-based corpus analysis consume. Same blocked
+  // candidate generation as cosineNearDups (never all-pairs: only
+  // co-bucketed vectors meet), then a per-source top-k window over each
+  // vector's OWN candidate list (group size = its candidate count, not
+  // the corpus). Directed output: (vec_id, neighbor, cosine, rank).
+  // -------------------------------------------------------------------
+  def knnGraph(
+      embs: DataFrame, k: Int = 3, dim: Int = 64,
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val buckets = lshBuckets(embs, dim, numBits, numTables, seed).cache()
+    val pairs = buckets.select(col("vec_id").as("ida"), col("table"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("idb"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select("ida", "idb").distinct()
+    val e = embs.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ida").orderBy(col("cosine").desc, col("idb").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("ida").as("vec_id"), col("idb").as("neighbor"),
+        col("cosine"), col("rank"))
+  }
+
+  def knnGraphSql(
+      k: Int = 3, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
+       |  SELECT p.ida, p.idb,
+       |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
+       |      ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
+       |               p.idb ASC) AS BIGINT) AS rank
+       |  FROM cpairs p
+       |  JOIN e ea ON p.ida = ea.vec_id
+       |  JOIN e eb ON p.idb = eb.vec_id) s
+       |WHERE rank <= $k""".stripMargin
+  }
+
   def cosineNearDupsSql(
       threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {
