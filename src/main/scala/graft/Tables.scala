@@ -130,7 +130,7 @@ object Tables {
     * (`Double.toString` → `Double.parseDouble` is value-exact by spec),
     * so the round trip preserves every numeric bit and the read-back
     * hashes identically to the original relation (csv_roundtrip /
-    * csv_roundtrip_centroids in CORRECTNESS). */
+    * csv_rt_cents in CORRECTNESS). */
   def csvRoundtrip(df: DataFrame, path: String): DataFrame = {
     writeCsvSingle(df, path)
     df.sparkSession.read.schema(df.schema).option("header", false).csv(path)
