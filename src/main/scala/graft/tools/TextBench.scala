@@ -8,7 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tokenizeIds is one count agg + TakeOrdered + broadcast (token stream
   * never shuffles), lmScore is two aggs + one token-key join — both
   * should grow ~linearly in corpus size with no skew sensitivity (the
-  * skewed corpus plants a 0.3n-hot boilerplate header).
+  * skewed corpus plants a 0.3n-hot boilerplate header). The retrieval
+  * ops ride the same corpora: tfidf is the (doc_id,term) agg + one term
+  * window, bm25TopK is claimed ONE corpus pass (pivoted per-term tf +
+  * 1-row broadcast stats + TakeOrderedAndProject) — its time should
+  * track the token-agg time, not the query, and the hot header (a
+  * planted df=0.3n query term) must not bend the curve.
   *
   *   runMain graft.tools.TextBench [n1 n2 ...]   (default 100000 400000)
   */
@@ -55,6 +60,15 @@ object TextBench {
       timed(s"n=$n tokenize_ids_hot ", graft.ops.TextOps.tokenizeIds(docsHot))
       timed(s"n=$n lm_score         ", graft.ops.TextOps.lmScore(docs))
       timed(s"n=$n lm_score_hot     ", graft.ops.TextOps.lmScore(docsHot))
+      // BM25 query terms must exist in the hash-word corpus: take 4 of
+      // doc 0's tokens (deterministic — the corpus is) plus the planted
+      // hot-header term, so the skewed run queries a df=0.3n term.
+      val terms = (docs.select("text").where(org.apache.spark.sql.functions.col("doc_id") === 0)
+        .collect()(0).getString(0).split(" ").distinct.take(4) :+ "terms").toSeq
+      timed(s"n=$n tfidf            ", graft.ops.RetrievalOps.tfidf(docs))
+      timed(s"n=$n tfidf_hot        ", graft.ops.RetrievalOps.tfidf(docsHot))
+      timed(s"n=$n bm25_topk        ", graft.ops.RetrievalOps.bm25TopK(docs, terms))
+      timed(s"n=$n bm25_topk_hot    ", graft.ops.RetrievalOps.bm25TopK(docsHot, terms))
     }
     spark.stop()
   }
