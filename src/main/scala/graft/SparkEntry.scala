@@ -137,6 +137,10 @@ object SparkEntry {
     // unigram-LM mean log-prob quality score (CCNet-style proxy)
     "text_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.table(s, dir, "documents"))),
+    // BPE tokenizer-training inner loop: top adjacent-pair merge
+    // candidates (scan-stage pair stream, one pair shuffle, TopK)
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairs(Tables.table(s, dir, "documents"))),
     // drift diagnostic: JS divergence between the train split's and the
     // holdout's token distributions (signed portable log, decimal sums)
     "corpus_jsd" -> ((s, dir) =>
@@ -249,6 +253,10 @@ object SparkEntry {
     // point-in-time enrichment: each purchase joined to the user's most
     // recent at-or-before view (union-window as-of join, 1 shuffle)
     "events_asof" -> ((s, dir) => EventOps.asofJoin(Tables.events(s, dir))),
+    // interval-containment join with NO equi key (every high-value error
+    // spawns a ±10 min incident window; count/sum events inside) — the
+    // binned equi-join plan, never a BroadcastNestedLoopJoin
+    "events_ivjoin" -> ((s, dir) => EventOps.incidentWindows(Tables.events(s, dir))),
     // typed JSON extraction from the semi-structured props column
     "events_json" -> ((s, dir) => EventOps.propsKStats(Tables.events(s, dir))),
     // star-schema join surface: fact x fact x dim x broadcast-dim
@@ -426,6 +434,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
+    "text_bpe_pairs" -> TextOps.bpePairsSql(),
     "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
@@ -473,6 +482,7 @@ object SparkEntry {
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_asof" -> EventOps.asofJoinSql(),
+    "events_ivjoin" -> EventOps.incidentWindowsSql(),
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -360,4 +360,82 @@ object EventOps {
        |  MIN(ts) AS session_start, MAX(ts) AS session_end
        |FROM sess GROUP BY user_id, session_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Binned interval-containment join. `e.ts BETWEEN i.t_start AND
+  // i.t_end` with no equi key is a BroadcastNestedLoopJoin in Spark —
+  // O(|events| x |intervals|) comparisons, the classic 100 TB
+  // scale-killer. Discretizing time into fixed bins turns it into an
+  // EQUI join: each event lands in exactly one bin (zero shuffle map),
+  // each interval explodes into the ceil(len/bin)+1 bins it overlaps,
+  // the join key is the bin id, and the exact BETWEEN survives as a
+  // cheap post-join row filter. One shuffle (or none — small interval
+  // sets broadcast), map-side partial agg on the count/sum, and the
+  // fan-out is bounded by interval_length/bin_width, which the caller
+  // controls by matching binMinutes to the typical interval length.
+  // Time-of-day hot spots only widen a bin's population linearly —
+  // there is no quadratic term unless intervals themselves pile onto
+  // one bin, the documented salting case.
+  // -------------------------------------------------------------------
+
+  /** Floor division robust to negative epochs (Spark's `/` on longs
+    * truncates toward zero; pre-1970 timestamps need true floor). */
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Join each event to every interval containing its timestamp
+    * (inclusive bounds), then aggregate per interval: count + exact
+    * sum(value). `intervals` must carry (interval_id, t_start, t_end);
+    * rows with t_start > t_end are dropped (empty intervals). Inner
+    * semantics: intervals containing no event produce no row. */
+  def intervalJoinBinned(
+      events: DataFrame, intervals: DataFrame,
+      binMinutes: Int = 10): DataFrame = {
+    val binUs = binMinutes.toLong * 60L * 1000000L
+    val e = events.withColumn("__bin", floorDiv(unix_micros(col("ts")), binUs))
+    val iv = intervals
+      .filter(col("t_start") <= col("t_end"))
+      .withColumn("__bin", explode(sequence(
+        floorDiv(unix_micros(col("t_start")), binUs),
+        floorDiv(unix_micros(col("t_end")), binUs))))
+    iv.join(e, Seq("__bin"))
+      .filter(col("ts") >= col("t_start") && col("ts") <= col("t_end"))
+      .groupBy("interval_id", "t_start", "t_end")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("string").cast("double")
+          .as("sum_value"))
+  }
+
+  /** The registered-query shape: every `anchorType` event with
+    * value > anchorMin spawns a ±`halfMinutes` window around its ts;
+    * count/sum all events inside each window (across all users — the
+    * no-equi-key case the binning exists for). */
+  def incidentWindows(
+      events: DataFrame, anchorType: String = "error",
+      anchorMin: Double = 200.0, halfMinutes: Int = 10): DataFrame = {
+    val iv = events
+      .filter(col("event_type") === anchorType && col("value") > anchorMin)
+      .select(col("event_id").as("interval_id"),
+        (col("ts") - expr(s"INTERVAL '$halfMinutes' MINUTE")).as("t_start"),
+        (col("ts") + expr(s"INTERVAL '$halfMinutes' MINUTE")).as("t_end"))
+    intervalJoinBinned(events, iv, binMinutes = halfMinutes)
+  }
+
+  def incidentWindowsSql(
+      anchorType: String = "error", anchorMin: Double = 200.0,
+      halfMinutes: Int = 10): String =
+    s"""WITH anchors AS (
+       |  SELECT event_id AS interval_id,
+       |    ts - INTERVAL $halfMinutes MINUTE AS t_start,
+       |    ts + INTERVAL $halfMinutes MINUTE AS t_end
+       |  FROM events
+       |  WHERE event_type = '$anchorType' AND value > $anchorMin)
+       |SELECT a.interval_id, a.t_start, a.t_end,
+       |  COUNT(*) AS n_events,
+       |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+       |    AS sum_value
+       |FROM anchors a JOIN events e
+       |  ON e.ts >= a.t_start AND e.ts <= a.t_end
+       |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -406,4 +406,44 @@ object TextOps {
        |    / COUNT(*) AS avg_logp
        |FROM flat f JOIN logp l USING (token)
        |GROUP BY f.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // BPE-style adjacent-pair counting — the inner loop of tokenizer
+  // training (Sennrich et al. 2016): count every adjacent token pair
+  // across the corpus and surface the top merge candidates. The pair
+  // stream is produced entirely inside the scan stage (slice + zip +
+  // explode, all codegen array ops — no join against a position table),
+  // then ONE token-pair shuffle with map-side partial agg (Zipf head
+  // collapses map-side exactly like tokenCounts), and the top-N is a
+  // TakeOrderedAndProject — no global sort. Iterating merges = re-run
+  // with a merged vocab, the same driver-loop shape as the Lloyd fit;
+  // at 100 TB you run this on a sampled sub-corpus, which is
+  // `Sampling.stratifiedSample` composed in front.
+  // -------------------------------------------------------------------
+
+  /** Top-N adjacent token pairs by corpus frequency. Deterministic
+    * total order (cnt desc, pair asc) makes the limit boundary exact. */
+  def bpePairs(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val tk = tokens(col("text"))
+    docs
+      .select(tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1).as("tok_l"),
+        slice(col("tk"), lit(2), size(col("tk")) - 1).as("tok_r"))).as("pr"))
+      .select(col("pr.tok_l").as("tok_l"), col("pr.tok_r").as("tok_r"))
+      .groupBy("tok_l", "tok_r").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok_l").asc, col("tok_r").asc)
+      .limit(topN)
+  }
+
+  def bpePairsSql(topN: Int = 50): String =
+    s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+       |pairs AS (
+       |  SELECT unnest(tk[1:len(tk)-1]) AS tok_l,
+       |         unnest(tk[2:len(tk)]) AS tok_r
+       |  FROM toks WHERE len(tk) >= 2)
+       |SELECT tok_l, tok_r, COUNT(*) AS cnt
+       |FROM pairs GROUP BY 1, 2
+       |ORDER BY cnt DESC, tok_l ASC, tok_r ASC LIMIT $topN""".stripMargin
 }

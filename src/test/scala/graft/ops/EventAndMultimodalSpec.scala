@@ -217,4 +217,41 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(r(0).getAs[java.sql.Timestamp]("prior_view_ts") == ts("2024-01-01 10:00:00"))
     assert(r(0).isNullAt(r(0).fieldIndex("prior_view_value")))
   }
+
+  test("binned interval join equals the naive range join, bounds inclusive") {
+    // events at bin edges and interiors (bin = 10 min)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:09:59"), 1L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "click", 4.0, "{}"),
+      (4L, ts("2024-01-01 10:25:00"), 1L, "click", 8.0, "{}"),
+      (5L, ts("2024-01-01 11:00:00"), 1L, "click", 16.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val iv = Seq(
+      // exactly [10:00, 10:10] — both bounds inclusive, spans 2 bins
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+      // [10:09:59, 10:25] — spans 3 bins, overlaps the first interval
+      (200L, ts("2024-01-01 10:09:59"), ts("2024-01-01 10:25:00")),
+      // empty interval (start > end) — dropped, not an error
+      (300L, ts("2024-01-01 12:00:00"), ts("2024-01-01 11:00:00")),
+      // contains no event — inner semantics, no output row
+      (400L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"))
+    ).toDF("interval_id", "t_start", "t_end")
+    val got = EventOps.intervalJoinBinned(ev, iv, binMinutes = 10)
+    val m = got.collect().map(r =>
+      r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(m == Map(100L -> ((3L, 7.0)), 200L -> ((3L, 14.0))))
+    // the naive quadratic twin agrees
+    val naive = iv.filter(col("t_start") <= col("t_end")).as("i")
+      .crossJoin(ev.as("e"))
+      .filter(col("e.ts") >= col("i.t_start") && col("e.ts") <= col("i.t_end"))
+      .groupBy("interval_id").agg(count(lit(1)), sum("value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m == naive)
+    // the scale contract: an EQUI join on the bin key — never a
+    // nested-loop or cartesian physical join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -116,4 +116,22 @@ class TextOpsSpec extends SparkSpec {
     val r1 = TextOps.corpusJsDivergence(disj).collect()(0)
     assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-9)
   }
+
+  test("bpe pairs: adjacency after empty-drop, count order, deterministic tiebreak") {
+    val docs = Seq(
+      (1L, "a b  c"),   // double space: (a,b) and (b,c) — empties never pair
+      (2L, "a b a b"),  // (a,b) x2, (b,a) x1
+      (3L, "solo"),     // single token: contributes no pair
+      (4L, "b c")
+    ).toDF("doc_id", "text")
+    val all = TextOps.bpePairs(docs, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(all.toSeq == Seq(
+      ("a", "b", 3L), ("b", "c", 2L), ("b", "a", 1L)))
+    // equal counts break ties by (tok_l, tok_r) asc, so the limit
+    // boundary is exact: topN=2 must keep (a,b) and (b,c)
+    val top2 = TextOps.bpePairs(docs, topN = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(top2.toSeq == Seq(("a", "b"), ("b", "c")))
+  }
 }
