@@ -155,8 +155,19 @@ object SparkEntry {
     "hybrid_rrf_topk" -> ((s, dir) =>
       graft.ops.RetrievalOps.hybridRrfTopK(
         Tables.table(s, dir, "documents"), Tables.table(s, dir, "embeddings"))),
+    // Gopher-style scan-stage quality gate (zero shuffle)
+    "text_gopher" -> ((s, dir) =>
+      TextOps.gopherFilter(Tables.table(s, dir, "documents"))),
     // Dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.table(s, dir, "documents"))),
+    // incremental dedup: the doc_id%5==0 "arriving batch" anti-joined
+    // by content digest against the rest of the corpus ("history")
+    "dedup_incr" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      import org.apache.spark.sql.functions.col
+      Dedup.dedupAgainstExact(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.exactByFingerprint(Tables.table(s, dir, "documents"))),
     // 128-bit digest key — the collision-safe exact-dedup key at corpus
@@ -267,6 +278,14 @@ object SparkEntry {
     // TPC-H Q1 shape: pushed scan filter + single-pass multi-agg
     "pricing_summary" -> ((s, dir) =>
       graft.ops.Relational.pricingSummary(Tables.table(s, dir, "lineitem"))),
+    // bloom-prefiltered exact semi join: big-side rows die at the scan
+    // stage before the join exchange; result exact regardless of fpp
+    "bloom_semi" -> ((s, dir) =>
+      graft.ops.BloomJoin.bloomSemiJoin(
+        Tables.table(s, dir, "lineitem"),
+        Tables.table(s, dir, "orders")
+          .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT"),
+        "l_orderkey", "o_orderkey", expectedItems = 20000L)),
     // salted two-stage aggregation — identical result to the plain
     // groupBy (decimal sums → order-independent), hot keys spread over
     // saltFactor reducers
@@ -439,7 +458,13 @@ object SparkEntry {
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
+    "text_gopher" -> TextOps.gopherFilterSql(),
     "dedup_exact" -> Dedup.exactSql,
+    "dedup_incr" ->
+      """SELECT d.doc_id, d.text FROM documents d
+        |WHERE d.doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 5 <> 0 AND h.text = d.text)""".stripMargin,
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,
     "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),
@@ -486,6 +511,10 @@ object SparkEntry {
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
+    "bloom_semi" ->
+      """SELECT * FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value

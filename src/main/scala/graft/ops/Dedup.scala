@@ -60,6 +60,28 @@ object Dedup {
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   // -------------------------------------------------------------------
+  // Incremental (batch-vs-corpus) dedup — the production shape: a new
+  // crawl/batch arrives and must be deduped AGAINST the accumulated
+  // corpus, not against itself. Anti join on the 128-bit content
+  // digest: the history side ships only 16-byte digests (never text) —
+  // at 100 TB the history digest relation is ~1% of the corpus bytes
+  // and can itself be a pre-materialized, bucketed table so arriving
+  // batches join with zero history re-scan. One shuffle on the digest
+  // (or none if history digests are bucket-pre-partitioned).
+  // -------------------------------------------------------------------
+
+  /** Batch docs whose exact text does not occur in `history` (the
+    * batch itself is NOT self-deduped — that's `exact`, composable
+    * in front). */
+  def dedupAgainstExact(history: DataFrame, batch: DataFrame): DataFrame = {
+    val dig = (d: DataFrame) => d.withColumn(
+      "__digest", md5(col("text").cast("binary")))
+    dig(batch)
+      .join(dig(history).select("__digest"), Seq("__digest"), "left_anti")
+      .select("doc_id", "text")
+  }
+
+  // -------------------------------------------------------------------
   // Word n-gram shingles (default n=3), distinct per doc.
   // -------------------------------------------------------------------
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =

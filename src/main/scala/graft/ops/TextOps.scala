@@ -89,6 +89,55 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Gopher-style quality gate (Rae et al. 2021 §A1.1, thresholds
+  // re-fit to this corpus's scale): docs survive only if token count,
+  // mean token length, stopword presence, and lexical diversity
+  // (type/token ratio — the repetition proxy) all land in their
+  // plausible-natural-text bands. Same single-pass TextStats kernel as
+  // qualityScore → a pure scan-stage filter, zero shuffle; at 100 TB
+  // this is the cheapest gate in the curation funnel and runs first.
+  // -------------------------------------------------------------------
+  def gopherFilter(
+      docs: DataFrame,
+      minTokens: Long = 20L, maxTokens: Long = 80L,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minStopRatio: Double = 0.02, minTtr: Double = 0.35): DataFrame = {
+    val st = graft.functions.VecFunctions.textStats(lower(col("text")), stopwords)
+    docs.select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st").getItem(0).as("n_tokens"),
+        (col("st").getItem(1).cast("double") / col("st").getItem(0)).as("avg_token_len"),
+        (col("st").getItem(2).cast("double") / col("st").getItem(0)).as("stopword_ratio"),
+        (col("st").getItem(3).cast("double") / col("st").getItem(0)).as("type_token_ratio"))
+      .filter(
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("avg_token_len").between(minAvgLen, maxAvgLen) &&
+        col("stopword_ratio") >= minStopRatio &&
+        col("type_token_ratio") >= minTtr)
+  }
+
+  def gopherFilterSql(
+      minTokens: Long = 20L, maxTokens: Long = 80L,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minStopRatio: Double = 0.02, minTtr: Double = 0.35): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(list_reduce(list_prepend(0, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+       |    / len(toks) AS avg_token_len,
+       |  CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE)
+       |    / len(toks) AS stopword_ratio,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+       |FROM (SELECT doc_id, $tokensSql AS toks FROM documents) d)
+       |SELECT * FROM m
+       |WHERE n_tokens BETWEEN $minTokens AND $maxTokens
+       |  AND avg_token_len BETWEEN $minAvgLen AND $maxAvgLen
+       |  AND stopword_ratio >= $minStopRatio
+       |  AND type_token_ratio >= $minTtr""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Language ID (n-gram/marker heuristic): score each doc against a
   // fixed per-language marker lexicon, pick the argmax with a
   // deterministic (score DESC, lang ASC) tie-break. The lexicon is an

@@ -246,4 +246,20 @@ class DedupSpec extends SparkSpec {
     // 60-bit signatures: top 4 bits clear
     hs.values.foreach(h => assert(h >= 0L && h < (1L << 60)))
   }
+
+  test("incremental dedup drops batch docs whose text exists in history") {
+    val history = Seq(
+      (1L, "seen before"), (2L, "also seen"), (3L, "history only")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // exact dup of history → dropped
+      (11L, "brand new"),     // survives
+      (12L, "also seen"),     // dropped
+      (13L, "brand new")      // batch-internal dup of 11 — KEPT (the op
+                              // dedups against history, not within batch)
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstExact(history, batch).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((11L, "brand new"), (13L, "brand new")))
+  }
 }

@@ -117,6 +117,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-9)
   }
 
+  test("gopher filter drops docs outside each quality band") {
+    val docs = Seq(
+      // passes all gates: 25 distinct-ish words incl. stopwords
+      (1L, ("the quick brown fox jumps over a lazy dog and then runs " +
+        "far away to find some food in the deep dark forest tonight ok")),
+      // too short (5 tokens)
+      (2L, "the tiny a of doc"),
+      // no stopwords at all → stopword_ratio 0
+      (3L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),
+      // one word repeated 30x → type_token_ratio 1/30 < 0.35
+      (4L, ("the " * 15 + "spam " * 15).trim)
+    ).toDF("doc_id", "text")
+    val kept = TextOps.gopherFilter(docs).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L))
+  }
+
   test("bpe pairs: adjacency after empty-drop, count order, deterministic tiebreak") {
     val docs = Seq(
       (1L, "a b  c"),   // double space: (a,b) and (b,c) — empties never pair
