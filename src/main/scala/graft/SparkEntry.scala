@@ -122,6 +122,13 @@ object SparkEntry {
         KMeansOps.recompute(assigned(s, dir)),
         "target/csv_cents_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
 
+    // JSONL sink ∘ scan — the LLM corpus interchange format: write the
+    // documents relation as newline-delimited JSON shards, read back
+    // with the explicit schema, hash against the parquet original
+    "jsonl_roundtrip" -> ((s, dir) =>
+      Tables.jsonlRoundtrip(Tables.table(s, dir, "documents"),
+        "target/jsonl_docs_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
+
     // ----- LLM-data-pipeline surface (SURVEY.md §2.2) -----
     // Text analysis over `documents`
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.table(s, dir, "documents"))),
@@ -458,6 +465,8 @@ object SparkEntry {
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
+    "jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "text_gopher" -> TextOps.gopherFilterSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_incr" ->

@@ -136,6 +136,19 @@ object Tables {
     df.sparkSession.read.schema(df.schema).option("header", false).csv(path)
   }
 
+  /** JSONL (newline-delimited JSON) sink ∘ scan — the de-facto LLM
+    * corpus interchange format. Shards write in parallel (one .json
+    * part per partition); the read-back uses an explicit schema —
+    * schema INFERENCE is a full extra pass over the data and is never
+    * acceptable at 100 TB. Spark's JSON writer escapes control chars,
+    * quotes, and newlines per RFC 8259 and emits shortest-roundtrip
+    * numerics, so arbitrary document text round-trips value-exact and
+    * the read-back hashes identically to the source relation. */
+  def jsonlRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
   /** O16 — collect-print sink (KMeans.java:143,243-245: `.print()` when
     * no output paths are given). */
   def printSink(df: DataFrame, numRows: Int = 100): Unit =
