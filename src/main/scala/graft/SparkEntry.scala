@@ -26,6 +26,10 @@ object SparkEntry {
   private val stratRates: Seq[(String, Int)] = Seq(
     "en" -> 10000, "de" -> 5000, "es" -> 2500, "fr" -> 1000)
 
+  /** Probe tokens for `text_cms` (shared by query + twin): three
+    * corpus-frequent words + one absent (estimate 0 unless collision). */
+  private val CmsProbes: Seq[String] = Seq("data", "table", "the", "zzz_absent")
+
   /** assigned = nearest-centroid assignment of the shared points relation
     * to the deterministic k lowest-pid initial centroids. */
   private def assigned(s: SparkSession, dir: String): DataFrame =
@@ -162,6 +166,11 @@ object SparkEntry {
     "hybrid_rrf_topk" -> ((s, dir) =>
       graft.ops.RetrievalOps.hybridRrfTopK(
         Tables.table(s, dir, "documents"), Tables.table(s, dir, "embeddings"))),
+    // count-min sketch frequency estimates: the deterministic mergeable
+    // frequency sketch (md5-60 bucket hashes → oracle-EXACT, like
+    // events_qbins for the histogram family)
+    "text_cms" -> ((s, dir) =>
+      TextOps.cmsEstimates(Tables.table(s, dir, "documents"), CmsProbes)),
     // Gopher-style scan-stage quality gate (zero shuffle)
     "text_gopher" -> ((s, dir) =>
       TextOps.gopherFilter(Tables.table(s, dir, "documents"))),
@@ -467,6 +476,7 @@ object SparkEntry {
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
     "jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "text_cms" -> TextOps.cmsEstimatesSql(CmsProbes),
     "text_gopher" -> TextOps.gopherFilterSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_incr" ->

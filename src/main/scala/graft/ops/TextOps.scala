@@ -457,6 +457,63 @@ object TextOps {
        |GROUP BY f.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+  // stream — the mergeable frequency sketch: d seeded hash rows × w
+  // buckets, estimate = min over rows of the bucket count, one-sided
+  // error (never under-counts, over-counts by collisions ≤ 2N/w with
+  // prob 1-2^-d). The sketch build is ONE shuffle whose payload is at
+  // most d·w rows per map partition (map-side combine collapses the
+  // token stream into cells), so at 100 TB the wire cost is the tiny
+  // FIXED sketch size, not the corpus — and sketches from disjoint
+  // shards merge by cell-wise addition. Unlike t-digest/HLL this
+  // sketch is a pure deterministic function of the data (md5-60
+  // bucket hashes, integer counts), so it stays fully oracle-exact.
+  // -------------------------------------------------------------------
+
+  /** CMS frequency estimates for `probes` (estimate ≥ true count,
+    * deterministic). Absent tokens estimate 0 unless a bucket
+    * collides. */
+  def cmsEstimates(
+      docs: DataFrame, probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bucket(r: Int, c: Column) =
+      pmod(Dedup.md5Hash60(r, c), lit(width.toLong))
+    val cells = explodedTokens(docs, "token")
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("token")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val pb = probes.toDF("token")
+      .select(col("token"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("token")).as("b"))): _*)).as("rb"))
+      .select(col("token"), col("rb.r").as("r"), col("rb.b").as("b"))
+    pb.join(cells, Seq("r", "b"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  def cmsEstimatesSql(
+      probes: Seq[String], depth: Int = 4, width: Int = 1024): String = {
+    val vals = probes.map(p => s"('$p')").mkString(", ")
+    def bucketSql(expr: String) =
+      s"(CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || $expr), 1, 15)) AS BIGINT)) % $width"
+    s"""WITH tok AS (SELECT t AS token FROM (
+       |    SELECT unnest($tokensSql) AS t FROM documents) u),
+       |seeds AS (SELECT unnest(generate_series(0, ${depth - 1})) AS r),
+       |cells AS (
+       |  SELECT r, ${bucketSql("token")} AS b, COUNT(*) AS cnt
+       |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+       |probes(token) AS (VALUES $vals),
+       |pb AS (SELECT token, r, ${bucketSql("token")} AS b
+       |       FROM probes CROSS JOIN seeds)
+       |SELECT token, MIN(COALESCE(cnt, 0)) AS est
+       |FROM pb LEFT JOIN cells USING (r, b)
+       |GROUP BY token""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // BPE-style adjacent-pair counting — the inner loop of tokenizer
   // training (Sennrich et al. 2016): count every adjacent token pair
   // across the corpus and surface the top merge candidates. The pair

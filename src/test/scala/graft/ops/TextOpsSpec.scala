@@ -117,6 +117,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-9)
   }
 
+  test("cms estimates never under-count; tiny width forces over-count") {
+    val docs = Seq(
+      (1L, "aa aa aa bb"), (2L, "aa bb cc"), (3L, "dd")
+    ).toDF("doc_id", "text")
+    val truth = Map("aa" -> 4L, "bb" -> 2L, "cc" -> 1L, "dd" -> 1L, "absent" -> 0L)
+    val wide = TextOps.cmsEstimates(docs, truth.keys.toSeq, depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // wide sketch: no collisions at 5 tokens / 1024 buckets -> exact
+    assert(wide == truth)
+    // width 1: every token shares one bucket -> every estimate is the
+    // total stream length (8) — the one-sided error bound's worst case
+    val tiny = TextOps.cmsEstimates(docs, truth.keys.toSeq, depth = 2, width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, n) => assert(tiny(t) == 8L && tiny(t) >= n) }
+  }
+
   test("gopher filter drops docs outside each quality band") {
     val docs = Seq(
       // passes all gates: 25 distinct-ish words incl. stopwords
