@@ -294,6 +294,12 @@ object SparkEntry {
     // TPC-H Q1 shape: pushed scan filter + single-pass multi-agg
     "pricing_summary" -> ((s, dir) =>
       graft.ops.Relational.pricingSummary(Tables.table(s, dir, "lineitem"))),
+    // fixed-superstep PageRank over the symmetrized supplier↔part
+    // bipartite graph — the iterative-graph-analytics family (CC's
+    // scoring sibling), integer-grid sums keep every superstep
+    // hash-exact against 3 unrolled oracle CTEs
+    "graph_pagerank" -> ((s, dir) =>
+      graft.ops.GraphOps.supplierPartRank(Tables.table(s, dir, "lineitem"))),
     // bloom-prefiltered exact semi join: big-side rows die at the scan
     // stage before the join exchange; result exact regardless of fpp
     "bloom_semi" -> ((s, dir) =>
@@ -530,6 +536,7 @@ object SparkEntry {
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
+    "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over edge relations (PageRank — Brin &
+  * Page 1998). Complements the label-propagation connected components
+  * in [[Dedup.connectedComponents]]: that one converges a partition,
+  * this one converges a per-node score.
+  *
+  * 100 TB posture: each PageRank superstep is the canonical
+  * shuffle-pair — join ranks (keyed by node) to edges (keyed by src),
+  * then re-key the contributions by dst with a map-side-combined sum.
+  * Ranks are |V|-sized, edges |E|-sized; nothing driver-side grows
+  * with the graph (the only collect-like op is the 1-row node count,
+  * broadcast). Fixed iteration counts compose the whole run into ONE
+  * lazy plan (like the unrolled Lloyd fit); for long runs, checkpoint
+  * every few supersteps to truncate lineage, exactly as
+  * connectedComponents does.
+  *
+  * Determinism: contributions are IEEE divisions snapped to a 1e-12
+  * integer grid before the per-dst sum (the corpusJsDivergence
+  * recipe), so accumulation order can't shift a bit and every
+  * iteration stays hash-exact against the oracle's unrolled CTEs.
+  */
+object GraphOps {
+
+  private val Grid = 1.0e12
+  private val DecInt = DecimalType(38, 0)
+
+  /** PageRank with `iters` fixed supersteps at the given damping.
+    * `edges0` carries (src, dst) long node ids; duplicate edges are
+    * collapsed. Nodes without out-edges (dangling) contribute nothing
+    * — feed a symmetrized edge set if the graph has sinks. */
+  def pageRank(
+      edges0: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val base = 1.0 - damping
+    val edges = edges0.select("src", "dst").distinct()
+    val deg = edges.groupBy(col("src").as("dnode"))
+      .agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    def freshRank(sums: Option[DataFrame]): DataFrame = sums match {
+      case None =>
+        nodes.crossJoin(broadcast(nRow))
+          .select(col("node"), (lit(1.0) / col("n").cast("double")).as("rank"))
+      case Some(sg) =>
+        nodes.crossJoin(broadcast(nRow))
+          .join(sg, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) * (lit(1.0) / col("n").cast("double")) +
+              lit(damping) *
+                (coalesce(col("sg").cast("string").cast("double"), lit(0.0))
+                  / lit(Grid))).as("rank"))
+    }
+    var rank = freshRank(None)
+    for (_ <- 1 to iters) {
+      val perSrc = rank.join(deg, col("node") === col("dnode"))
+        .select(col("node").as("cnode"),
+          (col("rank") / col("deg").cast("double")).as("c"))
+      val sums = edges.join(perSrc, col("src") === col("cnode"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("c") * Grid).cast(DecInt)).as("sg"))
+      rank = freshRank(Some(sums))
+    }
+    rank
+  }
+
+  /** The registered-query graph: the bipartite supplier↔part relation
+    * from lineitem (suppliers at 2k, parts at 2k+1), symmetrized so no
+    * node dangles. Rank concentrates on parts stocked by many
+    * suppliers and suppliers stocking popular parts. */
+  def supplierPartRank(lineitem: DataFrame, iters: Int = 3): DataFrame = {
+    val e = lineitem.select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    pageRank(e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+      iters)
+  }
+
+  def supplierPartRankSql(iters: Int = 3, damping: Double = 0.85): String = {
+    val base = 1.0 - damping
+    def stepSql(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(ROUND(r.rank / CAST(d.deg AS DOUBLE)
+         |        * 1000000000000.0) AS DECIMAL(38,0))) AS sg
+         |  FROM edges e
+         |  JOIN $prev r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.dnode
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT nd.node,
+         |    $base * (CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE))
+         |    + $damping * (COALESCE(CAST(CAST(c$i.sg AS VARCHAR) AS DOUBLE), 0.0)
+         |                  / 1000000000000.0) AS rank
+         |  FROM nodes nd LEFT JOIN c$i USING (node), nn)""".stripMargin
+    }
+    s"""WITH base_e AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM base_e
+       |          UNION SELECT dst, src FROM base_e),
+       |deg AS (SELECT src AS dnode, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+       |       FROM nodes, nn),
+       |${(1 to iters).map(stepSql).mkString(",\n")}
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+}
