@@ -381,15 +381,32 @@ object Bench {
     // fitMode: 0 = sec + run spread + baseline, 1 = sec + baseline,
     // 2 = sec only (baseline_sec is the 90.8 constant in BASELINE.md),
     // 3 = omitted (safety valve only — the ladder never chooses it
-    // while a tier with fit10m fits, remeasure trimmed to zero or not)
+    // while a tier with fit10m fits, remeasure trimmed to zero or not).
+    // fold: when > 0, the `fold` FASTEST error-free queries collapse
+    // into one "q_other" aggregate inside the queries map (+ a
+    // top-level "folded" count) — the r9 lesson's endgame: past ~90
+    // registered queries even 1-decimal full-name rendering outgrows
+    // the window, and the informative entries are the SLOW ones; the
+    // full per-query map always lives in BENCH_DETAIL.json.
     def render(prec: Int, fitMode: Int, fullSf: Boolean = true,
-        withLoad: Boolean = true): (String, Int) = {
+        withLoad: Boolean = true, fold: Int = 0): (String, Int) = {
       def fmt(v: Double): String =
         if (v >= 100) f"$v%.0f"
         else if (v >= 10 || prec == 1) f"$v%.1f"
         else f"$v%.2f"
-      val qs = all.map { case (k, _, v, _) => s""""$k":${fmt(v)}""" }
+      val (folded, named) =
+        if (fold <= 0) (Seq.empty[QueryResult], all)
+        else {
+          val f = all.filter(q => q._4.isEmpty && q._3 >= 0)
+            .sortBy(_._3).take(fold).map(_._1).toSet
+          (all.filter(q => f(q._1)), all.filterNot(q => f(q._1)))
+        }
+      val qs = (named.map { case (k, _, v, _) => s""""$k":${fmt(v)}""" } ++
+        (if (folded.nonEmpty)
+          Seq(s""""q_other":${fmt(folded.map(_._3).sum)}""") else Nil))
         .mkString("{", ",", "}")
+      val foldJson =
+        if (folded.nonEmpty) s""","folded":${folded.size}""" else ""
       val total = all.map(_._3).filter(_ >= 0).sum
       // errors only when present — the empty object is pure budget spend
       val errs =
@@ -406,7 +423,7 @@ object Bench {
       }.getOrElse("")
       val loadJson = if (withLoad) s""","loadavg":$load""" else ""
       val base = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs""" +
-        s"""$errs$loadJson$fit10mJson"""
+        s"""$foldJson$errs$loadJson$fit10mJson"""
       val sf = if (fullSf) sfDir else new java.io.File(sfDir).getName
       val tail = s""","sf":"$sf"}"""
       val rmErr = remeasureError.map(e =>
@@ -428,8 +445,10 @@ object Bench {
     // the chooser prefers the first tier that fits with the FULL
     // remeasure map, else the fitting tier keeping the most remeasure
     // entries — so remeasure gives way to fit10m, never the reverse.
-    // T5 (no fit10m) exists only for a far-future query count where
-    // T4's base alone overflows.
+    // When every full-name tier overflows (past ~90 queries), the fold
+    // ladder collapses the fastest error-free queries into "q_other"
+    // in steps of 8, keeping fit10m and the slow queries named; T-last
+    // (no fit10m) stays as the safety valve it always was.
     val tiers = Seq(
       render(2, 0), render(1, 0), render(1, 1),
       render(1, 2, fullSf = false, withLoad = false))
@@ -437,8 +456,15 @@ object Bench {
     fits.find(_._2 == remeasure.size).map(_._1)
       .orElse(fits.maxByOption(_._2).map(_._1))
       .getOrElse {
-        val t5 = render(1, 3, fullSf = false, withLoad = false)._1
-        if (t5.length <= LineBudget) t5 else tiers.last._1
+        (8 to all.size by 8).iterator
+          .map(n => render(1, 2, fullSf = false, withLoad = false, fold = n)._1)
+          .find(_.length <= LineBudget)
+          .getOrElse {
+            val t = render(1, 3, fullSf = false, withLoad = false,
+              fold = all.size)._1
+            if (t.length <= LineBudget) t
+            else render(1, 3, fullSf = false, withLoad = false)._1
+          }
       }
   }
 

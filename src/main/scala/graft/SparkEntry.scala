@@ -184,6 +184,14 @@ object SparkEntry {
       Dedup.dedupAgainstExact(
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
     }),
+    // the near-dup sibling: batch docs with no verified minhash
+    // near-dup in history (cross-side LSH candidates only)
+    "dedup_incr_near" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      import org.apache.spark.sql.functions.col
+      Dedup.dedupAgainstNearMd5(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.exactByFingerprint(Tables.table(s, dir, "documents"))),
     // 128-bit digest key — the collision-safe exact-dedup key at corpus
@@ -490,6 +498,8 @@ object SparkEntry {
         |WHERE d.doc_id % 5 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents h
         |  WHERE h.doc_id % 5 <> 0 AND h.text = d.text)""".stripMargin,
+    "dedup_incr_near" -> Dedup.dedupAgainstNearMd5Sql(
+      id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,
     "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),

@@ -81,6 +81,104 @@ object Dedup {
       .select("doc_id", "text")
   }
 
+  /** Incremental NEAR-dup dedup: batch docs with no verified minhash
+    * near-dup in `history` (md5-affine oracle family; the xxhash64
+    * production family composes identically). Candidates are
+    * CROSS-SIDE only — history×history and batch×batch bucket
+    * collisions never join, so the pair work is |batch|-proportional,
+    * not |corpus|². Shingle DF capping spans history ∪ batch (the
+    * corpus the batch will join). In production the history
+    * signatures/bucket relation is write-once per ingest and persisted
+    * partitioned by (band, bucket) — the IvfIndex pattern — so each
+    * arriving batch probes it without re-hashing the corpus. */
+  def dedupAgainstNearMd5(
+      history: DataFrame, batch: DataFrame,
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val all = history.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
+    val numBands = numPerm / rowsPerBand
+    val buckets = minhashSignaturesMd5(all, n, numPerm).select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b => Md5BandHash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "bucket").cache()
+    val h = buckets.join(history.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("da"), col("band"), col("bucket"))
+    val bb = buckets.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("db"), col("band"), col("bucket"))
+    val cands = h.join(bb, Seq("band", "bucket"))
+      .select("da", "db").distinct().cache()
+    val candIds = cands.select(col("da").as("doc_id"))
+      .unionAll(cands.select(col("db").as("doc_id"))).distinct()
+    val sh = cappedShingles(shingles(all, n), maxDf)
+      .join(candIds, Seq("doc_id"), "left_semi").cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("shingle"))
+    val b = sh.select(col("doc_id").as("db"), col("shingle"))
+    val verified = a.join(b, Seq("shingle"))
+      .join(cands, Seq("da", "db"), "left_semi")
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
+      .filter(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")) >= threshold)
+    batch
+      .join(verified.select(col("db").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+  }
+
+  /** DuckDB twin of [[dedupAgainstNearMd5]] for a documents-table
+    * split: `histCond`/`batchCond` render the side predicates for a
+    * given doc_id expression. */
+  def dedupAgainstNearMd5Sql(
+      histCond: String => String, batchCond: String => String,
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String = {
+    val numBands = numPerm / rowsPerBand
+    val mins = affineConsts(numPerm).zipWithIndex
+      .map { case ((a, b), p) => s"MIN(($a * h + $b) % $MinhashPrime) AS m$p" }
+      .mkString(",\n    ")
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(p => s"CAST(m$p AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh0 AS (${shinglesSql(n)}),
+       |hs AS (SELECT doc_id, ${md5Base30Sql("shingle")} AS h FROM sh0),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM hs GROUP BY doc_id),
+       |buckets AS (
+       |  $bands),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE ${histCond("a.doc_id")} AND ${batchCond("b.doc_id")}),
+       |cids AS (SELECT da AS doc_id FROM cands UNION SELECT db FROM cands),
+       |sh AS (SELECT doc_id, shingle FROM sh0
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxDf)
+       |  AND doc_id IN (SELECT doc_id FROM cids)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |verified AS (
+       |  SELECT i.da, i.db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |    FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |    WHERE EXISTS (SELECT 1 FROM cands c
+       |                  WHERE c.da = a.doc_id AND c.db = b.doc_id)
+       |    GROUP BY 1, 2) i
+       |  JOIN sizes sa ON i.da = sa.doc_id
+       |  JOIN sizes sb ON i.db = sb.doc_id
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
+       |        >= $threshold)
+       |SELECT d.doc_id, d.text FROM documents d
+       |WHERE ${batchCond("d.doc_id")}
+       |  AND NOT EXISTS (SELECT 1 FROM verified v WHERE v.db = d.doc_id)""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Word n-gram shingles (default n=3), distinct per doc.
   // -------------------------------------------------------------------

@@ -23,6 +23,12 @@ class BenchFormatSpec extends AnyFunSuite {
   private val allNames: Seq[String] =
     (SparkEntry.queries.keys.toSeq :+ "kmeans_fit10").sorted
 
+  /** Registered-query count net of the "q_other" fold, if any. */
+  private def coveredQueries(root: com.fasterxml.jackson.databind.JsonNode): Int = {
+    val folded = Option(root.get("folded")).map(_.asInt).getOrElse(0)
+    root.get("queries").size + folded - (if (folded > 0) 1 else 0)
+  }
+
   test("summary line fits the harness tail window with headroom") {
     val line = Bench.summaryLine(fakeResults(allNames), "12.34",
       Some((Seq(123.456, 98.765), None)), "/root/testdata/sf0.1")
@@ -30,14 +36,43 @@ class BenchFormatSpec extends AnyFunSuite {
     // Bench prints the line AFTER spark.stop() as the process's last
     // stdout write, so the only thing between it and the end of the
     // 2000-char tail window is sbt's ~75-char "[success] Total time"
-    // line. The renderer degrades field-by-field down to its floor; at
-    // the current query count the floor is what must fit — when this
-    // assert fires, SHORTEN NEW QUERY NAMES (the r9 lesson: 88 queries
-    // left no optional fields to shed; names are the only lever).
+    // line. The renderer degrades field-by-field down to its floor and
+    // past ~90 queries folds the fastest into "q_other" (full map in
+    // BENCH_DETAIL.json) — so growth in the registry can no longer
+    // overflow the window.
     assert(line.length <= Bench.LineBudget,
       s"summary line is ${line.length} chars — over the ${Bench.LineBudget} " +
-        "budget; shorten newly added query names or move fields to " +
-        "BENCH_DETAIL.json:\n" + line)
+        "budget:\n" + line)
+    // the fold must account for every registered query exactly once
+    val root = mapper.readTree(line)
+    assert(coveredQueries(root) == allNames.size)
+    if (root.get("folded") != null)
+      assert(root.get("queries").get("q_other") != null)
+  }
+
+  test("fold keeps the slow queries named and sums the fast ones") {
+    // 20 slow queries at 45.6 s, the rest sub-second: the line must
+    // keep every slow one individually and fold only fast ones
+    val slowNames = allNames.take(20)
+    val mixed: Seq[Bench.QueryResult] = allNames.map(n =>
+      if (slowNames.contains(n)) (n, Seq(45.6), 45.6, None)
+      else (n, Seq(0.25), 0.25, None))
+    val line = Bench.summaryLine(mixed, "7.80",
+      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget)
+    val root = mapper.readTree(line)
+    assert(coveredQueries(root) == allNames.size)
+    if (root.get("folded") != null) {
+      slowNames.foreach(n => assert(root.get("queries").get(n) != null,
+        s"slow query $n must stay named"))
+      // q_other = sum of folded fast queries at 0.25 each
+      val folded = root.get("folded").asInt
+      val other = root.get("queries").get("q_other").asDouble
+      assert(math.abs(other - 0.25 * folded) < 0.1 + 0.005 * folded)
+      // the total still covers every query
+      assert(math.abs(root.get("value").asDouble -
+        (20 * 45.6 + (allNames.size - 20) * 0.25)) < 0.5)
+    }
   }
 
   test("summary line is valid JSON with the driver-contract fields") {
@@ -47,9 +82,18 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("metric").asText == "total")
     assert(root.get("unit").asText == "sec")
     assert(root.get("value").asDouble > 0)
-    assert(root.get("queries").size == allNames.size)
+    assert(coveredQueries(root) == allNames.size)
     // adaptive precision: >=100 s renders as an integer second count
-    assert(root.get("queries").get("kmeans_fit10").asDouble == 999.0)
+    // (any named non-fold entry — under fold, membership is by speed)
+    val it = root.get("queries").fields()
+    var checked = false
+    while (it.hasNext && !checked) {
+      val e = it.next()
+      if (e.getKey != "q_other") {
+        assert(e.getValue.asDouble == 999.0); checked = true
+      }
+    }
+    assert(checked)
     // fit10m is never sacrificed: at minimum its "sec" survives every tier
     assert(root.get("fit10m").get("sec").asDouble > 0)
     // no failures in the fake results → the empty errors object is

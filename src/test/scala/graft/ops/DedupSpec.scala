@@ -262,4 +262,21 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(got.toSeq == Seq((11L, "brand new"), (13L, "brand new")))
   }
+
+  test("incremental near-dup drops batch docs near history, keeps batch-internal near-dups") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearA = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val otherNear = (100 to 140).map(i => if (i == 140) "x" else s"w$i").mkString(" ")
+    val history = Seq((1L, base), (2L, "unrelated " + (200 to 230).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, nearA),     // near-dup of history doc 1 → dropped
+      (11L, other),     // fresh → kept
+      (12L, otherNear)  // near-dup of BATCH doc 11 only → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstNearMd5(history, batch)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(11L, 12L))
+  }
 }
