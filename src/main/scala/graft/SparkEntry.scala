@@ -280,6 +280,11 @@ object SparkEntry {
     // test-carried (EventAndMultimodalSpec accuracy bounds)
     "events_sketches_n" -> ((s, dir) =>
       EventOps.typeSketches(Tables.events(s, dir)).select("event_type", "n")),
+    // deterministic HLL distinct-users (md5-60 registers, libm-free
+    // rho via bin()) with the exact count alongside — the cardinality
+    // member of the oracle-exact sketch family (qbins, cms)
+    "events_hll_users" -> ((s, dir) =>
+      EventOps.hllUsers(Tables.events(s, dir))),
     // 24h window: the synthetic events are sparse per user, so the
     // default 60 min yields too few conversions to be a meaningful check
     "events_funnel" -> ((s, dir) =>
@@ -543,6 +548,7 @@ object SparkEntry {
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_asof" -> EventOps.asofJoinSql(),
     "events_ivjoin" -> EventOps.incidentWindowsSql(),
+    "events_hll_users" -> EventOps.hllUsersSql,
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),

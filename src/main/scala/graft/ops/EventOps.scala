@@ -72,6 +72,103 @@ object EventOps {
         col("pcts").getItem(1).as("p95_approx"),
         col("approx_users"), col("n"))
 
+  // -------------------------------------------------------------------
+  // Deterministic HyperLogLog (Flajolet et al. 2007) — the cardinality
+  // member of the deterministic-sketch family (events_qbins: quantiles,
+  // text_cms: frequencies). Same register semantics as the engine HLL
+  // behind approx_count_distinct, but built from the md5-60 hash so the
+  // whole sketch is a pure function of the data: registers merge by max
+  // in any order at any scale (one groupBy), and the estimate — alpha
+  // bias correction plus the small-range linear-counting branch — is
+  // replayable in DuckDB bit-for-bit. The libm-free trick for the
+  // leading-zero rank: rho = 53 - length(bin(w)) (both engines render
+  // minimal binary strings), avoiding log2 entirely; ln in the
+  // linear-counting branch goes through PortableMath.plog.
+  // -------------------------------------------------------------------
+
+  private val HllBits = 8            // m = 256 registers
+  private val HllM = 1 << HllBits
+  /** alpha_256 · m² — computed once, interpolated verbatim into the
+    * twin so both engines multiply the identical double constant. */
+  private val HllAlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble
+
+  /** Distinct `user_id` per event_type via deterministic HLL, with the
+    * exact count alongside (same shuffle key, so the comparison is
+    * free). */
+  def hllUsers(events: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val h = Dedup.md5Hash60(0, col("user_id").cast("string"))
+    val w = shiftright(h, HllBits)      // 52-bit suffix
+    val rho = when(w === 0L, lit(53L))
+      .otherwise(lit(53L) - length(bin(w)))
+    val regs = events
+      .select(col("event_type"),
+        h.bitwiseAND(lit((HllM - 1).toLong)).as("bucket"), rho.as("rho"))
+      .groupBy("event_type", "bucket").agg(max("rho").as("reg"))
+    // Σ 2^-reg on the exact 2^53 integer grid: reg ≤ 53 so each term
+    // 2^(53-reg) is an exact long; EMPTY registers have M_j = 0 and
+    // contribute 2^0 = 1 each (zeros·2^53 on the grid). The total fits
+    // in 2^62 and int64→double is correctly rounded in both engines.
+    val perType = regs.groupBy("event_type").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
+        .as("s_int"),
+      count(lit(1)).as("nonzero"))
+    val m = lit(HllM.toDouble)
+    val zeros = (m - col("nonzero").cast("double"))
+    val raw = lit(HllAlphaM2) * lit(9007199254740992.0) /
+      ((lit(HllM.toLong) - col("nonzero")) * lit(9007199254740992L) +
+        col("s_int")).cast("double")
+    // small-range correction: E ≤ 2.5m with empty registers →
+    // linear counting m·ln(m/V); plog needs x ≥ 1 (V ≤ m always)
+    val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
+      m * plog(m / zeros)).otherwise(raw)
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    perType
+      .select(col("event_type"), est.as("est_users"))
+      .join(exact, Seq("event_type"))
+  }
+
+  def hllUsersSql: String = {
+    val plogSql = graft.functions.PortableMath.plogSql(
+      s"CAST($HllM AS DOUBLE) / zeros")
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    CAST(('0x' || substr(md5('0|' || CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |rr AS (
+       |  SELECT event_type, h & ${HllM - 1} AS bucket,
+       |    CASE WHEN (h >> $HllBits) = 0 THEN 53
+       |         ELSE 53 - length(bin(h >> $HllBits)) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT event_type, bucket, MAX(rho) AS reg
+       |  FROM rr GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT event_type,
+       |    SUM(CAST(1 AS BIGINT) << CAST(53 - reg AS INT)) AS s_int,
+       |    COUNT(*) AS nonzero
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |    CAST($HllM AS DOUBLE) - CAST(nonzero AS DOUBLE) AS zeros,
+       |    CAST($HllAlphaM2 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+       |      / CAST((CAST($HllM AS BIGINT) - nonzero)
+       |             * CAST(9007199254740992 AS BIGINT) + s_int AS DOUBLE)
+       |      AS raw
+       |  FROM pt)
+       |SELECT e.event_type,
+       |  CASE WHEN raw <= CAST(${2.5 * HllM} AS DOUBLE) AND zeros > 0
+       |       THEN CAST($HllM AS DOUBLE) * ($plogSql)
+       |       ELSE raw END AS est_users,
+       |  x.exact_users
+       |FROM est e JOIN (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin
+  }
+
   /** Latest-state snapshot (the CDC/upsert compaction shape): each
     * user's most recent event wins, ties on ts broken by event_id —
     * deterministic total order. One shuffle on user_id; at 100 TB this

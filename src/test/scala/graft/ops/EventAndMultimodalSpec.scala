@@ -218,6 +218,28 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(r(0).isNullAt(r(0).fieldIndex("prior_view_value")))
   }
 
+  test("deterministic HLL tracks cardinality across both branches") {
+    def evs(types: Seq[(String, Int)]) = types.flatMap { case (t, n) =>
+      (1 to n).map(i => (i.toLong, ts("2024-01-01 10:00:00"),
+        (t.hashCode.abs % 100) * 1000000L + i, t, 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // small range (n << m=256): linear counting, relative error tight;
+    // large range (n >> m): raw estimate within ~3 standard errors
+    // (sigma = 1.04/sqrt(256) = 6.5%)
+    val df = EventOps.hllUsers(evs(Seq("small" -> 40, "large" -> 8000)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val (estS, exactS) = df("small")
+    val (estL, exactL) = df("large")
+    assert(exactS == 40L && exactL == 8000L)
+    assert(math.abs(estS - 40.0) / 40.0 < 0.15, s"small est $estS")
+    assert(math.abs(estL - 8000.0) / 8000.0 < 0.20, s"large est $estL")
+    // pure function of the data: reruns bit-identical
+    val df2 = EventOps.hllUsers(evs(Seq("small" -> 40, "large" -> 8000)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(java.lang.Double.doubleToLongBits(df2("large")) ==
+      java.lang.Double.doubleToLongBits(estL))
+  }
+
   test("binned interval join equals the naive range join, bounds inclusive") {
     // events at bin edges and interiors (bin = 10 min)
     val ev = Seq(
