@@ -476,8 +476,9 @@ object EventOps {
   // -------------------------------------------------------------------
 
   /** Floor division robust to negative epochs (Spark's `/` on longs
-    * truncates toward zero; pre-1970 timestamps need true floor). */
-  private def floorDiv(a: Column, b: Long): Column =
+    * truncates toward zero; pre-1970 timestamps need true floor).
+    * Shared with the streaming twin (StreamOps.intervalTagStream). */
+  private[graft] def floorDiv(a: Column, b: Long): Column =
     ((a - pmod(a, lit(b))) / lit(b)).cast("long")
 
   /** Join each event to every interval containing its timestamp

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -81,6 +81,29 @@ object StreamOps {
     * attaching slowly-changing metadata at ingest. */
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-static interval tagging — the streaming twin of
+    * EventOps.intervalJoinBinned: each arriving event joins every
+    * static interval containing its ts (inclusive bounds) through the
+    * same bin-key EQUI join (events bin in the scan, intervals explode
+    * into overlapped bins, exact BETWEEN as a post-join filter). The
+    * join is stateless (no watermark, no stream state) and
+    * append-mode; a nested-loop range join against a stream would not
+    * even plan, which is the point of the binning. */
+  def intervalTagStream(
+      events: DataFrame, intervals: DataFrame,
+      binMinutes: Int = 10): DataFrame = {
+    val binUs = binMinutes.toLong * 60L * 1000000L
+    def binOf(c: Column) = graft.ops.EventOps.floorDiv(unix_micros(c), binUs)
+    val iv = intervals
+      .filter(col("t_start") <= col("t_end"))
+      .withColumn("__bin", explode(sequence(
+        binOf(col("t_start")), binOf(col("t_end")))))
+    events.withColumn("__bin", binOf(col("ts")))
+      .join(broadcast(iv), Seq("__bin"))
+      .filter(col("ts") >= col("t_start") && col("ts") <= col("t_end"))
+      .drop("__bin")
+  }
 
   // -------------------------------------------------------------------
   // Stateful sessionization: custom per-user state via

@@ -111,6 +111,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows("scroll").isEmpty) // left join keeps unmatched stream rows
   }
 
+  test("stream-static interval tagging matches containing windows, bounds inclusive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val intervals = Seq(
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+      (200L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:30:00"))
+    ).toDF("interval_id", "t_start", "t_end")
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("event_id", "ts")
+    val q = StreamOps.intervalTagStream(events, intervals)
+      .writeStream.format("memory").queryName("tagged")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00")),  // start bound → interval 100 only
+      (2L, ts("2024-01-01 10:07:00")),  // inside both → 2 rows
+      (3L, ts("2024-01-01 10:10:00")),  // end bound 100, inside 200
+      (4L, ts("2024-01-01 11:00:00")))  // outside all → dropped
+    q.processAllAvailable(); q.stop()
+    val tags = spark.table("tagged").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("interval_id")))
+      .sorted.toSeq
+    assert(tags == Seq((1L, 100L), (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 200L)))
+  }
+
   test("streaming dedup drops re-delivered events within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
