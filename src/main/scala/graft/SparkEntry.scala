@@ -148,6 +148,11 @@ object SparkEntry {
     // unigram-LM mean log-prob quality score (CCNet-style proxy)
     "text_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.table(s, dir, "documents"))),
+    // difficulty-interleaved training order: fixed-width LM-score
+    // bands (no global ntile/SinglePartition), pos round-robins bands
+    "curriculum_order" -> ((s, dir) =>
+      TextOps.curriculumOrder(Tables.table(s, dir, "documents"),
+        scoreLo = -3.7, scoreHi = -3.35)),
     // BPE tokenizer-training inner loop: top adjacent-pair merge
     // candidates (scan-stage pair stream, one pair shuffle, TopK)
     "text_bpe_pairs" -> ((s, dir) =>
@@ -489,6 +494,8 @@ object SparkEntry {
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_bpe_pairs" -> TextOps.bpePairsSql(),
+    "curriculum_order" ->
+      TextOps.curriculumOrderSql(scoreLo = -3.7, scoreHi = -3.35),
     "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),

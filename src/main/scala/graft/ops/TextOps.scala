@@ -457,6 +457,53 @@ object TextOps {
        |GROUP BY f.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Curriculum ordering: emit a training order that interleaves
+  // difficulty — consecutive positions cycle through K quality bands,
+  // so every mini-batch sees the whole difficulty spectrum (the
+  // anti-sort: plain score-ordered training front-loads easy docs).
+  // Difficulty = the unigram-LM score; bands are FIXED-WIDTH score
+  // bins, not ntile — a global ntile/percent_rank needs a total order
+  // (SinglePartition exchange, the classic scale-killer), while
+  // equal-width binning is a pure projection and the only shuffle is
+  // the K-partition in-band rank window (sub-salt bands at extreme
+  // scale). pos = rank_in_band·K + band: reading in pos order
+  // round-robins the bands.
+  // -------------------------------------------------------------------
+  def curriculumOrder(
+      docs: DataFrame, bands: Int = 10,
+      scoreLo: Double = -16.0, scoreHi: Double = 0.0): DataFrame = {
+    val width = (scoreHi - scoreLo) / bands
+    val band = least(greatest(
+      floor((col("avg_logp") - lit(scoreLo)) / lit(width)), lit(0.0)),
+      lit((bands - 1).toDouble)).cast("long")
+    val inBand = Window.partitionBy("band")
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    lmScore(docs)
+      .withColumn("band", band)
+      .withColumn("pos",
+        (row_number().over(inBand).cast("long") - 1L) * bands + col("band"))
+      .select("doc_id", "band", "pos")
+  }
+
+  def curriculumOrderSql(
+      bands: Int = 10, scoreLo: Double = -16.0,
+      scoreHi: Double = 0.0): String = {
+    val width = (scoreHi - scoreLo) / bands
+    s"""WITH scored AS (${lmScoreSql}),
+       |banded AS (
+       |  SELECT doc_id, avg_logp,
+       |    CAST(LEAST(GREATEST(
+       |      FLOOR((avg_logp - CAST($scoreLo AS DOUBLE)) / CAST($width AS DOUBLE)),
+       |      0.0), CAST(${bands - 1} AS DOUBLE)) AS BIGINT) AS band
+       |  FROM scored)
+       |SELECT doc_id, band,
+       |  (CAST(ROW_NUMBER() OVER (PARTITION BY band
+       |     ORDER BY avg_logp DESC, doc_id ASC) AS BIGINT) - 1)
+       |    * $bands + band AS pos
+       |FROM banded""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Count-min sketch (Cormode & Muthukrishnan 2005) over the token
   // stream — the mergeable frequency sketch: d seeded hash rows × w
   // buckets, estimate = min over rows of the bucket count, one-sided

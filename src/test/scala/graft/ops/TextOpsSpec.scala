@@ -117,6 +117,24 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-9)
   }
 
+  test("curriculum order interleaves difficulty bands round-robin") {
+    // common-token docs score high (easy), rare-token docs low (hard)
+    val docs = (
+      (1L to 6L).map(i => (i, "aa bb aa bb")) ++          // easy band
+      (11L to 16L).map(i => (i, s"rare$i uniq$i one$i"))  // hard band
+    ).toDF("doc_id", "text")
+    val r = TextOps.curriculumOrder(docs, bands = 4, scoreLo = -4.0,
+      scoreHi = 0.0).collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val bands = r.map(_._2).distinct.sorted
+    assert(bands.length == 2, s"expected 2 occupied bands, got $bands")
+    // reading in pos order alternates bands while both have docs left
+    val byPos = r.sortBy(_._3).map(_._2).take(4)
+    assert(byPos.distinct.length == 2,
+      s"first positions must span both bands: ${byPos.toSeq}")
+    // pos encodes (rank-1)*K + band → all pos distinct
+    assert(r.map(_._3).distinct.length == r.length)
+  }
+
   test("cms estimates never under-count; tiny width forces over-count") {
     val docs = Seq(
       (1L, "aa aa aa bb"), (2L, "aa bb cc"), (3L, "dd")
