@@ -197,6 +197,16 @@ object SparkEntry {
       Dedup.dedupAgainstNearMd5(
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
     }),
+    // production form: history LSH artifacts persisted once (bands,
+    // shingles, dfs), each batch probes without re-hashing the corpus —
+    // identical output and oracle to dedup_incr_near
+    "dedup_incr_indexed" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      import org.apache.spark.sql.functions.col
+      val path = "target/dedup_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.DedupIndex.write(d.filter(col("doc_id") % 5 =!= 0), path)
+      graft.ops.DedupIndex.probe(s, path, d.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.exactByFingerprint(Tables.table(s, dir, "documents"))),
     // 128-bit digest key — the collision-safe exact-dedup key at corpus
@@ -511,6 +521,8 @@ object SparkEntry {
         |  SELECT 1 FROM documents h
         |  WHERE h.doc_id % 5 <> 0 AND h.text = d.text)""".stripMargin,
     "dedup_incr_near" -> Dedup.dedupAgainstNearMd5Sql(
+      id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
+    "dedup_incr_indexed" -> Dedup.dedupAgainstNearMd5Sql(
       id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,

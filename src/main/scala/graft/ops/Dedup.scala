@@ -91,29 +91,31 @@ object Dedup {
     * signatures/bucket relation is write-once per ingest and persisted
     * partitioned by (band, bucket) — the IvfIndex pattern — so each
     * arriving batch probes it without re-hashing the corpus. */
-  def dedupAgainstNearMd5(
-      history: DataFrame, batch: DataFrame,
-      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): DataFrame = {
-    val all = history.select(col("doc_id"), col("text"))
-      .unionByName(batch.select(col("doc_id"), col("text")))
+  /** (doc_id, band, bucket) LSH banding over the md5-affine signature
+    * family — shared by the in-plan incremental dedup and the
+    * persisted DedupIndex. */
+  private[ops] def md5BandBuckets(
+      docs: DataFrame, n: Int, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numPerm / rowsPerBand
-    val buckets = minhashSignaturesMd5(all, n, numPerm).select(
+    minhashSignaturesMd5(docs, n, numPerm).select(
         col("doc_id"),
         posexplode(transform(
           sequence(lit(0), lit(numBands - 1)),
           b => Md5BandHash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .toDF("doc_id", "band", "bucket").cache()
-    val h = buckets.join(history.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("da"), col("band"), col("bucket"))
-    val bb = buckets.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("db"), col("band"), col("bucket"))
-    val cands = h.join(bb, Seq("band", "bucket"))
-      .select("da", "db").distinct().cache()
+      .toDF("doc_id", "band", "bucket")
+  }
+
+  /** Exact-Jaccard verification of CROSS-SIDE candidates over an
+    * already-capped shingle relation, then anti-join: batch docs with
+    * no verified near-dup. Shared by [[dedupAgainstNearMd5]] and
+    * [[DedupIndex.probe]]. */
+  private[ops] def survivorsOfCross(
+      batch: DataFrame, cands0: DataFrame, cappedSh: DataFrame,
+      threshold: Double): DataFrame = {
+    val cands = cands0.cache()
     val candIds = cands.select(col("da").as("doc_id"))
       .unionAll(cands.select(col("db").as("doc_id"))).distinct()
-    val sh = cappedShingles(shingles(all, n), maxDf)
-      .join(candIds, Seq("doc_id"), "left_semi").cache()
+    val sh = cappedSh.join(candIds, Seq("doc_id"), "left_semi").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("da"), col("shingle"))
     val b = sh.select(col("doc_id").as("db"), col("shingle"))
@@ -127,6 +129,22 @@ object Dedup {
     batch
       .join(verified.select(col("db").as("doc_id")), Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
+  }
+
+  def dedupAgainstNearMd5(
+      history: DataFrame, batch: DataFrame,
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val all = history.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
+    val buckets = md5BandBuckets(all, n, numPerm, rowsPerBand).cache()
+    val h = buckets.join(history.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("da"), col("band"), col("bucket"))
+    val bb = buckets.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("db"), col("band"), col("bucket"))
+    val cands = h.join(bb, Seq("band", "bucket")).select("da", "db").distinct()
+    survivorsOfCross(batch, cands,
+      cappedShingles(shingles(all, n), maxDf), threshold)
   }
 
   /** DuckDB twin of [[dedupAgainstNearMd5]] for a documents-table

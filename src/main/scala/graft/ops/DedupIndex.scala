@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup index over corpus history — the production form
+  * of [[Dedup.dedupAgainstNearMd5]]: ingest writes the history side's
+  * LSH artifacts ONCE, and every arriving batch probes them without
+  * re-hashing a byte of corpus text (the IvfIndex/PqIndex pattern
+  * applied to dedup).
+  *
+  * On disk, three relations:
+  *   - `bands/`  (doc_id, bucket) partitioned by band — the candidate
+  *     join side; a batch's buckets hit every band, so the layout buys
+  *     parallel scan locality rather than pruning
+  *   - `shingles/` (doc_id, shingle) — only candidate docs' rows are
+  *     read at probe time (semi-join pushdown)
+  *   - `df/` (shingle, df) — history document frequencies, so the
+  *     probe can reproduce the UNION-wide DF cap exactly by adding the
+  *     batch's own counts (cap(h ∪ b) = hist_df + batch_df ≤ maxDf)
+  *     without touching history text
+  *
+  * Probe output is IDENTICAL to the in-plan
+  * `dedupAgainstNearMd5(history, batch)` — same hashes, same cap, same
+  * verify — so the indexed variant rides the same DuckDB oracle. */
+object DedupIndex {
+
+  /** Write-once ingest of the history side. */
+  def write(
+      history: DataFrame, path: String,
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4): Unit = {
+    Dedup.md5BandBuckets(history, n, numPerm, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band").parquet(path + "/bands")
+    val sh = Dedup.shingles(history, n).cache()
+    sh.write.mode("overwrite").parquet(path + "/shingles")
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(path + "/df")
+    sh.unpersist()
+  }
+
+  /** Batch docs with no verified near-dup in the indexed history. */
+  def probe(
+      spark: SparkSession, path: String, batch: DataFrame,
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = Dedup.DefaultMaxDf): DataFrame = {
+    val idxBands = spark.read.parquet(path + "/bands")
+    val idxSh = spark.read.parquet(path + "/shingles")
+    val idxDf = spark.read.parquet(path + "/df")
+    val bSh = Dedup.shingles(batch, n).cache()
+    val cands = idxBands
+      .select(col("doc_id").as("da"), col("band"), col("bucket"))
+      .join(Dedup.md5BandBuckets(batch, n, numPerm, rowsPerBand)
+        .select(col("doc_id").as("db"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("da", "db").distinct()
+    // union-wide DF cap without re-hashing history: combined df =
+    // persisted history df + the batch's own shingle counts
+    val totalDf = idxDf
+      .join(bSh.groupBy("shingle").agg(count(lit(1)).as("bdf")),
+        Seq("shingle"), "full_outer")
+      .select(col("shingle"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"))
+    val keep = totalDf.filter(col("df") <= maxDf).select("shingle")
+    val cappedSh = idxSh.unionByName(bSh)
+      .join(keep, Seq("shingle"), "left_semi")
+    Dedup.survivorsOfCross(batch, cands, cappedSh, threshold)
+  }
+}

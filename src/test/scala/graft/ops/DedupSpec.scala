@@ -278,5 +278,13 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.dedupAgainstNearMd5(history, batch)
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(11L, 12L))
+
+    // the persisted-index probe is the identical computation staged
+    // through disk: same survivors, bit for bit
+    val path = "/tmp/graft-test-dedup-index"
+    DedupIndex.write(history, path)
+    val probed = DedupIndex.probe(spark, path, batch)
+      .collect().map(_.getLong(0)).sorted
+    assert(probed.toSeq == got.toSeq)
   }
 }
