@@ -157,6 +157,10 @@ object SparkEntry {
     // candidates (scan-stage pair stream, one pair shuffle, TopK)
     "text_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairs(Tables.table(s, dir, "documents"))),
+    // word2vec-style +/-2-window co-occurrence counts (scan-side pair
+    // stream per offset, one pair shuffle, TopK)
+    "text_skipgrams" -> ((s, dir) =>
+      TextOps.skipgramPairs(Tables.table(s, dir, "documents"))),
     // drift diagnostic: JS divergence between the train split's and the
     // holdout's token distributions (signed portable log, decimal sums)
     "corpus_jsd" -> ((s, dir) =>
@@ -506,6 +510,7 @@ object SparkEntry {
     "text_bpe_pairs" -> TextOps.bpePairsSql(),
     "curriculum_order" ->
       TextOps.curriculumOrderSql(scoreLo = -3.7, scoreHi = -3.35),
+    "text_skipgrams" -> TextOps.skipgramPairsSql(),
     "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),

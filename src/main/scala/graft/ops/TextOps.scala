@@ -599,4 +599,56 @@ object TextOps {
        |SELECT tok_l, tok_r, COUNT(*) AS cnt
        |FROM pairs GROUP BY 1, 2
        |ORDER BY cnt DESC, tok_l ASC, tok_r ASC LIMIT $topN""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Skip-gram co-occurrence counts — the word2vec/GloVe training-data
+  // prep: for every token, its neighbors within a ±window offset,
+  // counted corpus-wide. The (center, context) stream is generated
+  // scan-side by zipping the token array against `window` shifted
+  // copies of itself (slice + zip + explode — codegen array ops, no
+  // position self-join), then ONE map-side-combined shuffle on the
+  // pair key. Emitted symmetrically (left and right contexts), top-N
+  // with the bpePairs tiebreak. At 100 TB the wire carries at most
+  // |vocab|²-bounded (in practice Zipf-collapsed) partial counts.
+  // -------------------------------------------------------------------
+  def skipgramPairs(
+      docs: DataFrame, window: Int = 2, topN: Int = 100): DataFrame = {
+    val tk = tokens(col("text"))
+    val docsTk = docs.select(tk.as("tk")).filter(size(col("tk")) >= 2)
+    // one exploded relation per offset d in [1, window]: (t_i, t_{i+d})
+    val byOffset = (1 to window).map { d =>
+      docsTk
+        .filter(size(col("tk")) > d)
+        .select(explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - d).as("a"),
+          slice(col("tk"), lit(1 + d), size(col("tk")) - d).as("b"))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    }.reduce(_ unionAll _)
+    // symmetric emission: (center, context) both directions
+    byOffset
+      .select(explode(array(
+        struct(col("a").as("center"), col("b").as("context")),
+        struct(col("b").as("center"), col("a").as("context")))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center").asc, col("context").asc)
+      .limit(topN)
+  }
+
+  def skipgramPairsSql(window: Int = 2, topN: Int = 100): String = {
+    val offsets = (1 to window).map { d =>
+      s"""SELECT unnest(tk[1:len(tk)-$d]) AS a,
+         |       unnest(tk[${1 + d}:len(tk)]) AS b
+         |  FROM toks WHERE len(tk) > $d""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+       |off AS (
+       |  $offsets),
+       |sym AS (
+       |  SELECT a AS center, b AS context FROM off
+       |  UNION ALL SELECT b, a FROM off)
+       |SELECT center, context, COUNT(*) AS cnt
+       |FROM sym GROUP BY 1, 2
+       |ORDER BY cnt DESC, center ASC, context ASC LIMIT $topN""".stripMargin
+  }
 }

@@ -117,6 +117,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-9)
   }
 
+  test("skipgram pairs count symmetric co-occurrences within the window") {
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    // window 2, doc1: offsets (a,b),(b,c) and (a,c); doc2: (a,b) —
+    // symmetric emission doubles each
+    val got = TextOps.skipgramPairs(docs, window = 2, topN = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("a", "b")) == 2L && got(("b", "a")) == 2L)
+    assert(got(("a", "c")) == 1L && got(("c", "a")) == 1L)
+    assert(got(("b", "c")) == 1L && got(("c", "b")) == 1L)
+    assert(got.size == 6)
+    // window 1 drops the distance-2 (a,c) pair
+    val w1 = TextOps.skipgramPairs(docs, window = 1, topN = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!w1.contains(("a", "c")) && w1.contains(("a", "b")))
+  }
+
   test("curriculum order interleaves difficulty bands round-robin") {
     // common-token docs score high (easy), rare-token docs low (hard)
     val docs = (
