@@ -496,7 +496,8 @@ object Bench {
       """"pq_topk":"codebook train + encode + ADC search — build inside the timed body",""" +
       """"pq_topk_indexed":"codes-only probe; index persisted untimed (production path)",""" +
       """"ivf_topk":"coarse-quantizer build + probe inside the timed body",""" +
-      """"ivf_topk_indexed":"partition-pruned probe; index persisted untimed (production path)"}"""
+      """"ivf_topk_indexed":"partition-pruned probe; index persisted untimed (production path)",""" +
+      """"dedup_incr_indexed":"history index WRITE + probe inside the timed body — production writes once per ingest and pays only the probe (dedup_incr_near is the same computation unstaged)"}"""
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
       s"""$remeasureJson,$notes,"sf":"$sfDir"}"""

@@ -69,6 +69,13 @@ object TextBench {
       timed(s"n=$n tfidf_hot        ", graft.ops.RetrievalOps.tfidf(docsHot))
       timed(s"n=$n bm25_topk        ", graft.ops.RetrievalOps.bm25TopK(docs, terms))
       timed(s"n=$n bm25_topk_hot    ", graft.ops.RetrievalOps.bm25TopK(docsHot, terms))
+      // pair-stream ops (r9 third wave): both are scan-side pair
+      // generation + ONE map-side-combined shuffle — the hot header's
+      // repeated pairs must collapse map-side, so _hot tracks plain
+      timed(s"n=$n bpe_pairs        ", graft.ops.TextOps.bpePairs(docs))
+      timed(s"n=$n bpe_pairs_hot    ", graft.ops.TextOps.bpePairs(docsHot))
+      timed(s"n=$n skipgrams        ", graft.ops.TextOps.skipgramPairs(docs))
+      timed(s"n=$n skipgrams_hot    ", graft.ops.TextOps.skipgramPairs(docsHot))
     }
     spark.stop()
   }
