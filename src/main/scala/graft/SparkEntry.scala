@@ -279,6 +279,14 @@ object SparkEntry {
       EmbeddingOps.lshTopK(Tables.table(s, dir, "embeddings"))),
     "emb_near_dups" -> ((s, dir) =>
       EmbeddingOps.cosineNearDups(Tables.table(s, dir, "embeddings"))),
+    // semantic member of the incremental family: batch vectors with no
+    // history vector over the cosine threshold (cross-side LSH only)
+    "emb_incr" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      import org.apache.spark.sql.functions.col
+      EmbeddingOps.dedupAgainstCosine(
+        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0))
+    }),
     // every vector's top-k neighbors among its LSH-bucket candidates —
     // the k-NN graph semantic clustering / curriculum ordering consume
     "emb_knn_graph" -> ((s, dir) =>
@@ -550,6 +558,8 @@ object SparkEntry {
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
     "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
+    "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(
+      id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
     "emb_knn_graph" -> EmbeddingOps.knnGraphSql(),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),

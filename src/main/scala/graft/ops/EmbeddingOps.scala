@@ -353,4 +353,65 @@ object EmbeddingOps {
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // -------------------------------------------------------------------
+  // Incremental SEMANTIC dedup — the embedding-space member of the
+  // batch-vs-history family (dedup_incr: exact digests,
+  // dedup_incr_near: lexical minhash). Batch vectors are dropped when
+  // any history vector clears the cosine threshold. Candidates are
+  // CROSS-SIDE LSH bucket collisions only (history×history and
+  // batch×batch pairs never join), so the exact-cosine verify is
+  // batch-proportional; in production the history buckets are the
+  // persisted `writeIndex` relation and each batch probes it.
+  // -------------------------------------------------------------------
+  def dedupAgainstCosine(
+      history: DataFrame, batch: DataFrame, threshold: Double = 0.4,
+      dim: Int = 64, numBits: Int = 6, numTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val all = history.select("vec_id", "embedding")
+      .unionByName(batch.select("vec_id", "embedding"))
+    val buckets = lshBuckets(all, dim, numBits, numTables, seed).cache()
+    val h = buckets.join(history.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("ida"), col("table"), col("bucket"))
+    val b = buckets.join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("idb"), col("table"), col("bucket"))
+    val pairs = h.join(b, Seq("table", "bucket"))
+      .select("ida", "idb").distinct()
+    val e = all.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val dropped = pairs
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("idb"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("idb").as("vec_id")).distinct()
+    batch.join(dropped, Seq("vec_id"), "left_anti").select("vec_id")
+  }
+
+  /** DuckDB twin for an embeddings-table split (side predicates over
+    * vec_id, same seeded hyperplanes inlined). */
+  def dedupAgainstCosineSql(
+      histCond: String => String, batchCond: String => String,
+      threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE ${histCond("a.vec_id")} AND ${batchCond("b.vec_id")}),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |dropped AS (
+       |  SELECT DISTINCT p.idb FROM cpairs p
+       |  JOIN e ea ON p.ida = ea.vec_id
+       |  JOIN e eb ON p.idb = eb.vec_id
+       |  WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+       |        >= $threshold)
+       |SELECT vec_id FROM embeddings
+       |WHERE ${batchCond("vec_id")}
+       |  AND vec_id NOT IN (SELECT idb FROM dropped)""".stripMargin
+  }
 }

@@ -96,4 +96,20 @@ class EmbeddingSpec extends SparkSpec {
     val b = EmbeddingOps.hyperplanes(4, 2, 2, seed = 9L)
     assert(a.flatten.flatten.map(x => x) == b.flatten.flatten.map(x => x))
   }
+
+  test("incremental cosine dedup drops batch vectors near history, keeps batch-internal pairs") {
+    val history = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(2f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)), // ~colinear w/ hist 1 → dropped
+      (11L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)),    // fresh direction → kept
+      (12L, Array(0f, 0f, 2f, 0.01f, 0f, 0f, 0f, 0f))  // near batch 11 only → KEPT
+    ).toDF("vec_id", "embedding")
+    val kept = EmbeddingOps.dedupAgainstCosine(
+      history, batch, threshold = 0.9, dim = 8)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 12L))
+  }
 }
