@@ -165,6 +165,14 @@ object SparkEntry {
     // holdout's token distributions (signed portable log, decimal sums)
     "corpus_jsd" -> ((s, dir) =>
       TextOps.corpusJsDivergence(Tables.table(s, dir, "documents"))),
+    // DSIR importance resampling (Xie 2023): hashed-ngram log ratios
+    // vs a target domain; B-bucket stats pass + broadcast scoring
+    "dsir_weights" -> ((s, dir) =>
+      graft.ops.Dsir.importanceWeights(
+        Tables.table(s, dir, "documents"), "src0")),
+    "dsir_select" -> ((s, dir) =>
+      graft.ops.Dsir.select(
+        Tables.table(s, dir, "documents"), "src0", 100)),
     // Ranked retrieval: portable-log tf-idf / BM25 / hybrid RRF fusion
     // (PortableMath.plog keeps the log-weighted scores hash-exact
     // against DuckDB — raw ln() differs by 1 ulp on ~8% of idf inputs)
@@ -520,6 +528,8 @@ object SparkEntry {
       TextOps.curriculumOrderSql(scoreLo = -3.7, scoreHi = -3.35),
     "text_skipgrams" -> TextOps.skipgramPairsSql(),
     "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
+    "dsir_weights" -> graft.ops.Dsir.importanceWeightsSql("src0"),
+    "dsir_select" -> graft.ops.Dsir.selectSql("src0", 100),
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
