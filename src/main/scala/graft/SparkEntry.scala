@@ -348,6 +348,10 @@ object SparkEntry {
     // hash-exact against 3 unrolled oracle CTEs
     "graph_pagerank" -> ((s, dir) =>
       graft.ops.GraphOps.supplierPartRank(Tables.table(s, dir, "lineitem"))),
+    // per-node triangle counts over the support-filtered co-order part
+    // graph (degree-oriented node-iterator — wedge fan-out capped √|E|)
+    "graph_triangles" -> ((s, dir) =>
+      graft.ops.GraphOps.coOrderTriangles(Tables.table(s, dir, "lineitem"))),
     // bloom-prefiltered exact semi join: big-side rows die at the scan
     // stage before the join exchange; result exact regardless of fpp
     "bloom_semi" -> ((s, dir) =>
@@ -597,6 +601,7 @@ object SparkEntry {
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
+    "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders

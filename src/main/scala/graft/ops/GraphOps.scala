@@ -80,6 +80,75 @@ object GraphOps {
       iters)
   }
 
+  /** Per-node triangle counts over an undirected simple graph given as
+    * (a, b) edges with a < b (Schank & Wagner 2005 node-iterator with
+    * degree orientation). Orienting every edge from its (degree, id)-
+    * smaller endpoint bounds each node's out-degree by O(√|E|) even on
+    * skewed graphs, so the wedge join's fan-out — the only quadratic
+    * risk — is capped structurally, not by sampling. All three stages
+    * are keyed shuffles on node ids (degree agg, wedge join, closure
+    * semi join); nothing is driver-side and no stage carries payload
+    * beyond two longs. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("n"))
+      .union(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val da = deg.select(col("n").as("a"), col("d").as("dda"))
+    val db = deg.select(col("n").as("b"), col("d").as("ddb"))
+    // a < b always, so equal degrees orient a→b
+    val oriented = edges.join(da, "a").join(db, "b").select(
+      when(col("dda") <= col("ddb"), col("a")).otherwise(col("b")).as("u"),
+      when(col("dda") <= col("ddb"), col("b")).otherwise(col("a")).as("v"))
+    val w1 = oriented.select(col("u").as("x"), col("v").as("y"))
+    val w2 = oriented.select(col("u").as("y"), col("v").as("z"))
+    val wedges = w1.join(w2, "y").select(col("x"), col("y"), col("z"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
+    closed
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** The registered-query graph: parts co-ordered in at least
+    * `minSupport` distinct orders (the market-basket support
+    * threshold). The support filter is what keeps the graph sparse at
+    * any scale — raw co-order pairs grow with corpus size, but pairs
+    * that recur ≥2× are rare, so the triangle stage always runs on a
+    * pruned edge set. */
+  def coOrderEdges(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+    a.join(b, "ok").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport)
+      .select("a", "b")
+  }
+
+  def coOrderTriangles(lineitem: DataFrame, minSupport: Int = 2): DataFrame =
+    triangleCounts(coOrderEdges(lineitem, minSupport))
+
+  def coOrderTrianglesSql(minSupport: Int = 2): String =
+    s"""WITH e AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |deg AS (SELECT n, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) q GROUP BY n),
+       |o AS (SELECT
+       |    CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS u,
+       |    CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS v
+       |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+       |w AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+       |  FROM o o1 JOIN o o2 ON o1.v = o2.u),
+       |t AS (SELECT w.x, w.y, w.z
+       |  FROM w JOIN o ON w.x = o.u AND w.z = o.v)
+       |SELECT node, COUNT(*) AS n_tri FROM (
+       |  SELECT x AS node FROM t
+       |  UNION ALL SELECT y FROM t
+       |  UNION ALL SELECT z FROM t) q
+       |GROUP BY node""".stripMargin
+
   def supplierPartRankSql(iters: Int = 3, damping: Double = 0.85): String = {
     val base = 1.0 - damping
     def stepSql(i: Int): String = {

@@ -42,4 +42,40 @@ class GraphOpsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(v) ==
         java.lang.Double.doubleToLongBits(rerun(k)) })
   }
+
+  test("triangle counts: K4 minus an edge has exactly two triangles") {
+    // K4 on {1,2,3,4} without (3,4): triangles {1,2,3} and {1,2,4}.
+    // Nodes 1,2 sit in both; 3,4 in one each.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val t = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangle counts: a star has none; result is partition-invariant") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    assert(GraphOps.triangleCounts(star).count() == 0)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val one = GraphOps.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val many = GraphOps.triangleCounts(edges.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == many)
+  }
+
+  test("co-order edges honor the support threshold") {
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L),
+      (102L, 5L), (102L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+    val e2 = GraphOps.coOrderEdges(li, minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2 == Set((1L, 2L)))                 // only pair seen twice
+    val e1 = GraphOps.coOrderEdges(li, minSupport = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e1 == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+  }
 }
