@@ -374,6 +374,8 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // CDC compaction: changelog -> one current-state row per user
     "events_latest" -> ((s, dir) => EventOps.latestState(Tables.events(s, dir))),
+    // trailing ROWS + 1-hour RANGE moving aggregates in one window pass
+    "events_moving" -> ((s, dir) => EventOps.movingStats(Tables.events(s, dir))),
     // Z-order (Morton) layout address for the 2-D points relation —
     // pure integer bit math, the data-layout half is Layout.zOrdered
     "points_zorder" -> ((s, dir) =>
@@ -612,6 +614,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "events_retention" -> EventOps.weeklyRetentionSql,
     "events_latest" -> EventOps.latestStateSql,
+    "events_moving" -> EventOps.movingStatsSql,
     "points_zorder" ->
       Tables.withPtsCents(graft.ops.Layout.pointsZOrderSql(), K),
     // events_sketches: the t-digest/HLL estimate columns are

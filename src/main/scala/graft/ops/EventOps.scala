@@ -536,4 +536,54 @@ object EventOps {
        |FROM anchors a JOIN events e
        |  ON e.ts >= a.t_start AND e.ts <= a.t_end
        |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Bounded-frame moving aggregates — the time-series smoothing
+    * surface (trailing indicators, rolling baselines for anomaly
+    * scoring). Per user and event, two frames at once:
+    *  - ROWS: the last 4 events (3 preceding + current);
+    *  - RANGE: everything in the trailing hour, by exact µs arithmetic.
+    *
+    * One user_id shuffle serves BOTH frames (same partition key, same
+    * sort — Spark computes the two window specs over a single sorted
+    * pass). Frames are trailing-only, so a 100 TB run streams each
+    * partition once with O(frame) memory; no frame ever spans users,
+    * and skewed users cost sort time, not memory. Sums route through
+    * DECIMAL(28,6) (value is 2-decimal data — the cast never rounds),
+    * so in-frame accumulation order can't shift a bit; DuckDB's
+    * segment-tree window accumulator would disagree on raw doubles. */
+  def movingStats(events: DataFrame): DataFrame = {
+    val wRows = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 0)
+    val hourUs = 3600L * 1000000L
+    val wRange = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-hourUs, 0)
+    val dec = col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))
+    def asDouble(c: Column): Column = c.cast("string").cast("double")
+    events.select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(wRows).as("mv_n"),
+      asDouble(sum(dec).over(wRows)).as("mv_sum"),
+      (asDouble(sum(dec).over(wRows)) /
+        count(lit(1)).over(wRows).cast("double")).as("mv_avg"),
+      count(lit(1)).over(wRange).as("hr_n"),
+      asDouble(sum(dec).over(wRange)).as("hr_sum"))
+  }
+
+  val movingStatsSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(COUNT(*) OVER wr AS BIGINT) AS mv_n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wr AS VARCHAR)
+      |    AS DOUBLE) AS mv_sum,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wr AS VARCHAR)
+      |    AS DOUBLE) / CAST(COUNT(*) OVER wr AS DOUBLE) AS mv_avg,
+      |  CAST(COUNT(*) OVER wg AS BIGINT) AS hr_n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wg AS VARCHAR)
+      |    AS DOUBLE) AS hr_sum
+      |FROM events
+      |WINDOW
+      |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+      |  wg AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |""".stripMargin
 }

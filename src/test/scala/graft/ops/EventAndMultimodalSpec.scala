@@ -16,6 +16,20 @@ class EventAndMultimodalSpec extends SparkSpec {
     (4L, ts("2024-01-01 10:05:00"), 200L, "click", 4.0, "{}")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("moving stats: trailing ROWS and 1-hour RANGE frames") {
+    val m = EventOps.movingStats(events).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    // user 100 ordered: e1 (10:00, 1.0), e2 (10:10, 2.0), e3 (11:00, 3.0)
+    assert(m(1L) == ((1L, 1.0, 1.0, 1L, 1.0)))
+    assert(m(2L) == ((2L, 3.0, 1.5, 2L, 3.0)))
+    // ROWS frame still holds all 3; the 1-hour RANGE frame includes
+    // e1 (exactly 3600s back — inclusive bound) and e2
+    assert(m(3L) == ((3L, 6.0, 2.0, 3L, 6.0)))
+    assert(m(4L) == ((1L, 4.0, 4.0, 1L, 4.0)))
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val sess = EventOps.sessionize(events, gapMinutes = 30).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
