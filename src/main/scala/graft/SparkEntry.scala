@@ -376,6 +376,9 @@ object SparkEntry {
     "events_latest" -> ((s, dir) => EventOps.latestState(Tables.events(s, dir))),
     // trailing ROWS + 1-hour RANGE moving aggregates in one window pass
     "events_moving" -> ((s, dir) => EventOps.movingStats(Tables.events(s, dir))),
+    // per-type OLS drift: one sufficient-statistics agg, exact integer
+    // numerators (HUGEINT twin), float only at the final divisions
+    "events_trend" -> ((s, dir) => EventOps.typeTrend(Tables.events(s, dir))),
     // Z-order (Morton) layout address for the 2-D points relation —
     // pure integer bit math, the data-layout half is Layout.zOrdered
     "points_zorder" -> ((s, dir) =>
@@ -615,6 +618,7 @@ object SparkEntry {
     "events_retention" -> EventOps.weeklyRetentionSql,
     "events_latest" -> EventOps.latestStateSql,
     "events_moving" -> EventOps.movingStatsSql,
+    "events_trend" -> EventOps.typeTrendSql,
     "points_zorder" ->
       Tables.withPtsCents(graft.ops.Layout.pointsZOrderSql(), K),
     // events_sketches: the t-digest/HLL estimate columns are

@@ -537,6 +537,86 @@ object EventOps {
        |  ON e.ts >= a.t_start AND e.ts <= a.t_end
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Per-type OLS trend (metric drift detection): regress value on
+    * event time within each event_type, from one pass of sufficient
+    * statistics — n, Σx, Σy, Σxy, Σx², Σy² — so the whole fit is a
+    * single keyed aggregation regardless of corpus size; no window, no
+    * second scan, nothing driver-side.
+    *
+    * Exactness: x = whole epoch seconds (BIGINT), y = value in cents
+    * (2-decimal data → exact integers), so every sufficient statistic
+    * is an integer sum in DECIMAL(38,0) (the DuckDB twin uses HUGEINT)
+    * and the closed-form slope/intercept numerators are EXACT integer
+    * arithmetic — float creeps in only at the final divisions, which
+    * are identical single IEEE ops in both engines. Magnitudes: with
+    * x ~ 2^31 and n rows, n·Σx² ~ n²·2^62 stays inside 38 digits up to
+    * n ~ 10^7 per group; beyond that, center x on a per-group epoch
+    * offset first (same algebra, smaller grid). */
+  def typeTrend(events: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = expr("unix_micros(ts) div 1000000")
+    val y = round(col("value") * 100).cast("long")
+    val stats = events
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(Dec)).as("sx"),
+        sum(col("y").cast(Dec)).as("sy"),
+        sum((col("x") * col("y")).cast(Dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(Dec)).as("syy"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val nd = col("n").cast(Dec)
+    val num = nd * col("sxy") - col("sx") * col("sy")
+    val den = nd * col("sxx") - col("sx") * col("sx")
+    val deny = nd * col("syy") - col("sy") * col("sy")
+    // degenerate groups (all x equal / all y equal) → NULL, not a
+    // divide-by-zero: ANSI Spark throws where DuckDB would emit ±inf
+    val slope = when(den === lit(0).cast(Dec), lit(null).cast("double"))
+      .otherwise(dbl(num) / dbl(den) / lit(100.0))
+    stats.select(
+      col("event_type"), col("n"),
+      slope.as("slope"),
+      ((dbl(col("sy")) / lit(100.0) - slope * dbl(col("sx")))
+        / col("n").cast("double")).as("intercept"),
+      when(den === lit(0).cast(Dec) || deny === lit(0).cast(Dec),
+        lit(null).cast("double"))
+        .otherwise(dbl(num) * dbl(num) / (dbl(den) * dbl(deny))).as("r2"))
+  }
+
+  val typeTrendSql: String =
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx,
+      |    SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x * y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(x * x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(y * y AS HUGEINT)) AS syy
+      |  FROM (SELECT event_type, epoch_us(ts) // 1000000 AS x,
+      |          CAST(ROUND(value * 100) AS BIGINT) AS y FROM events) q
+      |  GROUP BY event_type),
+      |ex AS (SELECT event_type, n,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS deny,
+      |    sx, sy FROM st)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN den = 0 THEN NULL ELSE
+      |    CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 100.0 END AS slope,
+      |  (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 100.0 -
+      |   CASE WHEN den = 0 THEN NULL ELSE
+      |     CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |       / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 100.0 END
+      |     * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept,
+      |  CASE WHEN den = 0 OR deny = 0 THEN NULL ELSE
+      |    CAST(CAST(num AS VARCHAR) AS DOUBLE) * CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |      / (CAST(CAST(den AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) END AS r2
+      |FROM ex""".stripMargin
+
   /** Bounded-frame moving aggregates — the time-series smoothing
     * surface (trailing indicators, rolling baselines for anomaly
     * scoring). Per user and event, two frames at once:

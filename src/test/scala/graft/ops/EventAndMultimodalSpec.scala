@@ -16,6 +16,29 @@ class EventAndMultimodalSpec extends SparkSpec {
     (4L, ts("2024-01-01 10:05:00"), 200L, "click", 4.0, "{}")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("type trend: planted linear series recovers exact slope, r2 = 1") {
+    val lin = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "m", 1.00, "{}"),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "m", 3.00, "{}"),
+      (3L, ts("2024-01-01 10:00:02"), 1L, "m", 5.00, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 1L, "flat", 7.00, "{}"),
+      (5L, ts("2024-01-01 10:00:09"), 1L, "flat", 7.00, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t = EventOps.typeTrend(lin).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val (n, slope, intercept, r2) = t("m")
+    assert(n == 3L && slope == 2.0 && r2.contains(1.0))
+    // intercept: y at epoch 0 — recompute from the means
+    val xMean = lin.filter($"event_type" === "m")
+      .select(expr("avg(unix_micros(ts) div 1000000)")).head.getDouble(0)
+    assert(math.abs(intercept - (3.0 - 2.0 * xMean)) < 1e-6)
+    // constant y: slope exactly 0, r2 degenerate → NULL (not an error)
+    val (_, fSlope, _, fR2) = t("flat")
+    assert(fSlope == 0.0 && fR2.isEmpty)
+  }
+
   test("moving stats: trailing ROWS and 1-hour RANGE frames") {
     val m = EventOps.movingStats(events).collect()
       .map(r => r.getLong(0) ->
