@@ -148,6 +148,9 @@ object SparkEntry {
     // unigram-LM mean log-prob quality score (CCNet-style proxy)
     "text_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.table(s, dir, "documents"))),
+    // lexical diversity: per-doc token entropy (grid-snapped plog terms)
+    "text_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(Tables.table(s, dir, "documents"))),
     // difficulty-interleaved training order: fixed-width LM-score
     // bands (no global ntile/SinglePartition), pos round-robins bands
     "curriculum_order" -> ((s, dir) =>
@@ -532,6 +535,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
+    "text_entropy" -> TextOps.tokenEntropySql,
     "text_bpe_pairs" -> TextOps.bpePairsSql(),
     "curriculum_order" ->
       TextOps.curriculumOrderSql(scoreLo = -3.7, scoreHi = -3.35),

@@ -360,6 +360,57 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Per-document Shannon entropy of the token distribution (nats) — the
+  // lexical-diversity quality signal (low entropy = template/boilerplate
+  // text, a standard pretraining filter axis alongside the Gopher
+  // repetition gates). H = Σ (c/n)·log(n/c) over the doc's distinct
+  // tokens, all counts from ONE (doc_id, token) agg; n arrives via a
+  // doc_id window on that same relation (one extra doc-keyed exchange,
+  // no join), so the whole thing is two keyed shuffles on ids — text
+  // never shuffles. Terms are plog products snapped to the 1e-12
+  // integer grid so the per-doc sum is exact (corpusJsDivergence
+  // recipe) and replays bit-identical in the oracle.
+  // -------------------------------------------------------------------
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Grid = 1.0e12
+    val DecInt = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = explodedTokens(docs, "token", col("doc_id"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wc = counts.withColumn("n", sum("c").over(byDoc))
+    wc.select(
+      col("doc_id"), col("n"),
+      round((col("c").cast("double") / col("n").cast("double") *
+        plog(col("n").cast("double") / col("c").cast("double"))) * Grid)
+        .cast(DecInt).as("t"))
+      .groupBy("doc_id").agg(
+        max("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (sum("t").cast("string").cast("double") / lit(Grid)).as("entropy"))
+  }
+
+  def tokenEntropySql: String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH flat AS (SELECT doc_id, t AS token FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS t FROM documents) u),
+       |counts AS (SELECT doc_id, token, COUNT(*) AS c
+       |  FROM flat GROUP BY doc_id, token),
+       |wc AS (SELECT doc_id, c,
+       |    SUM(c) OVER (PARTITION BY doc_id) AS n FROM counts),
+       |terms AS (SELECT doc_id, n, ROUND(
+       |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) *
+       |    (${plogSql("CAST(n AS DOUBLE) / CAST(c AS DOUBLE)")})
+       |    * 1000000000000.0) AS t
+       |  FROM wc)
+       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+       |  COUNT(*) AS n_distinct,
+       |  CAST(CAST(SUM(CAST(t AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+       |    / 1000000000000.0 AS entropy
+       |FROM terms GROUP BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Corpus drift diagnostic: Jensen-Shannon divergence between the
   // train split's and the holdout's unigram distributions — the
   // standard "did my split/mix shift the data?" check. JSD =

@@ -117,6 +117,27 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-9)
   }
 
+  test("token entropy: uniform doc is ln k on the grid; constant doc is 0") {
+    val docs = Seq(
+      (1L, "a b c d"),     // uniform over 4 → ln 4
+      (2L, "x x x x x"),   // single token → exactly 0
+      (3L, "p p q q")      // uniform over 2 → ln 2
+    ).toDF("doc_id", "text")
+    val m = TextOps.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m(1L)._1 == 4 && m(1L)._2 == 4)
+    assert(math.abs(m(1L)._3 - math.log(4)) < 1e-9)
+    assert(m(2L) == ((5L, 1L, 0.0)))  // plog(1) = 0 exactly
+    assert(math.abs(m(3L)._3 - math.log(2)) < 1e-9)
+    // partition invariance: the grid-snapped sum can't depend on layout
+    val again = TextOps.tokenEntropy(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    m.foreach { case (id, (_, _, e)) =>
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits(again(id))) }
+  }
+
   test("skipgram pairs count symmetric co-occurrences within the window") {
     val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     // window 2, doc1: offsets (a,b),(b,c) and (a,c); doc2: (a,b) —
