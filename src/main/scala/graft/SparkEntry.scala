@@ -176,6 +176,10 @@ object SparkEntry {
     "dsir_select" -> ((s, dir) =>
       graft.ops.Dsir.select(
         Tables.table(s, dir, "documents"), "src0", 100)),
+    // variance-optimal weighted sample: zero-shuffle priorities + TopK
+    "sample_priority" -> ((s, dir) =>
+      graft.ops.Sampling.prioritySample(
+        Tables.table(s, dir, "documents"), 100)),
     // Ranked retrieval: portable-log tf-idf / BM25 / hybrid RRF fusion
     // (PortableMath.plog keeps the log-weighted scores hash-exact
     // against DuckDB — raw ln() differs by 1 ulp on ~8% of idf inputs)
@@ -543,6 +547,7 @@ object SparkEntry {
     "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
     "dsir_weights" -> graft.ops.Dsir.importanceWeightsSql("src0"),
     "dsir_select" -> graft.ops.Dsir.selectSql("src0", 100),
+    "sample_priority" -> graft.ops.Sampling.prioritySampleSql(100),
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),

@@ -225,4 +225,41 @@ object Sampling {
        |  FROM documents) m
        |WHERE n_copies >= 1""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Priority sampling (Duffield, Lund & Thorup 2007): a weighted
+  // without-replacement sample where inclusion probability is
+  // ∝ min(1, w/τ) — the variance-optimal fixed-size weighted sample.
+  // Each doc draws priority q = w/u with u uniform on (0,1]; the k
+  // highest priorities win. u comes from the md5-60 hash of doc_id
+  // (u = (h+1)/2^60 — never 0), so the sample inherits every property
+  // of the split/mix family: reproducible, growth-stable (a new doc
+  // can displace at most one incumbent), partition-invariant, and
+  // oracle-exact (one IEEE division per row, identical both engines).
+  // 100 TB posture: priority is a zero-shuffle scan projection and
+  // selection is TakeOrderedAndProject — per-partition top-k heaps,
+  // k rows to the driver-side merge, never a global sort.
+  // -------------------------------------------------------------------
+  private val Pow2_60 = 1152921504606846976.0 // 2^60
+
+  def prioritySample(
+      docs: DataFrame, k: Int, weight: Column = col("n_chars"),
+      seed: Int = 11): DataFrame = {
+    val u = (Dedup.md5Hash60(seed, col("doc_id").cast("string"))
+      .cast("double") + lit(1.0)) / lit(Pow2_60)
+    docs
+      .select(col("doc_id"), weight.cast("long").as("w"),
+        (weight.cast("double") / u).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def prioritySampleSql(
+      k: Int, weightExpr: String = "n_chars", seed: Int = 11): String =
+    s"""SELECT doc_id, CAST($weightExpr AS BIGINT) AS w,
+       |  CAST($weightExpr AS DOUBLE) /
+       |    ((CAST(${Dedup.md5Hash60Sql(seed, "CAST(doc_id AS VARCHAR)")}
+       |       AS DOUBLE) + 1.0) / 1152921504606846976.0) AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
 }

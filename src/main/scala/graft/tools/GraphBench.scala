@@ -61,6 +61,13 @@ object GraphBench {
       println(s"GRAPHBENCH === e=$e ===")
       timed(f"e=$e%-8d pagerank_3it", graft.ops.GraphOps.pageRank(es, iters = 3))
       timed(f"e=$e%-8d pagerank_6it", graft.ops.GraphOps.pageRank(es, iters = 6))
+      // triangle counting on the undirected simple graph: the hub-skewed
+      // dst distribution is the adversarial case for the wedge join —
+      // degree orientation must keep hub out-degrees O(√E) or the join
+      // fan-out explodes quadratically in the hub degree
+      val und = es.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")).distinct()
+      timed(f"e=$e%-8d triangles   ", graft.ops.GraphOps.triangleCounts(und))
     }
     spark.stop()
   }

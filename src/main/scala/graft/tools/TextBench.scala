@@ -76,6 +76,20 @@ object TextBench {
       timed(s"n=$n bpe_pairs_hot    ", graft.ops.TextOps.bpePairs(docsHot))
       timed(s"n=$n skipgrams        ", graft.ops.TextOps.skipgramPairs(docs))
       timed(s"n=$n skipgrams_hot    ", graft.ops.TextOps.skipgramPairs(docsHot))
+      // r9 fourth wave: DSIR (two B-bucket-keyed corpus passes — the
+      // stats key space is fixed-width, so time must track corpus size,
+      // never vocabulary) and per-doc entropy (one (doc,token) agg +
+      // doc window). The hot header is shared vocabulary mass — it must
+      // shift bucket weights, not the curve's slope.
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+      def withSource(d: DataFrame) = d.withColumn(
+        "source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      timed(s"n=$n dsir_weights     ",
+        graft.ops.Dsir.importanceWeights(withSource(docs), "src0"))
+      timed(s"n=$n dsir_weights_hot ",
+        graft.ops.Dsir.importanceWeights(withSource(docsHot), "src0"))
+      timed(s"n=$n entropy          ", graft.ops.TextOps.tokenEntropy(docs))
+      timed(s"n=$n entropy_hot      ", graft.ops.TextOps.tokenEntropy(docsHot))
     }
     spark.stop()
   }

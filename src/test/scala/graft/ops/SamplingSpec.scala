@@ -148,4 +148,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(repart == capped.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
   }
+
+  test("priority sample is the exact top-k of w/u, partition-invariant") {
+    val k = 10
+    val all = Sampling.prioritySample(docs, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // priorities are a pure function of (doc_id, weight): verify top-k
+    // selection against a full driver-side sort of the same priorities
+    val expect = all.sortBy(t => (-t._3, t._1)).take(k).map(_._1).toSeq
+    val got = Sampling.prioritySample(docs, k).collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    val repart = Sampling.prioritySample(docs.repartition(7), k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(repart == expect)
+  }
+
+  test("priority sample is growth-stable: shared docs keep their priority") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val pHalf = Sampling.prioritySample(half, Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pFull = Sampling.prioritySample(docs, Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    pHalf.foreach { case (id, p) =>
+      assert(java.lang.Double.doubleToLongBits(p) ==
+        java.lang.Double.doubleToLongBits(pFull(id))) }
+  }
 }
