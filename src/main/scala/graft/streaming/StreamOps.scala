@@ -195,6 +195,40 @@ object StreamOps {
       }
   }
 
+  case class Moving(
+      user_id: Long, event_id: Long, mv_n: Long, mv_sum: Double,
+      mv_avg: Double)
+
+  /** Streaming twin of the batch trailing-ROWS frame in
+    * `EventOps.movingStats`: per user, aggregates over the last 4
+    * events (3 preceding + current) in arrival order. State is a ≤3-
+    * element value buffer per user — O(frame) per key, bounded by key
+    * cardinality like latestStateStream, no watermark needed. Sums ride
+    * exact cent-integers (value is 2-decimal data), so a replay
+    * produces bit-identical mv_sum/mv_avg to the batch frame whenever
+    * arrival order matches the batch (ts, event_id) sort —
+    * StreamOpsSpec pins that equivalence. */
+  def movingStatsStream(events: Dataset[EvKeyed]): Dataset[Moving] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], Moving](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvKeyed], state: GroupState[List[Long]]) =>
+          var buf = state.getOption.getOrElse(Nil) // newest-first cents
+          val out = evs.map { e =>
+            val cents = math.round(e.value * 100)
+            buf = (cents :: buf).take(4)
+            val sumC = buf.sum
+            Moving(uid, e.event_id, buf.length.toLong, sumC / 100.0,
+              sumC / 100.0 / buf.length)
+          }.toList // drain before the state write below commits
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key within
     * the watermark horizon (state is evicted once the watermark passes —
     * bounded memory; duplicates arriving later than `watermarkDelay`

@@ -274,6 +274,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == last.map { case (u, (_, _, v)) => u -> v })
   }
 
+  test("streaming moving stats match the batch ROWS frame on in-order replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EvKeyed]
+    val q = movingStatsStream(in.toDS())
+      .writeStream.format("memory").queryName("moving_stream")
+      .outputMode("append").start()
+    // two micro-batches, events arriving in (ts, event_id) order per user
+    in.addData(
+      EvKeyed(1L, ts("2024-01-01 10:00:00"), 1L, 1.00),
+      EvKeyed(1L, ts("2024-01-01 10:01:00"), 2L, 2.00))
+    q.processAllAvailable()
+    in.addData( // frame must continue across the batch boundary
+      EvKeyed(1L, ts("2024-01-01 10:02:00"), 3L, 4.00),
+      EvKeyed(1L, ts("2024-01-01 10:03:00"), 4L, 8.00),
+      EvKeyed(1L, ts("2024-01-01 10:04:00"), 5L, 16.00), // evicts e1
+      EvKeyed(2L, ts("2024-01-01 10:00:00"), 6L, 3.33))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("moving_stream").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(2L) == ((2L, 3.0, 1.5)))
+    assert(got(4L) == ((4L, 15.0, 3.75)))
+    assert(got(5L) == ((4L, 30.0, 7.5)), "4-event frame drops e1")
+    // bit-exact vs the batch operator on the same (in-order) relation
+    val batch = graft.ops.EventOps.movingStats(
+      Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "t", 1.00, "{}"),
+        (2L, ts("2024-01-01 10:01:00"), 1L, "t", 2.00, "{}"),
+        (3L, ts("2024-01-01 10:02:00"), 1L, "t", 4.00, "{}"),
+        (4L, ts("2024-01-01 10:03:00"), 1L, "t", 8.00, "{}"),
+        (5L, ts("2024-01-01 10:04:00"), 1L, "t", 16.00, "{}"),
+        (6L, ts("2024-01-01 10:00:00"), 2L, "t", 3.33, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    batch.foreach { case (id, (n, s, a)) =>
+      val (gn, gs, ga) = got(id)
+      assert(gn == n)
+      assert(java.lang.Double.doubleToLongBits(gs) ==
+        java.lang.Double.doubleToLongBits(s), s"mv_sum event $id")
+      assert(java.lang.Double.doubleToLongBits(ga) ==
+        java.lang.Double.doubleToLongBits(a), s"mv_avg event $id")
+    }
+  }
+
   test("file-source event stream reads the real parquet with the nanos conversion") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
