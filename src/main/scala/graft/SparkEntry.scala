@@ -151,6 +151,10 @@ object SparkEntry {
     // lexical diversity: per-doc token entropy (grid-snapped plog terms)
     "text_entropy" -> ((s, dir) =>
       TextOps.tokenEntropy(Tables.table(s, dir, "documents"))),
+    // per-source z-scored doc length (exact integer stats, float only
+    // at the final divide/sqrt)
+    "text_znorm" -> ((s, dir) =>
+      TextOps.lengthZNorm(Tables.table(s, dir, "documents"))),
     // difficulty-interleaved training order: fixed-width LM-score
     // bands (no global ntile/SinglePartition), pos round-robins bands
     "curriculum_order" -> ((s, dir) =>
@@ -540,6 +544,7 @@ object SparkEntry {
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_entropy" -> TextOps.tokenEntropySql,
+    "text_znorm" -> TextOps.lengthZNormSql,
     "text_bpe_pairs" -> TextOps.bpePairsSql(),
     "curriculum_order" ->
       TextOps.curriculumOrderSql(scoreLo = -3.7, scoreHi = -3.35),

@@ -411,6 +411,49 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Per-source feature normalization: z-score each document's length
+  // within its source (the "is this doc an outlier for its domain?"
+  // signal — mixed corpora have wildly different length regimes, so a
+  // global z-score misflags whole sources). Algebra is arranged so
+  // float appears only in the last two ops: z = (n·x − Σx) /
+  // √(n·Σx² − (Σx)²) — numerator and radicand are EXACT integer
+  // arithmetic (DECIMAL(38,0) here, HUGEINT in the twin), and IEEE
+  // sqrt/divide are correctly-rounded in both engines. One tiny
+  // per-source agg broadcast back onto the scan; zero data shuffle.
+  // Degenerate sources (constant length) → NULL, matching engines.
+  // -------------------------------------------------------------------
+  def lengthZNorm(docs: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stats = docs.groupBy("source").agg(
+      count(lit(1)).cast(Dec).as("n"),
+      sum(col("n_chars").cast(Dec)).as("sx"),
+      sum((col("n_chars") * col("n_chars")).cast(Dec)).as("sxx"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val rad = col("n") * col("sxx") - col("sx") * col("sx")
+    docs.join(broadcast(stats), Seq("source"))
+      .select(
+        col("doc_id"), col("source"), col("n_chars"),
+        when(rad === lit(0).cast(Dec), lit(null).cast("double"))
+          .otherwise(
+            dbl(col("n") * col("n_chars").cast(Dec) - col("sx"))
+              / sqrt(dbl(rad))).as("z"))
+  }
+
+  val lengthZNormSql: String =
+    """WITH st AS (SELECT source,
+      |    CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+      |    SUM(CAST(n_chars * n_chars AS HUGEINT)) AS sxx
+      |  FROM documents GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  CASE WHEN st.n * st.sxx - st.sx * st.sx = 0 THEN NULL ELSE
+      |    CAST(CAST(st.n * CAST(d.n_chars AS HUGEINT) - st.sx AS VARCHAR)
+      |      AS DOUBLE)
+      |    / sqrt(CAST(CAST(st.n * st.sxx - st.sx * st.sx AS VARCHAR)
+      |        AS DOUBLE)) END AS z
+      |FROM documents d JOIN st USING (source)""".stripMargin
+
+  // -------------------------------------------------------------------
   // Corpus drift diagnostic: Jensen-Shannon divergence between the
   // train split's and the holdout's unigram distributions — the
   // standard "did my split/mix shift the data?" check. JSD =

@@ -138,6 +138,22 @@ class TextOpsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(again(id))) }
   }
 
+  test("length z-norm: exact closed form per source; constant source is NULL") {
+    val docs = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "b", 7L), (5L, "b", 7L)
+    ).toDF("doc_id", "source", "n_chars")
+    val z = TextOps.lengthZNorm(docs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // source a: z_i = (3·x − 6)/√(3·14 − 36) = (3x−6)/√6
+    assert(z(1L).contains(-3.0 / math.sqrt(6.0)))
+    assert(z(2L).contains(0.0))
+    assert(z(3L).contains(3.0 / math.sqrt(6.0)))
+    // constant-length source: zero variance → NULL, not a crash
+    assert(z(4L).isEmpty && z(5L).isEmpty)
+  }
+
   test("skipgram pairs count symmetric co-occurrences within the window") {
     val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     // window 2, doc1: offsets (a,b),(b,c) and (a,c); doc2: (a,b) —
