@@ -363,6 +363,10 @@ object SparkEntry {
     // graph (degree-oriented node-iterator — wedge fan-out capped √|E|)
     "graph_triangles" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderTriangles(Tables.table(s, dir, "lineitem"))),
+    // association rules (2-itemset stage): top-k co-order pairs by
+    // exact-integer lift, support-floor pruned, TakeOrdered
+    "basket_lift" -> ((s, dir) =>
+      graft.ops.GraphOps.basketLift(Tables.table(s, dir, "lineitem"))),
     // bloom-prefiltered exact semi join: big-side rows die at the scan
     // stage before the join exchange; result exact regardless of fpp
     "bloom_semi" -> ((s, dir) =>
@@ -621,6 +625,7 @@ object SparkEntry {
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
+    "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -149,6 +149,59 @@ object GraphOps {
        |  UNION ALL SELECT z FROM t) q
        |GROUP BY node""".stripMargin
 
+  /** Association-rule mining, the 2-itemset stage: top-k co-ordered
+    * part pairs ranked by lift = P(a,b)/(P(a)P(b)) with a minimum
+    * support floor (Agrawal & Srikant 1994's Apriori counting stage,
+    * done as joins instead of candidate generation). All counts are
+    * order-distinct integers, lift's numerator/denominator are exact
+    * long products, and the single division is one IEEE op — so the
+    * ranking is deterministic and oracle-exact (ties broken by pair).
+    *
+    * 100 TB posture: the basket self-join is keyed on order id
+    * (bounded fan-out = items-per-basket², not corpus²), the item
+    * support relation is |parts|-sized and broadcast, selection is
+    * TakeOrderedAndProject. The support floor prunes the pair space
+    * before ranking — the same role the DF cap plays in ngram dedup. */
+  def basketLift(
+      lineitem: DataFrame, minSupport: Int = 2, k: Int = 100): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = items.select(countDistinct("ok").as("n"))
+    val itemSupp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = items.select(col("ok"), col("item").as("a"))
+      .join(items.select(col("ok"), col("item").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    pairs
+      .join(broadcast(itemSupp.select(col("item").as("a"), col("supp").as("supp_a"))), "a")
+      .join(broadcast(itemSupp.select(col("item").as("b"), col("supp").as("supp_b"))), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("supp_ab"), col("supp_a"), col("supp_b"),
+        ((col("supp_ab") * col("n")).cast("double") /
+          (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  def basketLiftSql(minSupport: Int = 2, k: Int = 100): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+       |n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+       |item_supp AS (SELECT item, COUNT(*) AS supp FROM items GROUP BY item),
+       |pairs AS (
+       |  SELECT x.item AS a, y.item AS b, COUNT(*) AS supp_ab
+       |  FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)
+       |SELECT p.a, p.b, p.supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+       |  CAST(p.supp_ab * n.n AS DOUBLE)
+       |    / CAST(sa.supp * sb.supp AS DOUBLE) AS lift
+       |FROM pairs p
+       |JOIN item_supp sa ON p.a = sa.item
+       |JOIN item_supp sb ON p.b = sb.item, n_orders n
+       |ORDER BY lift DESC, p.a, p.b LIMIT $k""".stripMargin
+
   def supplierPartRankSql(iters: Int = 3, damping: Double = 0.85): String = {
     val base = 1.0 - damping
     def stepSql(i: Int): String = {

@@ -65,6 +65,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("basket lift: hand-computed lifts, support floor, dedup within order") {
+    // 4 orders; (1,2) co-occur twice (incl. a duplicated line for part 1
+    // in order 100 — order-distinct counting must collapse it), (1,3)
+    // once (below the floor), (5,6) once
+    val li = Seq(
+      (100L, 1L), (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L),
+      (102L, 5L), (102L, 6L),
+      (103L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = GraphOps.basketLift(li, minSupport = 2, k = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r.keySet == Set((1L, 2L)))
+    // supp(1)=2, supp(2)=2, supp(1,2)=2, n=4 → lift = 2·4/(2·2) = 2.0
+    assert(r((1L, 2L)) == ((2L, 2L, 2L, 2.0)))
+    // floor of 1 admits the single-co-occurrence pairs too
+    val all = GraphOps.basketLift(li, minSupport = 1, k = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+  }
+
   test("co-order edges honor the support threshold") {
     val li = Seq(
       (100L, 1L), (100L, 2L), (100L, 3L),
