@@ -68,6 +68,16 @@ object GraphBench {
       val und = es.filter(col("src") < col("dst"))
         .select(col("src").as("a"), col("dst").as("b")).distinct()
       timed(f"e=$e%-8d triangles   ", graft.ops.GraphOps.triangleCounts(und))
+      // basket lift on synthetic orders (~4 items each, Zipf-hot items
+      // via the same squared-hash skew): the per-order self-join's
+      // fan-out is items², so hot ITEMS must not matter — only basket
+      // width does, and that is fixed by construction
+      val baskets = spark.range(e).select(
+        (col("id") / 4).cast("long").as("l_orderkey"),
+        (pow(pmod(xxhash64(col("id"), lit(7)), lit(1000000L)) / 1000000.0, 2.0)
+          * (e / 40)).cast("long").as("l_partkey"))
+      timed(f"e=$e%-8d basket_lift ",
+        graft.ops.GraphOps.basketLift(baskets, minSupport = 2))
     }
     spark.stop()
   }
