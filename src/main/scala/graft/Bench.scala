@@ -109,7 +109,7 @@ object Bench {
     // that would just re-measure ivf_topk plus a parquet write)
     val selected = (only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)) -
-      "ivf_topk_indexed" - "pq_topk_indexed"
+      "ivf_topk_indexed" - "pq_topk_indexed" - "ivfpq_topk_indexed"
 
     var loads = Map.empty[String, String]
     // Three INTERLEAVED full passes over the query set instead of three
@@ -213,9 +213,32 @@ object Bench {
       }
     }
     pqIndexed.foreach(_ => loads += "pq_topk_indexed" -> loadNow())
+    // And for the composed IVFADC: coarse lists + residual codebooks +
+    // codes persisted once (untimed); the timed body is the partition-
+    // pruned codes probe + ADC rescore — the production search path.
+    val runIvfPqIndexed = only.forall(_.contains("ivfpq_topk_indexed"))
+    val ivfPqIndexed: Option[QueryResult] = if (!runIvfPqIndexed) None else Some {
+      try {
+        val embs = Tables.table(spark, sfDir, "embeddings")
+        val path = "target/bench_ivfpq_index.parquet"
+        ops.PqIndex.writeIvfPqIndex(embs, nlistC = 8, maxIterC = 3,
+          m = 4, nlist = 16, maxIter = 3, path)
+        val q = ops.IvfIndex.vectors(embs)
+          .filter(org.apache.spark.sql.functions.col("id") === 0L)
+          .head().getSeq[Double](1)
+        val (runs, best, err) = bestOf(3)(
+          execute(ops.PqIndex.searchIvfPqIndex(spark, path, q, k = 10, nprobe = 2)))
+        ("ivfpq_topk_indexed", runs, best, err)
+      } catch { case e: Throwable =>
+        ("ivfpq_topk_indexed", Seq(-1.0), -1.0,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
+    }
+    ivfPqIndexed.foreach(_ => loads += "ivfpq_topk_indexed" -> loadNow())
     if (runFit) loads += "kmeans_fit10" -> loadNow()
 
     val all = results ++ ivfIndexed.toSeq ++ pqIndexed.toSeq ++
+      ivfPqIndexed.toSeq ++
       (if (runFit) Seq(("kmeans_fit10", fitRuns, fitSec, fitErr)) else Nil)
 
     // The fit at the baseline's own headline scale (BASELINE.md: 10M
@@ -497,6 +520,8 @@ object Bench {
       """"pq_topk_indexed":"codes-only probe; index persisted untimed (production path)",""" +
       """"ivf_topk":"coarse-quantizer build + probe inside the timed body",""" +
       """"ivf_topk_indexed":"partition-pruned probe; index persisted untimed (production path)",""" +
+      """"ivfpq_topk":"IVFADC: coarse + residual-PQ build + probe inside the timed body",""" +
+      """"ivfpq_topk_indexed":"partition-pruned codes probe + ADC; index persisted untimed (production path)",""" +
       """"dedup_incr_indexed":"history index WRITE + probe inside the timed body — production writes once per ingest and pays only the probe (dedup_incr_near is the same computation unstaged)"}"""
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +

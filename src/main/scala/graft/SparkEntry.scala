@@ -488,6 +488,26 @@ object SparkEntry {
         .collect()(0).getSeq[Double](1)
       graft.ops.PqIndex.searchIndex(s, path, q, k = 10)
     }),
+    // IVFADC — the composed production ANN (Jégou 2011 §IV): coarse
+    // inverted lists prune to nprobe/nlistC, PQ codes trained on
+    // RESIDUALS answer the asymmetric distance inside the probed
+    // lists. Fixed-iteration builds → the whole pipeline is one
+    // DuckDB-unrollable plan (PqIndex.ivfPqTopKSql).
+    "ivfpq_topk" -> ((s, dir) =>
+      graft.ops.PqIndex.ivfPqTopK(Tables.table(s, dir, "embeddings"))),
+    // the production shape: codes persisted partitioned by list_id, so
+    // the probe is a partition-pruned scan of nprobe/nlistC of the
+    // m-byte codes; parquet round-trip is exact → same oracle
+    "ivfpq_topk_indexed" -> ((s, dir) => {
+      val embs = Tables.table(s, dir, "embeddings")
+      val path = "target/ivfpq_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.PqIndex.writeIvfPqIndex(embs, nlistC = 8, maxIterC = 3,
+        m = 4, nlist = 16, maxIter = 3, path)
+      val q = graft.ops.IvfIndex.vectors(embs)
+        .filter(org.apache.spark.sql.functions.col("id") === 0L)
+        .head().getSeq[Double](1)
+      graft.ops.PqIndex.searchIvfPqIndex(s, path, q, k = 10, nprobe = 2)
+    }),
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
@@ -657,6 +677,8 @@ object SparkEntry {
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
     "pq_topk" -> graft.ops.PqIndex.pqTopKSql(),
     "pq_topk_indexed" -> graft.ops.PqIndex.pqTopKSql(),
+    "ivfpq_topk" -> graft.ops.PqIndex.ivfPqTopKSql(),
+    "ivfpq_topk_indexed" -> graft.ops.PqIndex.ivfPqTopKSql(),
     "mm_summary" -> Multimodal.mediaSummarySql,
     "mm_frames" -> Multimodal.sampleFramesSql(),
     "mm_features_full" -> Multimodal.featuresFlatSql,

@@ -125,6 +125,223 @@ object PqIndex {
       .limit(k)
   }
 
+  // -------------------------------------------------------------------
+  // IVFADC — the composed production ANN (Jégou et al. 2011 §IV):
+  // coarse inverted lists prune the corpus to nprobe/nlistC, and PQ
+  // codes trained on RESIDUALS (vec − coarse centroid) answer the
+  // asymmetric distance inside the probed lists. Residual encoding is
+  // what makes the composition better than either part alone: the
+  // codebooks only have to cover the within-list displacement, not the
+  // whole space.
+  //
+  // 100 TB posture: a query touches nprobe/nlistC of the CODES table
+  // (m bytes/vector, list_id-partition-pruned when persisted) — the
+  // raw vectors are read exactly once, at build. Every arithmetic step
+  // is the fixed-iteration deterministic machinery already under the
+  // oracle gate, so the full build→encode→probe→ADC pipeline unrolls
+  // into DuckDB CTEs ([[ivfPqTopKSql]]).
+  // -------------------------------------------------------------------
+
+  private def residuals(vecs: DataFrame, lists: DataFrame,
+      coarseDF: DataFrame): DataFrame =
+    vecs.join(lists, "id")
+      .join(broadcast(coarseDF), "list_id")
+      .select(col("id"), col("list_id"),
+        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+
+  /** Rank coarse lists against the query driver-side (nlistC·dim flops,
+    * same left-to-right fold + (dist, cid) tie-break as the SQL twin). */
+  private def probeLists(coarse: Seq[CentND], q: Seq[Double],
+      nprobe: Int): Seq[Int] = {
+    val qa = q.toArray
+    coarse.map { c =>
+      var d = 0.0; var i = 0
+      while (i < qa.length) { val dx = qa(i) - c.vec(i); d += dx * dx; i += 1 }
+      (c.cid, d)
+    }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+  }
+
+  /** ADC over the probed candidates: each candidate's residual is
+    * approximated by its per-subspace codewords; the query side is the
+    * exact per-list residual q − c_list (broadcast, one row per probed
+    * list). Fixed left-to-right subspace fold, (dist, id) tie-break. */
+  private def adcScore(spark: SparkSession, cand: DataFrame, cb: Codebooks,
+      k: Int): DataFrame = {
+    val scored = (0 until cb.m).foldLeft(cand) { (acc, s) =>
+      val book = graft.Tables.centsNDDF(spark, cb.books(s))
+        .select(col("cid").as(s"code$s"), col("cvec").as(s"cvec$s"))
+      acc.join(broadcast(book), s"code$s")
+        .withColumn(s"adc$s", KMeansND.sqDistND(
+          slice(col("qres"), s * cb.subDim + 1, cb.subDim), col(s"cvec$s")))
+    }
+    val total = (0 until cb.m).map(s => col(s"adc$s")).reduceLeft(_ + _)
+    scored.select(col("id"), col("list_id"), total.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Full IVFADC search in one plan: fixed-iteration coarse quantizer,
+    * residual PQ codebooks, probe the `nprobe` nearest lists, ADC
+    * top-k. Deterministic end to end → oracle-checked by
+    * [[ivfPqTopKSql]]. */
+  def ivfPqTopK(embs: DataFrame, nlistC: Int = 8, maxIterC: Int = 3,
+      m: Int = 4, nlist: Int = 16, maxIter: Int = 3,
+      queryId: Long = 0L, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    val vecs = IvfIndex.vectors(embs)
+    val coarse = KMeansND.fit(vecs,
+      KMeansND.initFromLowestIds(vecs, nlistC), maxIterC, tol = 0.0,
+      convergence = false)._1
+    val lists = KMeansND.assignKernel(vecs, coarse)
+      .select(col("id"), col("cid").as("list_id"))
+    val coarseDF = graft.Tables.centsNDDF(spark, coarse)
+      .select(col("cid").as("list_id"), col("cvec"))
+    val resid = residuals(vecs, lists, coarseDF)
+    val cb = train(resid.select("id", "vec"), m, nlist, maxIter)
+    val codes = encode(resid.select("id", "vec"), cb)
+      .join(resid.select("id", "list_id"), "id")
+    val q = vecs.filter(col("id") === queryId).head().getSeq[Double](1)
+    val probed = probeLists(coarse, q, nprobe)
+    val qCol = array(q.map(lit): _*)
+    val qres = coarseDF.filter(col("list_id").isin(probed: _*))
+      .select(col("list_id"),
+        zip_with(qCol, col("cvec"), (a, b) => a - b).as("qres"))
+    val cand = codes.filter(col("list_id").isin(probed: _*))
+      .join(broadcast(qres), "list_id")
+    adcScore(spark, cand, cb, k)
+  }
+
+  /** Persist the IVFADC index: codes partitioned by list_id (a probe is
+    * a partition-pruned scan of nprobe/nlistC of the m-byte codes),
+    * plus the driver-sized coarse centroids and codebooks beside it. */
+  def writeIvfPqIndex(embs: DataFrame, nlistC: Int, maxIterC: Int,
+      m: Int, nlist: Int, maxIter: Int, path: String): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val vecs = IvfIndex.vectors(embs)
+    val coarse = KMeansND.fit(vecs,
+      KMeansND.initFromLowestIds(vecs, nlistC), maxIterC, tol = 0.0,
+      convergence = false)._1
+    val lists = KMeansND.assignKernel(vecs, coarse)
+      .select(col("id"), col("cid").as("list_id"))
+    val coarseDF = graft.Tables.centsNDDF(spark, coarse)
+      .select(col("cid").as("list_id"), col("cvec"))
+    val resid = residuals(vecs, lists, coarseDF)
+    val cb = train(resid.select("id", "vec"), m, nlist, maxIter)
+    encode(resid.select("id", "vec"), cb)
+      .join(resid.select("id", "list_id"), "id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+    coarse.map(c => (c.cid, c.vec)).toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    cb.books.zipWithIndex
+      .flatMap { case (book, s) => book.map(c => (s, c.cid, c.vec)) }
+      .toDF("subspace", "cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Probe a persisted IVFADC index: reads ONLY the probed list_id
+    * partitions of the codes table (the raw vectors stay cold). Parquet
+    * round-trips doubles exactly, so [[ivfPqTopKSql]] is its oracle
+    * too. */
+  def searchIvfPqIndex(spark: SparkSession, path: String,
+      query: Seq[Double], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val coarse = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => CentND(r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_.cid)
+    adcProbe(spark, path, coarse, query, k, nprobe)
+  }
+
+  private def adcProbe(spark: SparkSession, path: String,
+      coarse: Seq[CentND], query: Seq[Double], k: Int,
+      nprobe: Int): DataFrame = {
+    val cb = {
+      val rows = spark.read.parquet(s"$path/books").collect()
+      val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (_, rs) => rs.sortBy(_.getInt(1))
+          .map(r => CentND(r.getInt(1), r.getSeq[Double](2))).toSeq
+      }
+      Codebooks(books.length, books.head.head.vec.length, books)
+    }
+    val probed = probeLists(coarse, query, nprobe)
+    val qCol = array(query.map(lit): _*)
+    import spark.implicits._
+    val coarseDF = coarse.map(c => (c.cid, c.vec)).toDF("list_id", "cvec")
+    val qres = coarseDF.filter(col("list_id").isin(probed: _*))
+      .select(col("list_id"),
+        zip_with(qCol, col("cvec"), (a, b) => a - b).as("qres"))
+    val cand = spark.read.parquet(s"$path/codes")
+      .filter(col("list_id").isin(probed: _*))
+      .join(broadcast(qres), "list_id")
+    adcScore(spark, cand, cb, k)
+  }
+
+  /** DuckDB twin of the FULL IVFADC pipeline: coarse Lloyd chain →
+    * lists → residuals (`list_transform` element subtraction — exact
+    * IEEE, same as the Spark `zip_with`) → per-subspace residual
+    * codebook chains → codes → probed lists → per-list query residual →
+    * ADC fold. Requires the Spark side's fixed-iteration builds. */
+  def ivfPqTopKSql(nlistC: Int = 8, maxIterC: Int = 3, m: Int = 4,
+      nlist: Int = 16, maxIter: Int = 3, queryId: Long = 0L, k: Int = 10,
+      nprobe: Int = 2, dim: Int = 64): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    val coarseSteps = (1 to maxIterC).map { i =>
+      s"cca$i AS (${KMeansND.assignSql("ptsnd", s"cc${i - 1}")}), " +
+        s"cc$i AS (${KMeansND.recomputeSql("ptsnd", s"cca$i")})"
+    }.mkString(", ")
+    val ccFin = s"cc$maxIterC"
+    val perSub = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = s * subDim + subDim
+      val sub = s"sub$s"
+      val subRel =
+        s"$sub AS (SELECT id, list_slice(vec, $lo, $hi) AS vec FROM resid)"
+      val init =
+        s"""s${s}c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, vec AS cvec FROM
+           |  (SELECT vec, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM $sub) t
+           |  WHERE rn <= $nlist)""".stripMargin
+      val steps = (1 to maxIter).map { i =>
+        s"s${s}a$i AS (${KMeansND.assignSql(sub, s"s${s}c${i - 1}")}), " +
+          s"s${s}c$i AS (${KMeansND.recomputeSql(sub, s"s${s}a$i")})"
+      }.mkString(", ")
+      val codes =
+        s"codes$s AS (SELECT id, cid AS code$s FROM (${KMeansND.assignSql(sub, s"s${s}c$maxIter")}) a)"
+      s"$subRel, $init, $steps, $codes"
+    }.mkString(", ")
+    val codeJoin = (1 until m)
+      .map(s => s"JOIN codes$s ON codes0.id = codes$s.id").mkString(" ")
+    val bookJoin = (0 until m)
+      .map(s => s"JOIN s${s}c$maxIter b$s ON codes$s.code$s = b$s.cid").mkString(" ")
+    val adc = (0 until m)
+      .map(s => KMeansND.sqDistSql(s"list_slice(r.qres, ${s * subDim + 1}, ${s * subDim + subDim})", s"b$s.cvec"))
+      .reduceLeft((a, b) => s"($a + $b)")
+    graft.Tables.withVecsCents(
+      s""", cc0 AS (SELECT cid, cvec FROM centsnd), $coarseSteps,
+         |lists AS (${KMeansND.assignSql("ptsnd", ccFin)}),
+         |resid AS (SELECT p.id, l.cid AS list_id,
+         |  list_transform(generate_series(1, len(p.vec)),
+         |    i -> p.vec[i] - c.cvec[i]) AS vec
+         |  FROM ptsnd p JOIN lists l ON p.id = l.id
+         |  JOIN $ccFin c ON l.cid = c.cid),
+         |$perSub,
+         |q AS (SELECT vec FROM ptsnd WHERE id = $queryId),
+         |probed AS (
+         |  SELECT c.cid FROM $ccFin c CROSS JOIN q
+         |  ORDER BY ${KMeansND.sqDistSql("c.cvec", "q.vec")}, c.cid
+         |  LIMIT $nprobe),
+         |qres AS (SELECT c.cid AS list_id,
+         |  list_transform(generate_series(1, len(c.cvec)),
+         |    i -> q.vec[i] - c.cvec[i]) AS qres
+         |  FROM $ccFin c CROSS JOIN q
+         |  WHERE c.cid IN (SELECT cid FROM probed))
+         |SELECT codes0.id, l.cid AS list_id, $adc AS adc_dist
+         |FROM codes0 $codeJoin
+         |JOIN lists l ON codes0.id = l.id
+         |JOIN qres r ON l.cid = r.list_id
+         |$bookJoin
+         |ORDER BY adc_dist ASC, codes0.id ASC LIMIT $k""".stripMargin,
+      nlistC)
+  }
+
   /** DuckDB twin: per subspace, the sliced relation, `maxIter` unrolled
     * decimal-exact Lloyd steps, final code assignment; then the ADC join
     * with the identical left-to-right subspace fold. */

@@ -82,9 +82,45 @@ class PqIndexSpec extends SparkSpec {
   }
 
   test("registered query/oracle pair exists") {
-    for (n <- Seq("pq_topk", "pq_topk_indexed")) {
+    for (n <- Seq("pq_topk", "pq_topk_indexed",
+        "ivfpq_topk", "ivfpq_topk_indexed")) {
       assert(graft.SparkEntry.queries.contains(n), n)
       assert(graft.SparkEntry.oracleSql.contains(n), n)
     }
+  }
+
+  test("IVFADC keeps the query's cluster on separated data") {
+    val top = PqIndex.ivfPqTopK(clustered, nlistC = 4, maxIterC = 3,
+      m = 4, nlist = 8, maxIter = 3, queryId = 0L, k = 10, nprobe = 2)
+      .collect()
+    assert(top.nonEmpty && top.length <= 10)
+    // the residual-ADC best match for query 0 is itself
+    assert(top.head.getLong(0) == 0L, top.map(_.getLong(0)).mkString(","))
+    // candidates are restricted to the probed lists, so every hit on
+    // this separated fixture comes from the query's own cluster
+    assert(top.forall(_.getLong(0) < 10L), top.map(_.getLong(0)).mkString(","))
+    val ds = top.map(_.getDouble(2))
+    assert(ds.forall(_ >= 0.0) && ds.sameElements(ds.sorted))
+  }
+
+  test("persisted IVFADC probe equals the in-plan result and prunes partitions") {
+    val path = "/tmp/graft-test-ivfpq-index"
+    PqIndex.writeIvfPqIndex(clustered, nlistC = 4, maxIterC = 3,
+      m = 4, nlist = 8, maxIter = 3, path)
+    val q = IvfIndex.vectors(clustered)
+      .filter(col("id") === 0L).head().getSeq[Double](1)
+    val probe = PqIndex.searchIvfPqIndex(spark, path, q, k = 10, nprobe = 2)
+    val probed = probe.collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val direct = PqIndex.ivfPqTopK(clustered, nlistC = 4, maxIterC = 3,
+      m = 4, nlist = 8, maxIter = 3, queryId = 0L, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(probed == direct) // parquet round-trip is exact
+    // the probe reads ONLY the probed list_id partitions of the codes
+    // table — a partition-pruned scan, and never the raw embeddings
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+    assert(plan.contains("list_id"), plan.take(800))
+    assert(!plan.contains("embedding"))
   }
 }
