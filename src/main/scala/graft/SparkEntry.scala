@@ -353,6 +353,16 @@ object SparkEntry {
     // TPC-H Q1 shape: pushed scan filter + single-pass multi-agg
     "pricing_summary" -> ((s, dir) =>
       graft.ops.Relational.pricingSummary(Tables.table(s, dir, "lineitem"))),
+    // multi-dimensional aggregates: CUBE margins in one scan (Expand +
+    // one shuffle) and the year→month ROLLUP subtotal chain
+    "cube_pricing" -> ((s, dir) =>
+      graft.ops.Relational.pricingCube(Tables.table(s, dir, "lineitem"))),
+    "rollup_orders" -> ((s, dir) =>
+      graft.ops.Relational.ordersRollup(Tables.table(s, dir, "orders"))),
+    // record linkage: blocked Levenshtein fuzzy join over part names —
+    // integer-exact DP in both engines, candidates never all-pairs
+    "dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.table(s, dir, "part"))),
     // fixed-superstep PageRank over the symmetrized supplier↔part
     // bipartite graph — the iterative-graph-analytics family (CC's
     // scoring sibling), integer-grid sums keep every superstep
@@ -643,6 +653,9 @@ object SparkEntry {
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
+    "cube_pricing" -> graft.ops.Relational.pricingCubeSql(),
+    "rollup_orders" -> graft.ops.Relational.ordersRollupSql(),
+    "dedup_editdist" -> Dedup.editDistancePairsSql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
     "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),

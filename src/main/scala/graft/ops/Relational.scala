@@ -77,6 +77,59 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** Multi-dimensional aggregate — CUBE over the Q1 group key: one
+    * scan produces every grouping-set combination (detail, each
+    * single-axis margin, grand total) with `grouping_id` tagging the
+    * level. Spark expands the sets BEFORE the shuffle (Expand), so the
+    * whole cube still costs one pass + one aggregation shuffle — the
+    * warehouse way to compute a pivot-table's margins without
+    * re-scanning per level. */
+  def pricingCube(lineitem: DataFrame, cutoff: String = "1998-09-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Dec))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+
+  def pricingCubeSql(cutoff: String = "1998-09-01"): String = {
+    def decSum(e: String) =
+      s"CAST(CAST(SUM(CAST($e AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  ${decSum("l_quantity")} AS sum_qty,
+       |  ${decSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$cutoff 00:00:00'
+       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+  }
+
+  /** ROLLUP down the natural time hierarchy (year → month → grand
+    * total): the subtotal chain a reporting rollup query produces.
+    * Same one-scan Expand + single shuffle shape as [[pricingCube]]. */
+  def ordersRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  def ordersRollupSql(): String =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       |  CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS BIGINT) AS gid,
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+       |    AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))""".stripMargin
+
   def starRevenueSql(year: Int = 1995): String =
     s"""SELECT n.n_name AS nation,
        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)

@@ -287,4 +287,33 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(probed.toSeq == got.toSeq)
   }
+
+  test("blocked edit-distance join finds typo pairs, never cross-block pairs") {
+    val part = Seq(
+      (1L, "small ring"),   // dist("ring","rings") = 1 → pair (1,2)
+      (2L, "small rings"),
+      (3L, "small gear"),   // dist to ring = 3 → no pair at maxDist 2
+      (4L, "Small Ring"),   // case-insensitive exact dup of 1 → dist 0
+      (5L, "red ring")      // same noun, different block → never compared
+    ).toDF("p_partkey", "p_name")
+    val got = Dedup.editDistancePairs(part, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == Seq((1L, 2L, 1), (1L, 4L, 0), (2L, 4L, 1)))
+  }
+
+  test("edit-distance DP runs on the distinct-name domain, rows only expand at the end") {
+    // 100 copies of two names: the name-pair relation must stay at
+    // D²-scale (3 pairs incl. self-pairs) while the output holds all
+    // C(100,2)-per-name + 100·100 cross pairs
+    val part = (0L until 100L).flatMap(i =>
+      Seq((2 * i, "small ring"), (2 * i + 1, "small rings")))
+      .toDF("p_partkey", "p_name")
+    val out = Dedup.editDistancePairs(part, maxDist = 2)
+    assert(out.count() == 100L * 99 / 2 * 2 + 100L * 100)
+    // every pair is ordered and within the distance bound
+    val sample = out.limit(50).collect()
+    sample.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getInt(2) <= 2)
+    }
+  }
 }

@@ -38,6 +38,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("cube emits detail + both margins + grand total, all consistent") {
+    import org.apache.spark.sql.functions.col
+    val (l, _, _, _) = tables
+    val rows = Relational.pricingCube(l).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    // gid 0 = detail, 1 = returnflag margin, 2 = linestatus margin,
+    // 3 = grand total (grouping_id bit order: first col = MSB)
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byGid(3L).length == 1)
+    val total = byGid(3L).head.getLong(5)
+    assert(byGid(0L).map(_.getLong(5)).sum == total)
+    assert(byGid(1L).map(_.getLong(5)).sum == total)
+    assert(byGid(2L).map(_.getLong(5)).sum == total)
+    // margin rows null out exactly the aggregated-away column
+    byGid(1L).foreach(r => assert(!r.isNullAt(0) && r.isNullAt(1)))
+    byGid(2L).foreach(r => assert(r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("rollup produces the year→month subtotal chain") {
+    val (_, o, _, _) = tables
+    val rows = Relational.ordersRollup(o).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    // rollup: detail (0), year subtotal (1), grand total (3) — never
+    // a month-without-year set (2)
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    val total = byGid(3L).head.getLong(4)
+    assert(byGid(0L).map(_.getLong(4)).sum == total)
+    assert(byGid(1L).map(_.getLong(4)).sum == total)
+  }
+
+  test("cube plans one scan through Expand, not one scan per grouping set") {
+    val (l, _, _, _) = tables
+    val plan = Relational.pricingCube(l).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(500))
+    assert("FileScan|Scan parquet".r.findAllIn(plan).length <= 1)
+  }
+
   test("plan broadcasts the nation dim and pushes the date filter to the scan") {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
