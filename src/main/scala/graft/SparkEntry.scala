@@ -155,6 +155,14 @@ object SparkEntry {
     // at the final divide/sqrt)
     "text_znorm" -> ((s, dir) =>
       TextOps.lengthZNorm(Tables.table(s, dir, "documents"))),
+    // per-source percentile clipping — exact rank-based percentiles
+    // (no interpolation arithmetic), one window shuffle + S-row bounds
+    "text_winsorize" -> ((s, dir) =>
+      TextOps.winsorize(Tables.table(s, dir, "documents"))),
+    // cross-source shingle contamination matrix: per-pair shared
+    // shingles + Jaccard; per-shingle fan-out bounded by sources²
+    "corpus_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlap(Tables.table(s, dir, "documents"))),
     // difficulty-interleaved training order: fixed-width LM-score
     // bands (no global ntile/SinglePartition), pos round-robins bands
     "curriculum_order" -> ((s, dir) =>
@@ -579,6 +587,8 @@ object SparkEntry {
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_entropy" -> TextOps.tokenEntropySql,
     "text_znorm" -> TextOps.lengthZNormSql,
+    "text_winsorize" -> TextOps.winsorizeSql(),
+    "corpus_overlap" -> TextOps.sourceOverlapSql(),
     "text_bpe_pairs" -> TextOps.bpePairsSql(),
     "curriculum_order" ->
       TextOps.curriculumOrderSql(scoreLo = -3.7, scoreHi = -3.35),

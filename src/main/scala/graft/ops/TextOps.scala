@@ -745,4 +745,96 @@ object TextOps {
        |FROM sym GROUP BY 1, 2
        |ORDER BY cnt DESC, center ASC, context ASC LIMIT $topN""".stripMargin
   }
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct word n-gram shingles they share, plus the Jaccard overlap
+    * of their shingle sets. The corpus-level twin of doc-level near-dup
+    * detection — the number a curator reads before mixing two crawls.
+    *
+    * Scale shape: distinct (source, shingle) is one shuffle; the
+    * self-join reuses that shingle partitioning; per-shingle fan-out is
+    * bounded by S² (sources², NOT docs²) so a boilerplate shingle hot
+    * in every source emits C(S,2) rows, and the pair counts collapse in
+    * map-side partials. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .select(col("source"), explode(transform(
+        sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(0))),
+        i => array_join(slice(col("tk"), i, lit(n)), " "))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  def sourceOverlapSql(n: Int = 3): String =
+    s"""WITH sh AS (SELECT DISTINCT source,
+       |  unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |    i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS shingle
+       |  FROM (SELECT source, $tokensSql AS tk FROM documents) d),
+       |sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.src_a, i.src_b, i.inter,
+       |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON i.src_a = sa.source
+       |JOIN sizes sb ON i.src_b = sb.source""".stripMargin
+
+  /** Per-source winsorization (percentile clipping) of document length:
+    * clip each doc's length to its source's [qLo, qHi] empirical
+    * percentiles — the outlier guard run before length-sensitive
+    * training statistics. Percentiles are EXACT RANK-BASED
+    * (percentile_disc semantics: the value at row ceil(q·n) of the
+    * (len, doc_id)-sorted source) — integer-exact in both engines, no
+    * interpolation arithmetic to drift. One window shuffle on source +
+    * a broadcast of the S-row bounds table. */
+  def winsorize(docs: DataFrame, qLo: Double = 0.05,
+      qHi: Double = 0.95): DataFrame = {
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("len"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val bounds = ranked.groupBy("source").agg(
+      max(when(col("rn") ===
+        greatest(lit(1L), ceil(lit(qLo) * col("n"))), col("len"))).as("lo"),
+      max(when(col("rn") === ceil(lit(qHi) * col("n")), col("len"))).as("hi"))
+    ranked.join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("len"),
+        least(greatest(col("len"), col("lo")), col("hi")).as("len_w"))
+  }
+
+  /** Twin note: the bare literal 0.05 parses as DECIMAL in DuckDB but
+    * DOUBLE in Spark — the CAST keeps the rank product the identical
+    * IEEE multiply on both sides (ceil of 1.0000000000000002 vs 1.0
+    * would otherwise pick different rows). */
+  def winsorizeSql(qLo: Double = 0.05, qHi: Double = 0.95): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY length(text), doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM documents),
+       |bounds AS (
+       |  SELECT source,
+       |    MAX(CASE WHEN rn = GREATEST(1,
+       |      CAST(CEIL(CAST($qLo AS DOUBLE) * n) AS BIGINT)) THEN len END) AS lo,
+       |    MAX(CASE WHEN rn =
+       |      CAST(CEIL(CAST($qHi AS DOUBLE) * n) AS BIGINT) THEN len END) AS hi
+       |  FROM ranked GROUP BY source)
+       |SELECT r.doc_id, r.source, r.len,
+       |  LEAST(GREATEST(r.len, b.lo), b.hi) AS len_w
+       |FROM ranked r JOIN bounds b ON r.source = b.source""".stripMargin
 }

@@ -237,4 +237,45 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(top2.toSeq == Seq(("a", "b"), ("b", "c")))
   }
+
+  test("winsorize clips to the exact rank-based per-source percentiles") {
+    // source s: 10 docs of lengths 1..10 → at (0.05, 0.95) the bounds
+    // are the values at ranks ceil(0.5)=1 and ceil(9.5)=10 — no
+    // clipping; at (0.2, 0.8) ranks 2 and 8 clip the tails to [2, 8]
+    val docs = (1 to 10).map(i => (i.toLong, "s", "x" * i))
+      .toDF("doc_id", "source", "text")
+    val loose = TextOps.winsorize(docs, 0.05, 0.95).collect()
+    assert(loose.forall(r => r.getLong(3) == r.getLong(2)))
+    val tight = TextOps.winsorize(docs, 0.2, 0.8).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(tight == (1L to 10L).map(l => (l, math.max(2L, math.min(8L, l)))))
+  }
+
+  test("winsorize bounds are per-source, not global") {
+    val docs = ((1 to 5).map(i => (i.toLong, "short", "x" * i)) ++
+      (1 to 5).map(i => (10L + i, "long", "x" * (100 + i))))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.winsorize(docs, 0.2, 0.8).collect()
+    // every clipped length stays within its own source's value range
+    out.foreach { r =>
+      val (src, w) = (r.getString(1), r.getLong(3))
+      if (src == "short") assert(w >= 1 && w <= 5)
+      else assert(w >= 101 && w <= 105)
+    }
+  }
+
+  test("source overlap counts shared shingles symmetrically, once per pair") {
+    val docs = Seq(
+      (1L, "a", "the quick brown fox jumps high"),   // shares "the quick brown"
+      (2L, "b", "the quick brown cat sleeps now"),   // + "quick brown ..." diverges
+      (3L, "c", "completely different text entirely here")
+    ).map { case (id, src, t) => (id, t, src) }.toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(docs, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // a and b share exactly one 3-gram ("the quick brown"); c shares none
+    assert(out == Seq(("a", "b", 1L)))
+    // jaccard = 1 / (4 + 4 - 1)
+    val j = TextOps.sourceOverlap(docs, n = 3).collect().head.getDouble(3)
+    assert(math.abs(j - 1.0 / 7.0) < 1e-15)
+  }
 }
