@@ -302,6 +302,11 @@ object SparkEntry {
     "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
     "emb_cosine_topk" -> ((s, dir) =>
       EmbeddingOps.cosineTopK(Tables.table(s, dir, "embeddings"))),
+    // MMR diversity re-rank: corpus-wide scoring stays distributed
+    // (top-pool TakeOrdered); the greedy picks run over the CONSTANT
+    // pool; k steps unrolled in the twin
+    "emb_mmr_topk" -> ((s, dir) =>
+      EmbeddingOps.mmrTopK(Tables.table(s, dir, "embeddings"))),
     "emb_lsh_topk" -> ((s, dir) =>
       EmbeddingOps.lshTopK(Tables.table(s, dir, "embeddings"))),
     "emb_near_dups" -> ((s, dir) =>
@@ -633,6 +638,7 @@ object SparkEntry {
     "mix_temp" -> graft.ops.Sampling.temperatureMixSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
+    "emb_mmr_topk" -> EmbeddingOps.mmrTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
     "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
     "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(

@@ -414,4 +414,109 @@ object EmbeddingOps {
        |WHERE ${batchCond("vec_id")}
        |  AND vec_id NOT IN (SELECT idb FROM dropped)""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank a
+  // relevance-ranked candidate pool so the final top-k balances
+  // relevance against redundancy — score(i) = λ·rel(i) −
+  // (1−λ)·max_{j∈selected} sim(i,j), greedily. The retrieval-diversity
+  // pass a RAG pipeline runs after ANN.
+  //
+  // Scale shape: the DISTRIBUTED work is scoring the whole corpus and
+  // keeping the top-`pool` (TakeOrderedAndProject, no global sort);
+  // the greedy loop is inherently sequential but runs over the
+  // CONSTANT-sized pool (pool·dim doubles collected — same class as a
+  // centroid pull), never the corpus. All arithmetic uses the same
+  // left-to-right IEEE folds as the SQL twin, so the full
+  // pool→pairwise-sims→k greedy picks is hash-exact.
+  // -------------------------------------------------------------------
+  def mmrTopK(embs: DataFrame, queryId: Long = 0L, pool: Int = 40,
+      k: Int = 10, lambda: Double = 0.7): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cand = cosineTopK(embs, queryId, pool).collect()
+    val ids = cand.map(_.getLong(0))
+    val relOf = cand.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecOf = embs
+      .filter(col("vec_id").isin(ids.map(Long.box).toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val normOf = ids.map(id => id -> math.sqrt(dotD(vecOf(id), vecOf(id)))).toMap
+    def sim(a: Long, b: Long): Double =
+      dotD(vecOf(a), vecOf(b)) / (normOf(a) * normOf(b))
+    val oneMinus = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(ids: _*)
+    for (t <- 1 to math.min(k, ids.length)) {
+      val scoredRem = remaining.map { i =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (_, j, _) => sim(i, j) }.max
+        (lambda * relOf(i) - oneMinus * redundancy, i)
+      }
+      val (score, pick) = scoredRem.minBy { case (s, i) => (-s, i) }
+      selected += ((t, pick, score))
+      remaining -= pick
+    }
+    selected.toSeq.toDF("rank", "vec_id", "score")
+  }
+
+  /** DuckDB twin: candidate pool + pairwise sims as CTEs, then the k
+    * greedy picks unrolled (each step excludes the union of prior
+    * picks and takes the argmax with the (score DESC, id) tie-break).
+    * λ and 1−λ are emitted as shortest-roundtrip double literals so
+    * both engines multiply by the identical doubles. The reused CTEs
+    * are AS MATERIALIZED: the sel chain references each predecessor
+    * twice, and default inlining would duplicate the embeddings scan
+    * 2^k times (observed as fd exhaustion, not just slowness). */
+  def mmrTopKSql(queryId: Long = 0L, pool: Int = 40, k: Int = 10,
+      lambda: Double = 0.7): String = {
+    val lam = s"CAST(${lambda} AS DOUBLE)"
+    val om = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    val steps = (1 to k).map { t =>
+      if (t == 1)
+        s"""s1 AS MATERIALIZED (SELECT CAST(1 AS INTEGER) AS rank, vec_id,
+           |  $lam * rel AS score
+           |  FROM cand ORDER BY $lam * rel DESC, vec_id LIMIT 1),
+           |sel1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin
+      else
+        s"""s$t AS MATERIALIZED (SELECT CAST($t AS INTEGER) AS rank, c.vec_id,
+           |  $lam * c.rel - $om * (
+           |    SELECT MAX(s.sim) FROM sims s
+           |    WHERE s.ia = c.vec_id
+           |      AND s.ib IN (SELECT vec_id FROM sel${t - 1})) AS score
+           |  FROM cand c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  ORDER BY score DESC, c.vec_id LIMIT 1),
+           |sel$t AS MATERIALIZED (SELECT vec_id FROM sel${t - 1}
+           |  UNION ALL SELECT vec_id FROM s$t)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to k).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS q_emb,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS q_norm
+       |  FROM embeddings WHERE vec_id = $queryId),
+       |cand AS MATERIALIZED (SELECT vec_id, rel FROM (
+       |  SELECT e.vec_id,
+       |    ${dotSql("e.embedding", "q.q_emb")}
+       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * q.q_norm) AS rel,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      ${dotSql("e.embedding", "q.q_emb")}
+       |        / (SQRT(${dotSql("e.embedding", "e.embedding")}) * q.q_norm)
+       |      DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $queryId) t
+       |  WHERE rn <= $pool),
+       |cvec AS MATERIALIZED (SELECT c.vec_id, e.embedding,
+       |  SQRT(${dotSql("e.embedding", "e.embedding")}) AS nrm
+       |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id),
+       |sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |  FROM cvec a JOIN cvec b ON a.vec_id <> b.vec_id),
+       |$steps
+       |$unions""".stripMargin
+  }
 }

@@ -112,4 +112,33 @@ class EmbeddingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(11L, 12L))
   }
+
+  test("MMR trades redundant near-duplicates for diverse picks") {
+    // cluster A: 3 near-identical vectors very close to the query;
+    // vector 10: moderately relevant but orthogonal to cluster A
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0.98f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Array(0.97f, 0.03f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (10L, Array(0.5f, 0f, 0.87f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    // pure relevance at k=3 keeps the redundant cluster: 1, 2, 3
+    val rel = EmbeddingOps.cosineTopK(docs, queryId = 0L, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rel == Seq(1L, 2L, 3L))
+    // MMR's second pick must jump to the diverse vector 10
+    val mmr = EmbeddingOps.mmrTopK(docs, queryId = 0L, pool = 4, k = 3,
+      lambda = 0.5).collect()
+    assert(mmr.map(_.getInt(0)).toSeq == Seq(1, 2, 3)) // ranks
+    assert(mmr.head.getLong(1) == 1L)                  // best rel first
+    assert(mmr(1).getLong(1) == 10L, mmr.map(_.getLong(1)).mkString(","))
+  }
+
+  test("MMR rank-1 equals the relevance argmax and scores are λ-scaled") {
+    val mmr = EmbeddingOps.mmrTopK(embs, queryId = 0L, pool = 4, k = 2,
+      lambda = 0.7).collect()
+    assert(mmr.head.getLong(1) == 1L)
+    assert(mmr.head.getDouble(2) == 0.7 * 1.0)
+  }
 }
