@@ -66,7 +66,14 @@ object DedupBench {
       println(f"DEDUPBENCH $label ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
     }
 
+    // The editdist probe scales in NAME ROWS (millions — its cost is
+    // output-bound), not document count; SPARK_GRAFT_DEDUPBENCH=editdist
+    // runs only that section so the doc ops aren't dragged to sizes
+    // they were never curve-targeted at.
+    val section = sys.env.getOrElse("SPARK_GRAFT_DEDUPBENCH", "all")
+
     sizes.foreach { n =>
+      if (section == "all") {
       val path = s"target/dedup_bench_$n.parquet"
       if (!new java.io.File(path, "_SUCCESS").exists())
         corpus(spark, n).write.mode("overwrite").parquet(path)
@@ -92,6 +99,48 @@ object DedupBench {
       val skewed = spark.read.parquet(skewPath)
       timed(s"n=$n SKEW ngram_jacc", graft.ops.Dedup.ngramJaccardPairs(skewed))
       timed(s"n=$n SKEW minhash   ", graft.ops.Dedup.minhashNearDups(skewed))
+      spark.catalog.clearCache()
+      }
+
+      // Blocked edit-distance fuzzy join: D = n/10 distinct names (10
+      // key copies each), ~50 distinct names per block, and every odd
+      // name a 1-char typo of its even sibling. The DP count is ~25·D
+      // (distinct-domain, block-bounded) and the OUTPUT is ~10n pairs
+      // (45 same-name + ~100 typo pairs per name pair) — so ~linear
+      // total time demonstrates the DP never sees the n² row domain.
+      // A hot NAME (here 1000 extra copies of one name) inflates only
+      // the inherent pair OUTPUT (copies²/2), never the DP count.
+      def mkNames(rows: Long, extraHot: Long): DataFrame = {
+        val dDistinct = rows / 10
+        val nBlocks = math.max(dDistinct / 50, 1L)
+        val base = spark.range(0, rows, 1, 32).select(
+          col("id").as("p_partkey"),
+          pmod(col("id"), lit(dDistinct)).as("g"))
+        val hot = spark.range(rows, rows + extraHot, 1, 8).select(
+          col("id").as("p_partkey"), lit(0L).as("g"))
+        // the name stem is a hashed base-36 token (two distinct stems
+        // are ~never within edit distance 2 of each other), so the only
+        // sub-threshold pairs are the planted same-name (45 per name)
+        // and odd/even typo-sibling pairs (g and g^1 share the g/2
+        // stem AND the g/2 block) — output stays ~10n, not an
+        // accidental near-grid explosion
+        base.unionAll(hot).select(
+          col("p_partkey"),
+          concat(
+            lit("b"), pmod((col("g") / 2).cast("long"), lit(nBlocks)),
+            lit(" "),
+            conv(pmod(xxhash64((col("g") / 2).cast("long")), lit(1L << 40)),
+              10, 36),
+            when(pmod(col("g"), lit(2)) === 1, lit("x")).otherwise(lit("")))
+            .as("p_name"))
+      }
+      // untimed warm pass so the first timed size measures the
+      // operator, not codegen/JIT compilation of its 3-join plan
+      graft.ops.Dedup.editDistancePairs(mkNames(50000, 0), maxDist = 2).count()
+      timed(s"n=$n editdist       ",
+        graft.ops.Dedup.editDistancePairs(mkNames(n, 0), maxDist = 2))
+      timed(s"n=$n editdist HOT   ",
+        graft.ops.Dedup.editDistancePairs(mkNames(n, 1000), maxDist = 2))
       spark.catalog.clearCache()
     }
     spark.stop()
