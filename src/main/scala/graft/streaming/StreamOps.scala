@@ -105,6 +105,38 @@ object StreamOps {
       .drop("__bin")
   }
 
+  /** STREAM-STREAM event-time range join — impression→click
+    * attribution: each click joins the impressions of the SAME user
+    * whose ts precedes it by at most `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds click.ts relative to
+    * imp.ts from BOTH sides, so Structured Streaming can size the join
+    * state and evict rows once the watermark passes — the state-bounded
+    * form of the classic "did the ad lead to the click" join.
+    *
+    * 100 TB posture: state is (watermark window)-bounded per side and
+    * keyed by user_id — the shuffle key — so state and matching both
+    * scale with the per-key event rate, never the stream length.
+    * Inner join in append mode; late rows on either side are dropped
+    * by their own watermark, exactly like the batch as-of twin. */
+  def attributeStream(
+      impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("user_id"), col("ts").as("imp_ts"),
+        col("event_id").as("imp_id"))
+      .withWatermark("imp_ts", watermarkDelay)
+    val clk = clicks
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    clk.join(imp,
+      clk("user_id") === imp("user_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(clk("user_id"), col("imp_id"), col("imp_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   // -------------------------------------------------------------------
   // Stateful sessionization: custom per-user state via
   // flatMapGroupsWithState + event-time timeout. A session closes when

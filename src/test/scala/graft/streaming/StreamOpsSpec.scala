@@ -321,6 +321,60 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream attribution joins clicks to in-window impressions only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clks = MemoryStream[(Long, Timestamp, Long)]
+    val q = attributeStream(
+      imps.toDF().toDF("user_id", "ts", "event_id"),
+      clks.toDF().toDF("user_id", "ts", "event_id"),
+      windowMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    imps.addData(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:20:00"), 101L),  // also within 30 min of the click
+      (2L, ts("2024-01-01 10:00:00"), 102L))  // other user — never joins
+    clks.addData(
+      (1L, ts("2024-01-01 10:25:00"), 200L),  // joins imp 100 and 101
+      (1L, ts("2024-01-01 11:30:00"), 201L),  // > 30 min after both imps
+      (2L, ts("2024-01-01 09:59:00"), 202L))  // click BEFORE the impression
+    q.processAllAvailable()
+    // advance both watermarks so the inner-join state flushes
+    imps.addData((8L, ts("2024-01-02 00:00:00"), 900L))
+    clks.addData((9L, ts("2024-01-02 00:00:00"), 901L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getLong(3), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((200L, 100L), (200L, 101L)))
+  }
+
+  test("stream-stream join state is watermark-bounded, cross-batch matches still land") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clks = MemoryStream[(Long, Timestamp, Long)]
+    val q = attributeStream(
+      imps.toDF().toDF("user_id", "ts", "event_id"),
+      clks.toDF().toDF("user_id", "ts", "event_id"),
+      windowMinutes = 30, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("attrib_xbatch")
+      .outputMode("append").start()
+    // impression arrives in batch 1, matching click in batch 2:
+    // the buffered impression must still join
+    imps.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+    q.processAllAvailable()
+    clks.addData((1L, ts("2024-01-01 10:10:00"), 200L))
+    q.processAllAvailable()
+    imps.addData((8L, ts("2024-01-02 00:00:00"), 900L))
+    clks.addData((9L, ts("2024-01-02 00:00:00"), 901L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib_xbatch").collect()
+      .map(r => (r.getLong(3), r.getLong(1))).toSeq
+    assert(got == Seq((200L, 100L)))
+  }
+
   test("file-source event stream reads the real parquet with the nanos conversion") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
