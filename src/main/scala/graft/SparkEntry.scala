@@ -372,6 +372,14 @@ object SparkEntry {
       graft.ops.Relational.pricingCube(Tables.table(s, dir, "lineitem"))),
     "rollup_orders" -> ((s, dir) =>
       graft.ops.Relational.ordersRollup(Tables.table(s, dir, "orders"))),
+    // pivot with an EXPLICIT value list — one conditional-agg pass, no
+    // distinct-collect pre-scan to discover columns
+    "pivot_orders" -> ((s, dir) =>
+      graft.ops.Relational.ordersPivot(Tables.table(s, dir, "orders"))),
+    // SCD2 validity intervals from the per-user changelog (lead() in
+    // the same window pass — no self-join)
+    "events_scd2" -> ((s, dir) =>
+      EventOps.scd2History(Tables.events(s, dir))),
     // record linkage: blocked Levenshtein fuzzy join over part names —
     // integer-exact DP in both engines, candidates never all-pairs
     "dedup_editdist" -> ((s, dir) =>
@@ -671,6 +679,8 @@ object SparkEntry {
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),
     "cube_pricing" -> graft.ops.Relational.pricingCubeSql(),
     "rollup_orders" -> graft.ops.Relational.ordersRollupSql(),
+    "pivot_orders" -> graft.ops.Relational.ordersPivotSql(),
+    "events_scd2" -> EventOps.scd2HistorySql,
     "dedup_editdist" -> Dedup.editDistancePairsSql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),

@@ -191,6 +191,30 @@ object EventOps {
       |      ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) t WHERE rn = 1""".stripMargin
 
+  /** SCD2 history: turn the per-user changelog into validity intervals
+    * — each event's value holds from its ts until the user's NEXT
+    * event (lead), open-ended (NULL valid_to + current flag) on the
+    * latest. The warehouse "slowly changing dimension type 2" build,
+    * [[latestState]]'s full-history sibling: one window shuffle on
+    * user_id, the interval bound comes from lead() in the same pass —
+    * no self-join, no second scan. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val scd2HistorySql: String =
+    """SELECT user_id, event_id, value, ts AS valid_from,
+      |  LEAD(ts, 1) OVER w AS valid_to,
+      |  LEAD(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
   /** Fixed-bin histogram quantiles — the deterministic member of the
     * sketch family. Bin edges are value-independent constants
     * (width = domain/bins, clamped to [0, bins-1]), so per-partition

@@ -314,10 +314,14 @@ object PqIndex {
     val adc = (0 until m)
       .map(s => KMeansND.sqDistSql(s"list_slice(r.qres, ${s * subDim + 1}, ${s * subDim + subDim})", s"b$s.cvec"))
       .reduceLeft((a, b) => s"($a + $b)")
+    // lists/resid are AS MATERIALIZED: the four subspace chains each
+    // reference resid, and default inlining would re-run the whole
+    // coarse Lloyd chain once per subspace (measured 116 s → ~10 s at
+    // sf0.01 in the driver's DuckDB)
     graft.Tables.withVecsCents(
       s""", cc0 AS (SELECT cid, cvec FROM centsnd), $coarseSteps,
-         |lists AS (${KMeansND.assignSql("ptsnd", ccFin)}),
-         |resid AS (SELECT p.id, l.cid AS list_id,
+         |lists AS MATERIALIZED (${KMeansND.assignSql("ptsnd", ccFin)}),
+         |resid AS MATERIALIZED (SELECT p.id, l.cid AS list_id,
          |  list_transform(generate_series(1, len(p.vec)),
          |    i -> p.vec[i] - c.cvec[i]) AS vec
          |  FROM ptsnd p JOIN lists l ON p.id = l.id

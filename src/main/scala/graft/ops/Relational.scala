@@ -130,6 +130,32 @@ object Relational {
        |FROM orders
        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))""".stripMargin
 
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order counts per year × order-priority, priorities turned
+    * into columns. The EXPLICIT value list is the scale contract —
+    * Spark otherwise runs a distinct-collect pre-pass to discover
+    * pivot columns (a full extra scan, and a driver-sized surprise on
+    * a high-cardinality key); with values supplied the whole pivot is
+    * ONE conditional-aggregation pass, same plan as the SQL twin's
+    * CASE columns. */
+  def ordersPivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+
+  def ordersPivotSql(): String = {
+    val cols = Priorities.map(p =>
+      s"""COUNT(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS "$p"""")
+      .mkString(",\n  ")
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  $cols
+       |FROM orders
+       |GROUP BY year(o_orderdate)""".stripMargin
+  }
+
   def starRevenueSql(year: Int = 1995): String =
     s"""SELECT n.n_name AS nation,
        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)

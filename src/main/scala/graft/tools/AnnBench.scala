@@ -90,11 +90,26 @@ object AnnBench {
         graft.ops.IvfIndex.search(spark, onDisk, q, k = 10, nprobe = 8).collect()
       }
 
+      // composed IVFADC: coarse lists + residual-PQ codes, probe reads
+      // only nprobe/nlistC of the m-byte codes — at scale the probe's
+      // byte footprint is ~(nprobe/nlistC)·(m/(8·dim)) of the raw
+      // vectors (1/1024 here), which is the whole point
+      val ivfpqPath = s"target/ann_ivfpq_$n"
+      timed(s"n=$n ivfpq_build     ") {
+        graft.ops.PqIndex.writeIvfPqIndex(embs, nlistC = 64, maxIterC = 3,
+          m = 8, nlist = 64, maxIter = 3, ivfpqPath)
+      }
+      val ivfpq = timed(s"n=$n ivfpq_probe     ") {
+        graft.ops.PqIndex.searchIvfPqIndex(spark, ivfpqPath, q,
+          k = 10, nprobe = 8).collect()
+      }
+
       // recall@10 of each index path vs the exact answer
       val truth = brute.map(_.getLong(0)).toSet
       val rLsh = lsh.map(_.getLong(0)).count(truth) / 10.0
       val rIvf = ivf.map(_.getLong(0)).count(truth) / 10.0
-      println(f"ANNBENCH n=$n recall@10: lsh=$rLsh%.1f ivf=$rIvf%.1f")
+      val rIvfPq = ivfpq.map(_.getLong(0)).count(truth) / 10.0
+      println(f"ANNBENCH n=$n recall@10: lsh=$rLsh%.1f ivf=$rIvf%.1f ivfpq=$rIvfPq%.1f")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -313,4 +313,19 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("SCD2 intervals chain per user: valid_to = next valid_from, one current row") {
+    val hist = EventOps.scd2History(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3),
+        Option(r.getTimestamp(4)), r.getBoolean(5)))
+    val u100 = hist.filter(_._1 == 100L).sortBy(_._3.getTime)
+    assert(u100.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    // each interval closes exactly where the next opens
+    assert(u100(0)._4.contains(u100(1)._3))
+    assert(u100(1)._4.contains(u100(2)._3))
+    // exactly one open (current) interval per user, and it's the last
+    assert(u100.map(_._5).toSeq == Seq(false, false, true))
+    val u200 = hist.filter(_._1 == 200L)
+    assert(u200.length == 1 && u200.head._5 && u200.head._4.isEmpty)
+  }
 }

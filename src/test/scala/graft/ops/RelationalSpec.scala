@@ -68,6 +68,19 @@ class RelationalSpec extends SparkSpec {
     assert(byGid(1L).map(_.getLong(4)).sum == total)
   }
 
+  test("pivot columns partition the year totals exactly") {
+    import org.apache.spark.sql.functions.{col, year}
+    val (_, o, _, _) = tables
+    val rows = Relational.ordersPivot(o).collect()
+    val yearTotals = o.groupBy(year(col("o_orderdate")).as("y")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.length == yearTotals.size)
+    rows.foreach { r =>
+      val pivotSum = (1 to 5).map(i => if (r.isNullAt(i)) 0L else r.getLong(i)).sum
+      assert(pivotSum == yearTotals(r.getInt(0)), s"year ${r.getInt(0)}")
+    }
+  }
+
   test("cube plans one scan through Expand, not one scan per grouping set") {
     val (l, _, _, _) = tables
     val plan = Relational.pricingCube(l).queryExecution.executedPlan.toString
