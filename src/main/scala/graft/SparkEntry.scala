@@ -372,6 +372,12 @@ object SparkEntry {
       graft.ops.Relational.pricingCube(Tables.table(s, dir, "lineitem"))),
     "rollup_orders" -> ((s, dir) =>
       graft.ops.Relational.ordersRollup(Tables.table(s, dir, "orders"))),
+    // TPC-H Q3 shape: two pushed date filters, broadcast segment side,
+    // TakeOrdered top-10 — never a global sort
+    "top_orders" -> ((s, dir) =>
+      graft.ops.Relational.topUnshippedOrders(
+        Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "orders"),
+        Tables.table(s, dir, "customer"))),
     // pivot with an EXPLICIT value list — one conditional-agg pass, no
     // distinct-collect pre-scan to discover columns
     "pivot_orders" -> ((s, dir) =>
@@ -680,6 +686,7 @@ object SparkEntry {
     "cube_pricing" -> graft.ops.Relational.pricingCubeSql(),
     "rollup_orders" -> graft.ops.Relational.ordersRollupSql(),
     "pivot_orders" -> graft.ops.Relational.ordersPivotSql(),
+    "top_orders" -> graft.ops.Relational.topUnshippedOrdersSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
     "dedup_editdist" -> Dedup.editDistancePairsSql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),

@@ -130,6 +130,42 @@ object Relational {
        |FROM orders
        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))""".stripMargin
 
+  /** TPC-H Q3 shape — top unshipped orders by revenue: two pushed date
+    * filters (one per fact scan), a broadcast customer-segment
+    * semi-side, the orderkey shuffle join, and a TakeOrdered top-10 —
+    * never a global sort. */
+  def topUnshippedOrders(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      segment: String = "BUILDING", date: String = "1995-03-15",
+      k: Int = 10): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val o = orders.filter(col("o_orderdate") < lit(date).cast("timestamp"))
+    val l = lineitem.filter(col("l_shipdate") > lit(date).cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Dec)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
+  def topUnshippedOrdersSql(
+      segment: String = "BUILDING", date: String = "1995-03-15",
+      k: Int = 10): String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+       |    AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND o_orderdate < TIMESTAMP '$date 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '$date 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey ASC LIMIT $k""".stripMargin
+
   private val Priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
