@@ -274,6 +274,61 @@ object PqIndex {
     adcScore(spark, cand, cb, k)
   }
 
+  /** IVFADC + REFINE (the FAISS IndexRefineFlat pattern): the ADC
+    * shortlist of k·kFactor candidates is exact-rescored against the
+    * RAW vectors before the final top-k. ADC ranks within a tight
+    * cluster are quantization noise once codeword error ~ neighbor
+    * spacing — measured recall@10 vs exact L2 went 0.2 (pure ADC) →
+    * 1.0 (refined, kFactor=4) on the AnnBench clustered fixture. The
+    * refine reads only the shortlist's raw vectors: a k·kFactor-id
+    * pushed-filter lookup, not a corpus pass. */
+  def searchIvfPqRefined(spark: SparkSession, path: String,
+      embs: DataFrame, query: Seq[Double], k: Int = 10,
+      kFactor: Int = 4, nprobe: Int = 2): DataFrame = {
+    val short = searchIvfPqIndex(spark, path, query, k * kFactor, nprobe)
+      .collect().map(_.getLong(0))
+    val qCol = array(query.map(lit): _*)
+    IvfIndex.vectors(embs)
+      .filter(col("id").isin(short.map(Long.box).toIndexedSeq: _*))
+      .select(col("id"),
+        KMeansND.sqDistND(col("vec"), qCol).as("dist"))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+  }
+
+  /** In-plan refined variant for the oracle gate: same fixed-iteration
+    * build as [[ivfPqTopK]], ADC shortlist of k·kFactor, exact-rescore
+    * join back to the raw vectors, final (dist, id) top-k. */
+  def ivfPqTopKRefined(embs: DataFrame, nlistC: Int = 8, maxIterC: Int = 3,
+      m: Int = 4, nlist: Int = 16, maxIter: Int = 3, queryId: Long = 0L,
+      k: Int = 10, nprobe: Int = 2, kFactor: Int = 4): DataFrame = {
+    val vecs = IvfIndex.vectors(embs)
+    val short = ivfPqTopK(embs, nlistC, maxIterC, m, nlist, maxIter,
+      queryId, k * kFactor, nprobe).select("id")
+    val q = vecs.filter(col("id") === queryId).select(col("vec").as("qvec"))
+    vecs.join(short, "id").crossJoin(broadcast(q))
+      .select(col("id"), KMeansND.sqDistND(col("vec"), col("qvec")).as("dist"))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+  }
+
+  def ivfPqTopKRefinedSql(nlistC: Int = 8, maxIterC: Int = 3, m: Int = 4,
+      nlist: Int = 16, maxIter: Int = 3, queryId: Long = 0L, k: Int = 10,
+      nprobe: Int = 2, kFactor: Int = 4, dim: Int = 64): String = {
+    val short = ivfPqTopKSql(nlistC, maxIterC, m, nlist, maxIter,
+      queryId, k * kFactor, nprobe, dim)
+    s"""WITH short AS MATERIALIZED ($short)
+       |SELECT p.id,
+       |  ${KMeansND.sqDistSql("p.vec", "q.vec")} AS dist
+       |FROM (WITH ptsnd AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |    FROM embeddings) SELECT * FROM ptsnd) p
+       |JOIN short s ON p.id = s.id
+       |CROSS JOIN (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings WHERE vec_id = $queryId) q
+       |ORDER BY dist ASC, p.id ASC LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of the FULL IVFADC pipeline: coarse Lloyd chain →
     * lists → residuals (`list_transform` element subtraction — exact
     * IEEE, same as the Spark `zip_with`) → per-subspace residual

@@ -91,25 +91,47 @@ object AnnBench {
       }
 
       // composed IVFADC: coarse lists + residual-PQ codes, probe reads
-      // only nprobe/nlistC of the m-byte codes — at scale the probe's
-      // byte footprint is ~(nprobe/nlistC)·(m/(8·dim)) of the raw
-      // vectors (1/1024 here), which is the whole point
+      // only nprobe/nlistC of the m-byte codes. nlistC=256 is the
+      // design contract, not a tuning nicety: with 200 natural
+      // clusters in the fixture, nlistC=64 left each list covering ~3
+      // clusters, residuals stayed center-scale multi-modal, PQ cells
+      // dwarfed the within-cluster spacing, and recall vs L2 truth
+      // collapsed to 0.1-0.2 WITH refine — the coarse quantizer must
+      // resolve the cluster structure so residuals shrink to jitter
+      // scale before PQ can discriminate
       val ivfpqPath = s"target/ann_ivfpq_$n"
       timed(s"n=$n ivfpq_build     ") {
-        graft.ops.PqIndex.writeIvfPqIndex(embs, nlistC = 64, maxIterC = 3,
+        graft.ops.PqIndex.writeIvfPqIndex(embs, nlistC = 256, maxIterC = 3,
           m = 8, nlist = 64, maxIter = 3, ivfpqPath)
       }
       val ivfpq = timed(s"n=$n ivfpq_probe     ") {
         graft.ops.PqIndex.searchIvfPqIndex(spark, ivfpqPath, q,
           k = 10, nprobe = 8).collect()
       }
+      // + refine: ADC shortlist 40, exact rescore of just those ids —
+      // within a tight cluster pure-ADC ranks are quantization noise,
+      // the refine recovers the exact order from a 40-vector lookup
+      val ivfpqR = timed(s"n=$n ivfpq_refined   ") {
+        graft.ops.PqIndex.searchIvfPqRefined(spark, ivfpqPath, embs, q,
+          k = 10, kFactor = 4, nprobe = 8).collect()
+      }
 
-      // recall@10 of each index path vs the exact answer
+      // recall@10: LSH/IVF rank by cosine (their truth = brute cosine);
+      // IVFADC answers EUCLIDEAN NN, so its truth is the exact L2 top-k
+      // (on unnormalized vectors the two rankings differ — comparing
+      // ADC to cosine truth once mis-read as recall 0.0)
       val truth = brute.map(_.getLong(0)).toSet
+      val qc = array(q.map(lit): _*)
+      val l2Truth = graft.ops.IvfIndex.vectors(embs)
+        .select(col("id"), graft.kmeans.KMeansND.sqDistND(col("vec"), qc).as("d"))
+        .orderBy(col("d"), col("id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
       val rLsh = lsh.map(_.getLong(0)).count(truth) / 10.0
       val rIvf = ivf.map(_.getLong(0)).count(truth) / 10.0
-      val rIvfPq = ivfpq.map(_.getLong(0)).count(truth) / 10.0
-      println(f"ANNBENCH n=$n recall@10: lsh=$rLsh%.1f ivf=$rIvf%.1f ivfpq=$rIvfPq%.1f")
+      val rIvfPq = ivfpq.map(_.getLong(0)).count(l2Truth) / 10.0
+      val rIvfPqR = ivfpqR.map(_.getLong(0)).count(l2Truth) / 10.0
+      println(f"ANNBENCH n=$n recall@10: lsh=$rLsh%.1f ivf=$rIvf%.1f " +
+        f"ivfpq_adc=$rIvfPq%.1f ivfpq_refined=$rIvfPqR%.1f (vs L2 truth)")
       spark.catalog.clearCache()
     }
     spark.stop()

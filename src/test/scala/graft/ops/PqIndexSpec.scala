@@ -83,7 +83,7 @@ class PqIndexSpec extends SparkSpec {
 
   test("registered query/oracle pair exists") {
     for (n <- Seq("pq_topk", "pq_topk_indexed",
-        "ivfpq_topk", "ivfpq_topk_indexed")) {
+        "ivfpq_topk", "ivfpq_topk_indexed", "ivfpq_topk_refined")) {
       assert(graft.SparkEntry.queries.contains(n), n)
       assert(graft.SparkEntry.oracleSql.contains(n), n)
     }
@@ -101,6 +101,25 @@ class PqIndexSpec extends SparkSpec {
     assert(top.forall(_.getLong(0) < 10L), top.map(_.getLong(0)).mkString(","))
     val ds = top.map(_.getDouble(2))
     assert(ds.forall(_ >= 0.0) && ds.sameElements(ds.sorted))
+  }
+
+  test("IVFADC+refine degenerates to EXACT search when all lists probed and shortlist covers") {
+    import graft.kmeans.KMeansND
+    val vecs = IvfIndex.vectors(clustered)
+    // exact L2 top-10 computed independently (driver-side)
+    val q = vecs.filter(col("id") === 0L).head().getSeq[Double](1).toArray
+    val exact = vecs.collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var d = 0.0; var i = 0
+      while (i < v.length) { val dx = v(i) - q(i); d += dx * dx; i += 1 }
+      (d, r.getLong(0))
+    }.sortBy(identity).take(10).map(_._2).toSeq
+    // nprobe = nlistC (probe everything) and kFactor·k >= n (shortlist
+    // = the whole corpus): the quantization can no longer lose anyone
+    val got = PqIndex.ivfPqTopKRefined(clustered, nlistC = 4, maxIterC = 3,
+      m = 4, nlist = 8, maxIter = 3, queryId = 0L, k = 10, nprobe = 4,
+      kFactor = 4).collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"got=$got exact=$exact")
   }
 
   test("persisted IVFADC probe equals the in-plan result and prunes partitions") {
