@@ -111,9 +111,19 @@ object AnnBench {
       // + refine: ADC shortlist 40, exact rescore of just those ids —
       // within a tight cluster pure-ADC ranks are quantization noise,
       // the refine recovers the exact order from a 40-vector lookup
+      // The refine shortlist must out-size the ADC noise within a
+      // dense cluster, so it scales with per-list candidate DENSITY,
+      // not with k: at 100k (500/cluster) kFactor=20 recalls 1.0; at
+      // 400k (2000/cluster) the same 200-row shortlist drops to 0.7
+      // and kFactor=50 restores it — rescoring 500 raw vectors is
+      // still a point lookup, not a corpus pass
       val ivfpqR = timed(s"n=$n ivfpq_refined   ") {
         graft.ops.PqIndex.searchIvfPqRefined(spark, ivfpqPath, embs, q,
-          k = 10, kFactor = 4, nprobe = 8).collect()
+          k = 10, kFactor = 20, nprobe = 8).collect()
+      }
+      val ivfpqR50 = timed(s"n=$n ivfpq_refined50 ") {
+        graft.ops.PqIndex.searchIvfPqRefined(spark, ivfpqPath, embs, q,
+          k = 10, kFactor = 50, nprobe = 8).collect()
       }
 
       // recall@10: LSH/IVF rank by cosine (their truth = brute cosine);
@@ -130,8 +140,10 @@ object AnnBench {
       val rIvf = ivf.map(_.getLong(0)).count(truth) / 10.0
       val rIvfPq = ivfpq.map(_.getLong(0)).count(l2Truth) / 10.0
       val rIvfPqR = ivfpqR.map(_.getLong(0)).count(l2Truth) / 10.0
+      val rIvfPqR50 = ivfpqR50.map(_.getLong(0)).count(l2Truth) / 10.0
       println(f"ANNBENCH n=$n recall@10: lsh=$rLsh%.1f ivf=$rIvf%.1f " +
-        f"ivfpq_adc=$rIvfPq%.1f ivfpq_refined=$rIvfPqR%.1f (vs L2 truth)")
+        f"ivfpq_adc=$rIvfPq%.1f ivfpq_refined20=$rIvfPqR%.1f " +
+        f"ivfpq_refined50=$rIvfPqR50%.1f (vs L2 truth)")
       spark.catalog.clearCache()
     }
     spark.stop()
