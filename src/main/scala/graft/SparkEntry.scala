@@ -176,6 +176,10 @@ object SparkEntry {
     // stream per offset, one pair shuffle, TopK)
     "text_skipgrams" -> ((s, dir) =>
       TextOps.skipgramPairs(Tables.table(s, dir, "documents"))),
+    // PMI word association (Levy & Goldberg 2014's implicit SGNS
+    // target): integer-product log arguments keep every score exact
+    "text_pmi" -> ((s, dir) =>
+      TextOps.pmiTopK(Tables.table(s, dir, "documents"))),
     // drift diagnostic: JS divergence between the train split's and the
     // holdout's token distributions (signed portable log, decimal sums)
     "corpus_jsd" -> ((s, dir) =>
@@ -612,6 +616,7 @@ object SparkEntry {
     "text_entropy" -> TextOps.tokenEntropySql,
     "text_znorm" -> TextOps.lengthZNormSql,
     "text_winsorize" -> TextOps.winsorizeSql(),
+    "text_pmi" -> TextOps.pmiTopKSql(),
     "corpus_overlap" -> TextOps.sourceOverlapSql(),
     "text_bpe_pairs" -> TextOps.bpePairsSql(),
     "curriculum_order" ->

@@ -746,6 +746,84 @@ object TextOps {
        |ORDER BY cnt DESC, center ASC, context ASC LIMIT $topN""".stripMargin
   }
 
+  /** Pointwise mutual information over the ±window skipgram pair
+    * stream — the word-association score classic embedding pipelines
+    * (word2vec-era SGNS is implicit PMI factorization, Levy & Goldberg
+    * 2014) compute before or instead of training: PMI(a,b) =
+    * ln(p(a,b)/(p(a)p(b))) = ln(cnt·total) − ln(ca·cb). Both logarithm
+    * arguments are EXACT INTEGER products (< 2^53, exact as doubles),
+    * so the portable log makes every score bit-stable — no probability
+    * division ever happens in float.
+    *
+    * Scale shape: one pair shuffle (the skipgram agg), marginals are a
+    * VOCABULARY-sized relation (broadcast — bounded by the token
+    * vocabulary, not the corpus), total is a 1-row broadcast; TopK is
+    * TakeOrdered. minCount guards the classic low-count PMI explosion
+    * (a hapax pair scores ln(total/1) no matter how meaningless). */
+  def pmiTopK(docs: DataFrame, window: Int = 2, minCount: Int = 5,
+      topN: Int = 100): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val tk = tokens(col("text"))
+    val docsTk = docs.select(tk.as("tk")).filter(size(col("tk")) >= 2)
+    val byOffset = (1 to window).map { d =>
+      docsTk
+        .filter(size(col("tk")) > d)
+        .select(explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - d).as("a"),
+          slice(col("tk"), lit(1 + d), size(col("tk")) - d).as("b"))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    }.reduce(_ unionAll _)
+    val pairs = byOffset
+      .select(explode(array(
+        struct(col("a").as("center"), col("b").as("context")),
+        struct(col("b").as("center"), col("a").as("context")))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+    val marg = pairs.groupBy("center").agg(sum("cnt").as("m"))
+    val total = pairs.agg(sum("cnt").as("total"))
+    pairs
+      .filter(col("cnt") >= minCount)
+      .join(broadcast(marg.select(col("center"), col("m").as("ca"))), "center")
+      .join(broadcast(marg.select(col("center").as("context"), col("m").as("cb"))),
+        "context")
+      .crossJoin(broadcast(total))
+      .select(col("center"), col("context"), col("cnt"),
+        (plog((col("cnt") * col("total")).cast("double")) -
+          plog((col("ca") * col("cb")).cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("center").asc, col("context").asc)
+      .limit(topN)
+  }
+
+  def pmiTopKSql(window: Int = 2, minCount: Int = 5, topN: Int = 100): String = {
+    import graft.functions.PortableMath.plogSql
+    val offsets = (1 to window).map { d =>
+      s"""SELECT unnest(tk[1:len(tk)-$d]) AS a,
+         |       unnest(tk[${1 + d}:len(tk)]) AS b
+         |  FROM toks WHERE len(tk) > $d""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+       |off AS (
+       |  $offsets),
+       |sym AS (
+       |  SELECT a AS center, b AS context FROM off
+       |  UNION ALL SELECT b, a FROM off),
+       |pairs AS MATERIALIZED (
+       |  SELECT center, context, COUNT(*) AS cnt
+       |  FROM sym GROUP BY 1, 2),
+       |marg AS MATERIALIZED (
+       |  SELECT center, SUM(cnt) AS m FROM pairs GROUP BY center),
+       |tot AS (SELECT SUM(cnt) AS total FROM pairs)
+       |SELECT p.center, p.context, p.cnt,
+       |  ${plogSql("CAST(p.cnt * t.total AS DOUBLE)")} -
+       |  ${plogSql("CAST(ca.m * cb.m AS DOUBLE)")} AS pmi
+       |FROM pairs p
+       |JOIN marg ca ON p.center = ca.center
+       |JOIN marg cb ON p.context = cb.center
+       |CROSS JOIN tot t
+       |WHERE p.cnt >= $minCount
+       |ORDER BY pmi DESC, p.center ASC, p.context ASC LIMIT $topN""".stripMargin
+  }
+
   /** Cross-source contamination matrix: for every source pair, how many
     * distinct word n-gram shingles they share, plus the Jaccard overlap
     * of their shingle sets. The corpus-level twin of doc-level near-dup

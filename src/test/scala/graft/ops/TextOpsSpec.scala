@@ -238,6 +238,27 @@ class TextOpsSpec extends SparkSpec {
     assert(top2.toSeq == Seq(("a", "b"), ("b", "c")))
   }
 
+  test("PMI ranks the always-together pair above the promiscuous one") {
+    // "a b" always co-occur exclusively; "x" pairs with everything
+    val docs = ((1 to 6).map(i => (i.toLong, "a b")) ++
+      Seq((10L, "x c"), (11L, "x d"), (12L, "x e"), (13L, "x c"),
+        (14L, "x c"), (15L, "x c"), (16L, "x c")))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiTopK(docs, window = 2, minCount = 5, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // exclusive pair (a,b): cnt=6 each direction; marginals = 6
+    // promiscuous (x,c): cnt=5; x's marginal = 7 → lower PMI
+    val ab = got.find(p => p._1 == "a" && p._2 == "b").get
+    val xc = got.find(p => p._1 == "x" && p._2 == "c").get
+    assert(ab._4 > xc._4)
+    // exact value check: PMI(a,b) = ln(cnt·total / (ca·cb)), all counts
+    // integer-exact; plog tracks ln to ~1e-12 relative
+    // pair types: (a,b)=6, (x,c)=5, (x,d)=1, (x,e)=1 → symmetric ×2
+    val sym = 2L * (6 + 5 + 1 + 1)
+    assert(math.abs(ab._4 - math.log(6.0 * sym / (6.0 * 6.0))) < 1e-9)
+  }
+
   test("winsorize clips to the exact rank-based per-source percentiles") {
     // source s: 10 docs of lengths 1..10 → at (0.05, 0.95) the bounds
     // are the values at ranks ceil(0.5)=1 and ceil(9.5)=10 — no
