@@ -315,6 +315,10 @@ object SparkEntry {
       EmbeddingOps.lshTopK(Tables.table(s, dir, "embeddings"))),
     "emb_near_dups" -> ((s, dir) =>
       EmbeddingOps.cosineNearDups(Tables.table(s, dir, "embeddings"))),
+    // hard-negative mining: per anchor, top-k most-similar with a
+    // DIFFERENT label (LSH-blocked candidates, label filter pre-rescore)
+    "emb_hard_negatives" -> ((s, dir) =>
+      EmbeddingOps.hardNegatives(Tables.table(s, dir, "embeddings"))),
     // semantic member of the incremental family: batch vectors with no
     // history vector over the cosine threshold (cross-side LSH only)
     "emb_incr" -> ((s, dir) => {
@@ -668,6 +672,7 @@ object SparkEntry {
     "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(
       id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
     "emb_knn_graph" -> EmbeddingOps.knnGraphSql(),
+    "emb_hard_negatives" -> EmbeddingOps.hardNegativesSql(),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
     "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),

@@ -308,6 +308,73 @@ object EmbeddingOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar vectors with a DIFFERENT label — the pairs a
+    * reranker/embedding trainer needs most (near the anchor yet
+    * wrong). Same LSH-blocked candidate machinery as [[knnGraph]]
+    * (never all-pairs) with the label-mismatch filter applied to the
+    * candidate stream BEFORE the exact rescore, so same-label
+    * candidates never pay the dot product. */
+  def hardNegatives(
+      embs: DataFrame, k: Int = 3, dim: Int = 64,
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val buckets = lshBuckets(embs, dim, numBits, numTables, seed).cache()
+    val lab = embs.select(col("vec_id"), col("label"))
+    val pairs = buckets.select(col("vec_id").as("ida"), col("table"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("idb"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select("ida", "idb").distinct()
+      .join(lab.select(col("vec_id").as("ida"), col("label").as("la")), Seq("ida"))
+      .join(lab.select(col("vec_id").as("idb"), col("label").as("lb")), Seq("idb"))
+      .filter(col("la") =!= col("lb"))
+    val e = embs.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("idb"))
+      .select(col("ida"), col("idb"), col("lb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ida").orderBy(col("cosine").desc, col("idb").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("ida").as("vec_id"), col("idb").as("negative"),
+        col("lb").as("neg_label"), col("cosine"), col("rank"))
+  }
+
+  def hardNegativesSql(
+      k: Int = 3, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |lpairs AS (
+       |  SELECT p.ida, p.idb, lb.label AS lb
+       |  FROM cpairs p
+       |  JOIN embeddings la ON p.ida = la.vec_id
+       |  JOIN embeddings lb ON p.idb = lb.vec_id
+       |  WHERE la.label <> lb.label),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT ida AS vec_id, idb AS negative, lb AS neg_label, cosine, rank
+       |FROM (
+       |  SELECT p.ida, p.idb, p.lb,
+       |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
+       |      ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
+       |               p.idb ASC) AS BIGINT) AS rank
+       |  FROM lpairs p
+       |  JOIN e ea ON p.ida = ea.vec_id
+       |  JOIN e eb ON p.idb = eb.vec_id) s
+       |WHERE rank <= $k""".stripMargin
+  }
+
   def cosineNearDupsSql(
       threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {

@@ -135,6 +135,28 @@ class EmbeddingSpec extends SparkSpec {
     assert(mmr(1).getLong(1) == 10L, mmr.map(_.getLong(1)).mkString(","))
   }
 
+  test("hard negatives exclude same-label vectors and keep the similar wrong-label one") {
+    // anchor 0 (label 0); 1-2 same label & near; 3 different label &
+    // near-ish; 4 different label & opposite
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (2L, Array(0.98f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (3L, Array(0.95f, 0.3f, 0f, 0f, 0f, 0f, 0f, 0f), 1),
+      (4L, Array(-1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.hardNegatives(docs, k = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // no pair may share its anchor's label
+    val labelOf = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1)
+    got.foreach { case (a, n, nl) =>
+      assert(labelOf(a) != nl && labelOf(n) == nl, s"($a,$n,$nl)")
+    }
+    // anchor 0's top hard negative is the similar-but-wrong vector 3
+    val a0 = got.filter(_._1 == 0L)
+    assert(a0.nonEmpty && a0.head._2 == 3L, a0.mkString(","))
+  }
+
   test("MMR rank-1 equals the relevance argmax and scores are λ-scaled") {
     val mmr = EmbeddingOps.mmrTopK(embs, queryId = 0L, pool = 4, k = 2,
       lambda = 0.7).collect()
