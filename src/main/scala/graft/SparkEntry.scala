@@ -439,6 +439,22 @@ object SparkEntry {
     // per-type OLS drift: one sufficient-statistics agg, exact integer
     // numerators (HUGEINT twin), float only at the final divisions
     "events_trend" -> ((s, dir) => EventOps.typeTrend(Tables.events(s, dir))),
+    // hourly grid resample: gap-fill to a dense per-type spine + LOCF
+    // forward fill — spine is time-bounded, not data-bounded
+    "events_resample" -> ((s, dir) =>
+      EventOps.resampleHourly(Tables.events(s, dir))),
+    // CDC changeset between two trailing-window state snapshots:
+    // inserted / deleted / changed keyed rows, unchanged filtered
+    "events_snapshot_diff" -> ((s, dir) =>
+      EventOps.snapshotDiff(Tables.events(s, dir))),
+    // one-scan column profiler over documents: per-column rows / nulls
+    // / exact distinct / lexicographic min+max through a canonical
+    // string cast (exact countDistinct is the oracle-able stand-in
+    // for the approx_count_distinct a 100 TB run would use)
+    "profile_docs" -> ((s, dir) =>
+      graft.ops.ProfileOps.profile(
+        Tables.table(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // Z-order (Morton) layout address for the 2-D points relation —
     // pure integer bit math, the data-layout half is Layout.zOrdered
     "points_zorder" -> ((s, dir) =>
@@ -719,6 +735,10 @@ object SparkEntry {
     "events_latest" -> EventOps.latestStateSql,
     "events_moving" -> EventOps.movingStatsSql,
     "events_trend" -> EventOps.typeTrendSql,
+    "events_resample" -> EventOps.resampleHourlySql,
+    "events_snapshot_diff" -> EventOps.snapshotDiffSql(),
+    "profile_docs" -> graft.ops.ProfileOps.profileSql(
+      "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "points_zorder" ->
       Tables.withPtsCents(graft.ops.Layout.pointsZOrderSql(), K),
     // events_sketches: the t-digest/HLL estimate columns are

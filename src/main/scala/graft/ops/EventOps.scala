@@ -690,4 +690,152 @@ object EventOps {
       |  wg AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |""".stripMargin
+
+  /** Hourly resample with gap-fill and last-observation-carried-forward
+    * — the time-series regularization every monitoring / feature
+    * pipeline needs before a model sees the data: irregular event
+    * arrivals become a dense per-type hourly grid (one row per hour
+    * between that type's first and last event), missing hours carry
+    * n=0 / is_gap=true, and `locf_value` forward-fills the most recent
+    * observed hourly average.
+    *
+    * Plan: one (event_type, h) shuffle for the hourly agg (map-side
+    * partials; cardinality = types × hours, tiny); the spine is
+    * explode(sequence(min_h, max_h)) off a per-type bounds agg — spine
+    * size is time-bounded, not data-bounded, so at 100 TB the dense
+    * grid stays types × hours regardless of event volume, and the
+    * spine⋈hourly left join plus the LOCF window both run on the
+    * already-(event_type)-clustered grid. The LOCF window partitions
+    * by event_type only, but over grid rows (≤ hours-in-retention per
+    * type), never raw events — a year is 8 760 rows per type.
+    *
+    * Determinism: hourly sums route through DECIMAL(38,0) on
+    * round(value*100) (2-decimal data, exact), the average is two IEEE
+    * divisions in fixed order, and LOCF's frame order (h) is unique
+    * per partition — bit-stable in both engines. */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val DecL = DecimalType(38, 0)
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        round(col("value") * 100).cast("long").as("cv"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("hn"), sum(col("cv").cast(DecL)).as("sv"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val avg = when(col("hn").isNull, lit(null).cast("double"))
+      .otherwise(col("sv").cast("string").cast("double") / lit(100.0)
+        / col("hn").cast("double"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("avg_value", avg)
+      .select(
+        col("event_type"),
+        timestamp_micros(col("h") * lit(3600000000L)).as("hour_ts"),
+        coalesce(col("hn"), lit(0L)).as("n"),
+        col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("locf_value"),
+        col("hn").isNull.as("is_gap"))
+  }
+
+  val resampleHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+      |    COUNT(*) AS hn,
+      |    SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+      |  FROM hourly GROUP BY event_type),
+      |spine AS (
+      |  SELECT event_type, UNNEST(generate_series(h0, h1)) AS h FROM bounds),
+      |j AS (
+      |  SELECT s.event_type, s.h, hn, sv,
+      |    CASE WHEN hn IS NULL THEN NULL
+      |      ELSE CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 100.0
+      |           / CAST(hn AS DOUBLE) END AS avg_value
+      |  FROM spine s LEFT JOIN hourly USING (event_type, h))
+      |SELECT event_type,
+      |  make_timestamp(h * 3600000000) AS hour_ts,
+      |  COALESCE(hn, 0) AS n,
+      |  avg_value,
+      |  last_value(avg_value IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+      |  hn IS NULL AS is_gap
+      |FROM j""".stripMargin
+
+  /** Snapshot diff (the CDC changeset shape): materialize each user's
+    * latest (ts, value) state over two trailing-`windowDays` activity
+    * windows — "as of oldTo" and "as of newTo" — and emit the keyed
+    * changeset between them: `inserted` (active only in the new
+    * window), `deleted` (aged out — no activity in the new window),
+    * `changed` (both present, different latest event); `unchanged`
+    * rows (same latest event in both overlapping windows) are
+    * filtered, making the output a true delta.
+    *
+    * Plan: each snapshot is one user_id shuffle (row_number over a
+    * per-user desc sort, rn=1 — per-user data is window-bounded); the
+    * full-outer diff joins on the SAME user_id hash partitioning the
+    * windows just produced, so Catalyst reuses the clustering and the
+    * join adds no third shuffle. At 100 TB the changeset is
+    * |active users|-sized, never event-volume-sized, and nothing is
+    * ever collected — the delta can feed a MERGE sink directly. */
+  def snapshotDiff(events: DataFrame,
+      oldTo: String = "2024-01-16", newTo: String = "2024-01-24",
+      windowDays: Int = 14): DataFrame = {
+    def state(upTo: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events
+        .filter(col("ts") >= expr(
+            s"TIMESTAMP '$upTo' - INTERVAL $windowDays DAYS")
+          && col("ts") < expr(s"TIMESTAMP '$upTo'"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("value"))
+    }
+    val a = state(oldTo).select(col("user_id"),
+      col("ts").as("old_ts"), col("value").as("old_value"))
+    val b = state(newTo).select(col("user_id"),
+      col("ts").as("new_ts"), col("value").as("new_value"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_ts").isNull, lit("inserted"))
+          .when(col("new_ts").isNull, lit("deleted"))
+          .when(col("old_ts") === col("new_ts")
+            && col("old_value") === col("new_value"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .filter(col("status") =!= "unchanged")
+      .select("user_id", "status", "old_ts", "old_value", "new_ts", "new_value")
+  }
+
+  def snapshotDiffSql(oldTo: String = "2024-01-16",
+      newTo: String = "2024-01-24", windowDays: Int = 14): String = {
+    def state(upTo: String) =
+      s"""SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value, ROW_NUMBER() OVER (
+         |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events
+         |    WHERE ts >= TIMESTAMP '$upTo' - INTERVAL $windowDays DAY
+         |      AND ts < TIMESTAMP '$upTo') q
+         |  WHERE rn = 1""".stripMargin
+    s"""WITH a AS (
+       |  ${state(oldTo)}),
+       |b AS (
+       |  ${state(newTo)}),
+       |j AS (
+       |  SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       |    a.ts AS old_ts, a.value AS old_value,
+       |    b.ts AS new_ts, b.value AS new_value,
+       |    CASE WHEN a.ts IS NULL THEN 'inserted'
+       |         WHEN b.ts IS NULL THEN 'deleted'
+       |         WHEN a.ts = b.ts AND a.value = b.value THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM a FULL JOIN b ON a.user_id = b.user_id)
+       |SELECT user_id, status, old_ts, old_value, new_ts, new_value
+       |FROM j WHERE status <> 'unchanged'""".stripMargin
+  }
 }

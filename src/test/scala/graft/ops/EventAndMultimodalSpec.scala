@@ -328,4 +328,47 @@ class EventAndMultimodalSpec extends SparkSpec {
     val u200 = hist.filter(_._1 == 200L)
     assert(u200.length == 1 && u200.head._5 && u200.head._4.isEmpty)
   }
+
+  test("resample: dense hourly spine, gap rows n=0, LOCF carries last avg") {
+    val sparse = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 1L, "m", 2.00, "{}"),
+      (2L, ts("2024-01-01 10:45:00"), 1L, "m", 4.00, "{}"),
+      // hour 11 empty → gap; hour 12 observed again
+      (3L, ts("2024-01-01 12:30:00"), 1L, "m", 9.00, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 1L, "other", 1.00, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.resampleHourly(sparse).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5))).toMap
+    // type m spans hours 10..12 → exactly 3 rows; other → 1 row
+    assert(r.size == 4)
+    assert(r(("m", "2024-01-01 10:00:00.0")) ==
+      ((2L, Some(3.0), Some(3.0), false)))
+    // the gap hour: zero events, null avg, LOCF carries hour-10's 3.0
+    assert(r(("m", "2024-01-01 11:00:00.0")) ==
+      ((0L, None, Some(3.0), true)))
+    assert(r(("m", "2024-01-01 12:00:00.0")) ==
+      ((1L, Some(9.0), Some(9.0), false)))
+    assert(r(("other", "2024-01-01 10:00:00.0")) ==
+      ((1L, Some(1.0), Some(1.0), false)))
+  }
+
+  test("snapshot diff emits inserted/deleted/changed and filters unchanged") {
+    // windows: old = [01-02, 01-16), new = [01-10, 01-24)
+    val evs = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 1L, "m", 1.0, "{}"), // old only → deleted
+      (2L, ts("2024-01-20 00:00:00"), 2L, "m", 2.0, "{}"), // new only → inserted
+      (3L, ts("2024-01-05 00:00:00"), 3L, "m", 3.0, "{}"),
+      (4L, ts("2024-01-20 00:00:00"), 3L, "m", 3.5, "{}"), // latest moved → changed
+      (5L, ts("2024-01-12 00:00:00"), 4L, "m", 4.0, "{}")  // same in both → filtered
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = EventOps.snapshotDiff(evs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "deleted", 2L -> "inserted", 3L -> "changed"))
+    val row3 = EventOps.snapshotDiff(evs).filter(col("user_id") === 3L).head
+    assert(row3.getDouble(3) == 3.0 && row3.getDouble(5) == 3.5)
+  }
 }
