@@ -447,6 +447,17 @@ object SparkEntry {
     // inserted / deleted / changed keyed rows, unchanged filtered
     "events_snapshot_diff" -> ((s, dir) =>
       EventOps.snapshotDiff(Tables.events(s, dir))),
+    // first-order Markov transition matrix over per-user sequences:
+    // P(next type | current type) — one user shuffle, |types|² agg
+    "events_transitions" -> ((s, dir) =>
+      EventOps.transitions(Tables.events(s, dir))),
+    // full Pearson correlation matrix in ONE scan / ONE 1-row agg:
+    // all k(k+3)/2 sufficient statistics accumulate together, floats
+    // only at the final ratio (sqrt is IEEE-exact, not libm)
+    "corr_matrix" -> ((s, dir) =>
+      graft.ops.StatsOps.corrMatrix(
+        Tables.table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // one-scan column profiler over documents: per-column rows / nulls
     // / exact distinct / lexicographic min+max through a canonical
     // string cast (exact countDistinct is the oracle-able stand-in
@@ -737,6 +748,9 @@ object SparkEntry {
     "events_trend" -> EventOps.typeTrendSql,
     "events_resample" -> EventOps.resampleHourlySql,
     "events_snapshot_diff" -> EventOps.snapshotDiffSql(),
+    "events_transitions" -> EventOps.transitionsSql,
+    "corr_matrix" -> graft.ops.StatsOps.corrMatrixSql(
+      "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "profile_docs" -> graft.ops.ProfileOps.profileSql(
       "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "points_zorder" ->

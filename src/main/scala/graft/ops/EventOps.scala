@@ -838,4 +838,43 @@ object EventOps {
        |SELECT user_id, status, old_ts, old_value, new_ts, new_value
        |FROM j WHERE status <> 'unchanged'""".stripMargin
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — P(next event type | current event type), the
+    * behavioral-sequence model every session-based recommender /
+    * next-event predictor trains on, plus the raw bigram counts.
+    *
+    * Plan: one user_id shuffle for the LEAD window (per-user sort —
+    * the same clustering sessionize/movingStats use), then the bigram
+    * agg collapses to |types|² rows with map-side partials, so the
+    * second shuffle carries ~nothing at any scale; the per-from_type
+    * normalizing window runs over that tiny aggregate. The
+    * probability is one integer-over-integer IEEE division —
+    * bit-stable. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy("from_type")
+    events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(wt).cast("double"))
+  }
+
+  val transitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM cnt""".stripMargin
 }

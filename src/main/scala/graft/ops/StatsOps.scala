@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-column statistics in one table pass — the feature-screening
+  * step (drop collinear features, rank drift candidates) that would be
+  * quadratic table scans if done naively.
+  *
+  * `corrMatrix` computes the full Pearson correlation matrix over k
+  * columns with ONE scan and ONE 1-row aggregate: all k(k+3)/2
+  * sufficient statistics (per-column sums, pairwise product sums, n)
+  * accumulate in the same partial-aggregate pass, and the k(k-1)/2
+  * correlations are pure projections over that single row. At 100 TB
+  * the cost is the scan — there is no shuffle of data rows at all,
+  * only the k²-sized partials merging to one row.
+  *
+  * Determinism: inputs are 2-decimal data, so round(x*100) is an exact
+  * integer; every sum runs in DECIMAL(38,0) (HUGEINT twin) and floats
+  * appear only in the final ratio. sqrt is IEEE-754 correctly-rounded
+  * (unlike ln/exp, it is NOT libm-dependent), so
+  * num / (sqrt(denx) * sqrt(deny)) is bit-stable across engines.
+  * Pearson r is scale-invariant, so the ×100 grid cancels
+  * algebraically — no rescale needed. Magnitudes: with |x·100| ≤ 1e7,
+  * per-row products ≤ 1e14, so Σ stays inside 38 digits to n ~ 1e24
+  * rows and n·Σxy to n ~ 1e12 — a 100 TB lineitem is ~1e11 rows. */
+object StatsOps {
+
+  /** One (col_x, col_y, n, corr) row per unordered column pair. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val Dec = DecimalType(38, 0)
+    // per-row grid values and products stay in LONG (≤1e14 ≪ 2^63 —
+    // bounded by the value domain, not row count); only the running
+    // sums need decimal width
+    def g(c: String): Column = round(col(c) * 100).cast("long")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    val aggs =
+      count(lit(1)).as("n") +:
+      (cols.map(c => sum(g(c).cast(Dec)).as(s"s_$c")) ++
+        cols.map(c => sum((g(c) * g(c)).cast(Dec)).as(s"q_$c")) ++
+        pairs.map { case (x, y) =>
+          sum((g(x) * g(y)).cast(Dec)).as(s"p_${x}_$y")
+        })
+    val st = df.agg(aggs.head, aggs.tail: _*)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val rows = pairs.map { case (x, y) =>
+      val nd = col("n").cast(Dec)
+      val num = nd * col(s"p_${x}_$y") - col(s"s_$x") * col(s"s_$y")
+      val denx = nd * col(s"q_$x") - col(s"s_$x") * col(s"s_$x")
+      val deny = nd * col(s"q_$y") - col(s"s_$y") * col(s"s_$y")
+      struct(
+        lit(x).as("col_x"), lit(y).as("col_y"), col("n"),
+        when(denx === lit(0).cast(Dec) || deny === lit(0).cast(Dec),
+          lit(null).cast("double"))
+          .otherwise(dbl(num) / (sqrt(dbl(denx)) * sqrt(dbl(deny))))
+          .as("corr"))
+    }
+    st.select(explode(array(rows: _*)).as("kv")).select(col("kv.*"))
+  }
+
+  def corrMatrixSql(table: String, cols: Seq[String]): String = {
+    def g(c: String) = s"CAST(ROUND($c * 100) AS BIGINT)"
+    def hug(e: String) = s"SUM(CAST($e AS HUGEINT))"
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    val stats =
+      (s"COUNT(*) AS n" +:
+        (cols.map(c => s"${hug(g(c))} AS s_$c") ++
+          cols.map(c => s"${hug(s"${g(c)} * ${g(c)}")} AS q_$c") ++
+          pairs.map { case (x, y) =>
+            s"${hug(s"${g(x)} * ${g(y)}")} AS p_${x}_$y"
+          })).mkString(",\n    ")
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val selects = pairs.map { case (x, y) =>
+      val num = s"(CAST(n AS HUGEINT) * p_${x}_$y - s_$x * s_$y)"
+      val denx = s"(CAST(n AS HUGEINT) * q_$x - s_$x * s_$x)"
+      val deny = s"(CAST(n AS HUGEINT) * q_$y - s_$y * s_$y)"
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN $denx = 0 OR $deny = 0 THEN NULL
+         |    ELSE ${dbl(num)} / (SQRT(${dbl(denx)}) * SQRT(${dbl(deny)}))
+         |  END AS corr
+         |FROM st""".stripMargin
+    }
+    s"WITH st AS (\n  SELECT $stats\n  FROM $table)\n" +
+      selects.mkString("\nUNION ALL\n")
+  }
+}

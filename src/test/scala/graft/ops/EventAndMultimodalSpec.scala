@@ -371,4 +371,14 @@ class EventAndMultimodalSpec extends SparkSpec {
     val row3 = EventOps.snapshotDiff(evs).filter(col("user_id") === 3L).head
     assert(row3.getDouble(3) == 3.0 && row3.getDouble(5) == 3.5)
   }
+
+  test("transitions: per-user bigram counts, rows normalize per from_type") {
+    // user 100: click→click→view ; user 200 contributes no bigram
+    val t = EventOps.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(t == Map(
+      ("click", "click") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 0.5))))
+  }
 }
