@@ -447,6 +447,11 @@ object SparkEntry {
     // inserted / deleted / changed keyed rows, unchanged filtered
     "events_snapshot_diff" -> ((s, dir) =>
       EventOps.snapshotDiff(Tables.events(s, dir))),
+    // deterministic SGNS negative sampling: k draws per top skipgram
+    // pair from unigram^0.75 (sqrt∘sqrt — IEEE-exact, no libm pow),
+    // inverse-CDF via integer-bucketed equi join, zero randomness
+    "text_sgns_negatives" -> ((s, dir) =>
+      TextOps.sgnsNegatives(Tables.table(s, dir, "documents"))),
     // first-order Markov transition matrix over per-user sequences:
     // P(next type | current type) — one user shuffle, |types|² agg
     "events_transitions" -> ((s, dir) =>
@@ -748,6 +753,7 @@ object SparkEntry {
     "events_trend" -> EventOps.typeTrendSql,
     "events_resample" -> EventOps.resampleHourlySql,
     "events_snapshot_diff" -> EventOps.snapshotDiffSql(),
+    "text_sgns_negatives" -> TextOps.sgnsNegativesSql(),
     "events_transitions" -> EventOps.transitionsSql,
     "corr_matrix" -> graft.ops.StatsOps.corrMatrixSql(
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),

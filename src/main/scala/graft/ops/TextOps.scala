@@ -915,4 +915,134 @@ object TextOps {
        |SELECT r.doc_id, r.source, r.len,
        |  LEAST(GREATEST(r.len, b.lo), b.hi) AS len_w
        |FROM ranked r JOIN bounds b ON r.source = b.source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SGNS negative sampling — deterministic draws from unigram^0.75
+  // -------------------------------------------------------------------
+
+  /** Deterministic negative sampling for skipgram-with-negative-
+    * sampling training data (word2vec, Mikolov 2013): for each of the
+    * top skipgram (center, context) pairs, draw `k` negatives from the
+    * corpus unigram distribution raised to the classic 3/4 power —
+    * WITHOUT randomness, a collect, or a quadratic join.
+    *
+    * Replacements for the two nondeterminism traps:
+    *  - cnt^0.75 is computed as sqrt(sqrt(cnt³)) — cnt³ stays exact in
+    *    LONG (cnt ≤ 2·10⁶), the long→double conversion and both sqrts
+    *    are IEEE correctly-rounded (sqrt is NOT libm-dependent, unlike
+    *    pow/exp), so the weight grid round(·×10⁶) is bit-identical in
+    *    both engines;
+    *  - the "random" variate per (pair, draw) is md5-60 of the pair
+    *    key, reduced mod the total integer weight — reproducible under
+    *    any partitioning, any cluster size, any run.
+    *
+    * The inverse-CDF lookup is the scale-shaped part: vocabulary rows
+    * carry exact integer cumulative bounds [cum_lo, cum_hi) (window
+    * cumsum over the token-ordered vocabulary — exact integer
+    * arithmetic, so the window order can't perturb a bit), each row
+    * replicates to the fixed-width buckets its interval overlaps, and
+    * probes join on the single bucket containing their target — an
+    * EQUI join (broadcast — the exploded directory is vocabulary-
+    * sized), never a BroadcastNestedLoopJoin range probe. Draws that
+    * hit the pair's own center/context are filtered (the word2vec
+    * "resample" step made deterministic by dropping instead).
+    *
+    * 100 TB posture: the unigram count is the only corpus-scale
+    * aggregate (token shuffle, map-side partials); everything after is
+    * vocabulary×k sized. With per-token cnt capped at 2·10⁶ by the
+    * long-exact cnt³ bound, a larger corpus raises counts — production
+    * would bump the grid to DECIMAL(38,0) cumsums (same algebra); the
+    * cap is documented, not silent. */
+  def sgnsNegatives(
+      docs: DataFrame, window: Int = 2, topPairs: Int = 100,
+      k: Int = 5, seed: Int = 42, buckets: Int = 1024): DataFrame = {
+    val tk = tokens(col("text"))
+    val cnts = docs
+      .select(explode(tk).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // integer weight grid: round(cnt^0.75 × 1e6) via the sqrt∘sqrt form
+    val w = round(sqrt(sqrt((col("cnt") * col("cnt") * col("cnt"))
+      .cast("double"))) * 1e6).cast("long")
+    val wc = Window.orderBy("token")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vocab = cnts
+      .withColumn("w", w)
+      .withColumn("cum_hi", sum("w").over(wc))
+      .withColumn("cum_lo", col("cum_hi") - col("w"))
+    val total = vocab.agg(max("cum_hi").as("total"))
+    // all bucket math in exact integer division (SQL `div`) — float
+    // division could disagree between directory and probe at an exact
+    // bucket boundary and silently drop the join match
+    val widthExpr = s"(total + ${buckets - 1}) div $buckets"
+    val dir = vocab.crossJoin(broadcast(total))
+      .withColumn("width", expr(widthExpr))
+      .select(col("token").as("neg_token"), col("cum_lo"), col("cum_hi"),
+        explode(sequence(
+          expr("cum_lo div width"),
+          expr("(cum_hi - 1) div width"))).as("bk"))
+    val probes = skipgramPairs(docs, window, topPairs)
+      .select(col("center"), col("context"),
+        explode(sequence(lit(1), lit(k))).as("neg_idx"))
+      .crossJoin(broadcast(total))
+      .withColumn("width", expr(widthExpr))
+      .withColumn("t", pmod(Dedup.md5Hash60(seed,
+        concat_ws("|", col("center"), col("context"),
+          col("neg_idx").cast("string"))), col("total")))
+      .withColumn("bk", expr("t div width"))
+    probes
+      .join(broadcast(dir), Seq("bk"))
+      .filter(col("t") >= col("cum_lo") && col("t") < col("cum_hi"))
+      .filter(col("neg_token") =!= col("center")
+        && col("neg_token") =!= col("context"))
+      .select("center", "context", "neg_idx", "neg_token")
+  }
+
+  def sgnsNegativesSql(
+      window: Int = 2, topPairs: Int = 100, k: Int = 5,
+      seed: Int = 42): String = {
+    val offsets = (1 to window).map { d =>
+      s"""SELECT unnest(tk[1:len(tk)-$d]) AS a,
+         |       unnest(tk[${1 + d}:len(tk)]) AS b
+         |  FROM toks WHERE len(tk) > $d""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val u = Dedup.md5Hash60Sql(seed,
+      "(center || '|' || context || '|' || CAST(neg_idx AS VARCHAR))")
+    s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+       |off AS (
+       |  $offsets),
+       |sym AS (
+       |  SELECT a AS center, b AS context FROM off
+       |  UNION ALL SELECT b, a FROM off),
+       |pairs AS (
+       |  SELECT center, context, COUNT(*) AS cnt
+       |  FROM sym GROUP BY 1, 2
+       |  ORDER BY cnt DESC, center ASC, context ASC LIMIT $topPairs),
+       |cnts AS (
+       |  SELECT unnest(tk) AS token FROM toks),
+       |tokcnt AS (
+       |  SELECT token, COUNT(*) AS cnt FROM cnts GROUP BY token),
+       |vocab AS (
+       |  SELECT token,
+       |    CAST(SUM(w) OVER (ORDER BY token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_hi,
+       |    CAST(SUM(w) OVER (ORDER BY token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - w AS cum_lo
+       |  FROM (SELECT token,
+       |    CAST(ROUND(SQRT(SQRT(CAST(cnt * cnt * cnt AS DOUBLE))) * 1e6)
+       |      AS BIGINT) AS w FROM tokcnt) q),
+       |tot AS (SELECT MAX(cum_hi) AS total FROM vocab),
+       |probes AS (
+       |  SELECT center, context, neg_idx,
+       |    ($u) % total AS t
+       |  FROM pairs
+       |  CROSS JOIN tot
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $k)) AS neg_idx) gs)
+       |SELECT p.center, p.context, CAST(p.neg_idx AS INTEGER) AS neg_idx,
+       |  v.token AS neg_token
+       |FROM probes p JOIN vocab v
+       |  ON p.t >= v.cum_lo AND p.t < v.cum_hi
+       |WHERE v.token <> p.center AND v.token <> p.context""".stripMargin
+  }
 }

@@ -299,4 +299,31 @@ class TextOpsSpec extends SparkSpec {
     val j = TextOps.sourceOverlap(docs, n = 3).collect().head.getDouble(3)
     assert(math.abs(j - 1.0 / 7.0) < 1e-15)
   }
+
+  test("sgns negatives: deterministic, frequency-weighted, never the pair itself") {
+    import spark.implicits._
+    // 'hot' dominates the unigram mass; 'a b' is the only real pair
+    val docs = (1 to 40).map(i => (i.toLong, "hot " * 8, "en", "s", 1))
+      .:+((41L, "a b", "en", "s", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sgnsNegatives(docs, topPairs = 10, k = 20)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3)))
+    // no draw may equal its own center or context
+    assert(rows.forall { case (c, x, _, n) => n != c && n != x })
+    // the (a, b) pair's negatives exist and are dominated by 'hot'
+    val ab = rows.filter(r => r._1 == "a" && r._2 == "b").map(_._4)
+    assert(ab.nonEmpty && ab.count(_ == "hot") >= ab.length / 2, ab.toSeq)
+    // bit-for-bit reproducible
+    val again = TextOps.sgnsNegatives(docs, topPairs = 10, k = 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(rows.sortBy(t => (t._1, t._2, t._3)).toSeq ==
+      again.sortBy(t => (t._1, t._2, t._3)).toSeq)
+    // the inverse-CDF probe is an EQUI hash join on the bucket key
+    // (the only nested-loop join in the plan is the 1-row `total`
+    // broadcast, the same shape pmiTopK uses) — never a range probe
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [bk"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
