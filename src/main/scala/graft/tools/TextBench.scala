@@ -90,6 +90,18 @@ object TextBench {
         graft.ops.Dsir.importanceWeights(withSource(docsHot), "src0"))
       timed(s"n=$n entropy          ", graft.ops.TextOps.tokenEntropy(docs))
       timed(s"n=$n entropy_hot      ", graft.ops.TextOps.tokenEntropy(docsHot))
+      // r9 sixth wave: the profiler's distinct shuffle carries deduped
+      // (col, value) pairs — the hot corpus repeats one header string
+      // 0.3n times, which must collapse map-side (time tracks distinct
+      // volume, not row count); sgns negatives' corpus-scale stage is
+      // only the unigram count — the vocabulary-sized CDF directory and
+      // probe join must not grow with n
+      timed(s"n=$n profile          ",
+        graft.ops.ProfileOps.profile(docs, Seq("doc_id", "text")))
+      timed(s"n=$n profile_hot      ",
+        graft.ops.ProfileOps.profile(docsHot, Seq("doc_id", "text")))
+      timed(s"n=$n sgns_negatives   ", graft.ops.TextOps.sgnsNegatives(docs))
+      timed(s"n=$n sgns_negatives_hot", graft.ops.TextOps.sgnsNegatives(docsHot))
     }
     spark.stop()
   }
