@@ -447,6 +447,14 @@ object SparkEntry {
     // inserted / deleted / changed keyed rows, unchanged filtered
     "events_snapshot_diff" -> ((s, dir) =>
       EventOps.snapshotDiff(Tables.events(s, dir))),
+    // hashing-trick sparse feature vectors: fixed dim-sized space, ±1
+    // sign hash, one (doc, idx) agg — no vocabulary pass at any scale
+    "text_hashed_features" -> ((s, dir) =>
+      TextOps.hashedFeatures(Tables.table(s, dir, "documents"))),
+    // equal-frequency NTILE discretizer with a deterministic tiebreak:
+    // per-type deciles in one window pass
+    "events_deciles" -> ((s, dir) =>
+      EventOps.valueDeciles(Tables.events(s, dir))),
     // deterministic SGNS negative sampling: k draws per top skipgram
     // pair from unigram^0.75 (sqrt∘sqrt — IEEE-exact, no libm pow),
     // inverse-CDF via integer-bucketed equi join, zero randomness
@@ -753,6 +761,8 @@ object SparkEntry {
     "events_trend" -> EventOps.typeTrendSql,
     "events_resample" -> EventOps.resampleHourlySql,
     "events_snapshot_diff" -> EventOps.snapshotDiffSql(),
+    "text_hashed_features" -> TextOps.hashedFeaturesSql(),
+    "events_deciles" -> EventOps.valueDecilesSql(),
     "text_sgns_negatives" -> TextOps.sgnsNegativesSql(),
     "events_transitions" -> EventOps.transitionsSql,
     "corr_matrix" -> graft.ops.StatsOps.corrMatrixSql(

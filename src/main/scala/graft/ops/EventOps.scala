@@ -864,6 +864,35 @@ object EventOps {
         col("n").cast("double") / sum("n").over(wt).cast("double"))
   }
 
+  /** Equal-frequency quantile discretizer (the ML feature-binning
+    * staple): each event's value mapped to its within-type decile via
+    * NTILE over a TOTAL per-type order (value, then event_id — the
+    * tiebreak makes bucket boundaries deterministic when values
+    * repeat, which `ntile` alone does not guarantee).
+    *
+    * Plan: ONE event_type shuffle + per-partition sort — the same
+    * window pass also carries the per-type row count for free. NTILE's
+    * SQL-standard definition (first `n mod b` buckets get the extra
+    * row) is implemented identically by Spark and DuckDB, so the
+    * assignment is oracle-exact. Scale: per-type partitions sort
+    * independently; a skewed type costs sort time, not memory (Spark
+    * windows stream the frame). For a truly global discretizer at
+    * 100 TB, the fixed-bin histogram (binnedQuantiles) is the
+    * shuffle-free path — this NTILE form is the exact-rank one. */
+  def valueDeciles(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    events.select(col("event_id"), col("event_type"), col("value"),
+      ntile(buckets).over(w).as("decile"))
+  }
+
+  def valueDecilesSql(buckets: Int = 10): String =
+    s"""SELECT event_id, event_type, value,
+       |  CAST(NTILE($buckets) OVER (
+       |    PARTITION BY event_type ORDER BY value, event_id) AS INTEGER)
+       |    AS decile
+       |FROM events""".stripMargin
+
   val transitionsSql: String =
     """WITH seq AS (
       |  SELECT event_type AS from_type,

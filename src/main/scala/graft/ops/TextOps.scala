@@ -917,6 +917,53 @@ object TextOps {
        |FROM ranked r JOIN bounds b ON r.source = b.source""".stripMargin
 
   // -------------------------------------------------------------------
+  // Hashing-trick feature vectors
+  // -------------------------------------------------------------------
+
+  /** The hashing trick (Weinberger et al. 2009): tokens map to a FIXED
+    * `dim`-sized feature space by hash, with a second hash bit giving
+    * each token a ±1 sign so collisions cancel in expectation — the
+    * vectorizer linear classifiers / quality filters use at corpus
+    * scale precisely because it needs NO vocabulary pass, no
+    * dictionary broadcast, and its output width is a constant.
+    *
+    * Output is the sparse triple form (doc_id, feature_idx, weight);
+    * exact zero weights (a full ± cancellation inside one document)
+    * are dropped — they carry no information and sparse consumers
+    * treat absent as zero.
+    *
+    * Plan: explode + ONE (doc_id, feature_idx) agg with map-side
+    * combine — the shuffle carries at most min(tokens, dim) entries
+    * per document regardless of document length. md5-60 keys keep the
+    * indices and signs bit-identical in the DuckDB twin (production
+    * would swap in xxhash64, same shape — the repo's standard
+    * two-family pattern). */
+  def hashedFeatures(docs: DataFrame, dim: Int = 1024,
+      seed: Int = 42): DataFrame = {
+    val tok = col("token")
+    val idx = pmod(Dedup.md5Hash60(seed, tok), lit(dim.toLong))
+    val sign = pmod(Dedup.md5Hash60(seed + 1, tok), lit(2L)) * 2L - 1L
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), idx.as("feature_idx"), sign.as("sign"))
+      .groupBy("doc_id", "feature_idx")
+      .agg(sum("sign").as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
+  def hashedFeaturesSql(dim: Int = 1024, seed: Int = 42): String = {
+    val idx = s"(${Dedup.md5Hash60Sql(seed, "token")}) % $dim"
+    val sign = s"((${Dedup.md5Hash60Sql(seed + 1, "token")}) % 2) * 2 - 1"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |feat AS (
+       |  SELECT doc_id, $idx AS feature_idx, $sign AS sign FROM toks)
+       |SELECT doc_id, feature_idx, CAST(SUM(sign) AS BIGINT) AS weight
+       |FROM feat GROUP BY doc_id, feature_idx
+       |HAVING SUM(sign) <> 0""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // SGNS negative sampling — deterministic draws from unigram^0.75
   // -------------------------------------------------------------------
 

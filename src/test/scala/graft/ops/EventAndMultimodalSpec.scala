@@ -372,6 +372,19 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(row3.getDouble(3) == 3.0 && row3.getDouble(5) == 3.5)
   }
 
+  test("deciles: equal-frequency buckets per type, event_id breaks value ties") {
+    val evs = (1 to 10).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:00:${i}%02d"), 1L, "m",
+        if (i <= 5) 1.0 else 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = EventOps.valueDeciles(evs, buckets = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // total order is (value, event_id): ids 1..5 (value 1.0) then 6..10 —
+    // five buckets of exactly two rows each
+    assert(d == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3,
+      6L -> 3, 7L -> 4, 8L -> 4, 9L -> 5, 10L -> 5))
+  }
+
   test("transitions: per-user bigram counts, rows normalize per from_type") {
     // user 100: click→click→view ; user 200 contributes no bigram
     val t = EventOps.transitions(events).collect()

@@ -300,6 +300,30 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 7.0) < 1e-15)
   }
 
+  test("hashed features: fixed space, signed counts, multiplicity in the weight") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta", "en", "s", 1),
+      (2L, "alpha", "en", "s", 1)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = TextOps.hashedFeatures(docs, dim = 64)
+    val rows = f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every index inside the fixed space
+    assert(rows.forall { case (_, i, _) => i >= 0 && i < 64 })
+    // no collision among 2 tokens in 64 dims here: doc 1 has 2 features
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.length == 2)
+    // 'alpha' appears twice in doc 1 → |weight| 2; same idx+sign as doc 2
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1)
+    val (_, aIdx, aW) = d2.head
+    assert(d1.contains((1L, aIdx, aW * 2)))
+    // reproducible bit-for-bit
+    assert(TextOps.hashedFeatures(docs, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      rows.sorted.toSeq)
+  }
+
   test("sgns negatives: deterministic, frequency-weighted, never the pair itself") {
     import spark.implicits._
     // 'hot' dominates the unigram mass; 'a b' is the only real pair
