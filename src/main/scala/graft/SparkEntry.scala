@@ -386,6 +386,13 @@ object SparkEntry {
       graft.ops.Relational.topUnshippedOrders(
         Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "orders"),
         Tables.table(s, dir, "customer"))),
+    // TPC-H Q18 shape: the HAVING-filtered agg IS the join's driving
+    // side (semi-join + re-agg collapse into ONE lineitem scan),
+    // deterministic TakeOrdered top-100
+    "large_orders" -> ((s, dir) =>
+      graft.ops.Relational.largeVolumeOrders(
+        Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "orders"),
+        Tables.table(s, dir, "customer"))),
     // pivot with an EXPLICIT value list — one conditional-agg pass, no
     // distinct-collect pre-scan to discover columns
     "pivot_orders" -> ((s, dir) =>
@@ -408,6 +415,10 @@ object SparkEntry {
     // graph (degree-oriented node-iterator — wedge fan-out capped √|E|)
     "graph_triangles" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderTriangles(Tables.table(s, dir, "lineitem"))),
+    // multi-source BFS hop distances (Bellman-Ford unit-weight
+    // relaxation) — integer-exact supersteps, frontier-sized state
+    "graph_bfs" -> ((s, dir) =>
+      graft.ops.GraphOps.supplierPartBfs(Tables.table(s, dir, "lineitem"))),
     // association rules (2-itemset stage): top-k co-order pairs by
     // exact-integer lift, support-floor pruned, TakeOrdered
     "basket_lift" -> ((s, dir) =>
@@ -742,10 +753,12 @@ object SparkEntry {
     "rollup_orders" -> graft.ops.Relational.ordersRollupSql(),
     "pivot_orders" -> graft.ops.Relational.ordersPivotSql(),
     "top_orders" -> graft.ops.Relational.topUnshippedOrdersSql(),
+    "large_orders" -> graft.ops.Relational.largeVolumeOrdersSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
     "dedup_editdist" -> Dedup.editDistancePairsSql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
+    "graph_bfs" -> graft.ops.GraphOps.supplierPartBfsSql(),
     "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem

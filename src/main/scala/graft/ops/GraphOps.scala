@@ -235,4 +235,68 @@ object GraphOps {
        |${(1 to iters).map(stepSql).mkString(",\n")}
        |SELECT node, rank FROM r$iters""".stripMargin
   }
+
+  /** Multi-source BFS hop distances — the third member of the
+    * iterative-graph family (label propagation converges a partition,
+    * PageRank a score, BFS a DISTANCE). Each superstep relaxes
+    * `dist(v) = min(dist(v), 1 + min over in-edges of dist(u))`: one
+    * keyed join frontier→edges and one map-side-combined MIN agg, both
+    * shuffling on node ids only — the Bellman-Ford relaxation
+    * restricted to unit weights. Integer distances make every
+    * superstep bit-exact with no grid snapping at all. Unreached nodes
+    * are absent (not ∞), so the output is frontier-sized, never
+    * graph-sized, in the sparse early rounds.
+    *
+    * 100 TB posture: identical to PageRank's — per-superstep state is
+    * one (node, dist) row per REACHED node, edges are streamed from
+    * their own shuffle partitioning each round, nothing driver-side.
+    * For high-diameter graphs checkpoint every few supersteps exactly
+    * as connectedComponents does; `iters` fixed supersteps compose
+    * into one lazy plan like the unrolled Lloyd fit. */
+  def bfsDistances(
+      edges0: DataFrame, seeds: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct()
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val next = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** BFS over the symmetrized supplier↔part bipartite graph (same node
+    * encoding as [[supplierPartRank]]: suppliers even, parts odd),
+    * seeded at suppliers 1-3 — "which parts/suppliers are within k
+    * co-supply hops of these suppliers". */
+  def supplierPartBfs(lineitem: DataFrame, iters: Int = 3): DataFrame = {
+    val e = lineitem.select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = lineitem.filter(col("l_suppkey") <= 3)
+      .select((col("l_suppkey") * 2).as("node")).distinct()
+    bfsDistances(edges, seeds, iters)
+  }
+
+  def supplierPartBfsSql(iters: Int = 3): String = {
+    def stepSql(i: Int): String =
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${i - 1} d JOIN edges e ON e.src = d.node)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH base_e AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM base_e
+       |          UNION SELECT dst, src FROM base_e),
+       |d0 AS (SELECT DISTINCT l_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM lineitem WHERE l_suppkey <= 3),
+       |${(1 to iters).map(stepSql).mkString(",\n")}
+       |SELECT node, dist FROM d$iters""".stripMargin
+  }
 }

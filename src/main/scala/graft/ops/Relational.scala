@@ -192,6 +192,51 @@ object Relational {
        |GROUP BY year(o_orderdate)""".stripMargin
   }
 
+  /** TPC-H Q18 shape (large-volume orders): a HAVING-filtered
+    * aggregate used as the driving side of the join. The classic SQL
+    * spells this as `o_orderkey IN (SELECT … HAVING SUM(qty) > t)` and
+    * then re-aggregates lineitem a second time; here the having-agg IS
+    * the quantity result, so lineitem is scanned ONCE — the semi-join
+    * and the re-aggregation collapse into the same keyed agg. The
+    * survivor set (~1% of orders) then inner-joins orders and customer
+    * on their keys, and the top-k is TakeOrderedAndProject with a
+    * fully deterministic (totalprice DESC, orderdate, orderkey) order —
+    * never a global sort. Quantity sums route through DECIMAL
+    * (order-independent) with the VARCHAR round-trip twin. */
+  def largeVolumeOrders(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      threshold: Int = 250, k: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey").as("bigkey"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("qdec"))
+      .filter(col("qdec") > lit(threshold))
+    orders.join(big, col("o_orderkey") === col("bigkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qdec").cast("string").cast("double").as("sum_qty"))
+      .orderBy(
+        col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  def largeVolumeOrdersSql(threshold: Int = 250, k: Int = 100): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey AS bigkey,
+       |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS qdec
+       |  FROM lineitem
+       |  GROUP BY 1
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > $threshold)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  CAST(CAST(qdec AS VARCHAR) AS DOUBLE) AS sum_qty
+       |FROM big
+       |JOIN orders ON o_orderkey = bigkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+       |LIMIT $k""".stripMargin
+
   def starRevenueSql(year: Int = 1995): String =
     s"""SELECT n.n_name AS nation,
        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)

@@ -87,6 +87,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
   }
 
+  test("BFS: a symmetric chain relaxes one hop per superstep; unreached absent") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = GraphOps.bfsDistances(edges, seeds, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // node 5 is 4 hops out — not yet reached after 3 supersteps
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("BFS: min over alternate paths, and the nearer of two seeds wins") {
+    val edges = Seq(
+      (1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L), // diamond: 4 at dist 2
+      (1L, 5L), (5L, 6L), (6L, 4L))           // long way round: dist 3
+      .toDF("src", "dst")
+    val r = GraphOps.bfsDistances(edges, Seq(1L).toDF("node"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(4L) == 2L && r(6L) == 2L)
+    val r2 = GraphOps.bfsDistances(edges, Seq(1L, 6L).toDF("node"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2(4L) == 1L, "seed 6 is one hop from 4")
+    assert(r2(6L) == 0L)
+  }
+
   test("co-order edges honor the support threshold") {
     val li = Seq(
       (100L, 1L), (100L, 2L), (100L, 3L),

@@ -88,6 +88,23 @@ class RelationalSpec extends SparkSpec {
     assert("FileScan|Scan parquet".r.findAllIn(plan).length <= 1)
   }
 
+  test("large-volume orders: every survivor beats the threshold, order is total") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val (l, o, c, _) = tables
+    val rows = Relational.largeVolumeOrders(l, o, c, threshold = 250).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(5) > 250.0, r.toString))
+    // survivor count matches a direct recomputation of the HAVING set
+    val expect = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("q")).filter(col("q") > 250).count()
+    assert(rows.length == math.min(expect, 100L))
+    // (totalprice DESC, orderdate, orderkey) is a total order — no ties left
+    val keys = rows.map(r => (-r.getDouble(4),
+      r.getAs[java.time.LocalDateTime](3).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+      r.getLong(2)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("plan broadcasts the nation dim and pushes the date filter to the scan") {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
