@@ -203,6 +203,11 @@ object SparkEntry {
       graft.ops.RetrievalOps.tfidf(Tables.table(s, dir, "documents"))),
     "text_bm25_topk" -> ((s, dir) =>
       graft.ops.RetrievalOps.bm25TopK(Tables.table(s, dir, "documents"))),
+    // all-pairs sparse cosine join (Bayardo 2007): tf-idf shingle
+    // vectors, pairs generated only through the DF-capped inverted
+    // index — grid-snapped dot products keep it hash-exact
+    "text_cosine_pairs" -> ((s, dir) =>
+      graft.ops.RetrievalOps.cosinePairs(Tables.table(s, dir, "documents"))),
     "hybrid_rrf_topk" -> ((s, dir) =>
       graft.ops.RetrievalOps.hybridRrfTopK(
         Tables.table(s, dir, "documents"), Tables.table(s, dir, "embeddings"))),
@@ -682,6 +687,7 @@ object SparkEntry {
     "dsir_select" -> graft.ops.Dsir.selectSql("src0", 100),
     "sample_priority" -> graft.ops.Sampling.prioritySampleSql(100),
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
+    "text_cosine_pairs" -> graft.ops.RetrievalOps.cosinePairsSql(),
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
     "jsonl_roundtrip" ->

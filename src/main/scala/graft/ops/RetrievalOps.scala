@@ -207,4 +207,104 @@ object RetrievalOps {
        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
        |ORDER BY rrf DESC, doc_id ASC LIMIT $k""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // All-pairs sparse cosine similarity join over tf-idf shingle
+  // vectors (the inverted-index similarity join of Bayardo et al.,
+  // WWW 2007 — "all-pairs"). Word 3-gram shingles (WITH multiplicity,
+  // unlike the Jaccard path's distinct sets) are tf-idf weighted and
+  // L2-normalized; the pair space is generated ONLY through the
+  // shingle inverted index, so two docs meet iff they share a posting
+  // — never a doc×doc cross product. A document-frequency cap drops
+  // corpus-boilerplate shingles (df > cap contributes O(df²) candidate
+  // pairs and ~zero idf weight), bounding the join's fan-out by
+  // cap·|postings| — the same blocking contract as
+  // Dedup.ngramJaccardPairs, here defining cosine over the KEPT
+  // shingle space (exact whenever no shingle in either doc exceeds
+  // the cap).
+  //
+  // Hash-exactness: idf is PortableMath.plog; the two float SUMs (per-
+  // doc ‖w‖² and the per-pair dot product) are snapped to the 1e-12
+  // integer grid and summed as DECIMAL(38,0) (corpusJsDivergence
+  // recipe), so neither accumulation order nor engine can shift a bit.
+  //
+  // 100 TB posture: four keyed shuffles — the (doc,shingle) tf agg,
+  // the shingle-partitioned df window, the doc-keyed norm agg, and the
+  // inverted-index pair join feeding a map-side-combined (a,b) sum.
+  // State per stage is postings-sized or pair-output-sized; nothing is
+  // driver-side.
+  // -------------------------------------------------------------------
+  def cosinePairs(
+      docs: DataFrame, n: Int = 3, maxDf: Long = 1000,
+      minCos: Double = 0.5): DataFrame = {
+    val Grid = 1.0e12
+    val DecInt = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grams = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(0))),
+        i => array_join(slice(col("tk"), i, lit(n)), " "))).as("shingle"))
+    val tf = grams.groupBy("doc_id", "shingle").agg(count(lit(1)).as("tf"))
+    val dfW = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("shingle"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val w = tf.withColumn("df", dfW).filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("shingle"),
+        (col("tf").cast("double") *
+          (PortableMath.plog((col("n") + lit(1L)).cast("double") /
+            (col("df") + lit(1L)).cast("double")) + lit(1.0))).as("w"))
+    val norms = w
+      .select(col("doc_id"),
+        round(col("w") * col("w") * lit(Grid)).cast(DecInt).as("sq"))
+      .groupBy("doc_id")
+      .agg(sqrt(sum("sq").cast("string").cast("double") / lit(Grid)).as("nrm"))
+    val u = w.join(norms, "doc_id")
+      .select(col("doc_id"), col("shingle"), (col("w") / col("nrm")).as("u"))
+    val a = u.select(col("doc_id").as("doc_a"), col("shingle"), col("u").as("ua"))
+    val b = u.select(col("doc_id").as("doc_b"), col("shingle"), col("u").as("ub"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ua") * col("ub") * lit(Grid)).cast(DecInt).as("c"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum("c").cast("string").cast("double") / lit(Grid)).as("cosine"))
+      .filter(col("cosine") >= lit(minCos))
+  }
+
+  def cosinePairsSql(
+      n: Int = 3, maxDf: Long = 1000, minCos: Double = 0.5): String = {
+    val g = "1000000000000.0"
+    val idf =
+      s"(${PortableMath.plogSql("CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)")} + 1.0)"
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS shingle
+       |  FROM (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |    FROM documents) d),
+       |tf AS (SELECT doc_id, shingle, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+       |dfr AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM documents),
+       |w AS (
+       |  SELECT tf.doc_id, tf.shingle,
+       |    CAST(tf.tf AS DOUBLE) * $idf AS w
+       |  FROM tf JOIN dfr ON tf.shingle = dfr.shingle CROSS JOIN nn
+       |  WHERE dfr.df <= $maxDf),
+       |norms AS (
+       |  SELECT doc_id,
+       |    SQRT(CAST(CAST(SUM(CAST(ROUND(w * w * $g) AS DECIMAL(38,0)))
+       |      AS VARCHAR) AS DOUBLE) / $g) AS nrm
+       |  FROM w GROUP BY 1),
+       |u AS (SELECT w.doc_id, w.shingle, w.w / norms.nrm AS u
+       |      FROM w JOIN norms ON w.doc_id = norms.doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(ROUND(a.u * b.u * $g) AS DECIMAL(38,0)) AS c
+       |  FROM u a JOIN u b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) / $g AS cosine
+       |FROM p GROUP BY 1, 2
+       |HAVING CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) / $g >= $minCos""".stripMargin
+  }
 }

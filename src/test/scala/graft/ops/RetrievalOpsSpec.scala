@@ -81,8 +81,40 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(out.forall(r => !r.isNullAt(1) || !r.isNullAt(2)))
   }
 
+  test("cosine pairs: self-similarity 1, disjoint absent, threshold respected") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",      // identical to 1
+      3L -> "alpha beta gamma zeta eta theta",     // shares a prefix
+      4L -> "iota kappa lambda mu nu")             // disjoint
+    val r = RetrievalOps.cosinePairs(d, minCos = 0.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(r((1L, 2L)) - 1.0) < 1e-9, s"identical docs: ${r((1L, 2L))}")
+    assert(r((1L, 3L)) > 0.0 && r((1L, 3L)) < 1.0)
+    assert(r((1L, 3L)) == r((2L, 3L)), "identical docs score identically")
+    assert(!r.keySet.exists(p => p._1 == 4L || p._2 == 4L), "disjoint doc pairs with nobody")
+    val strict = RetrievalOps.cosinePairs(d, minCos = 0.9).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)))
+  }
+
+  test("cosine pairs: the DF cap drops boilerplate shingles from the pair space") {
+    // every doc shares the same 3-gram header; only 1-2 share real content
+    val d = docs(
+      1L -> "the common header unique one content",
+      2L -> "the common header unique one content",
+      3L -> "the common header other words here",
+      4L -> "the common header more filler text")
+    // cap 3 < df("the common header")=4: pairs exist only via non-header
+    // shingles — docs 3,4 share nothing else and drop out entirely
+    val capped = RetrievalOps.cosinePairs(d, maxDf = 3, minCos = 0.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("registered query/oracle pairs agree on column names") {
-    for (n <- Seq("text_tfidf", "text_bm25_topk", "hybrid_rrf_topk")) {
+    for (n <- Seq("text_tfidf", "text_bm25_topk", "hybrid_rrf_topk",
+        "text_cosine_pairs")) {
       assert(graft.SparkEntry.queries.contains(n), n)
       assert(graft.SparkEntry.oracleSql.contains(n), n)
     }
