@@ -172,6 +172,10 @@ object SparkEntry {
     // candidates (scan-stage pair stream, one pair shuffle, TopK)
     "text_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairs(Tables.table(s, dir, "documents"))),
+    // the full trainer: count -> argmax -> MERGE into the corpus,
+    // repeated (ordered merge table, Lloyd-loop driver shape)
+    "text_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(Tables.table(s, dir, "documents"))),
     // word2vec-style +/-2-window co-occurrence counts (scan-side pair
     // stream per offset, one pair shuffle, TopK)
     "text_skipgrams" -> ((s, dir) =>
@@ -261,6 +265,10 @@ object SparkEntry {
       graft.ops.SpanDedup.spanStats(Tables.table(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
+    // lossless prefix-filtering variant (SSJoin/PPJoin family): the
+    // rarest-first prefix index replaces the DF cap entirely
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.table(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -338,6 +346,15 @@ object SparkEntry {
       EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"))),
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
+    // incremental view maintenance: base (6/7 of events) ⊕ delta (1/7)
+    // merged WITHOUT rescanning — the oracle is the full recompute, so
+    // the gate checks the monoid-merge identity itself
+    "events_incr_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.events(s, dir)
+      EventOps.hourlyAggMerge(
+        e.filter(col("event_id") % 7 =!= 0), e.filter(col("event_id") % 7 === 0))
+    }),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.typePercentiles(Tables.events(s, dir))),
     "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
@@ -357,6 +374,10 @@ object SparkEntry {
     // member of the oracle-exact sketch family (qbins, cms)
     "events_hll_users" -> ((s, dir) =>
       EventOps.hllUsers(Tables.events(s, dir))),
+    // KMV k-minimum-values distinct sketch — the order-statistics
+    // sibling of the HLL twin, same md5-60 oracle-exact determinism
+    "events_kmv_users" -> ((s, dir) =>
+      EventOps.kmvUsers(Tables.events(s, dir))),
     // 24h window: the synthetic events are sparse per user, so the
     // default 60 min yields too few conversions to be a meaningful check
     "events_funnel" -> ((s, dir) =>
@@ -679,6 +700,7 @@ object SparkEntry {
     "text_pmi" -> TextOps.pmiTopKSql(),
     "corpus_overlap" -> TextOps.sourceOverlapSql(),
     "text_bpe_pairs" -> TextOps.bpePairsSql(),
+    "text_bpe_train" -> TextOps.bpeTrainSql(),
     "curriculum_order" ->
       TextOps.curriculumOrderSql(scoreLo = -3.7, scoreHi = -3.35),
     "text_skipgrams" -> TextOps.skipgramPairsSql(),
@@ -709,6 +731,7 @@ object SparkEntry {
     "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    "dedup_prefix_jaccard" -> Dedup.prefixJaccardPairsSql(),
     "dedup_minhash_md5" -> Dedup.minhashNearDupsMd5Sql(),
     "dedup_simhash_md5" -> Dedup.simhashNearDupsMd5Sql(),
     "dedup_semantic_pairs" -> graft.ops.SemDedup.semanticNearDupsSql(tau = 0.4),
@@ -745,6 +768,7 @@ object SparkEntry {
       s""", assignednd AS (${kmeans.KMeansND.assignSql()})
          |${kmeans.KMeansND.recomputeFlatSql()}""".stripMargin),
     "events_hourly_agg" -> EventOps.hourlyTypeAggSql,
+    "events_incr_agg" -> EventOps.hourlyTypeAggSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_percentiles" -> EventOps.typePercentilesSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
@@ -752,6 +776,7 @@ object SparkEntry {
     "events_asof" -> EventOps.asofJoinSql(),
     "events_ivjoin" -> EventOps.incidentWindowsSql(),
     "events_hll_users" -> EventOps.hllUsersSql,
+    "events_kmv_users" -> EventOps.kmvUsersSql(),
     "events_json" -> EventOps.propsKStatsSql,
     "star_revenue" -> graft.ops.Relational.starRevenueSql(),
     "pricing_summary" -> graft.ops.Relational.pricingSummarySql(),

@@ -17,16 +17,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table ships nanosecond parquet timestamps, which Spark
-    * only reads via the nanosAsLong legacy conf; convert to microsecond
-    * TIMESTAMP with exact integral division (a double roundtrip would
-    * lose precision — nanos-since-epoch ≈ 1.7e18 > 2^53). DuckDB performs
-    * the same truncating nanos→micros conversion on read. */
+  /** The `events` table has shipped `ts` in two physical encodings across
+    * driver generations: int64 nanosecond timestamps (readable only via
+    * the nanosAsLong legacy conf) and plain `timestamp[us]` (arriving as
+    * TIMESTAMP_NTZ). Normalize both to microsecond TIMESTAMP: nanos
+    * convert with exact integral division (a double roundtrip would lose
+    * precision — nanos-since-epoch ≈ 1.7e18 > 2^53), NTZ wall-clock is
+    * interpreted as UTC (the session timezone), which is bit-identical
+    * to the nanos→micros epoch path on the same data. DuckDB reads both
+    * encodings to the same microsecond values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   // ---------------------------------------------------------------------
   // Points relation derived from lineitem (FIXTURES.md §2).

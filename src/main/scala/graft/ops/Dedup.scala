@@ -282,6 +282,90 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold""".stripMargin
 
   // -------------------------------------------------------------------
+  // Prefix-filtering similarity self-join (SSJoin/All-Pairs/PPJoin
+  // family: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07, Xiao et
+  // al. WWW'08). The alternative scalability mechanism to the DF cap
+  // above — LOSSLESS instead of approximate. Order each doc's shingle
+  // set by ascending global document frequency (rarest first; ties by
+  // shingle string so the order is total and engine-independent) and
+  // index only the first p = |x| - ceil(t·|x|) + 1 shingles: two sets
+  // with Jaccard >= t must overlap within these prefixes (if they
+  // shared none, the intersection is bounded by the suffix length
+  // ceil(t|x|)-1 < t·|union|), so candidate generation over prefixes
+  // alone finds every qualifying pair. The quadratic-bomb boilerplate
+  // shingle sorts LAST by DF and almost never enters a prefix — the
+  // hot key disarms itself, no cap or tuning knob needed.
+  //
+  // 100 TB posture: the inverted index carries ~(1-t)·|shingles| + n
+  // entries (20% + 1/doc at t=0.8); candidate verification joins the
+  // candidate pairs back against the full shingle relation on the
+  // composite (doc, shingle) key — candidate-bounded, never n². Three
+  // shuffles total (DF agg reuses the shingle key; rank window on
+  // doc_id; pair agg), all on unskewed keys.
+  // -------------------------------------------------------------------
+  def prefixJaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, n).cache()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.select(col("doc_id").as("da"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("db"), col("shingle")), Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    // exact verify: expand each candidate pair by da's full shingle set,
+    // keep the shingles db also holds — the second join is on the
+    // composite (db, shingle) key, so the intermediate stays
+    // candidate-bounded (|cand| × avg set size), never a cross product
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "inter", "jaccard")
+  }
+
+  def prefixJaccardPairsSql(n: Int = 3, threshold: Double = 0.8): String =
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+       |ranked AS (
+       |  SELECT s.doc_id, s.shingle,
+       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id
+       |      ORDER BY d.df ASC, s.shingle ASC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+       |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle),
+       |prefix AS (SELECT doc_id, shingle FROM ranked
+       |  WHERE rk <= sz - CEIL($threshold * sz) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM prefix a JOIN prefix b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.da, c.db, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.da
+       |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+       |SELECT da, db, inter,
+       |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold""".stripMargin
+
+  // -------------------------------------------------------------------
   // Hash families. Production is xxhash64 (codegen'd, engine-native —
   // not DuckDB-expressible, so those queries are test-carried). The
   // md5-60 family below is the ORACLE twin family: both engines agree

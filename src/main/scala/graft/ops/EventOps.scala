@@ -36,6 +36,37 @@ object EventOps {
        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Incremental materialized-view maintenance (delta merge): refresh
+    * the hourly view by aggregating ONLY the arriving delta and merging
+    * it into the stored base aggregate — never rescanning history.
+    * Merge = full-outer join on the group key + component-wise add;
+    * counts and decimal sums are commutative monoids, so base ⊕ Δ
+    * equals recompute EXACTLY — and the registered oracle IS the full
+    * recompute, so that algebraic claim is what the hash gate checks.
+    *
+    * 100 TB posture: view refresh cost is O(Δ), not O(history) — the
+    * base side is the already-materialized aggregate (group-key
+    * cardinality, not event cardinality; broadcast when small, bucket
+    * join otherwise). The same merge runs compacting late-arriving
+    * partitions, combining per-datacenter partial views, or as the
+    * foreachBatch sink of the streaming hourly agg. */
+  def hourlyAggMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    def agg(e: DataFrame) = e.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("s"))
+    val b = agg(base).select(col("hour"), col("event_type"),
+      col("n").as("bn"), col("s").as("bs"))
+    val d = agg(delta).select(col("hour"), col("event_type"),
+      col("n").as("dn"), col("s").as("ds"))
+    b.join(d, Seq("hour", "event_type"), "full_outer")
+      .select(col("hour"), col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("bs"), lit(0).cast(Dec)) +
+          coalesce(col("ds"), lit(0).cast(Dec)))
+          .cast("double").as("sum_value"))
+  }
+
   /** Exact interpolated percentiles of `value` per event_type — Spark's
     * `percentile` (exact, not the approx sketch) matches DuckDB's
     * `quantile_cont` definition, so this is oracle-checkable. At 100 TB
@@ -167,6 +198,59 @@ object EventOps {
        |FROM est e JOIN (
        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
        |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin
+  }
+
+  /** KMV (k-minimum-values) distinct-user sketch per event_type — the
+    * order-statistics member of the sketch family (Bar-Yossef et al.
+    * 2002; Beyer et al. SIGMOD'07 unbiased estimator (k-1)/u_(k)):
+    * hash every distinct user into [0,1), keep the k smallest hashes,
+    * estimate distincts from how densely they crowd zero. Like the HLL
+    * twin above, the md5-60 hash makes the estimate a pure function of
+    * the data — identical in any engine, so a SKETCH is oracle-exact.
+    *
+    * 100 TB posture: the dominant shuffle is the (event_type, user_id)
+    * distinct (map-side partial dedup); the rank window then runs over
+    * the already-deduped relation. The KMV state is mergeable (union
+    * the k-sets, re-take k smallest), so an imperative deployment can
+    * swap the window for a mapPartitions k-heap without changing the
+    * estimate — same values, fewer sorted bytes. Groups with fewer
+    * than k members fall back to their exact count (u_(k) undefined),
+    * the standard small-set rule. */
+  def kmvUsers(events: DataFrame, k: Int = 64): DataFrame = {
+    val h = Dedup.md5Hash60(7, col("user_id").cast("string"))
+    val du = events.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", h)
+    val ranked = du.withColumn("rk", row_number().over(
+      Window.partitionBy("event_type").orderBy("h")))
+    // (k-1)·2^60 as one exact double literal (63·2^60 needs 66 bits but
+    // only 6 significant — exactly representable; both engines fold it)
+    val num = (k - 1).toDouble * 1152921504606846976.0
+    ranked.groupBy("event_type").agg(
+      count(lit(1)).as("n_distinct_hint"),
+      max(when(col("rk") === k, col("h"))).as("kth_hash"))
+      .select(col("event_type"), col("kth_hash"),
+        when(col("kth_hash").isNull, col("n_distinct_hint").cast("double"))
+          .otherwise(lit(num) / col("kth_hash").cast("double"))
+          .as("est_users"))
+  }
+
+  def kmvUsersSql(k: Int = 64): String = {
+    val num = (k - 1).toDouble * 1152921504606846976.0
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (SELECT event_type,
+       |  CAST(('0x' || substr(md5('7|' || CAST(user_id AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h
+       |  FROM du),
+       |r AS (SELECT event_type, h,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM h)
+       |SELECT event_type,
+       |  MAX(CASE WHEN rk = $k THEN h END) AS kth_hash,
+       |  CASE WHEN MAX(CASE WHEN rk = $k THEN h END) IS NULL
+       |       THEN CAST(COUNT(*) AS DOUBLE)
+       |       ELSE $num / CAST(MAX(CASE WHEN rk = $k THEN h END) AS DOUBLE)
+       |  END AS est_users
+       |FROM r GROUP BY event_type""".stripMargin
   }
 
   /** Latest-state snapshot (the CDC/upsert compaction shape): each

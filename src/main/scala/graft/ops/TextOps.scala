@@ -695,6 +695,114 @@ object TextOps {
        |ORDER BY cnt DESC, tok_l ASC, tok_r ASC LIMIT $topN""".stripMargin
 
   // -------------------------------------------------------------------
+  // BPE merge induction — the iterative sibling of [[bpePairs]]: not
+  // just COUNT the top adjacent pair, but actually MERGE it into the
+  // corpus and repeat, producing the ordered merge table a BPE
+  // tokenizer trains (Sennrich et al. 2016, word-level symbols here;
+  // character-level is this same code with a char tokenizer in front).
+  // Each round: (1) one map-side-combined pair-count shuffle + a
+  // 1-row argmax pulled to the driver (cnt desc, pair asc — total
+  // order, so the winner is engine-independent), (2) one window pass
+  // that rewrites the symbol stream in place: positions matching
+  // (a,b) emit the merged symbol, their right neighbor drops.
+  // Self-pairs (a = b) are excluded from candidacy: their greedy
+  // left-to-right merge is run-parity-dependent (aaa → (aa)a), which
+  // no engine's declarative layer expresses portably, and adjacent
+  // IDENTICAL word pairs are degenerate merge candidates anyway. With
+  // a ≠ b, matches can never overlap (a match at i and i+1 would need
+  // s[i+1] = b = a), so "merge all matches simultaneously" IS the
+  // greedy semantics — that's what makes the whole trainer
+  // windows-only and therefore DuckDB-twinnable, unrolled per round.
+  //
+  // 100 TB posture: R passes over the token stream (R windows on
+  // doc_id + R pair aggs with Zipf-collapsing map-side partials); the
+  // driver holds one (a, b) pair per round — the Lloyd-loop shape.
+  // Production trainers batch top-K merges per round to cut passes;
+  // that's this same loop with `limit(K)` and K rewrite columns.
+  // -------------------------------------------------------------------
+
+  /** Ordered BPE merge table (round, sym_a, sym_b, cnt) learned over
+    * word-level symbols; merged symbols join with a space. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    var stream = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "sym")
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val withNext = stream.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val best = withNext
+        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+        .groupBy("sym", "nxt").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, c))
+        val next = withNext
+          .withColumn("m",
+            coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
+          .withColumn("pm", lag(col("m"), 1, false).over(w))
+          .filter(!col("pm"))
+          .select(col("doc_id"),
+            row_number().over(w).as("pos"),
+            when(col("m"), concat(col("sym"), lit(" "), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .cache()
+        next.count() // materialize before dropping the parent round
+        stream.unpersist()
+        stream = next
+      }
+    }
+    stream.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+  }
+
+  /** The trainer unrolled: each round's argmax and rewrite as chained
+    * CTEs — the exact same windows-only dataflow DuckDB replays. */
+  def bpeTrainSql(rounds: Int = 3): String = {
+    def pairCte(s: String, p: String, b: String): String =
+      s"""$p AS (SELECT sym, nxt, COUNT(*) AS cnt FROM (
+         |  SELECT sym, LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM $s) t WHERE nxt IS NOT NULL AND sym <> nxt GROUP BY 1, 2),
+         |$b AS (SELECT sym AS a, nxt AS b, cnt FROM $p
+         |  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1)""".stripMargin
+    def mergeCte(s: String, b: String, out: String): String =
+      s"""$out AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         |    CASE WHEN m THEN sym || ' ' || nxt ELSE sym END AS sym
+         |  FROM (
+         |    SELECT doc_id, pos, sym, nxt, m,
+         |      LAG(m, 1, FALSE) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
+         |    FROM (
+         |      SELECT doc_id, pos, sym, nxt,
+         |        COALESCE(sym = (SELECT a FROM $b)
+         |             AND nxt = (SELECT b FROM $b), FALSE) AS m
+         |      FROM (SELECT doc_id, pos, sym,
+         |              LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |            FROM $s) t1) t2) t3
+         |  WHERE NOT pm)""".stripMargin
+    val head =
+      s"""WITH s0 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos,
+         |         unnest(tk) AS sym
+         |  FROM (SELECT doc_id, $tokensSql AS tk FROM documents) d)""".stripMargin
+    val rounds_ctes = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      pairCte(prev, s"p$r", s"b$r") +
+        (if (r < rounds) ",\n" + mergeCte(prev, s"b$r", s"s$r") else "")
+    }
+    val selects = (1 to rounds).map(r =>
+      s"SELECT $r AS round, a AS sym_a, b AS sym_b, cnt FROM b$r")
+    (head +: rounds_ctes).mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY round"
+  }
+
+  // -------------------------------------------------------------------
   // Skip-gram co-occurrence counts — the word2vec/GloVe training-data
   // prep: for every token, its neighbors within a ±window offset,
   // counted corpus-wide. The (center, context) stream is generated

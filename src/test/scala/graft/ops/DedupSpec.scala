@@ -100,6 +100,49 @@ class DedupSpec extends SparkSpec {
     skewed.unpersist(); sh.unpersist()
   }
 
+  test("prefix filtering is lossless: same pairs and similarities as the full blocking join") {
+    for (t <- Seq(0.5, 0.8)) {
+      val full = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t, maxDf = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val pref = Dedup.prefixJaccardPairs(docs, n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(pref == full, s"threshold $t")
+    }
+  }
+
+  test("prefix filtering: hot boilerplate shingles rank last and stay out of the index") {
+    val skewed = graft.tools.DedupBench.skewedCorpus(spark, 400).cache()
+    // result identical to the exact uncapped join — losslessness under skew
+    val full = Dedup.ngramJaccardPairs(skewed, n = 3, threshold = 0.8, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val pref = Dedup.prefixJaccardPairs(skewed, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(pref == full && pref.size == 20)
+    // the mechanism: rarest-first ordering pushes the 6 df=120 header
+    // shingles to the END of each doc's ranking, so the ~20% prefix of a
+    // ~120-shingle doc never reaches them — the quadratic key disarms
+    // itself without any cap
+    val sh = Dedup.shingles(skewed, n = 3)
+    val dfreq = sh.groupBy("shingle").agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy($"df".asc, $"shingle".asc)))
+      .withColumn("sz", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val prefix = ranked.filter($"rk" <= $"sz" - org.apache.spark.sql.functions.ceil(
+      org.apache.spark.sql.functions.lit(0.8) * $"sz") + 1)
+    val hotInPrefix = prefix.join(
+      dfreq.filter($"df" > 50).select("shingle"), Seq("shingle"), "left_semi").count()
+    assert(hotInPrefix == 0L, s"$hotInPrefix hot shingles leaked into the prefix index")
+    // and the index is ~20% of the full shingle relation
+    val ratio = prefix.count().toDouble / sh.count()
+    assert(ratio < 0.3, s"prefix index ratio $ratio")
+    skewed.unpersist()
+  }
+
   test("connected components collapse a transitive near-dup chain into one group") {
     // A~B and B~C clear the threshold; A~C (two words apart) does NOT —
     // only transitive closure puts all three in one group

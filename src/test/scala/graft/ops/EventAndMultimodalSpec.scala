@@ -277,6 +277,28 @@ class EventAndMultimodalSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(estL))
   }
 
+  test("KMV sketch: exact below k, unbiased-estimator accuracy above, deterministic") {
+    def evs(types: Seq[(String, Int)]) = types.flatMap { case (t, n) =>
+      (1 to n).map(i => (i.toLong, ts("2024-01-01 10:00:00"),
+        (t.hashCode.abs % 100) * 1000000L + i, t, 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val df = EventOps.kmvUsers(evs(Seq("tiny" -> 30, "big" -> 8000)), k = 64)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2))).toMap
+    // below k: no k-th hash, exact fallback
+    assert(df("tiny") == ((None, 30.0)))
+    // above k: (k-1)/u_(k) estimator, sigma ~ 1/sqrt(k-2) = 12.7% — 3σ gate
+    val (kth, est) = df("big")
+    assert(kth.nonEmpty && kth.get > 0L)
+    assert(math.abs(est - 8000.0) / 8000.0 < 0.38, s"kmv est $est")
+    // duplicate user_ids cannot move the estimate (distinct first)
+    val dup = evs(Seq("big" -> 8000))
+    val est2 = EventOps.kmvUsers(dup.union(dup), k = 64)
+      .collect()(0).getDouble(2)
+    assert(java.lang.Double.doubleToLongBits(est2) ==
+      java.lang.Double.doubleToLongBits(est))
+  }
+
   test("binned interval join equals the naive range join, bounds inclusive") {
     // events at bin edges and interiors (bin = 10 min)
     val ev = Seq(

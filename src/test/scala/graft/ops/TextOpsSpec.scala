@@ -238,6 +238,30 @@ class TextOpsSpec extends SparkSpec {
     assert(top2.toSeq == Seq(("a", "b"), ("b", "c")))
   }
 
+  test("bpe trainer: merges propagate into later rounds, self-pairs excluded") {
+    val docs = Seq(
+      (1L, "a b a b c d"),
+      (2L, "a b c d"),
+      (3L, "c d a b")
+    ).toDF("doc_id", "text")
+    // round 1: (a,b) x4 wins; the merged "a b" symbol then pairs as a
+    // UNIT — round 2 sees ("a b","a b") adjacency in doc 1 but that is
+    // a self-pair (excluded), so (c,d) x3 wins; round 3 merges the two
+    // merged symbols ("a b","c d") x2 — proof the rewrite feeds back
+    val got = TextOps.bpeTrain(docs, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "a", "b", 4L), (2, "c", "d", 3L), (3, "a b", "c d", 2L)))
+  }
+
+  test("bpe trainer: adjacent identical symbols never merge") {
+    val docs = Seq((1L, "a a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, rounds = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L))) // (a,a) x2 is not a candidate
+  }
+
   test("PMI ranks the always-together pair above the promiscuous one") {
     // "a b" always co-occur exclusively; "x" pairs with everything
     val docs = ((1 to 6).map(i => (i.toLong, "a b")) ++
