@@ -419,6 +419,11 @@ object SparkEntry {
       graft.ops.Relational.largeVolumeOrders(
         Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "orders"),
         Tables.table(s, dir, "customer"))),
+    // TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    // broadcast per-part average joined back onto the pruned fact slice
+    "small_qty_revenue" -> ((s, dir) =>
+      graft.ops.Relational.smallQtyRevenue(
+        Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "part"))),
     // pivot with an EXPLICIT value list — one conditional-agg pass, no
     // distinct-collect pre-scan to discover columns
     "pivot_orders" -> ((s, dir) =>
@@ -427,6 +432,11 @@ object SparkEntry {
     // the same window pass — no self-join)
     "events_scd2" -> ((s, dir) =>
       EventOps.scd2History(Tables.events(s, dir))),
+    // point-in-time join: each click enriched with the purchase-dim
+    // VERSION valid at its ts (union-window, one shuffle); the oracle
+    // re-states it as an explicit interval-containment join
+    "events_pit_join" -> ((s, dir) =>
+      EventOps.pitScd2Join(Tables.events(s, dir))),
     // record linkage: blocked Levenshtein fuzzy join over part names —
     // integer-exact DP in both engines, candidates never all-pairs
     "dedup_editdist" -> ((s, dir) =>
@@ -785,7 +795,9 @@ object SparkEntry {
     "pivot_orders" -> graft.ops.Relational.ordersPivotSql(),
     "top_orders" -> graft.ops.Relational.topUnshippedOrdersSql(),
     "large_orders" -> graft.ops.Relational.largeVolumeOrdersSql(),
+    "small_qty_revenue" -> graft.ops.Relational.smallQtyRevenueSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
+    "events_pit_join" -> EventOps.pitScd2JoinSql(),
     "dedup_editdist" -> Dedup.editDistancePairsSql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),

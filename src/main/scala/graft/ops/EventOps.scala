@@ -547,6 +547,68 @@ object EventOps {
        |FROM a ASOF LEFT JOIN b
        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Point-in-time (time-travel) join against the SCD2 dimension — the
+  // feature-store primitive: each probe event is enriched with the
+  // dimension VERSION that was valid at the probe's timestamp, never a
+  // later one (no training-serving leakage). Implementation is the
+  // same union-window trick as the as-of join: dimension versions
+  // enter the stream at their valid_from, probes pick up the last
+  // version at-or-before via one last(ignoreNulls) over a struct —
+  // ONE user_id shuffle, no range probe. SCD2 intervals are contiguous
+  // per user, so "latest valid_from <= ts" IS the containing interval;
+  // the twin states the semantics the honest way (explicit interval
+  // containment LEFT JOIN), making the oracle a cross-formulation
+  // check, not an echo.
+  // -------------------------------------------------------------------
+  def pitScd2Join(
+      events: DataFrame,
+      dimType: String = "purchase", probeType: String = "click"): DataFrame = {
+    val dimCols = struct(
+      col("event_id").as("dim_event_id"), col("value").as("dim_value"),
+      col("valid_from"), col("valid_to"), col("is_current"))
+    val dims = scd2History(events.filter(col("event_type") === dimType))
+      .select(col("user_id"), col("valid_from").as("ord_ts"),
+        lit(1).as("is_dim"), col("event_id").as("ord_id"), dimCols.as("dim"))
+    val probes = events.filter(col("event_type") === probeType)
+      .select(col("user_id"), col("ts").as("ord_ts"),
+        lit(0).as("is_dim"), col("event_id").as("ord_id"),
+        lit(null).cast(dims.schema("dim").dataType).as("dim"))
+    // dim sorts BEFORE an equal-ts probe (valid_from <= ts inclusive);
+    // among equal-ts dim versions the greatest event_id sorts last and
+    // wins — the same (ts, event_id) order scd2History versions by
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ord_ts").asc, col("is_dim").desc, col("ord_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dims.unionByName(probes)
+      .withColumn("pit", last(col("dim"), ignoreNulls = true).over(w))
+      .filter(col("is_dim") === 0)
+      .select(col("ord_id").as("event_id"), col("user_id"),
+        col("ord_ts").as("ts"),
+        col("pit.dim_event_id").as("dim_event_id"),
+        col("pit.dim_value").as("dim_value"),
+        col("pit.valid_from").as("valid_from"),
+        col("pit.valid_to").as("valid_to"),
+        col("pit.is_current").as("is_current"))
+  }
+
+  def pitScd2JoinSql(
+      dimType: String = "purchase", probeType: String = "click"): String =
+    s"""WITH hist AS (
+       |  SELECT user_id, event_id, value, ts AS valid_from,
+       |    LEAD(ts, 1) OVER w AS valid_to,
+       |    LEAD(ts, 1) OVER w IS NULL AS is_current
+       |  FROM events WHERE event_type = '$dimType'
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+       |SELECT p.event_id, p.user_id, p.ts,
+       |  h.event_id AS dim_event_id, h.value AS dim_value,
+       |  h.valid_from, h.valid_to, h.is_current
+       |FROM (SELECT event_id, user_id, ts FROM events
+       |      WHERE event_type = '$probeType') p
+       |LEFT JOIN hist h
+       |  ON p.user_id = h.user_id AND h.valid_from <= p.ts
+       |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)""".stripMargin
+
   def sessionizeSql(gapMinutes: Int = 30): String = {
     val gapUs = gapMinutes * 60L * 1000000L
     s"""WITH flagged AS (

@@ -237,6 +237,53 @@ object Relational {
        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
        |LIMIT $k""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the classic
+    * CORRELATED scalar subquery — "lineitems bought in quantities
+    * under 20% of that part's average" — decorrelated into a per-part
+    * aggregate joined back to the fact rows. The part filter is a
+    * broadcast semi-join pruning the fact scan FIRST, so the per-part
+    * average runs over the ~1/brand-count slice, not all of lineitem;
+    * the avg relation is part-keyed (tiny — one row per filtered
+    * part) and broadcasts back onto the same slice. Two passes over
+    * the filtered slice, zero over the rest; at 100 TB the win is the
+    * decorrelation — the naive correlated form re-scans lineitem per
+    * part. Averages are the decimal sum over the count as one IEEE
+    * division; the final revenue sum is decimal-routed. */
+  def smallQtyRevenue(
+      lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#4"): DataFrame = {
+    val pp = part.filter(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val av = li.groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast(Dec)).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    li.join(broadcast(av), Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast(Dec)).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  def smallQtyRevenueSql(brand: String = "Brand#4"): String =
+    s"""WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = '$brand'),
+       |li AS (
+       |  SELECT l_partkey, l_quantity, l_extendedprice
+       |  FROM lineitem JOIN pp ON l_partkey = p_partkey),
+       |av AS (
+       |  SELECT l_partkey,
+       |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR)
+       |      AS DOUBLE) / COUNT(*) AS avg_qty
+       |  FROM li GROUP BY 1)
+       |SELECT
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR)
+       |    AS DOUBLE) / 7.0 AS avg_yearly,
+       |  COUNT(*) AS n_small
+       |FROM li JOIN av USING (l_partkey)
+       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
   def starRevenueSql(year: Int = 1995): String =
     s"""SELECT n.n_name AS nation,
        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)

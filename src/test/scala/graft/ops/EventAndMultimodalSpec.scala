@@ -299,6 +299,27 @@ class EventAndMultimodalSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(est))
   }
 
+  test("PIT SCD2 join picks the version valid AT the probe ts, never a later one") {
+    val ev = Seq(
+      // user 1 dim versions: v10 at 10:00, v20 at 11:00
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", Some(10.0), "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "purchase", Some(20.0), "{}"),
+      // probes: before any version / at v10's start / mid-v10 / after v20
+      (3L, ts("2024-01-01 09:00:00"), 1L, "click", Some(0.0), "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 1L, "click", Some(0.0), "{}"),
+      (5L, ts("2024-01-01 10:30:00"), 1L, "click", Some(0.0), "{}"),
+      (6L, ts("2024-01-01 12:00:00"), 1L, "click", Some(0.0), "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.pitScd2Join(ev).collect()
+      .map(x => x.getLong(0) -> (Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Double]),
+        Option(x.get(7)).map(_.asInstanceOf[Boolean]))).toMap
+    assert(r(3L) == ((None, None, None)))            // no version yet
+    assert(r(4L) == ((Some(1L), Some(10.0), Some(false)))) // inclusive start
+    assert(r(5L) == ((Some(1L), Some(10.0), Some(false)))) // mid-interval
+    assert(r(6L) == ((Some(2L), Some(20.0), Some(true))))  // open current
+  }
+
   test("binned interval join equals the naive range join, bounds inclusive") {
     // events at bin edges and interiors (bin = 10 min)
     val ev = Seq(

@@ -105,6 +105,29 @@ class RelationalSpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("small-qty revenue gates each lineitem on ITS part's average, not a global one") {
+    import spark.implicits._
+    // part 1: qtys 10,10,10,10,1 → avg 8.2, gate 1.64 → only the qty-1
+    // row (price 70) passes. part 2: qtys 5,5 → gate 1 → none pass.
+    // part 3 has a tiny qty but the wrong brand — brand filter excludes.
+    val part = Seq(
+      (1L, "p1", "Brand#4", "t", 1L, 1.0),
+      (2L, "p2", "Brand#4", "t", 1L, 1.0),
+      (3L, "p3", "Brand#9", "t", 1L, 1.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val li = (Seq.fill(4)((1L, 10.0, 100.0)) ++ Seq((1L, 1.0, 70.0)) ++
+      Seq((2L, 5.0, 50.0), (2L, 5.0, 50.0), (3L, 0.1, 999.0)))
+      .zipWithIndex.map { case ((pk, q, px), i) =>
+        (i.toLong, pk, 1L, 1, q, px, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Relational.smallQtyRevenue(li, part).collect()(0)
+    assert(r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(0) - 70.0 / 7.0) < 1e-12)
+  }
+
   test("plan broadcasts the nation dim and pushes the date filter to the scan") {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
