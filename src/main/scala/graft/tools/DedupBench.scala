@@ -100,6 +100,16 @@ object DedupBench {
       timed(s"n=$n SKEW ngram_jacc", graft.ops.Dedup.ngramJaccardPairs(skewed))
       timed(s"n=$n SKEW minhash   ", graft.ops.Dedup.minhashNearDups(skewed))
       spark.catalog.clearCache()
+
+      // Prefix-filtering join (lossless — no cap): on the uniform
+      // corpus its cost should track ngram_jaccard (same verify work,
+      // smaller candidate index); under the planted header the hot
+      // shingles sort LAST by DF and never enter the ~20% prefix, so
+      // the skewed run must stay ~flat too — the self-disarming
+      // alternative to the cap, measured under the same stress.
+      timed(s"n=$n prefix_jaccard ", graft.ops.Dedup.prefixJaccardPairs(docs))
+      timed(s"n=$n SKEW prefix_jac", graft.ops.Dedup.prefixJaccardPairs(skewed))
+      spark.catalog.clearCache()
       }
 
       // Blocked edit-distance fuzzy join: D = n/10 distinct names (10

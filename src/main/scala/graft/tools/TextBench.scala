@@ -102,6 +102,13 @@ object TextBench {
         graft.ops.ProfileOps.profile(docsHot, Seq("doc_id", "text")))
       timed(s"n=$n sgns_negatives   ", graft.ops.TextOps.sgnsNegatives(docs))
       timed(s"n=$n sgns_negatives_hot", graft.ops.TextOps.sgnsNegatives(docsHot))
+      // r9 seventh wave: the BPE trainer is R=3 full corpus passes
+      // (pair-count shuffle + stream rewrite per round) — time must be
+      // ~3× bpe_pairs and track corpus size linearly; the hot header
+      // only fattens one pair count (map-side collapsed), never the
+      // rewrite volume
+      timed(s"n=$n bpe_train        ", graft.ops.TextOps.bpeTrain(docs))
+      timed(s"n=$n bpe_train_hot    ", graft.ops.TextOps.bpeTrain(docsHot))
     }
     spark.stop()
   }
