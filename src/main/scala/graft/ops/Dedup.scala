@@ -112,15 +112,28 @@ object Dedup {
   private[ops] def survivorsOfCross(
       batch: DataFrame, cands0: DataFrame, cappedSh: DataFrame,
       threshold: Double): DataFrame = {
-    val cands = cands0.cache()
+    // Eager localCheckpoint, not cache: both relations are candidate-
+    // bounded (tiny), but their LINEAGE carries the full 64-permutation
+    // minhash expression forest — with cache() Catalyst re-optimizes
+    // that forest on every downstream action (measured: ~4 s of pure
+    // driver planning at sf0.1 for a 9k-row verify input). Truncating
+    // the plan makes every later action plan from a short scan. On a
+    // cluster with executor loss, swap for reliable checkpoint().
+    val cands = cands0.localCheckpoint(true)
     val candIds = cands.select(col("da").as("doc_id"))
       .unionAll(cands.select(col("db").as("doc_id"))).distinct()
-    val sh = cappedSh.join(candIds, Seq("doc_id"), "left_semi").cache()
+    val sh = cappedSh.join(candIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("da"), col("shingle"))
     val b = sh.select(col("doc_id").as("db"), col("shingle"))
-    val verified = a.join(b, Seq("shingle"))
-      .join(cands, Seq("da", "db"), "left_semi")
+    // candidate-bounded verify (same shape as prefixJaccardPairs):
+    // expand each candidate pair by da's shingles, then join on the
+    // composite (db, shingle) key — the intermediate is |cands|·avg-set
+    // rows, never the full shingle self-equijoin of candidate docs
+    // (which pairs every two candidate docs sharing ANY shingle, not
+    // just the candidate pairs).
+    val verified = cands.join(a, Seq("da"))
+      .join(b, Seq("db", "shingle"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
@@ -312,8 +325,14 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // ceil over t·sz guarded against FP over-rounding: when t·sz is
+    // mathematically integral (e.g. t=0.75, sz=8) the product can float
+    // a hair above the integer and over-ceil, shortening the prefix
+    // below the lossless bound. The -1e-9 nudge is safe for any t,sz
+    // realistically in range (t·sz has ulp << 1e-9 for sz < 2^40).
     val prefix = ranked
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select("doc_id", "shingle")
     val cand = prefix.select(col("doc_id").as("da"), col("shingle"))
       .join(prefix.select(col("doc_id").as("db"), col("shingle")), Seq("shingle"))
@@ -347,7 +366,7 @@ object Dedup {
        |    COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
        |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle),
        |prefix AS (SELECT doc_id, shingle FROM ranked
-       |  WHERE rk <= sz - CEIL($threshold * sz) + 1),
+       |  WHERE rk <= sz - CEIL($threshold * sz - 1e-9) + 1),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM prefix a JOIN prefix b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),

@@ -230,7 +230,9 @@ object EventOps {
       max(when(col("rk") === k, col("h"))).as("kth_hash"))
       .select(col("event_type"), col("kth_hash"),
         when(col("kth_hash").isNull, col("n_distinct_hint").cast("double"))
-          .otherwise(lit(num) / col("kth_hash").cast("double"))
+          // clamp the divisor: a user hashing to exactly 0 at rank k
+          // (probability ~k·2^-60) would otherwise yield Infinity
+          .otherwise(lit(num) / greatest(col("kth_hash"), lit(1L)).cast("double"))
           .as("est_users"))
   }
 
@@ -248,7 +250,8 @@ object EventOps {
        |  MAX(CASE WHEN rk = $k THEN h END) AS kth_hash,
        |  CASE WHEN MAX(CASE WHEN rk = $k THEN h END) IS NULL
        |       THEN CAST(COUNT(*) AS DOUBLE)
-       |       ELSE $num / CAST(MAX(CASE WHEN rk = $k THEN h END) AS DOUBLE)
+       |       ELSE $num /
+       |            CAST(GREATEST(MAX(CASE WHEN rk = $k THEN h END), 1) AS DOUBLE)
        |  END AS est_users
        |FROM r GROUP BY event_type""".stripMargin
   }
