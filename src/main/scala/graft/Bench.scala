@@ -275,8 +275,17 @@ object Bench {
       case Left(err) => s""","remeasure_error":"${jsonEsc(err.take(120))}""""
     }
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(detailJson(all, load, cpus, fit10m, sfDir, loads, remeasureJson))
+      val fresh = detailJson(all, load, cpus, fit10m, sfDir, loads, remeasureJson)
+      // A SPARK_GRAFT_ONLY subset run must never REPLACE the committed
+      // full-suite snapshot (the r9 lesson: a 5-query sf0.01 re-run
+      // overwrote the 132-query sf0.1 baseline). Same sf+cpus → merge
+      // the per-query maps into the existing detail; different config →
+      // write a side file and leave the baseline untouched.
+      val (path, content) =
+        if (only.isEmpty) ("BENCH_DETAIL.json", fresh)
+        else mergeDetail(fresh)
+      val w = new java.io.PrintWriter(path)
+      try w.println(content)
       finally w.close()
     } catch { case _: Throwable => () }
     val summary = summaryLine(all, load, fit10m, sfDir,
@@ -288,6 +297,39 @@ object Bench {
     println(summary)
     System.out.flush()
   }
+
+  /** Merge a subset run's detail JSON into the existing
+    * BENCH_DETAIL.json: per-query maps (queries/runs/errors/load_after/
+    * remeasure) are unioned with the new entries winning; scalar fields
+    * keep the new run's values. If the existing snapshot was taken at a
+    * different sf or cpu count, the subset result goes to
+    * BENCH_DETAIL_PARTIAL.json instead so scale claims stay honest. */
+  private def mergeDetail(fresh: String): (String, String) = try {
+    val f = new java.io.File("BENCH_DETAIL.json")
+    if (!f.exists()) return ("BENCH_DETAIL.json", fresh)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val oldJ = JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val newJ = JsonMethods.parse(fresh)
+    if ((oldJ \ "sf") != (newJ \ "sf") || (oldJ \ "cpus") != (newJ \ "cpus"))
+      return ("BENCH_DETAIL_PARTIAL.json", fresh)
+    val perQuery = Set("queries", "runs", "errors", "load_after", "remeasure")
+    val oldFields = oldJ match { case JObject(o) => o; case _ => Nil }
+    val newFields = newJ match { case JObject(n) => n; case _ => Nil }
+    val keys = (oldFields.map(_._1) ++ newFields.map(_._1)).distinct
+    val merged = JObject(keys.flatMap { k =>
+      val o = oldJ \ k; val n = newJ \ k
+      val v = (o, n) match {
+        case (JObject(of), JObject(nf)) if perQuery(k) =>
+          JObject((of.toMap ++ nf.toMap).toList.sortBy(_._1))
+        case (_, JNothing) => o
+        case _ => n
+      }
+      if (v == JNothing) None else Some(k -> v)
+    })
+    ("BENCH_DETAIL.json", JsonMethods.compact(JsonMethods.render(merged)))
+  } catch { case _: Throwable => ("BENCH_DETAIL_PARTIAL.json", fresh) }
 
   /** Per-query anomaly ceiling for the fresh-JVM re-measure: 3x the
     * known steady-state best (r7 + r8 fresh-session numbers cluster
