@@ -319,6 +319,18 @@ object SparkEntry {
     "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
     "emb_cosine_topk" -> ((s, dir) =>
       EmbeddingOps.cosineTopK(Tables.table(s, dir, "embeddings"))),
+    // SQ8 scalar-quantized ANN: per-dim corpus [lo,hi] grid (driver-
+    // sized stats), 1 byte/dim codes, asymmetric decoded-cosine top-k
+    "emb_sq8_topk" -> ((s, dir) =>
+      graft.ops.QuantOps.sq8TopK(Tables.table(s, dir, "embeddings"))),
+    // binary sign-hash shortlist: 64 dims -> two packed words, Hamming
+    // top-k via popcount(xor) — the 32x-compressed rep
+    "emb_hamming_topk" -> ((s, dir) =>
+      graft.ops.QuantOps.hammingTopK(Tables.table(s, dir, "embeddings"))),
+    // Matryoshka two-stage: prefix-16-dim cosine shortlist, exact
+    // full-dim re-rank of the 40-candidate shortlist
+    "emb_matryoshka_topk" -> ((s, dir) =>
+      graft.ops.QuantOps.matryoshkaTopK(Tables.table(s, dir, "embeddings"))),
     // MMR diversity re-rank: corpus-wide scoring stays distributed
     // (top-pool TakeOrdered); the greedy picks run over the CONSTANT
     // pool; k steps unrolled in the twin
@@ -756,6 +768,9 @@ object SparkEntry {
     "mix_temp" -> graft.ops.Sampling.temperatureMixSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
+    "emb_sq8_topk" -> graft.ops.QuantOps.sq8TopKSql(),
+    "emb_hamming_topk" -> graft.ops.QuantOps.hammingTopKSql(),
+    "emb_matryoshka_topk" -> graft.ops.QuantOps.matryoshkaTopKSql(),
     "emb_mmr_topk" -> EmbeddingOps.mmrTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
     "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),

@@ -32,7 +32,7 @@ object EmbeddingOps {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** DuckDB twin of `dot` for a column vs an inline SQL array expr. */
-  private def dotSql(aExpr: String, bExpr: String): String =
+  private[ops] def dotSql(aExpr: String, bExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |  list_transform(generate_series(1, len($aExpr)),
        |    i -> CAST($aExpr[i] AS DOUBLE) * CAST($bExpr[i] AS DOUBLE))),

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compressed-vector ANN: SQ8 grid round-trip accuracy, sign-hash
+  * Hamming ordering, Matryoshka shortlist recall vs brute force. */
+class QuantOpsSpec extends SparkSpec {
+
+  private def embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("sq8 codes are bytes and decode within half a grid cell") {
+    val dim = 64
+    val codes = QuantOps.sq8Codes(embs, dim).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == dim)
+      assert(cs.forall(c => c >= 0 && c <= 255))
+    }
+    // decoded top-k ~ exact top-k: with 256 levels per dim the grid
+    // error is tiny, so the exact nearest neighbor must stay in the
+    // SQ8 top 3
+    val exact = EmbeddingOps.cosineTopK(embs, 0L, 1).collect()(0).getLong(0)
+    val sq = QuantOps.sq8TopK(embs, 0L, 3).collect().map(_.getLong(0))
+    assert(sq.contains(exact), s"exact NN $exact not in SQ8 top3 ${sq.toSeq}")
+  }
+
+  test("hamming distance is 0 for an identical signature and ranks flips") {
+    import spark.implicits._
+    val base = Array.fill(64)(1f)
+    val flip8 = base.clone(); (0 until 8).foreach(i => flip8(i) = -1f)
+    val flip32 = base.clone(); (0 until 32).foreach(i => flip32(i) = -1f)
+    val df = Seq((0L, base, 0), (1L, base.clone(), 0),
+      (2L, flip8, 0), (3L, flip32, 0)).toDF("vec_id", "embedding", "label")
+    val got = QuantOps.hammingTopK(df, 0L, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 0), (2L, 8), (3L, 32)))
+  }
+
+  test("matryoshka full-dim re-rank recovers the exact top-k") {
+    val exact = EmbeddingOps.cosineTopK(embs, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // shortlist = whole corpus -> the re-rank must reproduce the
+    // brute-force top-10 EXACTLY (ids, order, bit-equal cosines)
+    val full = QuantOps.matryoshkaTopK(embs, 0L, 10, shortlist = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+    // recall grows monotonically with shortlist depth (the quality
+    // knob); on this RANDOM fixture the 16-dim prefix carries no
+    // trained signal, so small shortlists are allowed to miss — the
+    // contract is monotonicity, not a fixed recall
+    val recalls = Seq(20, 60, 1000).map { s =>
+      val got = QuantOps.matryoshkaTopK(embs, 0L, 10, shortlist = s)
+        .collect().map(_.getLong(0)).toSet
+      exact.map(_._1).toSet.intersect(got).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last == 10)
+    // every matryoshka cosine is an EXACT full-dim cosine (bit-equal to
+    // the brute-force score for the same vec_id)
+    val exactMap = EmbeddingOps.cosineTopK(embs, 0L, 200).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    QuantOps.matryoshkaTopK(embs, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .foreach { case (id, c) => assert(exactMap(id) == c) }
+  }
+
+  test("sq8/hamming plans are scan-projections with TakeOrdered, no global sort") {
+    val plan = QuantOps.hammingTopK(embs, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(!plan.contains("Sort ["), "unexpected global sort:\n" + plan.take(400))
+  }
+}
