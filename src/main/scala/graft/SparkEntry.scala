@@ -467,6 +467,21 @@ object SparkEntry {
     // relaxation) — integer-exact supersteps, frontier-sized state
     "graph_bfs" -> ((s, dir) =>
       graft.ops.GraphOps.supplierPartBfs(Tables.table(s, dir, "lineitem"))),
+    // k-core peeling (dense-subgraph extractor): fixed peel supersteps,
+    // integer-only, edge set only shrinks — unrolled-CTE oracle
+    "graph_kcore" -> ((s, dir) =>
+      graft.ops.GraphOps.supplierPartKCore(Tables.table(s, dir, "lineitem"))),
+    // TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS decorrelated
+    // to one semi + one anti join over the deduped (order,supplier) pairs
+    "waiting_suppliers" -> ((s, dir) =>
+      graft.ops.Relational.waitingSuppliers(
+        Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "orders"),
+        Tables.table(s, dir, "supplier"))),
+    // TPC-H Q22 shape: scalar-avg subquery (broadcast 1-row frame) +
+    // anti join on o_custkey, decimal-routed balance sums
+    "debtor_segments" -> ((s, dir) =>
+      graft.ops.Relational.debtorSegments(
+        Tables.table(s, dir, "customer"), Tables.table(s, dir, "orders"))),
     // association rules (2-itemset stage): top-k co-order pairs by
     // exact-integer lift, support-floor pruned, TakeOrdered
     "basket_lift" -> ((s, dir) =>
@@ -811,12 +826,15 @@ object SparkEntry {
     "top_orders" -> graft.ops.Relational.topUnshippedOrdersSql(),
     "large_orders" -> graft.ops.Relational.largeVolumeOrdersSql(),
     "small_qty_revenue" -> graft.ops.Relational.smallQtyRevenueSql(),
+    "waiting_suppliers" -> graft.ops.Relational.waitingSuppliersSql(),
+    "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
     "events_pit_join" -> EventOps.pitScd2JoinSql(),
     "dedup_editdist" -> Dedup.editDistancePairsSql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
     "graph_bfs" -> graft.ops.GraphOps.supplierPartBfsSql(),
+    "graph_kcore" -> graft.ops.GraphOps.supplierPartKCoreSql(),
     "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem

@@ -80,6 +80,56 @@ object GraphOps {
       iters)
   }
 
+  /** K-core peeling (Batagelj-Zaveršnik by rounds): each superstep
+    * drops every node whose CURRENT degree is below k, then restricts
+    * the edge set to surviving endpoints — the standard dense-subgraph
+    * extractor (community cores, spam/boilerplate hub detection in
+    * link graphs). `rounds` fixed supersteps, so the whole peel is one
+    * lazy integer-only plan, bit-exact against the unrolled-CTE twin;
+    * once the peel reaches a fixpoint further rounds are no-ops, so
+    * with rounds >= the cascade depth the result IS the k-core.
+    *
+    * 100 TB posture: per round one degree agg + two semi joins, all
+    * keyed on node ids (the same key), nothing driver-side; the edge
+    * relation only SHRINKS per round. For deep cascades, checkpoint
+    * every few rounds exactly as connectedComponents does. */
+  def kCore(edges0: DataFrame, k: Int = 26, rounds: Int = 4): DataFrame = {
+    var edges = edges0.select("src", "dst").distinct()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** kCore over the supplier↔part bipartite graph (same node encoding
+    * as supplierPartRank). */
+  def supplierPartKCore(lineitem: DataFrame, k: Int = 26, rounds: Int = 4): DataFrame = {
+    val e = lineitem.select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    kCore(e.union(e.select(col("dst").as("src"), col("src").as("dst"))), k, rounds)
+  }
+
+  def supplierPartKCoreSql(k: Int = 26, rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $k),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  WHERE e.src IN (SELECT src FROM k$i)
+         |    AND e.dst IN (SELECT src FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base_e AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |e0 AS (SELECT src, dst FROM base_e
+       |       UNION SELECT dst, src FROM base_e),
+       |$steps
+       |SELECT src AS node, COUNT(*) AS deg FROM e$rounds GROUP BY 1""".stripMargin
+  }
+
   /** Per-node triangle counts over an undirected simple graph given as
     * (a, b) edges with a < b (Schank & Wagner 2005 node-iterator with
     * degree orientation). Orienting every edge from its (degree, id)-

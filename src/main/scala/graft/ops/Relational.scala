@@ -284,6 +284,114 @@ object Relational {
        |FROM li JOIN av USING (l_partkey)
        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    * DOUBLE-correlated EXISTS / NOT EXISTS — for finished orders, a
+    * supplier is "waiting-guilty" when its lineitem shipped late
+    * (shipdate > orderdate + lateDays; the synthetic schema has no
+    * receipt/commit dates), SOME other supplier shares the order, and
+    * NO other supplier on the order was also late. Decorrelated to one
+    * semi join + one anti join over the deduped (order, supplier) pair
+    * relation — all three legs shuffle on l_orderkey (the same key),
+    * so AQE plans them over one exchange family; the naive form
+    * re-scans lineitem twice per outer row. Counting (order, supplier)
+    * pairs needs no distinct-agg: the pair relation is already unique. */
+  def waitingSuppliers(
+      lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+      lateDays: Int = 60, k: Int = 100): DataFrame = {
+    val o = orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val pairs = lineitem
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("late"))
+    val late = pairs.filter(col("late")).select("l_orderkey", "l_suppkey")
+    val others = pairs.select(
+      col("l_orderkey").as("o_orderkey2"), col("l_suppkey").as("o_suppkey2"),
+      col("late").as("o_late2"))
+    val guilty = late
+      .join(others,
+        col("l_orderkey") === col("o_orderkey2")
+          && col("l_suppkey") =!= col("o_suppkey2"),
+        "left_semi")
+      .join(others.filter(col("o_late2")),
+        col("l_orderkey") === col("o_orderkey2")
+          && col("l_suppkey") =!= col("o_suppkey2"),
+        "left_anti")
+    guilty
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc).limit(k)
+  }
+
+  def waitingSuppliersSql(lateDays: Int = 60, k: Int = 100): String =
+    s"""WITH o AS (SELECT o_orderkey, o_orderdate FROM orders
+       |  WHERE o_orderstatus = 'F'),
+       |pairs AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    MAX(l_shipdate > o_orderdate + INTERVAL $lateDays DAY) AS late
+       |  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |late AS (SELECT l_orderkey, l_suppkey FROM pairs WHERE late),
+       |guilty AS (
+       |  SELECT l.l_orderkey, l.l_suppkey FROM late l
+       |  WHERE EXISTS (SELECT 1 FROM pairs p
+       |          WHERE p.l_orderkey = l.l_orderkey
+       |            AND p.l_suppkey <> l.l_suppkey)
+       |    AND NOT EXISTS (SELECT 1 FROM pairs p
+       |          WHERE p.l_orderkey = l.l_orderkey
+       |            AND p.l_suppkey <> l.l_suppkey AND p.late))
+       |SELECT s_name, numwait FROM (
+       |  SELECT s.s_name, COUNT(*) AS numwait,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s.s_name ASC) AS rn
+       |  FROM guilty g JOIN supplier s ON g.l_suppkey = s.s_suppkey
+       |  GROUP BY s.s_name) t WHERE rn <= $k""".stripMargin
+
+  /** TPC-H Q22 shape (dormant sales opportunity): customers with
+    * above-average positive balance and NO ORDERS SINCE `cutoff` — a
+    * scalar aggregate subquery (one decimal-routed global avg,
+    * broadcast as a 1-row frame) plus an anti join on o_custkey,
+    * grouped by market segment (the synthetic schema has no phone
+    * country codes, and every customer has SOME order, so the classic
+    * no-orders-ever predicate is vacuous here — recency keeps the
+    * anti join selective and meaningful). The anti join's build side
+    * is date-filtered BEFORE the join, so the pushed o_orderdate
+    * predicate prunes the orders scan; the avg is computed on the
+    * positive slice only, exactly as Q22's cntrycode-filtered avg. */
+  def debtorSegments(
+      customer: DataFrame, orders: DataFrame,
+      cutoff: String = "2000-07-01"): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(Dec)).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(Dec)).cast("double").as("totacctbal"))
+  }
+
+  def debtorSegmentsSql(cutoff: String = "2000-07-01"): String =
+    s"""WITH ab AS (
+       |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS VARCHAR)
+       |    AS DOUBLE) / COUNT(*) AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0.0)
+       |SELECT c_mktsegment, COUNT(*) AS numcust,
+       |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS VARCHAR)
+       |    AS DOUBLE) AS totacctbal
+       |FROM customer, ab
+       |WHERE c_acctbal > ab.avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+       |                  AND o.o_orderdate >= TIMESTAMP '$cutoff 00:00:00')
+       |GROUP BY c_mktsegment""".stripMargin
+
   def starRevenueSql(year: Int = 1995): String =
     s"""SELECT n.n_name AS nation,
        |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)

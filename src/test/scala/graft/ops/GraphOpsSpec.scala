@@ -124,4 +124,23 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(e1 == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
   }
+
+  test("k-core peel: a clique survives, pendant chains cascade away") {
+    // K4 on 1..4 (deg 3 inside) with a pendant chain 4-5-6: at k=2 the
+    // chain peels over TWO rounds (6 first, then 5), the clique stays
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val edges = sym(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)))
+    val core2 = GraphOps.kCore(edges, k = 2, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core2.values.toSet == Set(3L), "clique degrees after peel")
+    // one round is NOT enough: node 5 still had degree 2 before 6 left
+    val oneRound = GraphOps.kCore(edges, k = 2, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(oneRound == Set(1L, 2L, 3L, 4L, 5L))
+    // k above the max degree empties the graph
+    assert(GraphOps.kCore(edges, k = 4, rounds = 2).collect().isEmpty)
+  }
 }

@@ -128,6 +128,60 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 70.0 / 7.0) < 1e-12)
   }
 
+  test("waiting suppliers: sole-late on shared orders only") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // order 1 (F): suppliers 1 (late) and 2 (on time) -> supplier 1 guilty
+    // order 2 (F): suppliers 1 and 2 BOTH late -> nobody (anti kills both)
+    // order 3 (F): supplier 3 late but ALONE -> no other supplier, not guilty
+    // order 4 (O): supplier 1 late but status != F -> excluded
+    val li = Seq(
+      (1L, 1L, ts("1995-06-01")), (1L, 2L, ts("1995-01-10")),
+      (2L, 1L, ts("1995-06-01")), (2L, 2L, ts("1995-06-02")),
+      (3L, 3L, ts("1995-06-01")),
+      (4L, 1L, ts("1995-06-01"))
+    ).map { case (o, sp, sd) =>
+      (o, 1L, sp, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", sd)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val orders = Seq(
+      (1L, "F"), (2L, "F"), (3L, "F"), (4L, "O")
+    ).map { case (o, st) => (o, 1L, st, 1.0, ts("1995-01-01"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val supplier = Seq((1L, "S1", 1L, 0.0), (2L, "S2", 1L, 0.0),
+      (3L, "S3", 1L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val got = Relational.waitingSuppliers(li, orders, supplier)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("S1", 1L)), s"got $got")
+  }
+
+  test("debtor segments: above-average balance AND dormant since cutoff") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // avg positive balance = (100+300)/2 = 200. cust 1 (300, dormant)
+    // qualifies; cust 2 (300, RECENT order) fails the anti join; cust 3
+    // (100) fails the avg gate; cust 4 (-50, dormant) fails positivity
+    val customer = Seq(
+      (1L, "c1", 1L, 300.0, "SEG_A"), (2L, "c2", 1L, 300.0, "SEG_A"),
+      (3L, "c3", 1L, 100.0, "SEG_B"), (4L, "c4", 1L, -50.0, "SEG_B")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, ts("1999-01-01")), // cust 1: old order only
+      (11L, 2L, ts("2001-01-01")), // cust 2: recent
+      (12L, 3L, ts("1999-01-01"))
+    ).map { case (o, c, d) => (o, c, "F", 1.0, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    // avg over positives = (300+300+100)/3 = 233.33 -> custs 1,2 pass
+    // the gate; only cust 1 is dormant
+    val got = Relational.debtorSegments(customer, orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("SEG_A", 1L, 300.0)), s"got $got")
+  }
+
   test("plan broadcasts the nation dim and pushes the date filter to the scan") {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
