@@ -47,16 +47,20 @@ object QuantOps {
 
   private def litArr(a: Array[Double]) = array(a.toIndexedSeq.map(lit): _*)
 
-  /** (vec_id, codes array<int>) — the persisted-form SQ8 relation. */
+  /** (vec_id, codes array<int>) — the persisted-form SQ8 relation.
+    * The grid arrays are bound ONCE as columns so each 64-element
+    * literal appears a single time in the plan instead of once per
+    * element access (64× smaller expression tree → faster codegen). */
   def sq8Codes(embs: DataFrame, dim: Int = 64): DataFrame = {
     val (lo, hi) = dimStats(embs, dim)
     val scale = lo.indices.map(i =>
       if (hi(i) == lo(i)) 0.0 else 255.0 / (hi(i) - lo(i))).toArray
-    embs.select(col("vec_id"),
-      transform(sequence(lit(1), lit(dim)), i =>
-        round((element_at(col("embedding"), i).cast("double")
-          - element_at(litArr(lo), i)) * element_at(litArr(scale), i))
-          .cast("int")).as("codes"))
+    embs.withColumn("__lo", litArr(lo)).withColumn("__s", litArr(scale))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          round((element_at(col("embedding"), i).cast("double")
+            - element_at(col("__lo"), i)) * element_at(col("__s"), i))
+            .cast("int")).as("codes"))
   }
 
   /** Asymmetric SQ8 top-k: raw query vector against the decoded grid
@@ -70,15 +74,17 @@ object QuantOps {
       if (hi(i) == lo(i)) 0.0 else 255.0 / (hi(i) - lo(i))).toArray
     val inv = lo.indices.map(i =>
       if (hi(i) == lo(i)) 0.0 else (hi(i) - lo(i)) / 255.0).toArray
-    val codes = embs.select(col("vec_id"),
-      transform(sequence(lit(1), lit(dim)), i =>
-        round((element_at(col("embedding"), i).cast("double")
-          - element_at(litArr(lo), i)) * element_at(litArr(scale), i))
-          .cast("int")).as("codes"))
-    val dec = codes.select(col("vec_id"),
-      transform(sequence(lit(1), lit(dim)), i =>
-        element_at(litArr(lo), i)
-          + element_at(col("codes"), i) * element_at(litArr(inv), i)).as("dvec"))
+    val codes = embs.withColumn("__lo", litArr(lo)).withColumn("__s", litArr(scale))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          round((element_at(col("embedding"), i).cast("double")
+            - element_at(col("__lo"), i)) * element_at(col("__s"), i))
+            .cast("int")).as("codes"))
+    val dec = codes.withColumn("__lo", litArr(lo)).withColumn("__inv", litArr(inv))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          element_at(col("__lo"), i)
+            + element_at(col("codes"), i) * element_at(col("__inv"), i)).as("dvec"))
     val q = embs.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         EmbeddingOps.l2Norm(col("embedding")).as("q_norm"))
