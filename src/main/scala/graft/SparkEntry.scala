@@ -139,6 +139,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.table(s, dir, "documents"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
+    // Zipf-law OLS fit over the top-100 token frequencies (plog +
+    // integer-grid sufficient statistics — corpus-health stat)
+    "text_zipf" -> ((s, dir) => TextOps.zipfSlope(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // corpus-trained top-V vocab (TakeOrdered + broadcast id map) ->
@@ -369,6 +372,9 @@ object SparkEntry {
     }),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.typePercentiles(Tables.events(s, dir))),
+    // rank-exact median + MAD (PERCENTILE_DISC selection on the cents
+    // grid — integer-exact, no middle-pair float averaging)
+    "events_mad" -> ((s, dir) => EventOps.typeMad(Tables.events(s, dir))),
     "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
     // fixed-bin histogram quantiles: the deterministic (merge-order-
     // independent) sketch — same mergeable-partial-agg shape as t-digest
@@ -471,6 +477,10 @@ object SparkEntry {
     // integer-only, edge set only shrinks — unrolled-CTE oracle
     "graph_kcore" -> ((s, dir) =>
       graft.ops.GraphOps.supplierPartKCore(Tables.table(s, dir, "lineitem"))),
+    // synchronous label propagation: neighbor-majority communities,
+    // (cnt DESC, label ASC) argmax — integer-exact fixed supersteps
+    "graph_labelprop" -> ((s, dir) =>
+      graft.ops.GraphOps.supplierPartLabelProp(Tables.table(s, dir, "lineitem"))),
     // TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS decorrelated
     // to one semi + one anti join over the deduped (order,supplier) pairs
     "waiting_suppliers" -> ((s, dir) =>
@@ -727,6 +737,7 @@ object SparkEntry {
     "text_quality" -> TextOps.qualityScoreSql,
     "text_langid" -> TextOps.langIdSql,
     "text_token_stats" -> TextOps.tokenStatsSql,
+    "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
@@ -811,6 +822,7 @@ object SparkEntry {
     "events_incr_agg" -> EventOps.hourlyTypeAggSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_percentiles" -> EventOps.typePercentilesSql,
+    "events_mad" -> EventOps.typeMadSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_asof" -> EventOps.asofJoinSql(),
@@ -835,6 +847,7 @@ object SparkEntry {
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
     "graph_bfs" -> graft.ops.GraphOps.supplierPartBfsSql(),
     "graph_kcore" -> graft.ops.GraphOps.supplierPartKCoreSql(),
+    "graph_labelprop" -> graft.ops.GraphOps.supplierPartLabelPropSql(),
     "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem

@@ -87,6 +87,62 @@ object EventOps {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Rank-exact robust dispersion per event_type: lower median of
+    * `value` and MAD (lower median of absolute deviations from it) —
+    * the outlier-immune center/spread pair for metric monitoring.
+    * PERCENTILE_DISC-style rank selection (the ceil(n/2)-th value in
+    * (value, event_id) order) instead of interpolation: the selected
+    * values are DATA values on the exact cents grid, so both median
+    * and MAD are integer-exact across engines — no float averaging of
+    * middle pairs. Two window passes + one broadcast-size median join,
+    * all partitioned by event_type. */
+  def typeMad(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("v"))
+    val wc = Window.partitionBy("event_type")
+    val med = base
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("v").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("v").as("med"))
+    base.join(med, Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("med"),
+        abs(col("v") - col("med")).as("d"))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("d").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n"),
+        (col("med").cast("double") / 100.0).as("median"),
+        (col("d").cast("double") / 100.0).as("mad"))
+  }
+
+  val typeMadSql: String =
+    """WITH base AS (
+      |  SELECT event_type, event_id,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, v AS med FROM (
+      |    SELECT event_type, v,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY v ASC, event_id ASC) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM base) t WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT b.event_type, b.event_id, m.med, ABS(b.v - m.med) AS d
+      |  FROM base b JOIN med m USING (event_type))
+      |SELECT event_type, n,
+      |  CAST(med AS DOUBLE) / 100.0 AS median,
+      |  CAST(d AS DOUBLE) / 100.0 AS mad
+      |FROM (
+      |  SELECT event_type, med, d,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY d ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev) t WHERE rn = (n + 1) // 2""".stripMargin
+
   /** Sketch variant: mergeable t-digest percentiles + HLL distinct
     * users — the 100 TB shapes (approximate by construction → rows-only
     * check, accuracy covered by tests). */

@@ -337,6 +337,64 @@ object GraphOps {
     bfsDistances(edges, seeds, iters)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — the
+    * COMMUNITY member of the iterative-graph family (CC converges a
+    * partition by min-id, PageRank a score, BFS a distance, LP a
+    * neighbor-majority community). Each superstep every node adopts
+    * its neighbors' most frequent label, ties by smallest label — a
+    * deterministic total order, so fixed supersteps are bit-exact
+    * against the unrolled twin (integer labels, integer counts; the
+    * argmax is max(struct(cnt, -label)) = the ROW_NUMBER twin's
+    * (cnt DESC, label ASC) head).
+    *
+    * 100 TB posture: per superstep one edge⋈labels join and two
+    * node-keyed aggs, all shuffling on node ids; state is one
+    * (node, label) row per node. Per-round eager checkpoint keeps the
+    * plan depth constant exactly as kCore/connectedComponents. */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val counts = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+      labels = counts.groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** LP over the supplier↔part bipartite graph (same encoding as
+    * [[supplierPartRank]]). */
+  def supplierPartLabelProp(lineitem: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = lineitem.select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    labelPropagation(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))), rounds)
+  }
+
+  def supplierPartLabelPropSql(rounds: Int = 3): String = {
+    def stepSql(i: Int): String =
+      s"""l$i AS (SELECT node, label FROM (
+         |  SELECT e.src AS node, l.label, COUNT(*) AS cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY e.src
+         |      ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY e.src, l.label) t WHERE rn = 1)""".stripMargin
+    s"""WITH base_e AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM base_e
+       |          UNION SELECT dst, src FROM base_e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${(1 to rounds).map(stepSql).mkString(",\n")}
+       |SELECT node, label FROM l$rounds""".stripMargin
+  }
+
   def supplierPartBfsSql(iters: Int = 3): String = {
     def stepSql(i: Int): String =
       s"""d$i AS (

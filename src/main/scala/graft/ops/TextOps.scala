@@ -1200,4 +1200,78 @@ object TextOps {
        |  ON p.t >= v.cum_lo AND p.t < v.cum_hi
        |WHERE v.token <> p.center AND v.token <> p.context""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Zipf-law fit: OLS of ln(freq) on ln(rank) over the top-N tokens —
+  // the corpus-health statistic (natural language sits near slope -1;
+  // boilerplate-flooded or synthetic corpora drift off it, Piantadosi
+  // 2014). One token-count shuffle + a TakeOrdered top-N; the
+  // regression runs over the CONSTANT-size top-N frame. Cross-engine
+  // exactness: ln via PortableMath.plog (rank >= 1, cnt >= 1 — always
+  // in plog's domain), both coordinates snapped to a 1e6 integer grid
+  // (products stay inside BIGINT), sufficient statistics summed in
+  // DECIMAL(38,0)/HUGEINT, floats only at the final divisions. The
+  // grid cancels algebraically in slope and r2 (cov/var ratios).
+  // -------------------------------------------------------------------
+  def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableMath.plog
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val top = tokenCounts(docs)
+      .orderBy(col("cnt").desc, col("token").asc).limit(topN)
+    // rank over the constant-size top frame (single tiny partition)
+    val ranked = top.withColumn("rk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("token").asc)))
+    val xy = ranked.select(
+      round(plog(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+      round(plog(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+    val stats = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(Dec)).as("sx"),
+      sum(col("y").cast(Dec)).as("sy"),
+      sum((col("x") * col("y")).cast(Dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(Dec)).as("syy"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val nd = col("n").cast(Dec)
+    val num = nd * col("sxy") - col("sx") * col("sy")
+    val den = nd * col("sxx") - col("sx") * col("sx")
+    val deny = nd * col("syy") - col("sy") * col("sy")
+    stats.select(
+      col("n"),
+      (dbl(num) / dbl(den)).as("slope"),
+      (dbl(num) * dbl(num) / (dbl(den) * dbl(deny))).as("r2"))
+  }
+
+  def zipfSlopeSql(topN: Int = 100): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH counts AS (
+       |  SELECT token, COUNT(*) AS cnt FROM (
+       |    SELECT unnest($tokensSql) AS token FROM documents) t
+       |  GROUP BY token),
+       |ranked AS (
+       |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rk
+       |  FROM counts ORDER BY cnt DESC, token ASC LIMIT $topN),
+       |xy AS (
+       |  SELECT CAST(ROUND((${plogSql("CAST(rk AS DOUBLE)")}) * 1e6)
+       |           AS BIGINT) AS x,
+       |         CAST(ROUND((${plogSql("CAST(cnt AS DOUBLE)")}) * 1e6)
+       |           AS BIGINT) AS y
+       |  FROM ranked),
+       |st AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x * y AS HUGEINT)) AS sxy,
+       |    SUM(CAST(x * x AS HUGEINT)) AS sxx,
+       |    SUM(CAST(y * y AS HUGEINT)) AS syy
+       |  FROM xy)
+       |SELECT n,
+       |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS slope,
+       |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |    * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |    / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+       |       * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS r2
+       |FROM st""".stripMargin
+  }
 }

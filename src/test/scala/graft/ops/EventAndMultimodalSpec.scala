@@ -437,4 +437,28 @@ class EventAndMultimodalSpec extends SparkSpec {
       ("click", "click") -> ((1L, 0.5)),
       ("click", "view") -> ((1L, 0.5))))
   }
+
+  test("MAD: rank-selected median and deviation median on the cents grid") {
+    // type m: values 1,2,3,4,100 -> lower median 3 (rank (5+1)//2 = 3);
+    // deviations 2,1,0,1,97 -> sorted 0,1,1,2,97 -> median 1.
+    // the 100 outlier moves the MEAN but not median/MAD
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "m", 1.00, "{}"),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "m", 2.00, "{}"),
+      (3L, ts("2024-01-01 10:00:02"), 1L, "m", 3.00, "{}"),
+      (4L, ts("2024-01-01 10:00:03"), 1L, "m", 4.00, "{}"),
+      (5L, ts("2024-01-01 10:00:04"), 1L, "m", 100.00, "{}"),
+      // even group: values 1,2,3,4 -> lower median 2; devs 1,0,1,2 ->
+      // sorted 0,1,1,2 -> lower median 1
+      (6L, ts("2024-01-01 10:00:00"), 1L, "e", 1.00, "{}"),
+      (7L, ts("2024-01-01 10:00:01"), 1L, "e", 2.00, "{}"),
+      (8L, ts("2024-01-01 10:00:02"), 1L, "e", 3.00, "{}"),
+      (9L, ts("2024-01-01 10:00:03"), 1L, "e", 4.00, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.typeMad(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got("m") == ((5L, 3.0, 1.0)), s"got ${got("m")}")
+    assert(got("e") == ((4L, 2.0, 1.0)), s"got ${got("e")}")
+  }
 }

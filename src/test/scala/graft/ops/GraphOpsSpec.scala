@@ -143,4 +143,17 @@ class GraphOpsSpec extends SparkSpec {
     // k above the max degree empties the graph
     assert(GraphOps.kCore(edges, k = 4, rounds = 2).collect().isEmpty)
   }
+
+  test("label propagation separates two bridged triangles into communities") {
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val edges = sym(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),      // triangle A
+      (4L, 5L), (4L, 6L), (5L, 6L),      // triangle B
+      (3L, 4L)))                          // bridge
+    val got = GraphOps.labelPropagation(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hand-traced synchronous rounds with (cnt DESC, label ASC) argmax
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+  }
 }

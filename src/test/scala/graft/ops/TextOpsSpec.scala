@@ -374,4 +374,19 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin [bk"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("zipf slope: an exact power-law corpus fits slope ~ -1 with high r2") {
+    import spark.implicits._
+    // frequencies ~ 120/r for ranks 1..6 (120,60,40,30,24,20)
+    val freqs = Seq(120, 60, 40, 30, 24, 20)
+    val text = freqs.zipWithIndex
+      .flatMap { case (f, i) => Seq.fill(f)(s"tok$i") }.mkString(" ")
+    val docs = Seq((1L, "src0", text)).toDF("doc_id", "source", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val r = TextOps.zipfSlope(docs, topN = 10).collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 0.01, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(2) > 0.999, s"r2 ${r.getDouble(2)}")
+  }
 }
