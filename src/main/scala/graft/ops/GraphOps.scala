@@ -36,11 +36,20 @@ object GraphOps {
   def pageRank(
       edges0: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val base = 1.0 - damping
-    val edges = edges0.select("src", "dst").distinct()
+    // Eager checkpoint of the static relations: every superstep
+    // references edges/deg/nodes/nRow, so the lazy form re-derived the
+    // base scan ~5x per iteration (the kCore lesson). Gain here is
+    // modest (7.4 -> ~6s at sf0.1): unlike kCore the reference count is
+    // linear, not exponential, and the remaining cost is local-mode
+    // scheduling of the per-superstep node-keyed shuffle stages — the
+    // stages that ARE the 100 TB posture (ranks stay |V|-sized and
+    // distributed; broadcasting perSrc would be faster here and wrong
+    // at scale, so the join strategy is left to AQE stats).
+    val edges = edges0.select("src", "dst").distinct().localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("dnode"))
-      .agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val nRow = nodes.agg(count(lit(1)).as("n"))
     def freshRank(sums: Option[DataFrame]): DataFrame = sums match {
       case None =>
@@ -63,7 +72,7 @@ object GraphOps {
       val sums = edges.join(perSrc, col("src") === col("cnode"))
         .groupBy(col("dst").as("node"))
         .agg(sum(round(col("c") * Grid).cast(DecInt)).as("sg"))
-      rank = freshRank(Some(sums))
+      rank = freshRank(Some(sums)).localCheckpoint(true)
     }
     rank
   }
