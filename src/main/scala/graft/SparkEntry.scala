@@ -200,6 +200,10 @@ object SparkEntry {
       graft.ops.Dsir.select(
         Tables.table(s, dir, "documents"), "src0", 100)),
     // variance-optimal weighted sample: zero-shuffle priorities + TopK
+    // A-ES weighted reservoir (exact PPS-WOR): ln(u)/w keys via plog,
+    // TakeOrdered top-k — prioritySample's sampling-law sibling
+    "sample_ares" -> ((s, dir) =>
+      graft.ops.Sampling.aresSample(Tables.table(s, dir, "documents"), k = 256)),
     "sample_priority" -> ((s, dir) =>
       graft.ops.Sampling.prioritySample(
         Tables.table(s, dir, "documents"), 100)),
@@ -375,6 +379,9 @@ object SparkEntry {
     // rank-exact median + MAD (PERCENTILE_DISC selection on the cents
     // grid — integer-exact, no middle-pair float averaging)
     "events_mad" -> ((s, dir) => EventOps.typeMad(Tables.events(s, dir))),
+    // growth accounting: first-seen day per user -> running cumulative
+    // distinct users (one min-agg, no per-day expanding re-scan)
+    "events_cum_users" -> ((s, dir) => EventOps.cumulativeUsers(Tables.events(s, dir))),
     "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
     // fixed-bin histogram quantiles: the deterministic (merge-order-
     // independent) sketch — same mergeable-partial-agg shape as t-digest
@@ -755,6 +762,7 @@ object SparkEntry {
     "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
     "dsir_weights" -> graft.ops.Dsir.importanceWeightsSql("src0"),
     "dsir_select" -> graft.ops.Dsir.selectSql("src0", 100),
+    "sample_ares" -> graft.ops.Sampling.aresSampleSql(256),
     "sample_priority" -> graft.ops.Sampling.prioritySampleSql(100),
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_cosine_pairs" -> graft.ops.RetrievalOps.cosinePairsSql(),
@@ -823,6 +831,7 @@ object SparkEntry {
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_percentiles" -> EventOps.typePercentilesSql,
     "events_mad" -> EventOps.typeMadSql,
+    "events_cum_users" -> EventOps.cumulativeUsersSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_asof" -> EventOps.asofJoinSql(),

@@ -87,6 +87,37 @@ object EventOps {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Growth accounting: per calendar day, the count of FIRST-seen users
+    * and the running cumulative distinct-user total — the "cumulative
+    * distinct" query that is a quadratic re-scan when written naively
+    * (COUNT(DISTINCT) per day over an expanding window) but ONE
+    * user-keyed min-agg + a day-keyed count here: a user contributes to
+    * exactly its first day, so the cumulative sum over days IS the
+    * running distinct count. Integer-exact. The final running-sum
+    * window runs over the day relation (calendar-bounded, hundreds of
+    * rows) — a single tiny partition by construction, not a data-sized
+    * global sort. */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+    firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH fd AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      |  FROM events GROUP BY user_id),
+      |nd AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM nd""".stripMargin
+
   /** Rank-exact robust dispersion per event_type: lower median of
     * `value` and MAD (lower median of absolute deviations from it) —
     * the outlier-immune center/spread pair for metric monitoring.

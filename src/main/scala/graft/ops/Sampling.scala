@@ -262,4 +262,46 @@ object Sampling {
        |       AS DOUBLE) + 1.0) / 1152921504606846976.0) AS priority
        |FROM documents
        |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A-ES weighted reservoir sampling (Efraimidis & Spirakis 2006): the
+  // EXACT probability-proportional-to-size without-replacement sample —
+  // each doc draws key u^(1/w), the k largest keys win. The sibling of
+  // prioritySample above (different inclusion law: A-ES realizes
+  // sequential PPS draws; priority sampling is the variance-optimal
+  // estimator family). Ranked by the monotone transform
+  // ln(u)/w = -plog(1/u)/w so the only transcendental is the portable
+  // log: u = (h+1)/2^60 from the md5-60 hash, 1/u = 2^60/(h+1) >= 1
+  // stays in plog's domain, and both engines evaluate the identical
+  // IEEE tree. w floors at 1 (an empty doc must not divide by zero).
+  // 100 TB posture: zero-shuffle key projection + TakeOrdered top-k —
+  // the distributed form of the weighted reservoir (per-partition
+  // k-heaps, k rows to the driver merge).
+  // -------------------------------------------------------------------
+  def aresSample(
+      docs: DataFrame, k: Int, weight: Column = col("n_chars"),
+      seed: Int = 13): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val h = Dedup.md5Hash60(seed, col("doc_id").cast("string"))
+    val invU = lit(Pow2_60) / (h.cast("double") + lit(1.0))
+    val key = (lit(0.0) - plog(invU)) /
+      greatest(weight.cast("double"), lit(1.0))
+    docs
+      .select(col("doc_id"), weight.cast("long").as("w"), key.as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def aresSampleSql(
+      k: Int, weightExpr: String = "n_chars", seed: Int = 13): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""SELECT doc_id, w, (0.0 - (${plogSql("inv_u")})) / wd AS key FROM (
+       |  SELECT doc_id, CAST($weightExpr AS BIGINT) AS w,
+       |    GREATEST(CAST($weightExpr AS DOUBLE), 1.0) AS wd,
+       |    1152921504606846976.0 /
+       |      (CAST(${Dedup.md5Hash60Sql(seed, "CAST(doc_id AS VARCHAR)")}
+       |         AS DOUBLE) + 1.0) AS inv_u
+       |  FROM documents) t
+       |ORDER BY key DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

@@ -461,4 +461,21 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(got("m") == ((5L, 3.0, 1.0)), s"got ${got("m")}")
     assert(got("e") == ((4L, 2.0, 1.0)), s"got ${got("e")}")
   }
+
+  test("cumulative users: first-seen day counting equals running distinct") {
+    // user 100 first on day 1 (also appears day 2); user 200 day 1;
+    // user 300 day 2; user 400 day 3
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 100L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 200L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-02 09:00:00"), 300L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-03 09:00:00"), 400L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.cumulativeUsers(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 3L),
+      ("2024-01-03", 1L, 4L)), s"got $got")
+  }
 }

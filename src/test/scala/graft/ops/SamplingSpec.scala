@@ -173,4 +173,26 @@ class SamplingSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(p) ==
         java.lang.Double.doubleToLongBits(pFull(id))) }
   }
+
+  test("A-ES sample: weights drive inclusion, ties and floors are deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one doc with 1000x the weight of 99 peers: its key ln(u)/w is
+    // ~1000x closer to 0, so it survives any reasonable u draw
+    val d = (1L to 100L).map(i =>
+      (i, if (i == 42L) 100000L else 100L)).toDF("doc_id", "n_chars")
+    val got = Sampling.aresSample(d, k = 10).collect()
+    assert(got.map(_.getLong(0)).contains(42L))
+    // keys are negative (u in (0,1] -> ln u <= 0) and sorted desc
+    val keys = got.map(_.getDouble(2))
+    assert(keys.forall(_ <= 0.0))
+    assert(keys.sameElements(keys.sortBy(-_)))
+    // zero-weight doc floors at w=1 instead of dividing by zero
+    val z = Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "n_chars")
+    val zk = Sampling.aresSample(z, k = 2).collect()
+    assert(zk.length == 2 && zk.forall(r => !r.getDouble(2).isNaN))
+    // determinism: same seed -> same sample
+    val again = Sampling.aresSample(d, k = 10).collect().map(_.getLong(0))
+    assert(again.sameElements(got.map(_.getLong(0))))
+  }
 }
