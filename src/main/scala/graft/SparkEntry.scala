@@ -382,6 +382,14 @@ object SparkEntry {
     // growth accounting: first-seen day per user -> running cumulative
     // distinct users (one min-agg, no per-day expanding re-scan)
     "events_cum_users" -> ((s, dir) => EventOps.cumulativeUsers(Tables.events(s, dir))),
+    // robust outliers composed over the MAD relation (broadcast back
+    // onto the scan; integer-grid threshold, no float compare)
+    "events_outliers" -> ((s, dir) => EventOps.typeOutliers(Tables.events(s, dir))),
+    // fixed-width histogram (integer floor-div bins) — the profiling
+    // twin of the equi-depth qbins
+    "events_histogram" -> ((s, dir) => EventOps.typeHistogram(Tables.events(s, dir))),
+    // funnel latency: first view -> first subsequent purchase per user
+    "events_conversion_lag" -> ((s, dir) => EventOps.conversionLag(Tables.events(s, dir))),
     "events_sketches" -> ((s, dir) => EventOps.typeSketches(Tables.events(s, dir))),
     // fixed-bin histogram quantiles: the deterministic (merge-order-
     // independent) sketch — same mergeable-partial-agg shape as t-digest
@@ -832,6 +840,9 @@ object SparkEntry {
     "events_percentiles" -> EventOps.typePercentilesSql,
     "events_mad" -> EventOps.typeMadSql,
     "events_cum_users" -> EventOps.cumulativeUsersSql,
+    "events_outliers" -> EventOps.typeOutliersSql(),
+    "events_histogram" -> EventOps.typeHistogramSql(),
+    "events_conversion_lag" -> EventOps.conversionLagSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),
     "events_rollup" -> EventOps.dailyTypeRollupSql,
     "events_asof" -> EventOps.asofJoinSql(),

@@ -174,6 +174,96 @@ object EventOps {
       |    COUNT(*) OVER (PARTITION BY event_type) AS n
       |  FROM dev) t WHERE rn = (n + 1) // 2""".stripMargin
 
+  /** Robust outlier detection composed over [[typeMad]]: events whose
+    * value deviates from their type's median by more than `nMads`
+    * MADs — the monitoring rule that survives the very outliers it
+    * hunts (a z-score threshold moves with the contamination; the
+    * median/MAD gate does not). The MAD relation is type-keyed (tiny)
+    * and broadcasts back onto the events scan; comparison stays on the
+    * integer cents grid (|v−med|·1 vs nMads·mad·1 — exact integers
+    * both sides, no float threshold). */
+  def typeOutliers(events: DataFrame, nMads: Int = 3): DataFrame = {
+    val mad = typeMad(events).select(col("event_type"),
+      (col("median") * 100).cast("long").as("medc"),
+      (col("mad") * 100).cast("long").as("madc"))
+    events.select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      .join(broadcast(mad), Seq("event_type"))
+      .filter(abs(col("v") - col("medc")) > lit(nMads) * col("madc"))
+      .select(col("event_type"), col("event_id"),
+        (col("v").cast("double") / 100.0).as("value"),
+        (abs(col("v") - col("medc")).cast("double")
+          / greatest(col("madc"), lit(1L)).cast("double")).as("n_mads"))
+  }
+
+  def typeOutliersSql(nMads: Int = 3): String =
+    s"""WITH madrel AS ($typeMadSql),
+       |madc AS (SELECT event_type,
+       |    CAST(median * 100 AS BIGINT) AS medc,
+       |    CAST(mad * 100 AS BIGINT) AS madc
+       |  FROM madrel)
+       |SELECT e.event_type, e.event_id,
+       |  CAST(CAST(ROUND(e.value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value,
+       |  CAST(ABS(CAST(ROUND(e.value * 100) AS BIGINT) - m.medc) AS DOUBLE)
+       |    / CAST(GREATEST(m.madc, 1) AS DOUBLE) AS n_mads
+       |FROM events e JOIN madc m USING (event_type)
+       |WHERE ABS(CAST(ROUND(e.value * 100) AS BIGINT) - m.medc)
+       |      > $nMads * m.madc""".stripMargin
+
+  /** Fixed-width value histogram per event_type (profiling twin of the
+    * equi-depth qbins): bin = floor(v_cents / width_cents) — pure
+    * integer floor division, so bin ids and counts are exact in both
+    * engines; one scan + one (type, bin) aggregation. */
+  def typeHistogram(events: DataFrame, widthCents: Long = 1000): DataFrame =
+    events.select(col("event_type"),
+        floorDiv(round(col("value") * 100).cast("long"), widthCents).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("bin") * widthCents).cast("double").divide(100.0).as("bin_lo"), col("n"))
+
+  def typeHistogramSql(widthCents: Long = 1000): String =
+    s"""SELECT event_type, bin,
+       |  CAST(bin * $widthCents AS DOUBLE) / 100.0 AS bin_lo,
+       |  COUNT(*) AS n
+       |FROM (SELECT event_type,
+       |    CAST(FLOOR(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE)
+       |      / $widthCents) AS BIGINT) AS bin
+       |  FROM events) t
+       |GROUP BY event_type, bin""".stripMargin
+
+  /** Conversion lag: per user, seconds from first 'view' to the first
+    * 'purchase' AFTER it — the funnel-latency relation (feeds the
+    * time-to-convert distribution). Two user-keyed min-aggs + one
+    * user join; integer epoch-second arithmetic, exact. Users who
+    * never viewed or never purchased after viewing are absent. */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) div 1000000")).as("first_view"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("pts"))
+    views.join(buys, Seq("user_id"))
+      .filter(col("pts") >= col("first_view"))
+      .groupBy("user_id", "first_view")
+      .agg(min(col("pts")).as("first_purchase"))
+      .select(col("user_id"),
+        (col("first_purchase") - col("first_view")).as("lag_seconds"))
+  }
+
+  val conversionLagSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 1000000) AS first_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS pts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id,
+      |  MIN(pts) - first_view AS lag_seconds
+      |FROM v JOIN b USING (user_id)
+      |WHERE pts >= first_view
+      |GROUP BY user_id, first_view""".stripMargin
+
   /** Sketch variant: mergeable t-digest percentiles + HLL distinct
     * users — the 100 TB shapes (approximate by construction → rows-only
     * check, accuracy covered by tests). */

@@ -478,4 +478,49 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(got == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 3L),
       ("2024-01-03", 1L, 4L)), s"got $got")
   }
+
+  test("outliers: only values beyond 3 MADs of their type median surface") {
+    // type m: 1..4 and 100 -> median 3, MAD 1 -> gate |v-3| > 3:
+    // only 100 (97 MADs out)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "m", 1.00, "{}"),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "m", 2.00, "{}"),
+      (3L, ts("2024-01-01 10:00:02"), 1L, "m", 3.00, "{}"),
+      (4L, ts("2024-01-01 10:00:03"), 1L, "m", 4.00, "{}"),
+      (5L, ts("2024-01-01 10:00:04"), 1L, "m", 100.00, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.typeOutliers(ev).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((5L, 100.0, 97.0)), s"got ${got.toSeq}")
+  }
+
+  test("histogram: floor-div bins with exact counts") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "m", 0.50, "{}"),   // bin 0
+      (2L, ts("2024-01-01 10:00:01"), 1L, "m", 9.99, "{}"),   // bin 0
+      (3L, ts("2024-01-01 10:00:02"), 1L, "m", 10.00, "{}"),  // bin 1
+      (4L, ts("2024-01-01 10:00:03"), 1L, "m", 25.00, "{}")   // bin 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.typeHistogram(ev).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0.0, 2L), (1L, 10.0, 1L), (2L, 20.0, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("conversion lag: first purchase AFTER first view, per user") {
+    val ev = Seq(
+      // user 1: view at t0, purchases before (ignored) and after (+30s)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:01:30"), 1L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:05:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: views but never purchases -> absent
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      // user 3: purchases but never views -> absent
+      (6L, ts("2024-01-01 10:00:00"), 3L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.conversionLag(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 30L)), s"got $got")
+  }
 }
