@@ -382,6 +382,10 @@ object SparkEntry {
     // growth accounting: first-seen day per user -> running cumulative
     // distinct users (one min-agg, no per-day expanding re-scan)
     "events_cum_users" -> ((s, dir) => EventOps.cumulativeUsers(Tables.events(s, dir))),
+    // rolling-window HLL merge: daily register relations merged into a
+    // trailing 3-day estimate — the sketch-MERGEABILITY demo (windows
+    // are register-wise MAX; no user-level re-touch), exact alongside
+    "events_hll_rolling" -> ((s, dir) => EventOps.hllUsersRolling(Tables.events(s, dir))),
     // robust outliers composed over the MAD relation (broadcast back
     // onto the scan; integer-grid threshold, no float compare)
     "events_outliers" -> ((s, dir) => EventOps.typeOutliers(Tables.events(s, dir))),
@@ -840,6 +844,7 @@ object SparkEntry {
     "events_percentiles" -> EventOps.typePercentilesSql,
     "events_mad" -> EventOps.typeMadSql,
     "events_cum_users" -> EventOps.cumulativeUsersSql,
+    "events_hll_rolling" -> EventOps.hllUsersRollingSql(),
     "events_outliers" -> EventOps.typeOutliersSql(),
     "events_histogram" -> EventOps.typeHistogramSql(),
     "events_conversion_lag" -> EventOps.conversionLagSql,

@@ -322,6 +322,18 @@ object EventOps {
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
         .as("s_int"),
       count(lit(1)).as("nonzero"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    perType
+      .select(col("event_type"), hllEstimate.as("est_users"))
+      .join(exact, Seq("event_type"))
+  }
+
+  /** The HLL estimate over already-aggregated (s_int, nonzero) columns
+    * — alpha bias correction + small-range linear counting; shared by
+    * the per-type and rolling-window variants. */
+  private def hllEstimate: Column = {
+    import graft.functions.PortableMath.plog
     val m = lit(HllM.toDouble)
     val zeros = (m - col("nonzero").cast("double"))
     val raw = lit(HllAlphaM2) * lit(9007199254740992.0) /
@@ -329,13 +341,8 @@ object EventOps {
         col("s_int")).cast("double")
     // small-range correction: E ≤ 2.5m with empty registers →
     // linear counting m·ln(m/V); plog needs x ≥ 1 (V ≤ m always)
-    val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
+    when(raw <= lit(2.5 * HllM) && zeros > 0,
       m * plog(m / zeros)).otherwise(raw)
-    val exact = events.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    perType
-      .select(col("event_type"), est.as("est_users"))
-      .join(exact, Seq("event_type"))
   }
 
   def hllUsersSql: String = {
@@ -375,6 +382,91 @@ object EventOps {
        |FROM est e JOIN (
        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
        |  FROM events GROUP BY 1) x USING (event_type)""".stripMargin
+  }
+
+  /** Rolling-window HLL merge: per-DAY register relations merged into a
+    * trailing `windowDays` estimate per day — the MERGEABILITY demo
+    * that justifies sketches at 100 TB: daily registers are the
+    * persisted artifact (256 rows/day), and ANY window over days is a
+    * register-wise MAX — no user-level data is re-touched, while the
+    * exact trailing distinct must re-expand each event into every
+    * window containing it. Exact twin computed alongside (each event
+    * lands in ≤ windowDays windows — bounded expansion, one shuffle).
+    * The window join is an EQUI join via a generated offset relation
+    * (day, day−k), never a theta/BNLJ range probe. */
+  def hllUsersRolling(events: DataFrame, windowDays: Int = 3): DataFrame = {
+    val h = Dedup.md5Hash60(0, col("user_id").cast("string"))
+    val w = shiftright(h, HllBits)
+    val rho = when(w === 0L, lit(53L))
+      .otherwise(lit(53L) - length(bin(w)))
+    val regs = events
+      .select(to_date(col("ts")).as("rday"),
+        h.bitwiseAND(lit((HllM - 1).toLong)).as("bucket"), rho.as("rho"))
+      .groupBy("rday", "bucket").agg(max("rho").as("reg"))
+    val days = regs.select(col("rday").as("day")).distinct()
+    val offsets = days.sparkSession.range(windowDays)
+      .select(col("id").cast("int").as("k"))
+    val dayOff = days.crossJoin(broadcast(offsets))
+      .select(col("day"), date_sub(col("day"), col("k")).as("src_day"))
+    val merged = dayOff.join(regs, col("src_day") === col("rday"))
+      .groupBy("day", "bucket").agg(max("reg").as("reg"))
+    val perDay = merged.groupBy("day").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
+        .as("s_int"),
+      count(lit(1)).as("nonzero"))
+    val exact = dayOff
+      .join(events.select(to_date(col("ts")).as("eday"), col("user_id")),
+        col("eday") === col("src_day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("exact_users"))
+    perDay.select(col("day"), hllEstimate.as("est_users"))
+      .join(exact, Seq("day"))
+  }
+
+  def hllUsersRollingSql(windowDays: Int = 3): String = {
+    val plogSql = graft.functions.PortableMath.plogSql(
+      s"CAST($HllM AS DOUBLE) / zeros")
+    s"""WITH h AS (
+       |  SELECT CAST(ts AS DATE) AS rday,
+       |    CAST(('0x' || substr(md5('0|' || CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |regs AS (
+       |  SELECT rday, h & ${HllM - 1} AS bucket,
+       |    MAX(CASE WHEN (h >> $HllBits) = 0 THEN 53
+       |             ELSE 53 - length(bin(h >> $HllBits)) END) AS reg
+       |  FROM h GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT rday AS day FROM regs),
+       |dayoff AS (
+       |  SELECT d.day, d.day - CAST(g.k AS INTEGER) AS src_day
+       |  FROM days d CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${windowDays - 1})) AS k) g),
+       |wnd AS (
+       |  SELECT o.day, r.bucket, MAX(r.reg) AS reg
+       |  FROM dayoff o JOIN regs r ON r.rday = o.src_day
+       |  GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT day,
+       |    SUM(CAST(1 AS BIGINT) << CAST(53 - reg AS INT)) AS s_int,
+       |    COUNT(*) AS nonzero
+       |  FROM wnd GROUP BY 1),
+       |est AS (
+       |  SELECT day,
+       |    CAST($HllM AS DOUBLE) - CAST(nonzero AS DOUBLE) AS zeros,
+       |    CAST($HllAlphaM2 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+       |      / CAST((CAST($HllM AS BIGINT) - nonzero)
+       |             * CAST(9007199254740992 AS BIGINT) + s_int AS DOUBLE)
+       |      AS raw
+       |  FROM pt),
+       |exact AS (
+       |  SELECT o.day, COUNT(DISTINCT e.user_id) AS exact_users
+       |  FROM dayoff o JOIN events e ON CAST(e.ts AS DATE) = o.src_day
+       |  GROUP BY 1)
+       |SELECT e.day,
+       |  CASE WHEN raw <= CAST(${2.5 * HllM} AS DOUBLE) AND zeros > 0
+       |       THEN CAST($HllM AS DOUBLE) * ($plogSql)
+       |       ELSE raw END AS est_users,
+       |  x.exact_users
+       |FROM est e JOIN exact x USING (day)""".stripMargin
   }
 
   /** KMV (k-minimum-values) distinct-user sketch per event_type — the

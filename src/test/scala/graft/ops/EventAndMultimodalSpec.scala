@@ -523,4 +523,20 @@ class EventAndMultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 30L)), s"got $got")
   }
+
+  test("rolling HLL: merged daily registers track exact trailing distincts") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = EventOps.hllUsersRolling(ev).collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // m=256 registers -> relative error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    got.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) / exact < 0.20,
+        s"est $est vs exact $exact")
+    }
+    // determinism (pure function of the data)
+    val again = EventOps.hllUsersRolling(ev).collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    assert(again.sameElements(got))
+  }
 }
