@@ -214,6 +214,10 @@ object SparkEntry {
       graft.ops.RetrievalOps.tfidf(Tables.table(s, dir, "documents"))),
     "text_bm25_topk" -> ((s, dir) =>
       graft.ops.RetrievalOps.bm25TopK(Tables.table(s, dir, "documents"))),
+    // query-likelihood LM retrieval (Dirichlet smoothing) — the
+    // generative member of the retrieval family; signed portable log
+    "text_ql_topk" -> ((s, dir) =>
+      graft.ops.RetrievalOps.qlTopK(Tables.table(s, dir, "documents"))),
     // all-pairs sparse cosine join (Bayardo 2007): tf-idf shingle
     // vectors, pairs generated only through the DF-capped inverted
     // index — grid-snapped dot products keep it hash-exact
@@ -779,6 +783,7 @@ object SparkEntry {
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_cosine_pairs" -> graft.ops.RetrievalOps.cosinePairsSql(),
     "text_bm25_topk" -> graft.ops.RetrievalOps.bm25TopKSql(),
+    "text_ql_topk" -> graft.ops.RetrievalOps.qlTopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
     "jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",

@@ -158,6 +158,77 @@ object RetrievalOps {
   }
 
   // -------------------------------------------------------------------
+  // Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+  // 1998; Zhai & Lafferty 2001) — the LANGUAGE-MODEL member of the
+  // retrieval family (tf-idf: vector space, BM25: probabilistic
+  // relevance, QL: generative): score(d) = Σ_t ln((tf_t,d + μ·P(t|C))
+  // / (dl_d + μ)), P(t|C) = cf_t/|C|. Unlike BM25, EVERY document is
+  // scored (smoothing gives unmatched docs mass) — the filter-free
+  // ranking is the point. Same one-pass pivoted shape as BM25: per-doc
+  // (dl, tf_t) aggregate, 1-row corpus stats broadcast (adds cf_t),
+  // TakeOrdered top-k. Ratios are < 1, so each ln goes through the
+  // SIGNED portable log (ln x = −plog(1/x) for x < 1); query terms
+  // absent from the corpus (cf = 0) contribute 0 in both engines
+  // rather than −∞.
+  // -------------------------------------------------------------------
+  val DirichletMu = 100.0
+
+  def qlTopK(docs: DataFrame, terms: Seq[String] = DefaultQuery,
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct)
+    val mu = lit(DirichletMu)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = tok(docs, col("doc_id")).groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols = Seq(sum("dl").as("sumdl")) ++
+      terms.indices.map(i => sum(col(s"tf$i")).as(s"cf$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def slog(x: Column): Column =
+      when(x >= 1.0, PortableMath.plog(x))
+        .otherwise(lit(0.0) - PortableMath.plog(lit(1.0) / x))
+    def contrib(i: Int): Column = {
+      val x = (col(s"tf$i").cast("double")
+        + mu * (col(s"cf$i").cast("double") / col("sumdl").cast("double"))) /
+        (col("dl").cast("double") + mu)
+      when(col(s"cf$i") > 0L, slog(x)).otherwise(lit(0.0))
+    }
+    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def qlTopKSql(terms: Seq[String] = DefaultQuery, k: Int = 10): String = {
+    val mu = java.lang.Double.toString(DirichletMu)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(", ")
+    val cfCols = terms.indices.map(i => s"SUM(tf$i) AS cf$i").mkString(", ")
+    val xCols = terms.indices.map(i =>
+      s"""(CAST(tf$i AS DOUBLE) + $mu *
+         | (CAST(cf$i AS DOUBLE) / CAST(sumdl AS DOUBLE))) /
+         | (CAST(dl AS DOUBLE) + $mu) AS x$i""".stripMargin).mkString(", ")
+    def contrib(i: Int): String =
+      s"""CASE WHEN cf$i > 0 THEN
+         |  CASE WHEN x$i >= 1.0 THEN (${PortableMath.plogSql(s"x$i")})
+         |       ELSE 0.0 - (${PortableMath.plogSql(s"1.0 / x$i")}) END
+         |  ELSE 0.0 END""".stripMargin
+    val score = terms.indices.map(contrib).reduceLeft((a, b) => s"($a + $b)")
+    val cfPass = terms.indices.map(i => s"cf$i").mkString(", ")
+    s"""WITH tok AS ($tokSql),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS dl, $tfCols FROM tok GROUP BY doc_id),
+       |stats AS (SELECT SUM(dl) AS sumdl, $cfCols FROM perdoc),
+       |xs AS (SELECT doc_id, $cfPass, $xCols
+       |       FROM perdoc CROSS JOIN stats)
+       |SELECT doc_id, $score AS score
+       |FROM xs
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Hybrid retrieval: BM25 lexical ranks ⊕ cosine vector ranks via
   // reciprocal-rank fusion, rrf = Σ_lists 1/(rrfK + rank) (Cormack et
   // al. 2009). Ranks are integers, 1/(60+r) is one exact division, and

@@ -119,4 +119,24 @@ class RetrievalOpsSpec extends SparkSpec {
       assert(graft.SparkEntry.oracleSql.contains(n), n)
     }
   }
+
+  test("QL-Dirichlet: term-bearing docs outrank, smoothing scores every doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark hash join vector window"),   // all 5 query terms
+      (2L, "spark spark spark pad pad pad"),   // one term, repeated
+      (3L, "utterly unrelated words only here")
+    ).toDF("doc_id", "text")
+    val got = RetrievalOps.qlTopK(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // every doc scored (smoothing), ranked 1 > 2 > 3
+    assert(got.length == 3)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), s"got ${got.toSeq}")
+    // scores are finite negative log-likelihoods
+    assert(got.forall(t => t._2 < 0.0 && !t._2.isInfinite))
+    // absent-from-corpus query terms contribute 0, not -inf
+    val gotAbsent = RetrievalOps.qlTopK(docs,
+      terms = Seq("spark", "zzz_nowhere"), k = 3).collect()
+    assert(gotAbsent.forall(r => !r.getDouble(1).isInfinite))
+  }
 }
