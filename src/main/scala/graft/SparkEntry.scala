@@ -390,6 +390,15 @@ object SparkEntry {
     // trailing 3-day estimate — the sketch-MERGEABILITY demo (windows
     // are register-wise MAX; no user-level re-touch), exact alongside
     "events_hll_rolling" -> ((s, dir) => EventOps.hllUsersRolling(Tables.events(s, dir))),
+    // whole-operator Catalyst extension (custom LogicalPlan + Strategy
+    // + SparkPlan): per-key top-k via bounded heaps — partial map-side
+    // reduction to k rows/key/partition, shuffle carries heads only,
+    // final heap merge; no Window, no per-group full sort
+    "topk_per_key" -> ((s, dir) =>
+      org.apache.spark.sql.graft.TopKPerKey(
+        Tables.events(s, dir).select("event_type", "event_id", "value"),
+        keys = Seq("event_type"),
+        order = Seq("value" -> false, "event_id" -> true), k = 3)),
     // robust outliers composed over the MAD relation (broadcast back
     // onto the scan; integer-grid threshold, no float compare)
     "events_outliers" -> ((s, dir) => EventOps.typeOutliers(Tables.events(s, dir))),
@@ -850,6 +859,12 @@ object SparkEntry {
     "events_mad" -> EventOps.typeMadSql,
     "events_cum_users" -> EventOps.cumulativeUsersSql,
     "events_hll_rolling" -> EventOps.hllUsersRollingSql(),
+    "topk_per_key" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin,
     "events_outliers" -> EventOps.typeOutliersSql(),
     "events_histogram" -> EventOps.typeHistogramSql(),
     "events_conversion_lag" -> EventOps.conversionLagSql,

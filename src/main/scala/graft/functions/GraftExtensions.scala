@@ -17,10 +17,13 @@ import org.apache.spark.sql.graft.{StringFingerprint, TextStats, VecDot, VecSqDi
   * `spark.sql(...)` and `expr(...)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator extension: per-key top-k bounded-heap operator
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

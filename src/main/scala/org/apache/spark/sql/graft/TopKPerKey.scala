@@ -1,0 +1,145 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension (the brief's path (c): custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan`): per-key top-k
+  * WITHOUT a window — the query every Window+`rn <= k` formulation
+  * over-pays for.
+  *
+  * The window plan sorts EVERY key group in full (O(n log n) per key,
+  * all n rows through the sort and the rank projection) and only then
+  * drops rows. This operator keeps a bounded k-row heap per key:
+  *
+  *   partial TopKPerKeyExec   (any partitioning — each input partition
+  *                             reduces to ≤ k rows per key map-side,
+  *                             the heap analog of a partial aggregate)
+  *   → Exchange(keys)         (inserted by EnsureRequirements from the
+  *                             final stage's required distribution;
+  *                             carries ≤ k·partitions rows per key,
+  *                             never the raw data)
+  *   → final TopKPerKeyExec   (merges the partial heaps per key)
+  *
+  * O(n log k) comparisons, shuffle bytes bounded by k·partitions·keys
+  * — at 100 TB the shuffle reduction IS the operator. Rows are emitted
+  * in `order` within each key (deterministic given a TOTAL order —
+  * callers must include a tiebreak column, exactly as with a window).
+  */
+case class TopKPerKeyLogical(
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyLogical =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortExprs = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection: inputs are not guaranteed UnsafeRow after
+      // every upstream operator, and stored rows must own their bytes
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val ordering = GenerateOrdering.generate(sortExprs, childOutput)
+      // heap root = WORST retained row (reverse ordering), so admission
+      // is one compare against the root
+      val heapCmp = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+          ordering.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](limit, heapCmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.add(toUnsafe(row).copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(toUnsafe(row).copy())
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+      val it = heaps.values().iterator()
+      while (it.hasNext) {
+        val heap = it.next()
+        val rows = new Array[UnsafeRow](heap.size)
+        var i = rows.length - 1
+        while (!heap.isEmpty) { rows(i) = heap.poll(); i -= 1 }
+        out ++= rows // best-first within the key
+      }
+      out.iterator
+    }
+  }
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyLogical(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Ensure the planner strategy is installed on this session
+    * (idempotent; also injectable via GraftExtensions config). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+
+  /** Top `k` rows per distinct value of `keys` (column names),
+    * best-first under `order` — each entry is (column name,
+    * ascending?); the combined order must be TOTAL (include a
+    * tiebreak) for deterministic results, exactly as with a window
+    * rank. Names rather than Columns: the node's expressions must be
+    * genuine catalyst UnresolvedAttributes for the analyzer to resolve
+    * them inside a custom logical node (the sql-api Column wrapper is
+    * neither resolvable there nor task-serializable). */
+  def apply(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val spark = df.sparkSession
+    install(spark)
+    val orderExprs = order.map { case (name, asc) =>
+      SortOrder(UnresolvedAttribute.quoted(name),
+        if (asc) Ascending else Descending)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerKeyLogical(keys.map(n => UnresolvedAttribute.quoted(n)),
+        orderExprs, k,
+        df.queryExecution.logical))
+  }
+}
