@@ -102,6 +102,56 @@ case class TopKPerKeyExec(
   }
 }
 
+/** Optimizer rule (the extension path's `Rule[LogicalPlan]` box):
+  * rewrites the canonical rank-limit window shape
+  *
+  *   Project(p, Filter(rn <= k, Window(rn := row_number() OVER
+  *     (PARTITION BY keys ORDER BY ord), keys, ord, child)))
+  *
+  * into `Project(p, TopKPerKeyLogical(keys, ord, k, child))` — the
+  * bounded-heap operator replaces the full per-group sort + rank
+  * entirely (Spark's own WindowGroupLimit only pre-filters; the Window
+  * and its Sort still run). Deliberately conservative: exactly one
+  * window expression, a bare row_number, a `rn <= lit` / `rn < lit`
+  * filter, and a parent Project that drops rn (so nothing downstream
+  * reads the rank). Opt-in via [[TopKPerKey.installRewrite]] or the
+  * GraftExtensions config path. */
+object WindowToTopKRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+
+  private def limitOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _))
+      if a.exprId == rn => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, _))
+      if a.exprId == rn => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList,
+        Filter(cond, w @ Window(
+          Seq(a @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(partitionSpec, orderSpec, _)), _)),
+          _, _, child, _)))
+        if partitionSpec.nonEmpty &&
+          limitOf(cond, a.exprId).exists(_ > 0) &&
+          !projList.exists(_.references.exists(_.exprId == a.exprId)) =>
+      // Spark's InferWindowGroupLimit may already have inserted its
+      // pre-filter (with the Sort its physical form needs) below the
+      // Window; the heap operator subsumes it, so unwrap.
+      val realChild = child match {
+        case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+          wgl.child
+        case other => other
+      }
+      Project(projList,
+        TopKPerKeyLogical(partitionSpec, orderSpec,
+          limitOf(cond, a.exprId).get, realChild))
+  }
+}
+
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyLogical(keys, order, k, child) =>
@@ -118,6 +168,15 @@ object TopKPerKey {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+
+  /** Opt-in: also rewrite existing Window+rn<=k plans through
+    * [[WindowToTopKRule]] on this session (idempotent). */
+  def installRewrite(spark: SparkSession): Unit = {
+    install(spark)
+    if (!spark.experimental.extraOptimizations.contains(WindowToTopKRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowToTopKRule
+  }
 
   /** Top `k` rows per distinct value of `keys` (column names),
     * best-first under `order` — each entry is (column name,
