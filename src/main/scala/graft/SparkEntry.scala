@@ -402,6 +402,9 @@ object SparkEntry {
     // robust outliers composed over the MAD relation (broadcast back
     // onto the scan; integer-grid threshold, no float compare)
     "events_outliers" -> ((s, dir) => EventOps.typeOutliers(Tables.events(s, dir))),
+    // CUSUM drift alarms vs the type's own median — the sequential
+    // max(0, S+d) fold as two window passes (prefix sum - running min)
+    "events_cusum" -> ((s, dir) => EventOps.typeCusum(Tables.events(s, dir))),
     // fixed-width histogram (integer floor-div bins) — the profiling
     // twin of the equi-depth qbins
     "events_histogram" -> ((s, dir) => EventOps.typeHistogram(Tables.events(s, dir))),
@@ -866,6 +869,7 @@ object SparkEntry {
         |      ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events) t WHERE rn <= 3""".stripMargin,
     "events_outliers" -> EventOps.typeOutliersSql(),
+    "events_cusum" -> EventOps.typeCusumSql(),
     "events_histogram" -> EventOps.typeHistogramSql(),
     "events_conversion_lag" -> EventOps.conversionLagSql,
     "events_funnel" -> EventOps.funnelSql(withinMinutes = 1440),

@@ -87,6 +87,61 @@ object EventOps {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** CUSUM drift alarm per event_type (Page 1954): the sequential
+    * statistic S_t = max(0, S_{t-1} + (x_t − target)) flags sustained
+    * upward drift from the type's own (rank-exact) median. The
+    * recursion has the closed form S_t = P_t − min(0, min_{j≤t} P_j)
+    * with P the running sum of deviations — so the whole fold is two
+    * window passes (running sum + running min) over ONE event_type
+    * shuffle, no sequential driver loop. All arithmetic on the cents
+    * grid → bit-exact; order (ts, event_id) is total. Emits the alarm
+    * rows (S ≥ threshold) with the statistic in original units. */
+  def typeCusum(events: DataFrame, threshold: Double = 100.0): DataFrame = {
+    val med = typeMad(events).select(col("event_type"),
+      (col("median") * 100).cast("long").as("medc"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thC = math.round(threshold * 100)
+    events.select(col("event_type"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("p", sum(col("v") - col("medc")).over(w))
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .filter(col("s") >= thC)
+      .select(col("event_type"), col("event_id"),
+        (col("s").cast("double") / 100.0).as("cusum"))
+  }
+
+  def typeCusumSql(threshold: Double = 100.0): String = {
+    val thC = math.round(threshold * 100)
+    s"""WITH madrel AS ($typeMadSql),
+       |med AS (SELECT event_type, CAST(median * 100 AS BIGINT) AS medc
+       |        FROM madrel),
+       |base AS (
+       |  SELECT e.event_type, e.event_id, e.ts,
+       |    CAST(ROUND(e.value * 100) AS BIGINT) AS v, m.medc
+       |  FROM events e JOIN med m USING (event_type))
+       |SELECT event_type, event_id,
+       |  CAST(s AS DOUBLE) / 100.0 AS cusum
+       |FROM (
+       |  SELECT event_type, event_id,
+       |    p - LEAST(MIN(CAST(p AS BIGINT)) OVER (PARTITION BY event_type
+       |      ORDER BY rn ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+       |  FROM (
+       |    SELECT event_type, event_id, p,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY ts ASC, event_id ASC) AS rn
+       |    FROM (
+       |      SELECT event_type, event_id, ts,
+       |        SUM(v - medc) OVER (PARTITION BY event_type
+       |          ORDER BY ts ASC, event_id ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |      FROM base) q) r) t
+       |WHERE s >= $thC""".stripMargin
+  }
+
   /** Growth accounting: per calendar day, the count of FIRST-seen users
     * and the running cumulative distinct-user total — the "cumulative
     * distinct" query that is a quadratic re-scan when written naively

@@ -539,4 +539,27 @@ class EventAndMultimodalSpec extends SparkSpec {
       .map(r => (r.getDouble(1), r.getLong(2)))
     assert(again.sameElements(got))
   }
+
+  test("CUSUM: no alarms on a median-flat series, fires after a sustained step") {
+    // 5 values at 10 (median 10, deviations 0 -> S=0), then a step to
+    // 60: deviations +50 accumulate S = 50,100,150 -> threshold 100
+    // fires at the 2nd and 3rd post-step events
+    val ev = (1 to 5).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:00:0${i - 1}"), 1L, "m", 10.00, "{}")) ++
+      Seq(
+        (6L, ts("2024-01-01 10:01:00"), 1L, "m", 60.00, "{}"),
+        (7L, ts("2024-01-01 10:01:01"), 1L, "m", 60.00, "{}"),
+        (8L, ts("2024-01-01 10:01:02"), 1L, "m", 60.00, "{}"))
+    val df = ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.typeCusum(df, threshold = 100.0).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((7L, 100.0), (8L, 150.0)), s"got ${got.toSeq}")
+    // closed form == sequential fold on the same series
+    val vals = ev.map(_._5)
+    val med = 10.0
+    var st = 0.0
+    val seq = vals.map { v => st = math.max(0.0, st + (v - med)); st }
+    assert(seq.zipWithIndex.filter(_._1 >= 100.0).map(_._2 + 1).toSeq
+      == got.map(_._1.toInt).toSeq)
+  }
 }
