@@ -204,6 +204,11 @@ object SparkEntry {
     // TakeOrdered top-k — prioritySample's sampling-law sibling
     "sample_ares" -> ((s, dir) =>
       graft.ops.Sampling.aresSample(Tables.table(s, dir, "documents"), k = 256)),
+    // per-stratum weighted reservoir: A-ES keys + the custom
+    // bounded-heap TopKPerKey operator (never a full stratum sort)
+    "sample_ares_grouped" -> ((s, dir) =>
+      graft.ops.Sampling.aresSamplePerSource(
+        Tables.table(s, dir, "documents"), k = 64)),
     "sample_priority" -> ((s, dir) =>
       graft.ops.Sampling.prioritySample(
         Tables.table(s, dir, "documents"), 100)),
@@ -791,6 +796,7 @@ object SparkEntry {
     "dsir_weights" -> graft.ops.Dsir.importanceWeightsSql("src0"),
     "dsir_select" -> graft.ops.Dsir.selectSql("src0", 100),
     "sample_ares" -> graft.ops.Sampling.aresSampleSql(256),
+    "sample_ares_grouped" -> graft.ops.Sampling.aresSamplePerSourceSql(64),
     "sample_priority" -> graft.ops.Sampling.prioritySampleSql(100),
     "text_tfidf" -> graft.ops.RetrievalOps.tfidfSql,
     "text_cosine_pairs" -> graft.ops.RetrievalOps.cosinePairsSql(),

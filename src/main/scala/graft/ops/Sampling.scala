@@ -304,4 +304,44 @@ object Sampling {
        |  FROM documents) t
        |ORDER BY key DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** Per-stratum A-ES reservoir: an independent weighted PPS-WOR
+    * sample of `k` docs per `source`, composed from the A-ES key
+    * projection and the custom bounded-heap TopKPerKey operator —
+    * the group-wise reservoir never windows or sorts a stratum in
+    * full, and the shuffle carries ≤ k·partitions rows per stratum.
+    * The balanced per-domain sampling shape (cap every crawl domain
+    * to k weighted picks). */
+  def aresSamplePerSource(
+      docs: DataFrame, k: Int, weight: Column = col("n_chars"),
+      seed: Int = 13): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val h = Dedup.md5Hash60(seed, col("doc_id").cast("string"))
+    val invU = lit(Pow2_60) / (h.cast("double") + lit(1.0))
+    val key = (lit(0.0) - plog(invU)) /
+      greatest(weight.cast("double"), lit(1.0))
+    val keyed = docs.select(col("source"), col("doc_id"),
+      weight.cast("long").as("w"), key.as("key"))
+    org.apache.spark.sql.graft.TopKPerKey(
+      keyed, Seq("source"), Seq("key" -> false, "doc_id" -> true), k)
+  }
+
+  def aresSamplePerSourceSql(
+      k: Int, weightExpr: String = "n_chars", seed: Int = 13): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id, w, (0.0 - (${plogSql("inv_u")})) / wd AS key
+       |  FROM (
+       |    SELECT source, doc_id, CAST($weightExpr AS BIGINT) AS w,
+       |      GREATEST(CAST($weightExpr AS DOUBLE), 1.0) AS wd,
+       |      1152921504606846976.0 /
+       |        (CAST(${Dedup.md5Hash60Sql(seed, "CAST(doc_id AS VARCHAR)")}
+       |           AS DOUBLE) + 1.0) AS inv_u
+       |    FROM documents) t)
+       |SELECT source, doc_id, w, key FROM (
+       |  SELECT source, doc_id, w, key,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY key DESC, doc_id ASC) AS rn
+       |  FROM keyed) r WHERE rn <= $k""".stripMargin
+  }
 }

@@ -195,4 +195,19 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.aresSample(d, k = 10).collect().map(_.getLong(0))
     assert(again.sameElements(got.map(_.getLong(0))))
   }
+
+  test("grouped A-ES: independent k-reservoir per source via the heap operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 100L)).toDF("doc_id", "source", "n_chars")
+    val got = Sampling.aresSamplePerSource(d, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "b") == 10)
+    // equal weights -> the per-source sample is the hash-top-10: must
+    // match the single-source aresSample restricted to that source
+    val aOnly = Sampling.aresSample(
+      d.filter(col("source") === "a"), k = 10).collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._1 == "a").map(_._2).toSet == aOnly)
+  }
 }
