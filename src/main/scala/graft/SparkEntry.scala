@@ -725,6 +725,10 @@ object SparkEntry {
     // Multimodal binary-column plumbing (decode stubbed, plumbing real)
     "mm_summary" -> ((s, dir) =>
       Multimodal.mediaSummary(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
+    // binary-payload exact dedup: only the 16-byte digest shuffles,
+    // never the blob — the asset-dedup pass before any decode
+    "mm_dedup" -> ((s, dir) =>
+      Multimodal.mediaDedup(Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
     // the float32 stub-decode math, flattened to one row per feature
     // component and fully oracle-checked (DuckDB FLOAT division is
     // bit-exact IEEE float32; see Multimodal.featuresFlatSql)
@@ -949,6 +953,7 @@ object SparkEntry {
     "ivfpq_topk_indexed" -> graft.ops.PqIndex.ivfPqTopKSql(),
     "ivfpq_topk_refined" -> graft.ops.PqIndex.ivfPqTopKRefinedSql(),
     "mm_summary" -> Multimodal.mediaSummarySql,
+    "mm_dedup" -> Multimodal.mediaDedupSql,
     "mm_frames" -> Multimodal.sampleFramesSql(),
     "mm_features_full" -> Multimodal.featuresFlatSql,
     "mm_resize" -> Multimodal.resizeFlatSql(),

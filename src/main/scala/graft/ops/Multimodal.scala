@@ -228,4 +228,34 @@ object Multimodal {
       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |  FROM documents) m GROUP BY kind""".stripMargin
+
+  /** Exact binary-payload dedup — the dedup family extended to the
+    * media modality: group on the 128-bit payload digest (the ONLY
+    * thing that crosses the wire — 16 bytes/item, never the blob),
+    * keep the lowest doc_id per digest, report the copy count. At
+    * 100 TB this is the standard asset-dedup pass before any decode:
+    * one fixed-width-key shuffle regardless of payload size. */
+  def mediaDedup(media: DataFrame): DataFrame = {
+    val d = media.select(col("doc_id"), col("meta.kind").as("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("digest"))
+    d.groupBy("digest").agg(
+        min("doc_id").as("doc_id"),
+        count(lit(1)).as("n_copies"))
+      .join(d.select("doc_id", "kind", "n_bytes"), Seq("doc_id"))
+      .select("doc_id", "kind", "n_bytes", "n_copies")
+  }
+
+  val mediaDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    md5(text) AS digest -- VARCHAR md5 = md5 over the UTF-8 bytes,
+      |                        -- identical to Spark's md5(payload)
+      |  FROM documents),
+      |g AS (SELECT digest, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |      FROM m GROUP BY digest)
+      |SELECT g.doc_id, m.kind, m.n_bytes, g.n_copies
+      |FROM g JOIN m USING (doc_id)""".stripMargin
 }

@@ -562,4 +562,15 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(seq.zipWithIndex.filter(_._1 >= 100.0).map(_._2 + 1).toSeq
       == got.map(_._1.toInt).toSeq)
   }
+
+  test("media dedup: identical payloads collapse to the lowest doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same bytes"), (2L, "same bytes"), (5L, "same bytes"),
+      (3L, "unique")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.mediaDedup(Multimodal.mediaFromDocuments(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == Map(1L -> 3L, 3L -> 1L), s"got $got")
+  }
 }
