@@ -591,6 +591,13 @@ object SparkEntry {
     // full Pearson correlation matrix in ONE scan / ONE 1-row agg:
     // all k(k+3)/2 sufficient statistics accumulate together, floats
     // only at the final ratio (sqrt is IEEE-exact, not libm)
+    // chi-square independence: order priority vs order year — the
+    // distribution-shift test; exact-integer numerators, grid-snapped sum
+    "orders_chisq" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, year}
+      graft.ops.StatsOps.chiSquare(Tables.table(s, dir, "orders"),
+        col("o_orderpriority"), year(col("o_orderdate")))
+    }),
     "corr_matrix" -> ((s, dir) =>
       graft.ops.StatsOps.corrMatrix(
         Tables.table(s, dir, "lineitem"),
@@ -926,6 +933,8 @@ object SparkEntry {
     "events_deciles" -> EventOps.valueDecilesSql(),
     "text_sgns_negatives" -> TextOps.sgnsNegativesSql(),
     "events_transitions" -> EventOps.transitionsSql,
+    "orders_chisq" -> graft.ops.StatsOps.chiSquareSql(
+      "orders", "o_orderpriority", "CAST(year(o_orderdate) AS INT)"),
     "corr_matrix" -> graft.ops.StatsOps.corrMatrixSql(
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "profile_docs" -> graft.ops.ProfileOps.profileSql(

@@ -86,4 +86,69 @@ object StatsOps {
     s"WITH st AS (\n  SELECT $stats\n  FROM $table)\n" +
       selects.mkString("\nUNION ALL\n")
   }
+
+  /** Pearson chi-square independence test between two categorical
+    * columns — the distribution-shift test (is order priority
+    * independent of order year?). χ² = Σ_cells (O−E)²/E with
+    * E = rowTot·colTot/n, computed as exact-integer numerators in
+    * DECIMAL(38,0): per cell (O·n − rt·ct)²/(n·rt·ct) — one IEEE
+    * division per cell, each term snapped to the 1e9 grid and summed
+    * in decimal so cell order can't move a bit. ABSENT cells (O = 0,
+    * E > 0) are materialized via the level cross join — dropping them
+    * understates χ². One (a, b) count agg + two marginal aggs (all
+    * tiny) + a levels cross join; nothing data-sized past the first
+    * shuffle. */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("a").agg(sum("o").as("rt"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("ct"))
+    val nRow = cells.agg(sum("o").as("n"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val dense = rowTot.crossJoin(colTot)
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("rt"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(nRow))
+    val num = (col("o").cast(Dec) * col("n").cast(Dec)
+      - col("rt").cast(Dec) * col("ct").cast(Dec))
+    val den = col("n").cast(Dec) * col("rt").cast(Dec) * col("ct").cast(Dec)
+    val term = dbl(num * num) / dbl(den)
+    dense
+      .select(round(term * lit(1e9)).cast(Dec).as("tg"),
+        col("a"), col("b"), col("n"))
+      .agg(
+        (sum(col("tg")).cast("string").cast("double") / lit(1e9)).as("chi2"),
+        ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1))
+          .as("dof"),
+        first(col("n")).as("n"))
+  }
+
+  def chiSquareSql(table: String, aExpr: String, bExpr: String): String =
+    s"""WITH cells AS (
+       |  SELECT $aExpr AS a, $bExpr AS b, COUNT(*) AS o
+       |  FROM $table GROUP BY 1, 2),
+       |rt AS (SELECT a, SUM(o) AS rt FROM cells GROUP BY a),
+       |ct AS (SELECT b, SUM(o) AS ct FROM cells GROUP BY b),
+       |nn AS (SELECT SUM(o) AS n FROM cells),
+       |dense AS (
+       |  SELECT rt.a, ct.b, rt.rt, ct.ct, COALESCE(c.o, 0) AS o, nn.n
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b
+       |  CROSS JOIN nn),
+       |terms AS (
+       |  SELECT a, b, n,
+       |    CAST(ROUND(
+       |      CAST(CAST((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+       |             * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+       |           AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(CAST(n AS HUGEINT) * rt * ct AS VARCHAR) AS DOUBLE)
+       |      * 1e9) AS HUGEINT) AS tg
+       |  FROM dense)
+       |SELECT
+       |  CAST(CAST(SUM(tg) AS VARCHAR) AS DOUBLE) / 1e9 AS chi2,
+       |  (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+       |  CAST(MIN(n) AS BIGINT) AS n
+       |FROM terms""".stripMargin
 }
