@@ -172,14 +172,16 @@ object CuratePipeline {
     * threshold broadcast back onto the score stream — the corpus is
     * scanned, never reshuffled. Learn-then-filter is inherently two
     * passes over the SCORE relation (the threshold must see the full
-    * distribution before any row can be kept); the declarative plan
-    * recomputes scores on the second pass, so a production job
-    * persists `scores` (doc_id + one double — tiny next to the corpus)
-    * between the passes. */
+    * distribution before any row can be kept), so the score relation
+    * (doc_id + one double — tiny next to the corpus) is materialized
+    * ONCE here via an eager localCheckpoint: the learn pass (histogram
+    * → threshold) and the filter pass both read the checkpointed rows
+    * instead of re-running lmScore's token-keyed shuffles twice. */
   def qualityFilter(docs: DataFrame, keepFrac: Double = 0.9): DataFrame = {
     val lo = -16.0; val bins = 1600L; val width = 0.01
     val dropFrac = 1.0 - keepFrac
     val scores = TextOps.lmScore(docs).select("doc_id", "avg_logp")
+      .localCheckpoint(true)
     val bin = least(greatest(
       floor((col("avg_logp") - lit(lo)) / lit(width)), lit(0L)), lit(bins - 1))
     val hist = scores.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))

@@ -47,7 +47,13 @@ object DedupIndex {
   def writeOnce(
       history: DataFrame, path: String,
       n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4): Unit =
-    if (ingested.add(path)) write(history, path, n, numPerm, rowsPerBand)
+    if (ingested.add(path)) {
+      // Record the path only once write() has fully succeeded — a failed
+      // ingest (disk full, interrupted job) must not make later calls in
+      // the same JVM silently probe a missing or partial index.
+      try write(history, path, n, numPerm, rowsPerBand)
+      catch { case t: Throwable => ingested.remove(path); throw t }
+    }
 
   /** Batch docs with no verified near-dup in the indexed history. */
   def probe(

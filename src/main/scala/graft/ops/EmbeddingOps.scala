@@ -255,9 +255,12 @@ object EmbeddingOps {
   // candidates — the structure semantic-dedup clustering, curriculum
   // ordering, and graph-based corpus analysis consume. Same blocked
   // candidate generation as cosineNearDups (never all-pairs: only
-  // co-bucketed vectors meet), then a per-source top-k window over each
-  // vector's OWN candidate list (group size = its candidate count, not
-  // the corpus). Directed output: (vec_id, neighbor, cosine, rank).
+  // co-bucketed vectors meet), then a per-source top-k via the custom
+  // TopKPerKey physical operator (partial k-row heaps → key exchange of
+  // ≤ k·partitions rows/key → final merge emitting the rank from the
+  // heap drain) — no Window, no per-group Sort: each vector's candidate
+  // list never materializes sorted. Directed output:
+  // (vec_id, neighbor, cosine, rank).
   // -------------------------------------------------------------------
   def knnGraph(
       embs: DataFrame, k: Int = 3, dim: Int = 64,
@@ -277,10 +280,9 @@ object EmbeddingOps {
         col("nrm").as("nb")), Seq("idb"))
       .select(col("ida"), col("idb"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("ida").orderBy(col("cosine").desc, col("idb").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    org.apache.spark.sql.graft.TopKPerKey(
+        scored, Seq("ida"), Seq(("cosine", false), ("idb", true)), k,
+        rankCol = Some("rank"))
       .select(col("ida").as("vec_id"), col("idb").as("neighbor"),
         col("cosine"), col("rank"))
   }

@@ -98,7 +98,7 @@ object EventOps {
     * rows (S ≥ threshold) with the statistic in original units. */
   def typeCusum(events: DataFrame, threshold: Double = 100.0): DataFrame = {
     val med = typeMad(events).select(col("event_type"),
-      (col("median") * 100).cast("long").as("medc"))
+      round(col("median") * 100).cast("long").as("medc"))
     val w = Window.partitionBy("event_type")
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -116,7 +116,7 @@ object EventOps {
   def typeCusumSql(threshold: Double = 100.0): String = {
     val thC = math.round(threshold * 100)
     s"""WITH madrel AS ($typeMadSql),
-       |med AS (SELECT event_type, CAST(median * 100 AS BIGINT) AS medc
+       |med AS (SELECT event_type, CAST(ROUND(median * 100) AS BIGINT) AS medc
        |        FROM madrel),
        |base AS (
        |  SELECT e.event_type, e.event_id, e.ts,
@@ -239,8 +239,8 @@ object EventOps {
     * both sides, no float threshold). */
   def typeOutliers(events: DataFrame, nMads: Int = 3): DataFrame = {
     val mad = typeMad(events).select(col("event_type"),
-      (col("median") * 100).cast("long").as("medc"),
-      (col("mad") * 100).cast("long").as("madc"))
+      round(col("median") * 100).cast("long").as("medc"),
+      round(col("mad") * 100).cast("long").as("madc"))
     events.select(col("event_type"), col("event_id"),
         round(col("value") * 100).cast("long").as("v"))
       .join(broadcast(mad), Seq("event_type"))
@@ -254,8 +254,8 @@ object EventOps {
   def typeOutliersSql(nMads: Int = 3): String =
     s"""WITH madrel AS ($typeMadSql),
        |madc AS (SELECT event_type,
-       |    CAST(median * 100 AS BIGINT) AS medc,
-       |    CAST(mad * 100 AS BIGINT) AS madc
+       |    CAST(ROUND(median * 100) AS BIGINT) AS medc,
+       |    CAST(ROUND(mad * 100) AS BIGINT) AS madc
        |  FROM madrel)
        |SELECT e.event_type, e.event_id,
        |  CAST(CAST(ROUND(e.value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value,

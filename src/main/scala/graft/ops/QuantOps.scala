@@ -37,6 +37,13 @@ object QuantOps {
     val rows = embs.select(posexplode(col("embedding"))).toDF("pos", "v")
       .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
       .collect()
+    // Validate the observed dimensionality against the declared one: a
+    // longer embedding would index past the grid arrays; a shorter one
+    // would leave lo/hi at 0.0 and silently mis-calibrate the grid.
+    require(rows.nonEmpty, "dimStats: embeddings relation is empty")
+    val maxPos = rows.iterator.map(_.getInt(0)).max
+    require(maxPos == dim - 1,
+      s"dimStats: embeddings span ${maxPos + 1} dims, expected $dim")
     val lo = new Array[Double](dim); val hi = new Array[Double](dim)
     rows.foreach { r =>
       lo(r.getInt(0)) = r.getFloat(1).toDouble

@@ -97,7 +97,16 @@ object StatsOps {
     * E > 0) are materialized via the level cross join — dropping them
     * understates χ². One (a, b) count agg + two marginal aggs (all
     * tiny) + a levels cross join; nothing data-sized past the first
-    * shuffle. */
+    * shuffle.
+    *
+    * Exactness bound: the squared numerator (O·n − rt·ct)² is ≤ n⁴, so
+    * DECIMAL(38,0) holds it exactly only while n ≤ ~3.16e9 rows (DuckDB's
+    * HUGEINT has the same ~1.7e38 ceiling but errors instead of
+    * NULLing). Past that, Spark non-ANSI decimal overflow would yield
+    * NULL terms that silently DROP from the sum — so the plan carries an
+    * `assert_true(n ≤ 3e9)` guard that fails the query loudly instead.
+    * Beyond the bound, compute terms in double (χ² is a test statistic;
+    * at 3e9+ observations the p-value is saturated anyway). */
   def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val Dec = DecimalType(38, 0)
     val cells = df.select(aCol.as("a"), bCol.as("b"))
@@ -115,8 +124,17 @@ object StatsOps {
       - col("rt").cast(Dec) * col("ct").cast(Dec))
     val den = col("n").cast(Dec) * col("rt").cast(Dec) * col("ct").cast(Dec)
     val term = dbl(num * num) / dbl(den)
+    // num² ≤ n⁴ only fits DECIMAL(38,0) while n ≤ ~3.16e9; overflow in
+    // non-ANSI mode NULLs terms that then silently drop from the sum.
+    // Fail loudly at the bound instead (assert_true → null when ok).
+    val guard = coalesce(
+      assert_true(col("n") <= lit(3000000000L),
+        lit("chiSquare: n exceeds 3e9 — (O*n - rt*ct)^2 would overflow " +
+          "DECIMAL(38,0); use a double-precision variant at this scale"))
+        .cast("double"),
+      lit(0.0))
     dense
-      .select(round(term * lit(1e9)).cast(Dec).as("tg"),
+      .select(round(term * lit(1e9) + guard).cast(Dec).as("tg"),
         col("a"), col("b"), col("n"))
       .agg(
         (sum(col("tg")).cast("string").cast("double") / lit(1e9)).as("chi2"),

@@ -35,9 +35,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   */
 case class TopKPerKeyLogical(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, "k must be positive")
-  override def output: Seq[Attribute] = child.output
+  // rankAttr (the 1-based within-key rank, LongType) is a constructor
+  // parameter — NOT generated in `output` — so optimizer copies keep a
+  // stable exprId and parent references never dangle.
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyLogical =
     copy(child = newChild)
@@ -45,9 +51,12 @@ case class TopKPerKeyLogical(
 
 case class TopKPerKeyExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+    child: SparkPlan, partial: Boolean,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -63,6 +72,8 @@ case class TopKPerKeyExec(
     val sortExprs = order
     val limit = k
     val childOutput = child.output
+    val emitRank = rankAttr.isDefined
+    val outAttrs = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // identity projection: inputs are not guaranteed UnsafeRow after
@@ -89,13 +100,34 @@ case class TopKPerKeyExec(
         }
       }
       val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+      // When the final stage carries a rank attribute, the heap drain IS
+      // the rank computation: rows leave best-first, so position+1 within
+      // the key is exactly row_number() — no Window, no Sort.
+      val rankProj =
+        if (emitRank) UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
+        else null
+      val joined =
+        if (emitRank) new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        else null
+      val rankRow =
+        if (emitRank)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        else null
       val it = heaps.values().iterator()
       while (it.hasNext) {
         val heap = it.next()
         val rows = new Array[UnsafeRow](heap.size)
         var i = rows.length - 1
         while (!heap.isEmpty) { rows(i) = heap.poll(); i -= 1 }
-        out ++= rows // best-first within the key
+        if (!emitRank) out ++= rows // best-first within the key
+        else {
+          var r = 0
+          while (r < rows.length) {
+            rankRow.setLong(0, r + 1L)
+            out += rankProj(joined(rows(r), rankRow)).copy()
+            r += 1
+          }
+        }
       }
       out.iterator
     }
@@ -154,9 +186,12 @@ object WindowToTopKRule
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyLogical(keys, order, k, child) =>
+    case TopKPerKeyLogical(keys, order, k, child, rankAttr) =>
+      // rank is emitted only by the FINAL stage — partial heaps feed the
+      // key exchange with plain child rows (a partial rank would be
+      // meaningless across partitions and would widen the shuffle).
       val partial = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+      TopKPerKeyExec(keys, order, k, partial, partial = false, rankAttr) :: Nil
     case _ => Nil
   }
 }
@@ -187,18 +222,22 @@ object TopKPerKey {
     * them inside a custom logical node (the sql-api Column wrapper is
     * neither resolvable there nor task-serializable). */
   def apply(df: DataFrame, keys: Seq[String],
-      order: Seq[(String, Boolean)], k: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+      order: Seq[(String, Boolean)], k: Int,
+      rankCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending}
     val spark = df.sparkSession
     install(spark)
     val orderExprs = order.map { case (name, asc) =>
       SortOrder(UnresolvedAttribute.quoted(name),
         if (asc) Ascending else Descending)
     }
+    val rankAttr = rankCol.map(n =>
+      AttributeReference(n, org.apache.spark.sql.types.LongType,
+        nullable = false)())
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       TopKPerKeyLogical(keys.map(n => UnresolvedAttribute.quoted(n)),
         orderExprs, k,
-        df.queryExecution.logical))
+        df.queryExecution.logical, rankAttr))
   }
 }

@@ -82,6 +82,38 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("rankCol emits row_number()-identical ranks from the heap drain") {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = events.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val got = TopKPerKey(events, Seq("event_type"),
+      Seq("value" -> false, "event_id" -> true), 5, rankCol = Some("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("knnGraph routes through TopKPerKey: no Window, no Sort in the plan") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val embs = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val plan = graft.ops.EmbeddingOps.knnGraph(embs)
+        .queryExecution.executedPlan
+      val execs = plan.collect { case e: TopKPerKeyExec => e }
+      assert(execs.map(_.partial).sorted == Seq(false, true),
+        s"expected partial+final heap operators, got ${execs.map(_.partial)}")
+      assert(execs.exists(e => !e.partial && e.rankAttr.isDefined),
+        "final stage must emit the rank")
+      val planStr = plan.toString
+      assert(!planStr.contains("Window"), "must not plan a Window")
+      assert(!planStr.contains("Sort "), "must not plan a per-group Sort")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("groups smaller than k pass through whole; total order breaks ties") {
     val df = Seq(
       ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
