@@ -112,6 +112,19 @@ object Bench {
       "ivf_topk_indexed" - "pq_topk_indexed" - "ivfpq_topk_indexed"
 
     var loads = Map.empty[String, String]
+    // Untimed TARGET-SF warmup for the fit-family entries before any
+    // timed pass (r10: kmeans_fit10_obj measured 8.5 s cold vs 4.0 s
+    // warm purely from suite position — the sf0.001 warmup pass does
+    // not warm the 10-superstep path at target scale).
+    selected.get("kmeans_fit10_obj").foreach { fn =>
+      try execute(fn(spark, sfDir)) catch { case _: Throwable => }
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+    }
+
     // Three INTERLEAVED full passes over the query set instead of three
     // consecutive runs per query: host-level stall windows here last
     // minutes (r8's official session measured assign_join at 66-87s in
@@ -156,28 +169,41 @@ object Bench {
     // Skipped under SPARK_GRAFT_ONLY unless named — isolation runs
     // should time exactly what they name.
     val runFit = only.forall(_.contains("kmeans_fit10"))
+    def fitOnce(): Unit = {
+      val res = kmeans.KMeansFit.fit(
+        Tables.points(spark, sfDir),
+        Tables.initCentroids(spark, sfDir, 8),
+        kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false),
+        exact = false)
+      require(res.centroids.nonEmpty)
+    }
     val (fitRuns, fitSec, fitErr) =
       if (!runFit) (Seq.empty[Double], -1.0, None)
-      else bestOf(2) {
-        val res = kmeans.KMeansFit.fit(
-          Tables.points(spark, sfDir),
-          Tables.initCentroids(spark, sfDir, 8),
-          kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false),
-          exact = false)
-        require(res.centroids.nonEmpty)
+      else {
+        // one untimed warmup right before the timed entries (r10 item 7:
+        // cold-JVM/suite-position noise moved the headline fit number)
+        try fitOnce() catch { case _: Throwable => }
+        bestOf(2)(fitOnce())
       }
     // The production ANN shape: the IVF index is built ONCE (untimed —
     // amortized across every query in real use, ~2 s of ivf_topk's
     // headline number is quantizer build) and persisted partitioned by
     // list_id; the timed body is the partition-pruned probe + rescore.
+    // build-vs-probe split (r10 item 2): the untimed index builds below
+    // are the SAME builds the build-inside-the-query entries (ivf_topk,
+    // pq_topk, ivfpq_topk...) pay in their timed bodies — record their
+    // seconds so BENCH_DETAIL explains those line items from JSON alone.
+    val buildSecs = scala.collection.mutable.Map.empty[String, Double]
     val runIvfIndexed = only.forall(_.contains("ivf_topk_indexed"))
     val ivfIndexed: Option[QueryResult] = if (!runIvfIndexed) None else Some {
       try {
         val embs = Tables.table(spark, sfDir, "embeddings")
+        val tb0 = System.nanoTime()
         val built = ops.IvfIndex.build(embs, nlist = 16, maxIter = 5,
           convergence = false)
         val path = "target/bench_ivf_index.parquet"
         ops.IvfIndex.writeIndex(built, path)
+        buildSecs("ivf_topk") = (System.nanoTime() - tb0) / 1e9
         val q = ops.IvfIndex.vectors(embs)
           .filter(org.apache.spark.sql.functions.col("id") === 0L)
           .collect()(0).getSeq[Double](1)
@@ -198,9 +224,11 @@ object Bench {
       try {
         val embs = Tables.table(spark, sfDir, "embeddings")
         val vecs = ops.IvfIndex.vectors(embs)
+        val tb0 = System.nanoTime()
         val cb = ops.PqIndex.train(vecs, m = 4, nlist = 16, maxIter = 3)
         val path = "target/bench_pq_index.parquet"
         ops.PqIndex.writeIndex(vecs, cb, path)
+        buildSecs("pq_topk") = (System.nanoTime() - tb0) / 1e9
         val q = vecs
           .filter(org.apache.spark.sql.functions.col("id") === 0L)
           .collect()(0).getSeq[Double](1)
@@ -221,8 +249,11 @@ object Bench {
       try {
         val embs = Tables.table(spark, sfDir, "embeddings")
         val path = "target/bench_ivfpq_index.parquet"
+        val tb0 = System.nanoTime()
         ops.PqIndex.writeIvfPqIndex(embs, nlistC = 8, maxIterC = 3,
           m = 4, nlist = 16, maxIter = 3, path)
+        buildSecs("ivfpq_topk") = (System.nanoTime() - tb0) / 1e9
+        buildSecs("ivfpq_topk_refined") = buildSecs("ivfpq_topk")
         val q = ops.IvfIndex.vectors(embs)
           .filter(org.apache.spark.sql.functions.col("id") === 0L)
           .head().getSeq[Double](1)
@@ -250,6 +281,16 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SKIP_10M").contains("1") || only.nonEmpty) None
       else Some(timed10m(spark))
 
+    // Streaming surface (r10 item 4): MemoryStream throughput for the
+    // stateful packer, the windowed agg, and the stream-stream
+    // attribution join at the bench SF's full volume. Reported in a
+    // separate "streaming" object so the cross-round batch total stays
+    // comparable; skipped on subset runs.
+    val streaming: Seq[tools.StreamBench.Res] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SKIP_STREAM").contains("1")) Nil
+      else try tools.StreamBench.run(spark, sfDir)
+      catch { case _: Throwable => Nil }
+
     val load = loadNow()
     // Self-defense against session-state anomalies (the r8 lesson:
     // assign_join measured 66-87 s across all three runs in the official
@@ -275,7 +316,8 @@ object Bench {
       case Left(err) => s""","remeasure_error":"${jsonEsc(err.take(120))}""""
     }
     try {
-      val fresh = detailJson(all, load, cpus, fit10m, sfDir, loads, remeasureJson)
+      val fresh = detailJson(all, load, cpus, fit10m, sfDir, loads,
+        remeasureJson, buildSecs.toMap, streaming)
       // A SPARK_GRAFT_ONLY subset run must never REPLACE the committed
       // full-suite snapshot (the r9 lesson: a 5-query sf0.01 re-run
       // overwrote the 132-query sf0.1 baseline). Same sf+cpus → merge
@@ -314,7 +356,9 @@ object Bench {
     val newJ = JsonMethods.parse(fresh)
     if ((oldJ \ "sf") != (newJ \ "sf") || (oldJ \ "cpus") != (newJ \ "cpus"))
       return ("BENCH_DETAIL_PARTIAL.json", fresh)
-    val perQuery = Set("queries", "runs", "errors", "load_after", "remeasure")
+    val perQuery =
+      Set("queries", "runs", "errors", "load_after", "remeasure",
+        "build_sec", "streaming")
     val oldFields = oldJ match { case JObject(o) => o; case _ => Nil }
     val newFields = newJ match { case JObject(n) => n; case _ => Nil }
     val keys = (oldFields.map(_._1) ++ newFields.map(_._1)).distinct
@@ -540,7 +584,9 @@ object Bench {
       all: Seq[QueryResult], load: String, cpus: String,
       fit10m: Option[(Seq[Double], Option[String])], sfDir: String,
       loads: Map[String, String] = Map.empty,
-      remeasureJson: String = ""): String = {
+      remeasureJson: String = "",
+      buildSec: Map[String, Double] = Map.empty,
+      streaming: Seq[tools.StreamBench.Res] = Nil): String = {
     val runsJson = all.map { case (k, rs, _, _) =>
       s""""$k":${rs.mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -565,9 +611,25 @@ object Bench {
       """"ivfpq_topk":"IVFADC: coarse + residual-PQ build + probe inside the timed body",""" +
       """"ivfpq_topk_indexed":"partition-pruned codes probe + ADC; index persisted untimed (production path)",""" +
       """"dedup_incr_indexed":"index write memoized per JVM (production: once per ingest) — the first pass pays ingest + probe, later passes probe only, so best-of-N is the production probe path (dedup_incr_near is the same computation unstaged)"}"""
+    // machine-readable build-vs-probe split (r10 item 2): which entries
+    // pay an index/codebook build inside the timed body, and what the
+    // equivalent build costs when run untimed for the _indexed twins
+    // (emb_sq8_topk's "build" is a d-row stats agg — listed, not timed)
+    val buildInside = """"build_inside":["emb_sq8_topk","ivf_topk",""" +
+      """"ivfpq_topk","ivfpq_topk_refined","pq_topk"]"""
+    val buildJson =
+      if (buildSec.isEmpty) ""
+      else s""","build_sec":${buildSec.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")}"""
+    val streamJson =
+      if (streaming.isEmpty) ""
+      else s""","streaming":${streaming.map { r =>
+        f""""${r.name}":{"sec":${r.sec}%.2f,"rows":${r.rows}""" +
+          r.err.map(e => s""","error":"${jsonEsc(e)}"""").getOrElse("") + "}"
+      }.mkString("{", ",", "}")}"""
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
-      s"""$remeasureJson,$notes,"sf":"$sfDir"}"""
+      s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson,"sf":"$sfDir"}"""
   }
 
   /** Generate-once 10M-point parquet scratch + two timed fits over it.
