@@ -150,15 +150,17 @@ object CuratePipeline {
        |JOIN train_sh ON sh.shingle = train_sh.shingle
        |GROUP BY sh.doc_id, split.split""".stripMargin
 
-  /** Top-n tokens per corpus language (window-function surface): one
-    * token-count aggregate, then a per-lang rank. */
+  /** Top-n tokens per corpus language: one token-count aggregate, then
+    * a per-lang top-k through the custom TopKPerKey operator (partial
+    * heaps → key exchange of ≤ k·partitions rows per lang → final merge
+    * emitting the rank) — no Window, no per-group sort over the
+    * |vocab|-sized count relation. */
   def topTokensPerLang(docs: DataFrame, topN: Int = 5): DataFrame = {
     val counts = TextOps.explodedTokens(docs, "token", col("lang"))
       .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("cnt").desc, col("token").asc)
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
+    org.apache.spark.sql.graft.TopKPerKey(
+      counts, Seq("lang"), Seq(("cnt", false), ("token", true)), topN,
+      rankCol = Some("rank"))
   }
 
   /** Percentile-threshold quality filter — the production filter shape:

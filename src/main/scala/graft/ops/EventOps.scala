@@ -586,14 +586,16 @@ object EventOps {
     * is the standard "changelog → current state" materialization, and
     * the window's per-key top-1 never holds more than one user's events
     * in a task. */
-  def latestState(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    events
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def latestState(events: DataFrame): DataFrame =
+    // per-user top-1 via the custom TopKPerKey operator instead of a
+    // Window: partial per-partition top-1 heaps reduce the key exchange
+    // to ≤ 1·partitions rows per user (the raw changelog never shuffles
+    // whole), and no per-group sort runs — order (ts, event_id) desc is
+    // total, so the row matches the window formulation exactly
+    org.apache.spark.sql.graft.TopKPerKey(
+        events, Seq("user_id"),
+        Seq(("ts", false), ("event_id", false)), 1)
       .select("user_id", "ts", "event_type", "value")
-  }
 
   val latestStateSql: String =
     """SELECT user_id, ts, event_type, value FROM (
