@@ -32,6 +32,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * — at 100 TB the shuffle reduction IS the operator. Rows are emitted
   * in `order` within each key (deterministic given a TOTAL order —
   * callers must include a tiebreak column, exactly as with a window).
+  *
+  * Memory bound: each task holds k rows PER DISTINCT KEY seen in its
+  * partition (the heaps), i.e. O(k · keys/partition) rows — the same
+  * envelope as a hash aggregate over the key, and strictly less state
+  * than the window formulation's per-group sort buffers. A key space
+  * too large for that envelope should pre-partition by key (the final
+  * stage's ClusteredDistribution already bounds it to keys/partition
+  * after the exchange).
   */
 case class TopKPerKeyLogical(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,

@@ -10,6 +10,34 @@ class QuantOpsSpec extends SparkSpec {
   private def embs = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("declared dim must match the data (no silent zero-grid, no AIOOBE)") {
+    // r10 ADVICE: a longer embedding used to throw AIOOBE building the
+    // grid arrays; a shorter one silently left lo/hi at 0.0
+    val tooSmall = intercept[IllegalArgumentException](
+      QuantOps.sq8Codes(embs, dim = 32))
+    assert(tooSmall.getMessage.contains("expected 32"))
+    val tooBig = intercept[IllegalArgumentException](
+      QuantOps.sq8Codes(embs, dim = 128))
+    assert(tooBig.getMessage.contains("expected 128"))
+  }
+
+  test("constant dimension (hi == lo) encodes to 0 and decodes to lo") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.5f, 2.0f)), (1L, Array(1.5f, 4.0f)),
+      (2L, Array(1.5f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = QuantOps.sq8Codes(df, dim = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim 0 is constant: scale = 0 -> every code 0 (decode = lo = 1.5)
+    assert(codes.values.forall(_.head == 0))
+    // dim 1 spans [2,4]: endpoints hit 0 and 255
+    assert(codes(0L)(1) == 0 && codes(1L)(1) == 255)
+    // and the asymmetric top-k still runs (query decodes against lo)
+    val top = QuantOps.sq8TopK(df, queryId = 0L, k = 2, dim = 2).collect()
+    assert(top.length == 2)
+  }
+
   test("sq8 codes are bytes and decode within half a grid cell") {
     val dim = 64
     val codes = QuantOps.sq8Codes(embs, dim).collect()
