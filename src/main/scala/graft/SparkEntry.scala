@@ -505,6 +505,11 @@ object SparkEntry {
     // hash-exact against 3 unrolled oracle CTEs
     "graph_pagerank" -> ((s, dir) =>
       graft.ops.GraphOps.supplierPartRank(Tables.table(s, dir, "lineitem"))),
+    // personalized PageRank: teleport mass restricted to the supplier
+    // seed set (even node ids) — seed-proximity ranking, same deg-
+    // prefolded lazy loop and long grid sums as graph_pagerank
+    "graph_ppr" -> ((s, dir) =>
+      graft.ops.GraphOps.supplierPartPPR(Tables.table(s, dir, "lineitem"))),
     // per-node triangle counts over the support-filtered co-order part
     // graph (degree-oriented node-iterator — wedge fan-out capped √|E|)
     "graph_triangles" -> ((s, dir) =>
@@ -910,6 +915,7 @@ object SparkEntry {
     "events_pit_join" -> EventOps.pitScd2JoinSql(),
     "dedup_editdist" -> Dedup.editDistancePairsSql(),
     "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
+    "graph_ppr" -> graft.ops.GraphOps.supplierPartPPRSql(),
     "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
     "graph_bfs" -> graft.ops.GraphOps.supplierPartBfsSql(),
     "graph_kcore" -> graft.ops.GraphOps.supplierPartKCoreSql(),

@@ -93,6 +93,112 @@ object GraphOps {
     rank
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003, "Scaling Personalized
+    * Web Search"): the teleport mass goes to a SOURCE SET instead of
+    * uniformly to every node — rank(v) measures proximity to the seeds
+    * (the "related items from this seed set" query recommendation and
+    * curation pipelines run). Same loop shape as [[pageRank]] (deg-
+    * annotated adjacency list, lazy supersteps, long grid sums); the
+    * only change is the teleport term: base/|S| on seed nodes, 0
+    * elsewhere. `isSource` is a predicate column over `node`, so the
+    * seed set is declarative (a filter, never a driver-side list).
+    * Initial rank is the teleport vector itself — mass stays
+    * seed-centered from step 0, and every iteration is hash-exact
+    * against the unrolled-CTE oracle. */
+  def pageRankPersonalized(
+      edges0: DataFrame, isSource: Column => Column, iters: Int = 3,
+      damping: Double = 0.85, ckptEvery: Int = 8): DataFrame = {
+    val base = 1.0 - damping
+    val edges = edges0.select("src", "dst").distinct()
+    val deg = edges.groupBy(col("src").as("dnode"))
+      .agg(count(lit(1)).as("deg"))
+    val ewd = edges.join(deg, col("src") === col("dnode"))
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+    val nodes = ewd.select(col("src").as("node"))
+      .union(ewd.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val srcFlag = isSource(col("node"))
+    val nSrcRow = nodes.agg(
+      sum(when(srcFlag, 1L).otherwise(0L)).as("ns"))
+    def teleport: Column =
+      when(srcFlag, lit(1.0) / col("ns").cast("double")).otherwise(lit(0.0))
+    def fresh(sums: Option[DataFrame]): DataFrame = sums match {
+      case None =>
+        nodes.crossJoin(broadcast(nSrcRow))
+          .select(col("node"), teleport.as("rank"))
+      case Some(sg) =>
+        nodes.crossJoin(broadcast(nSrcRow))
+          .join(sg, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) * teleport +
+              lit(damping) *
+                (coalesce(col("sg").cast("double"), lit(0.0))
+                  / lit(Grid))).as("rank"))
+    }
+    var rank = fresh(None)
+    for (i <- 1 to iters) {
+      val sums = ewd.join(rank, col("src") === col("node"))
+        .select(col("dst"),
+          round(col("rank") / col("deg").cast("double") * Grid)
+            .cast("long").as("g"))
+        .groupBy(col("dst").as("node")).agg(sum(col("g")).as("sg"))
+      rank = fresh(Some(sums))
+      if (i % ckptEvery == 0 && i < iters) rank = rank.localCheckpoint(true)
+    }
+    rank
+  }
+
+  /** Registered-query PPR over the supplier↔part graph: seeds are the
+    * supplier nodes (even ids) — "parts reachable from the supplier
+    * side", the bipartite proximity ranking. */
+  def supplierPartPPR(lineitem: DataFrame, iters: Int = 3): DataFrame = {
+    val e = lineitem.select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    pageRankPersonalized(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+      node => node % 2 === 0, iters)
+  }
+
+  def supplierPartPPRSql(iters: Int = 3, damping: Double = 0.85): String = {
+    val base = 1.0 - damping
+    val tele = s"CASE WHEN nd.node % 2 = 0 " +
+      s"THEN CAST(1 AS DOUBLE) / CAST(nn.ns AS DOUBLE) ELSE 0.0 END"
+    def stepSql(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(ROUND(r.rank / CAST(d.deg AS DOUBLE)
+         |        * 1000000000000.0) AS BIGINT)) AS sg
+         |  FROM edges e
+         |  JOIN $prev r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.dnode
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT nd.node,
+         |    $base * $tele
+         |    + $damping * (COALESCE(CAST(c$i.sg AS DOUBLE), 0.0)
+         |                  / 1000000000000.0) AS rank
+         |  FROM nodes nd LEFT JOIN c$i USING (node), nn)""".stripMargin
+    }
+    s"""WITH base_e AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM base_e
+       |          UNION SELECT dst, src FROM base_e),
+       |deg AS (SELECT src AS dnode, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |nn AS (SELECT SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS ns
+       |       FROM nodes),
+       |r0 AS (SELECT node,
+       |         CASE WHEN node % 2 = 0
+       |           THEN CAST(1 AS DOUBLE) / CAST(nn.ns AS DOUBLE)
+       |           ELSE 0.0 END AS rank
+       |       FROM nodes nd, nn),
+       |${(1 to iters).map(stepSql).mkString(",\n")}
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
   /** The registered-query graph: the bipartite supplier↔part relation
     * from lineitem (suppliers at 2k, parts at 2k+1), symmetrized so no
     * node dangles. Rank concentrates on parts stocked by many

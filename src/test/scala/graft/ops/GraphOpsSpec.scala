@@ -26,6 +26,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
 
+  test("personalized PR: teleport mass stays seed-centered, far nodes decay") {
+    // seed 1 on a symmetric chain 1-2-3-4: the seed keeps the largest
+    // rank, the far end the smallest (strict hop-monotonicity does NOT
+    // hold on a path — even/odd bounce parity), and total mass is
+    // conserved (symmetrized graph, no dangling nodes)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val r = GraphOps.pageRankPersonalized(
+      edges, node => node === 1L, iters = 8).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == r.values.max, s"seed must lead: $r")
+    assert(r(4L) == r.values.min, s"far end must trail: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // uniform seed set == plain PageRank teleport: all-nodes predicate
+    // reproduces the classic fixed point on the 2-cycle
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val u = GraphOps.pageRankPersonalized(cyc,
+      _ => org.apache.spark.sql.functions.lit(true), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(u(1L) == 0.5 && u(2L) == 0.5)
+  }
+
   test("duplicate edges collapse; reruns are bit-identical") {
     val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
       .toDF("src", "dst")
