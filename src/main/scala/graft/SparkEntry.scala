@@ -151,6 +151,10 @@ object SparkEntry {
     // unigram-LM mean log-prob quality score (CCNet-style proxy)
     "text_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.table(s, dir, "documents"))),
+    // interpolated bigram LM (Jelinek-Mercer): word-ORDER plausibility,
+    // scan-side pair stream + two map-combined aggs + pair-key join
+    "text_lm2_score" -> ((s, dir) =>
+      TextOps.lm2Score(Tables.table(s, dir, "documents"))),
     // lexical diversity: per-doc token entropy (grid-snapped plog terms)
     "text_entropy" -> ((s, dir) =>
       TextOps.tokenEntropy(Tables.table(s, dir, "documents"))),
@@ -798,6 +802,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
+    "text_lm2_score" -> TextOps.lm2ScoreSql(),
     "text_entropy" -> TextOps.tokenEntropySql,
     "text_znorm" -> TextOps.lengthZNormSql,
     "text_winsorize" -> TextOps.winsorizeSql(),

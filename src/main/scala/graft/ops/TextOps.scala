@@ -551,6 +551,86 @@ object TextOps {
        |GROUP BY f.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Interpolated bigram LM score — the next-order quality signal after
+  // the unigram [[lmScore]] (Jelinek-Mercer smoothing, the classic
+  // KenLM-lite proxy): each doc scores the mean log of
+  // λ·P(w|prev) + (1−λ)·P(w) over its adjacent token pairs, so docs
+  // whose word ORDER is plausible outrank bags of plausible words.
+  // Bigram pairs are built scan-side (slice + zip + explode, the
+  // bpePairs machinery — no position-table join); counts are two
+  // map-side-combined aggs (pair-keyed and token-keyed); the logp
+  // relation is |bigram-vocab|-sized and joins back on the pair key.
+  // Determinism: the mixture is a fixed-order IEEE expression replayed
+  // verbatim in the oracle; the log routes through PortableMath.plog
+  // on 1/p ≥ 1; per-doc terms snap POSITIVE values to the 1e-12
+  // integer grid (round() is only contract-identical across engines on
+  // non-negative operands) and sum in DECIMAL(38,0), negating once at
+  // the end.
+  // -------------------------------------------------------------------
+  def lm2Score(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Grid = 1.0e12
+    val DecInt = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mu = 1.0 - lambda
+    val tk = tokens(col("text"))
+    val pairsFlat = docs.select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1).as("tok_l"),
+        slice(col("tk"), lit(2), size(col("tk")) - 1).as("tok_r"))).as("pr"))
+      .select(col("doc_id"),
+        col("pr.tok_l").as("tok_l"), col("pr.tok_r").as("tok_r"))
+    val uni = explodedTokens(docs, "token")
+      .groupBy("token").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("t"))
+    val big = pairsFlat.groupBy("tok_l", "tok_r").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy("tok_l").agg(sum("cb").as("cl"))
+    val nlp = big.join(ctx, "tok_l")
+      .join(uni.select(col("token").as("tok_r"), col("cu")), "tok_r")
+      .crossJoin(broadcast(tot))
+      .select(col("tok_l"), col("tok_r"),
+        plog(lit(1.0) / (lit(lambda)
+          * (col("cb").cast("double") / col("cl").cast("double"))
+          + lit(mu)
+          * (col("cu").cast("double") / col("t").cast("double")))).as("nlp"))
+    pairsFlat.join(nlp, Seq("tok_l", "tok_r"))
+      .select(col("doc_id"), round(col("nlp") * Grid).cast(DecInt).as("tg"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        (lit(0.0) - sum("tg").cast("string").cast("double") / lit(Grid)
+          / count(lit(1))).as("avg_logp2"))
+  }
+
+  def lm2ScoreSql(lambda: Double = 0.7): String = {
+    import graft.functions.PortableMath.plogSql
+    val mu = 1.0 - lambda
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS tok_l,
+       |         unnest(tk[2:len(tk)]) AS tok_r
+       |  FROM toks WHERE len(tk) >= 2),
+       |uni AS (SELECT token, COUNT(*) AS cu FROM (
+       |    SELECT unnest($tokensSql) AS token FROM documents) u
+       |  GROUP BY token),
+       |tot AS (SELECT SUM(cu) AS t FROM uni),
+       |big AS (SELECT tok_l, tok_r, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+       |ctx AS (SELECT tok_l, SUM(cb) AS cl FROM big GROUP BY 1),
+       |nlp AS (
+       |  SELECT b.tok_l, b.tok_r,
+       |    (${plogSql(s"1.0 / ($lambda" +
+             " * (CAST(b.cb AS DOUBLE) / CAST(c.cl AS DOUBLE))" +
+             s" + $mu * (CAST(u.cu AS DOUBLE) / CAST(t.t AS DOUBLE)))")}) AS nlp
+       |  FROM big b JOIN ctx c ON b.tok_l = c.tok_l
+       |  JOIN uni u ON b.tok_r = u.token, tot t)
+       |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       |  0.0 - CAST(CAST(SUM(CAST(ROUND(n.nlp * 1000000000000.0)
+       |        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+       |      / 1000000000000.0 / COUNT(*) AS avg_logp2
+       |FROM pairs p JOIN nlp n USING (tok_l, tok_r)
+       |GROUP BY p.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Curriculum ordering: emit a training order that interleaves
   // difficulty — consecutive positions cycle through K quality bands,
   // so every mini-batch sees the whole difficulty spectrum (the

@@ -95,6 +95,26 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(m(1L)._2 - math.log(6.0 / 8.0)) < 1e-9)
   }
 
+  test("bigram lm: plausible word order outscores scrambled; n_bigrams = len-1") {
+    // bigram "the cat" dominates the pair counts; doc 3 uses the same
+    // UNIGRAMS in an order whose bigrams are rare -> lower lm2 score
+    // even though lmScore (bag of words) ties the two
+    val d = Seq(
+      (1L, "the cat the cat the cat"),
+      (2L, "the cat the cat"),
+      (3L, "cat cat the the")).toDF("doc_id", "text")
+    val m = TextOps.lm2Score(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(1L)._1 == 5L && m(2L)._1 == 3L && m(3L)._1 == 3L)
+    assert(m(2L)._2 > m(3L)._2, s"word order must matter: $m")
+    val uni = TextOps.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(2L) == uni(3L), "unigram score is order-blind by design")
+    // single-token and empty docs have no bigrams and drop out
+    val e = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    assert(TextOps.lm2Score(e).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("JS divergence: identical distributions -> exactly 0; disjoint vocab -> ln 2") {
     // split membership is hash-determined — discover one train doc and
     // one holdout doc instead of assuming ids
