@@ -482,18 +482,24 @@ object GraphOps {
     * node-keyed aggs, all shuffling on node ids; state is one
     * (node, label) row per node. Per-round eager checkpoint keeps the
     * plan depth constant exactly as kCore/connectedComponents. */
-  def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(
+      edges0: DataFrame, rounds: Int = 3, ckptEvery: Int = 8): DataFrame = {
     val edges = edges0.select("src", "dst").distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
+    // Rounds chain LAZILY (the pagerank r11 lesson): the label relation
+    // is referenced exactly once per round (the edge join), so lineage
+    // is linear and a per-round eager checkpoint is pure job-scheduling
+    // overhead; ckptEvery bounds plan depth on long runs. Integer-only
+    // arithmetic — nothing to snap.
+    for (i <- 1 to rounds) {
       val counts = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
       labels = counts.groupBy("node")
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint(true)
+      if (i % ckptEvery == 0 && i < rounds) labels = labels.localCheckpoint(true)
     }
     labels
   }
