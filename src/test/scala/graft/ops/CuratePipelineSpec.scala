@@ -93,11 +93,12 @@ class CuratePipelineSpec extends SparkSpec {
       (2L, "apple cherry", "en"),
       (3L, "zebra zebra yak", "de")
     ).toDF("doc_id", "text", "lang")
+    // rank is LongType since the TopKPerKey routing (heap-drain rank)
     val got = CuratePipeline.topTokensPerLang(docs, topN = 2).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(t => (t._1, t._4))
     assert(got.toSeq == Seq(
-      ("de", "zebra", 2L, 1), ("de", "yak", 1L, 2),
-      ("en", "apple", 3L, 1), ("en", "banana", 1L, 2)))
+      ("de", "zebra", 2L, 1L), ("de", "yak", 1L, 2L),
+      ("en", "apple", 3L, 1L), ("en", "banana", 1L, 2L)))
   }
 }
