@@ -93,7 +93,12 @@ object MakeScale {
     writeOne(rep(t("lineitem"), Map("l_orderkey" -> sOrd,
       "l_partkey" -> sPart, "l_suppkey" -> sSupp)), "lineitem")
 
+    // ts is written as TIMESTAMP_NTZ to match the driver fixtures'
+    // physical encoding (naive timestamp in DuckDB) — a TIMESTAMPTZ
+    // source would make every events-derived timestamp column compare
+    // tz-aware on the oracle side vs naive in Spark's INT96 results
     val ev = graft.Tables.events(spark, src)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
     val sEvt = stride(ev, "event_id")
     val sUsr = stride(ev, "user_id")
     writeOne(rep(ev, Map("event_id" -> sEvt, "user_id" -> sUsr)), "events")
