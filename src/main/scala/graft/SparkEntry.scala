@@ -654,6 +654,10 @@ object SparkEntry {
       graft.ops.CuratePipeline.qualityFilter(Tables.table(s, dir, "documents"))),
     "text_top_tokens" -> ((s, dir) =>
       graft.ops.CuratePipeline.topTokensPerLang(Tables.table(s, dir, "documents"))),
+    // topic clustering: hashed tf features -> 3 Lloyd supersteps ->
+    // per-doc cluster id + centrality score (curation-by-cluster)
+    "docs_cluster" -> ((s, dir) =>
+      graft.ops.TopicCluster.cluster(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
     "kmeansnd_assign" -> ((s, dir) => {
       val vecs = graft.ops.IvfIndex.vectors(Tables.table(s, dir, "embeddings"))
@@ -878,6 +882,7 @@ object SparkEntry {
     "pipeline_decontam" -> graft.ops.CuratePipeline.decontaminateSql(),
     "pipe_quality" -> graft.ops.CuratePipeline.qualityFilterSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
+    "docs_cluster" -> graft.ops.TopicCluster.clusterSql(),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(
       s""", assignednd AS (${kmeans.KMeansND.assignSql()})

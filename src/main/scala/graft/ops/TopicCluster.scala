@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.kmeans.KMeansND
+
+/** Topic clustering of the documents table — the curation-by-cluster
+  * composition a pretraining pipeline runs to stratify or downsample a
+  * corpus by topic (cluster-then-balance, cf. DSIR / SemDeDup-style
+  * pipelines): hashed tf features → dense vectors → fixed-iteration
+  * Lloyd over the doc vectors → per-doc cluster id.
+  *
+  * Built entirely from verified pieces: `TextOps.hashedFeatures` (one
+  * token shuffle, signed feature hashing) and `KMeansND.assign` /
+  * `recompute` (packed-argmin broadcast assignment, DECIMAL(28,6)-exact
+  * means). Fixed `iters` supersteps with no data-dependent early exit,
+  * so the whole pipeline unrolls into one chained-CTE DuckDB twin and
+  * is hash-exact end to end (weights are ±1 sums — exact doubles; the
+  * argmin packing and decimal mean replay bit-for-bit, proven by the
+  * kmeansnd_* oracles).
+  *
+  * 100 TB posture: the oracle-checkable declarative loop keeps the
+  * doc-vector relation distributed — per superstep one broadcast of k
+  * dense centroids onto the scan and one groupBy(id) argmin shuffle of
+  * the k-exploded relation; production fits at scale swap in
+  * `KMeansND.assignKernelVec` (zero-shuffle argmin, vec carried
+  * through, k·dim-group mean aggregate) exactly as the 2-D fit loop
+  * does — same math, same result, kernel path pinned equal to the
+  * declarative path in KMeansNDSpec.
+  */
+object TopicCluster {
+
+  /** (id, vec): dense `array<double>` hashed-tf vector per document.
+    * Sparse (doc, idx, weight) rows from hashedFeatures are assembled
+    * via map + zero-filled index walk — one extra doc-keyed aggregate,
+    * no (docs × dim) grid join. */
+  def denseFeatures(docs: DataFrame, dim: Int = 64,
+      seed: Int = 42): DataFrame = {
+    val feats = TextOps.hashedFeatures(docs, dim, seed)
+    val m = col("m")
+    feats
+      .groupBy(col("doc_id").as("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("feature_idx"), col("weight").cast("double")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(m, i), lit(0.0))).as("vec"))
+  }
+
+  /** (id, cid, sqdist) after `iters` full Lloyd supersteps (assign →
+    * mean recompute) from the k lowest-doc_id seed vectors, plus the
+    * final assignment's squared distance (the per-doc "how central is
+    * this doc in its topic" score curation ranks on). */
+  def cluster(docs: DataFrame, dim: Int = 64, k: Int = 8,
+      iters: Int = 3, seed: Int = 42): DataFrame = {
+    val vecs = denseFeatures(docs, dim, seed)
+    // k-row driver collect (the one allowed collect class: centroid
+    // seeds) — keeps the plan free of a global Window over the vecs
+    var cents = graft.Tables.centsNDDF(docs.sparkSession,
+      KMeansND.initFromLowestIds(vecs, k))
+    for (_ <- 1 until iters)
+      cents = KMeansND.recompute(vecs, KMeansND.assign(vecs, cents))
+    KMeansND.assign(vecs, cents)
+  }
+
+  def denseFeaturesSql(dim: Int = 64, seed: Int = 42): String =
+    s"""SELECT doc_id AS id,
+       |  list_transform(generate_series(0, ${dim - 1}),
+       |    i -> coalesce(list_extract(map_extract(m, i), 1), CAST(0.0 AS DOUBLE))) AS vec
+       |FROM (
+       |  SELECT doc_id,
+       |    map(list(feature_idx ORDER BY feature_idx),
+       |        list(CAST(weight AS DOUBLE) ORDER BY feature_idx)) AS m
+       |  FROM (${TextOps.hashedFeaturesSql(dim, seed)}) hf
+       |  GROUP BY doc_id) g""".stripMargin
+
+  /** Chained-CTE twin of `cluster`: seeds from the k lowest ids, then
+    * `iters - 1` recompute rounds + the final assignment. */
+  def clusterSql(dim: Int = 64, k: Int = 8, iters: Int = 3,
+      seed: Int = 42): String = {
+    val rounds = new StringBuilder
+    var centsRel = "cents0"
+    for (r <- 1 until iters) {
+      rounds ++=
+        s""",
+           |a$r AS (${KMeansND.assignSql("vecs", centsRel)}),
+           |cents$r AS (${KMeansND.recomputeSql("vecs", s"a$r")})""".stripMargin
+      centsRel = s"cents$r"
+    }
+    s"""WITH vecs AS (${denseFeaturesSql(dim, seed)}),
+       |cents0 AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cid, vec AS cvec FROM
+       |    (SELECT vec, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM vecs) t
+       |  WHERE rn <= $k)$rounds
+       |${KMeansND.assignSql("vecs", centsRel)}""".stripMargin
+  }
+}

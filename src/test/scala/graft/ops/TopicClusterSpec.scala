@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.kmeans.KMeansND
+import org.apache.spark.sql.functions._
+
+/** Topic-cluster composition: dense hashed-tf assembly, Lloyd loop
+  * wiring, and declarative-vs-kernel path agreement. */
+class TopicClusterSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("dense vectors zero-fill exactly the non-hashed indices") {
+    val dim = 32
+    val dense = TopicCluster.denseFeatures(docs, dim = dim)
+    val sparse = TextOps.hashedFeatures(docs, dim = dim)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2).toDouble).toMap)
+      .toMap
+    val rows = dense.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vec = r.getSeq[Double](1)
+      assert(vec.length == dim)
+      val want = sparse.getOrElse(r.getLong(0), Map.empty[Long, Double])
+      vec.zipWithIndex.foreach { case (v, i) =>
+        assert(v == want.getOrElse(i.toLong, 0.0),
+          s"doc ${r.getLong(0)} dim $i")
+      }
+    }
+  }
+
+  test("every doc gets exactly one cluster in [0, k)") {
+    val k = 4
+    val out = TopicCluster.cluster(docs, dim = 32, k = k, iters = 2)
+    val n = docs.count()
+    assert(out.count() == n)
+    assert(out.select("id").distinct().count() == n)
+    val cids = out.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cids.subsetOf((0 until k).toSet))
+  }
+
+  test("iters=1 equals a plain seed-assignment; sqdist is the true distance") {
+    val vecs = TopicCluster.denseFeatures(docs, dim = 32)
+    val seeds = KMeansND.initFromLowestIds(vecs, 4)
+    val direct = KMeansND.assignKernel(vecs, seeds)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    val viaCluster = TopicCluster.cluster(docs, dim = 32, k = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    assert(direct.length == viaCluster.length)
+    direct.zip(viaCluster).foreach { case ((ia, ca, da), (ib, cb, db)) =>
+      assert(ia == ib && ca == cb)
+      assert(math.abs(da - db) < 1e-12)
+    }
+  }
+
+  test("3-iteration objective does not exceed the 1-iteration objective") {
+    def obj(iters: Int): Double =
+      TopicCluster.cluster(docs, dim = 32, k = 4, iters = iters)
+        .agg(sum("sqdist")).collect()(0).getDouble(0)
+    assert(obj(3) <= obj(1) + 1e-9)
+  }
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Full-board DuckDB oracle replay over a Verify dump (local analog of the
+driver's CORRECTNESS gate, used for the at-scale sf1 sweep — VERDICT r10
+missing item 1).
+
+Usage: python3 tools/oracle_replay.py <sfDir> <verifyOutDir> <reportJson>
+
+For every <verifyOutDir>/<name>/ parquet dump with an entry in
+oracle_sql.json it runs the oracle SQL against DuckDB views over
+<sfDir>/*.parquet and reports rows_match / schema_match / hash_match,
+mirroring the driver's contract: columns sorted by name, rows sorted by
+their canonical string form, md5 over the canonical relation. Queries
+without an oracle entry are recorded as err="no_oracle" (same as the
+driver). The oracle column is CAST to the Spark-side type per column so
+type-lattice differences (HUGEINT vs DECIMAL(38,0), etc.) don't produce
+spurious value diffs — the Spark parquet schema is the declared contract.
+"""
+import json, os, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_hash(con, rel_sql, cols):
+    """md5 over the relation: columns sorted by name, canonical VARCHAR,
+    rows sorted. NULL marked distinctly from the string 'NULL'."""
+    cols = sorted(cols)
+    parts = ", ".join(
+        f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(2))" for c in cols)
+    q = (f"SELECT md5(COALESCE(string_agg(r, chr(10) ORDER BY r), '')) "
+         f"FROM (SELECT concat_ws(chr(1), {parts}) AS r FROM ({rel_sql}))")
+    return con.execute(q).fetchone()[0]
+
+
+def main():
+    sf_dir, out_dir, report = sys.argv[1], sys.argv[2], sys.argv[3]
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(os.cpu_count() or 8, 16)}")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    results, n_pass, n_fail = {}, 0, 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        spark_glob = os.path.join(out_dir, name, "*.parquet")
+        row = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None, "oracle_rows": None,
+               "err": None}
+        try:
+            srel = f"SELECT * FROM '{spark_glob}'"
+            sdesc = con.execute(f"DESCRIBE {srel}").fetchall()
+            scols = {r[0]: r[1] for r in sdesc}
+            row["spark_rows"] = con.execute(
+                f"SELECT count(*) FROM ({srel})").fetchone()[0]
+            if name not in oracle:
+                row["err"] = "no_oracle"
+                results[name] = row
+                continue
+            con.execute(f"CREATE OR REPLACE VIEW __o AS {oracle[name]}")
+            odesc = con.execute("DESCRIBE __o").fetchall()
+            ocols = [r[0] for r in odesc]
+            row["oracle_rows"] = con.execute(
+                "SELECT count(*) FROM __o").fetchone()[0]
+            row["rows_match"] = row["spark_rows"] == row["oracle_rows"]
+            row["schema_match"] = sorted(scols) == sorted(ocols)
+            if row["schema_match"]:
+                # cast oracle cols to the Spark parquet types (the contract)
+                cast_sel = ", ".join(
+                    f'CAST("{c}" AS {scols[c]}) AS "{c}"' for c in ocols)
+                h_s = canon_hash(con, srel, list(scols))
+                h_o = canon_hash(con, f"SELECT {cast_sel} FROM __o", ocols)
+                row["hash_match"] = h_s == h_o
+        except Exception as e:  # noqa: BLE001 — record and continue
+            row["err"] = f"{type(e).__name__}: {e}"[:300]
+        results[name] = row
+        ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
+        n_pass += 1 if ok else 0
+        n_fail += 0 if ok or row["err"] == "no_oracle" else 1
+        print(f"[replay] {name}: "
+              f"{'PASS' if ok else (row['err'] or 'FAIL')}", flush=True)
+
+    with open(report, "w") as f:
+        json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                   "n_queries": len(names), "n_pass": n_pass,
+                   "n_fail": n_fail, "results": results}, f, indent=1)
+    print(f"[replay] {n_pass} pass / {n_fail} fail / "
+          f"{len(names) - n_pass - n_fail} no_oracle -> {report}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
