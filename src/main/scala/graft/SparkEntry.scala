@@ -611,6 +611,28 @@ object SparkEntry {
       graft.ops.StatsOps.corrMatrix(
         Tables.table(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // exact tie-corrected Mann-Whitney AUC: does doc length separate
+    // English from non-English? (classifier-eval primitive; integer
+    // scores force heavy tie handling through both engines)
+    "quality_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.StatsOps.aucExact(Tables.table(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")
+    }),
+    // naive-Bayes quality classifier trained on even doc_ids, scored
+    // on the held-out odd split — portable-ln weights, grid-snapped sums
+    "text_nb_score" -> ((s, dir) =>
+      TextOps.nbScore(Tables.table(s, dir, "documents"))),
+    // kNN majority-vote label transfer over the LSH-blocked knn graph;
+    // both the per-source top-k and the vote argmax run through the
+    // custom TopKPerKey physical operator (no Window, no per-group sort)
+    "emb_knn_classify" -> ((s, dir) =>
+      graft.ops.EmbeddingOps.knnClassify(
+        Tables.table(s, dir, "embeddings"))),
+    // 2-D Pareto skyline of the points relation — sort-free dominance
+    // via per-distinct-x max + running max over x DESC
+    "points_skyline" -> ((s, dir) =>
+      graft.ops.Relational.skyline(Tables.points(s, dir))),
     // one-scan column profiler over documents: per-column rows / nulls
     // / exact distinct / lexicographic min+max through a canonical
     // string cast (exact countDistinct is the oracle-able stand-in
@@ -953,6 +975,12 @@ object SparkEntry {
       "orders", "o_orderpriority", "CAST(year(o_orderdate) AS INT)"),
     "corr_matrix" -> graft.ops.StatsOps.corrMatrixSql(
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "quality_auc" -> graft.ops.StatsOps.aucExactSql(
+      "documents", "n_chars", "lang = 'en'"),
+    "text_nb_score" -> TextOps.nbScoreSql,
+    "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
+    "points_skyline" ->
+      graft.ops.Relational.skylineSql(Tables.pointsSqlBody),
     "profile_docs" -> graft.ops.ProfileOps.profileSql(
       "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "points_zorder" ->

@@ -377,6 +377,71 @@ object EmbeddingOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** kNN majority-vote classification over the embedding space — the
+    * label-transfer primitive (propagate a small labeled seed set onto
+    * unlabeled vectors, audit embedding quality via self-consistency).
+    * Composes [[knnGraph]] (LSH-blocked candidates, exact rescore,
+    * per-source top-k via the custom TopKPerKey physical operator) with
+    * a (vec_id, label) vote count and a second TopKPerKey at k=1 for
+    * the argmax — no Window, no per-group sort anywhere in the plan.
+    * Tie-break: most votes, then smallest label (total order → both
+    * engines agree). Output: (vec_id, pred_label, votes, label,
+    * correct).
+    *
+    * Scale: everything data-sized is the knnGraph candidate machinery
+    * (bucketed, never all-pairs); the vote relation is ≤ k rows per
+    * vector and the argmax bounds shuffle bytes by partitions·keys. */
+  def knnClassify(
+      embs: DataFrame, k: Int = 5, dim: Int = 64,
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val lab = embs.select(col("vec_id"), col("label"))
+    val votes = knnGraph(embs, k, dim, numBits, numTables, seed)
+      .join(lab.select(col("vec_id").as("neighbor"),
+        col("label").as("nlbl")), Seq("neighbor"))
+      .groupBy("vec_id", "nlbl").agg(count(lit(1)).as("votes"))
+    org.apache.spark.sql.graft.TopKPerKey(
+        votes, Seq("vec_id"), Seq(("votes", false), ("nlbl", true)), 1)
+      .join(lab, Seq("vec_id"))
+      .select(col("vec_id"), col("nlbl").as("pred_label"), col("votes"),
+        col("label"), (col("nlbl") === col("label")).as("correct"))
+  }
+
+  def knnClassifySql(
+      k: Int = 5, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |knn AS (
+       |  SELECT ida AS vec_id, idb AS neighbor FROM (
+       |    SELECT p.ida, p.idb,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
+       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
+       |                 p.idb ASC) AS BIGINT) AS rank
+       |    FROM cpairs p
+       |    JOIN e ea ON p.ida = ea.vec_id
+       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |  WHERE rank <= $k),
+       |votes AS (
+       |  SELECT g.vec_id, l.label AS nlbl, COUNT(*) AS votes
+       |  FROM knn g JOIN embeddings l ON g.neighbor = l.vec_id
+       |  GROUP BY g.vec_id, l.label),
+       |pred AS (
+       |  SELECT vec_id, nlbl, votes,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY votes DESC, nlbl ASC) AS rn
+       |  FROM votes)
+       |SELECT p.vec_id, p.nlbl AS pred_label, p.votes, a.label,
+       |  p.nlbl = a.label AS correct
+       |FROM pred p JOIN embeddings a ON p.vec_id = a.vec_id
+       |WHERE p.rn = 1""".stripMargin
+  }
+
   def cosineNearDupsSql(
       threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {

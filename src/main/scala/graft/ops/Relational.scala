@@ -404,4 +404,37 @@ object Relational {
        |WHERE o.o_orderdate >= TIMESTAMP '$year-01-01 00:00:00'
        |  AND o.o_orderdate < TIMESTAMP '${year + 1}-01-01 00:00:00'
        |GROUP BY n.n_name""".stripMargin
+
+  /** 2-D skyline (Pareto frontier, maximizing both axes) of the points
+    * relation — the multi-criteria shortlist operator ("no other point
+    * is at least as good on both axes and better on one"). Sort-free
+    * formulation: a point (x, y) is dominated iff some point with
+    * strictly greater x reaches y' ≥ y OR an equal-x point has greater
+    * y — so group to the per-distinct-x max y, take the running max
+    * over x DESC excluding the current x, and keep vertices whose y
+    * strictly beats it. No self-join, no quadratic dominance test.
+    *
+    * Scale: the per-x max is one map-side-combinable agg; the window
+    * runs over the DISTINCT-x relation, which for grid-valued axes
+    * (prices in cents here) is dictionary-sized, so the
+    * single-partition running max is bounded. For continuous axes at
+    * 100 TB, range-partition x and two-pass the prefix max (broadcast
+    * per-partition maxima as offsets) — same algebra, no
+    * single-partition stage. */
+  def skyline(points: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = points.groupBy("x").agg(max("y").as("y"))
+    val w = W.orderBy(col("x").desc).rowsBetween(W.unboundedPreceding, -1)
+    g.withColumn("pre", max("y").over(w))
+      .filter(col("pre").isNull || col("y") > col("pre"))
+      .select(col("x"), col("y"))
+  }
+
+  def skylineSql(pointsBody: String): String =
+    s"""WITH pts AS ($pointsBody),
+       |g AS (SELECT x, MAX(y) AS y FROM pts GROUP BY x),
+       |r AS (SELECT x, y, MAX(y) OVER (ORDER BY x DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
+       |  FROM g)
+       |SELECT x, y FROM r WHERE pre IS NULL OR y > pre""".stripMargin
 }

@@ -1354,4 +1354,111 @@ object TextOps {
        |       * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS r2
        |FROM st""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Multinomial naive-Bayes quality classifier, trained AND applied in
+  // one declarative plan — the fastText-style linear filter every
+  // pretraining pipeline runs (classify docs against a seed corpus,
+  // keep high-margin ones). Train split: even doc_ids; scored split:
+  // odd doc_ids (held out, so the margin measures generalization, not
+  // memorization). Class: lang = 'en'.
+  //
+  //   w(t)   = ln (cpos(t)+1)/(Npos+V) − ln (cneg(t)+1)/(Nneg+V)
+  //   margin = ln (dpos+1)/(dneg+1) + Σ_tokens w(t)      (unseen → w0)
+  //
+  // Every ln is PortableMath.plog over a ≥1 ratio (arranged as
+  // plog(big/small), then subtracted) so the weights are bit-identical
+  // in the DuckDB twin; per-token weights are snapped to the 1e-12
+  // integer grid ONCE in the |vocab|-sized weights relation, and the
+  // per-doc sum runs in DECIMAL(38,0) — token order can't move a bit.
+  //
+  // Scale: one token-keyed count agg over the train split (map-side
+  // partials collapse the Zipf head), two 1-row total aggs broadcast,
+  // then the score pass joins exploded test tokens to the
+  // |vocab|-sized weights relation — broadcast it when the vocab fits
+  // (it's dictionary-sized after DF-capping), else it's one
+  // token-keyed shuffle join. Nothing else shuffles raw text.
+  // -------------------------------------------------------------------
+  def nbScore(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Grid = 1.0e12
+    val lab = docs.withColumn("y",
+      when(col("lang") === "en", 1L).otherwise(0L))
+    val train = lab.filter(col("doc_id") % 2 === 0)
+    val test = lab.filter(col("doc_id") % 2 === 1)
+    val counts = explodedTokens(train, "token", col("doc_id"), col("y"))
+      .groupBy("token").agg(sum("y").as("cpos"),
+        (count(lit(1)) - sum("y")).as("cneg"))
+    val tot = counts.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"),
+      count(lit(1)).as("v"))
+    val dpr = train.agg(sum("y").as("dpos"),
+      (count(lit(1)) - sum("y")).as("dneg"))
+    val wts = counts.crossJoin(broadcast(tot)).select(col("token"),
+      round((plog((col("nneg") + col("v")).cast("double") /
+               (col("cneg") + lit(1L)).cast("double")) -
+             plog((col("npos") + col("v")).cast("double") /
+               (col("cpos") + lit(1L)).cast("double"))) * Grid)
+        .cast("long").as("wg"))
+    val defaults = tot.crossJoin(dpr).select(
+      round((plog((col("nneg") + col("v")).cast("double")) -
+             plog((col("npos") + col("v")).cast("double"))) * Grid)
+        .cast("long").as("w0g"),
+      round((plog((col("dpos") + lit(1L)).cast("double")) -
+             plog((col("dneg") + lit(1L)).cast("double"))) * Grid)
+        .cast("long").as("prg"))
+    explodedTokens(test, "token", col("doc_id"), col("y"))
+      .join(wts, Seq("token"), "left")
+      .crossJoin(broadcast(defaults))
+      .select(col("doc_id"), col("y"),
+        coalesce(col("wg"), col("w0g")).as("tg"), col("prg"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        ((sum(col("tg").cast(Dec)) + min("prg").cast(Dec))
+          .cast("string").cast("double") / Grid).as("margin"),
+        (max("y") === 1L).as("is_en"))
+      .withColumn("pred_en", col("margin") > 0.0)
+  }
+
+  def nbScoreSql: String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH lab AS (SELECT doc_id, text,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |flat_tr AS (SELECT doc_id, y, unnest($tokensSql) AS token
+       |  FROM lab WHERE doc_id % 2 = 0),
+       |counts AS (SELECT token, SUM(y) AS cpos, COUNT(*) - SUM(y) AS cneg
+       |  FROM flat_tr GROUP BY token),
+       |tot AS (SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg,
+       |    COUNT(*) AS v FROM counts),
+       |dpr AS (SELECT SUM(y) AS dpos, COUNT(*) - SUM(y) AS dneg
+       |  FROM lab WHERE doc_id % 2 = 0),
+       |rat AS (SELECT token,
+       |    CAST(nneg + v AS DOUBLE) / CAST(cneg + 1 AS DOUBLE) AS rn,
+       |    CAST(npos + v AS DOUBLE) / CAST(cpos + 1 AS DOUBLE) AS rp
+       |  FROM counts CROSS JOIN tot),
+       |wts AS (SELECT token, CAST(ROUND(
+       |    ((${plogSql("rn")}) - (${plogSql("rp")})) * 1e12)
+       |    AS BIGINT) AS wg FROM rat),
+       |drat AS (SELECT CAST(nneg + v AS DOUBLE) AS dn,
+       |    CAST(npos + v AS DOUBLE) AS dp,
+       |    CAST(dpos + 1 AS DOUBLE) AS pp, CAST(dneg + 1 AS DOUBLE) AS pn
+       |  FROM tot CROSS JOIN dpr),
+       |defaults AS (SELECT
+       |    CAST(ROUND(((${plogSql("dn")}) - (${plogSql("dp")})) * 1e12)
+       |      AS BIGINT) AS w0g,
+       |    CAST(ROUND(((${plogSql("pp")}) - (${plogSql("pn")})) * 1e12)
+       |      AS BIGINT) AS prg
+       |  FROM drat),
+       |terms AS (SELECT f.doc_id, f.y, COALESCE(w.wg, d.w0g) AS tg, d.prg
+       |  FROM (SELECT doc_id, y, unnest($tokensSql) AS token
+       |        FROM lab WHERE doc_id % 2 = 1) f
+       |  LEFT JOIN wts w USING (token) CROSS JOIN defaults d)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(CAST(SUM(CAST(tg AS HUGEINT)) + MIN(prg) AS VARCHAR)
+       |    AS DOUBLE) / 1e12 AS margin,
+       |  MAX(y) = 1 AS is_en,
+       |  CAST(CAST(SUM(CAST(tg AS HUGEINT)) + MIN(prg) AS VARCHAR)
+       |    AS DOUBLE) / 1e12 > 0.0 AS pred_en
+       |FROM terms GROUP BY doc_id""".stripMargin
+  }
 }

@@ -163,4 +163,41 @@ class EmbeddingSpec extends SparkSpec {
     assert(mmr.head.getLong(1) == 1L)
     assert(mmr.head.getDouble(2) == 0.7 * 1.0)
   }
+
+  test("knn classify: majority vote transfers cluster labels; vote tie → smaller label") {
+    // two tight clusters on orthogonal axes; vector 2 carries a wrong
+    // label, which makes the votes for vectors 0 and 1 split 1-1 —
+    // the tie must break to the SMALLER label
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (2L, Array(0.98f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f), 7),
+      (10L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), 1),
+      (11L, Array(0f, 0.01f, 0.99f, 0f, 0f, 0f, 0f, 0f), 1),
+      (12L, Array(0f, 0.02f, 0.98f, 0f, 0f, 0f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.knnClassify(docs, k = 2, dim = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(3), r.getBoolean(4))).toMap
+    // the clean cluster-1 vectors vote each other in unanimously
+    assert(got(10L) == ((1, 1, true)) && got(11L) == ((1, 1, true))
+      && got(12L) == ((1, 1, true)))
+    // vector 0's 2-NN are 1 (label 0) and 2 (label 7): 1-1 vote tie →
+    // smaller label 0 wins; same for vector 1
+    assert(got(0L)._1 == 0 && got(1L)._1 == 0)
+    // the mislabeled vector's neighbors (0 and 1) vote 0 unanimously:
+    // predicted 0, flagged incorrect against its own stored label 7
+    assert(got(2L) == ((0, 7, false)))
+  }
+
+  test("knn classify plan uses TopKPerKey, not Window") {
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val plan = EmbeddingOps.knnClassify(docs, k = 1, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -196,4 +196,24 @@ class RelationalSpec extends SparkSpec {
         "orderdate range must reach the parquet scan:\n" + plan)
     } finally spark.conf.set(key, prev)
   }
+
+  test("skyline keeps exactly the non-dominated vertices, incl. equal-x/equal-y edges") {
+    import spark.implicits._
+    // per-x max: 1→5, 2→6, 3→3, 4→3. Walking x desc: (4,3) keeps
+    // (frontier start), (3,3) is dominated by the equal-y point at
+    // higher x, (2,6) keeps, (1,5) is under (2,6).
+    val pts = Seq((1.0, 5.0), (2.0, 4.0), (2.0, 6.0), (3.0, 3.0),
+      (4.0, 1.0), (4.0, 3.0)).toDF("x", "y")
+    val got = Relational.skyline(pts).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == Set((4.0, 3.0), (2.0, 6.0)))
+  }
+
+  test("skyline plan: no self-join, window over the per-x aggregate only") {
+    import spark.implicits._
+    val pts = Seq((1.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+    val plan = Relational.skyline(pts).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }

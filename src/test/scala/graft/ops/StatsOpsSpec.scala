@@ -54,4 +54,38 @@ class StatsOpsSpec extends SparkSpec {
     // (0-15)^2/15 = 15 each; diagonal (30-15)^2/15 = 15 each -> 60 = n
     assert(r2.getLong(1) == 1L)
   }
+
+  test("exact AUC: separation 1.0, inversion 0.0, all-tied 0.5, hand-computed ties") {
+    import org.apache.spark.sql.functions.col
+    def auc(rows: Seq[(Int, Boolean)]): (Long, Long, Long, Double) = {
+      val r = StatsOps.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // perfect separation: every pos above every neg
+    assert(auc(Seq((5, true), (4, true), (2, false), (1, false)))
+      == ((2L, 2L, 8L, 1.0)))
+    // perfect inversion
+    assert(auc(Seq((1, true), (2, true), (4, false), (5, false)))
+      == ((2L, 2L, 0L, 0.0)))
+    // one score for everything: all pairs tie at 1/2
+    assert(auc(Seq((3, true), (3, true), (3, false), (3, false)))
+      == ((2L, 2L, 4L, 0.5)))
+    // hand case: pos at {3, 2}, neg at {2, 1} — pairs: 3>2 win, 3>1
+    // win, 2=2 half, 2>1 win → U = 3.5, AUC = 3.5/4
+    assert(auc(Seq((3, true), (2, true), (2, false), (1, false)))
+      == ((2L, 2L, 7L, 0.875)))
+  }
+
+  test("exact AUC windows the distinct-score relation, not raw rows") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 100).map(i => (i % 7, i % 3 == 0)).toDF("s", "y")
+    val plan = StatsOps.aucExact(df, col("s"), col("y"))
+      .queryExecution.optimizedPlan.toString
+    // the window's child must already be the groupBy(score) aggregate
+    // (7 rows here), never the raw input
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx, plan)
+  }
 }

@@ -409,4 +409,48 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) + 1.0) < 0.01, s"slope ${r.getDouble(1)}")
     assert(r.getDouble(2) > 0.999, s"r2 ${r.getDouble(2)}")
   }
+
+  test("nb classifier: class-indicative tokens push margins to the right side") {
+    // train (even ids): en docs say hello, fr docs say bonjour; the
+    // held-out odd docs must score by those token weights
+    val docs = Seq(
+      (0L, "hello hello world", "en"),
+      (2L, "hello there world", "en"),
+      (4L, "bonjour monde monde", "fr"),
+      (6L, "bonjour le monde", "fr"),
+      (1L, "hello hello hello", "en"),   // strongly English tokens
+      (3L, "bonjour bonjour bonjour", "fr"), // strongly French tokens
+      (5L, "zzz qqq xxx", "en")          // all unseen tokens
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.nbScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(got.keySet == Set(1L, 3L, 5L))
+    val (n1, m1, y1, p1) = got(1L)
+    assert(n1 == 3L && y1 && p1 && m1 > 0.0, s"doc1 $m1")
+    val (n3, m3, y3, p3) = got(3L)
+    assert(n3 == 3L && !y3 && !p3 && m3 < 0.0, s"doc3 $m3")
+    // unseen-token doc: margin = prior + 3·w0, both ~0 here (balanced
+    // classes, near-equal token mass) — just pin that it scored at all
+    // and used the default weight path without NULLing
+    val (n5, m5, _, _) = got(5L)
+    assert(n5 == 3L && !m5.isNaN)
+  }
+
+  test("nb classifier margin equals the hand-computed smoothed log-odds") {
+    // tiny corpus: train = doc 0 (en: "a a"), doc 2 (fr: "b").
+    // counts: a → cpos=2, cneg=0; b → cpos=0, cneg=1.
+    // Npos=2, Nneg=1, V=2, dpos=1, dneg=1.
+    // w(a) = ln((1+2)/(0+1)... arranged: plog((Nneg+V)/(cneg+1)) −
+    //        plog((Npos+V)/(cpos+1)) = ln3 − ln(4/3)
+    // prior = ln(2/2) = 0. Test doc 1 = "a": margin = ln3 − ln(4/3).
+    val docs = Seq(
+      (0L, "a a", "en"), (2L, "b", "fr"), (1L, "a", "en")
+    ).toDF("doc_id", "text", "lang")
+    val m = TextOps.nbScore(docs).collect()
+      .find(_.getLong(0) == 1L).get.getDouble(2)
+    val expect = math.log(3.0) - math.log(4.0 / 3.0)
+    assert(math.abs(m - expect) < 1e-9, s"margin $m vs $expect")
+  }
 }
