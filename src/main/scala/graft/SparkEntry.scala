@@ -530,6 +530,11 @@ object SparkEntry {
     // (cnt DESC, label ASC) argmax — integer-exact fixed supersteps
     "graph_labelprop" -> ((s, dir) =>
       graft.ops.GraphOps.supplierPartLabelProp(Tables.table(s, dir, "lineitem"))),
+    // Newman modularity of the LP communities — exact integer-rational
+    // Q = (m·Σintra − Σd_c²)/m², one IEEE division at the end
+    "graph_modularity" -> ((s, dir) =>
+      graft.ops.GraphOps.supplierPartModularity(
+        Tables.table(s, dir, "lineitem"))),
     // TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS decorrelated
     // to one semi + one anti join over the deduped (order,supplier) pairs
     "waiting_suppliers" -> ((s, dir) =>
@@ -623,6 +628,10 @@ object SparkEntry {
     // on the held-out odd split — portable-ln weights, grid-snapped sums
     "text_nb_score" -> ((s, dir) =>
       TextOps.nbScore(Tables.table(s, dir, "documents"))),
+    // reliability bins over the NB margins: positive fraction per
+    // fixed half-unit margin bin (threshold-placement diagnostic)
+    "text_nb_calibration" -> ((s, dir) =>
+      TextOps.nbCalibration(Tables.table(s, dir, "documents"))),
     // kNN majority-vote label transfer over the LSH-blocked knn graph;
     // both the per-source top-k and the vote argmax run through the
     // custom TopKPerKey physical operator (no Window, no per-group sort)
@@ -952,6 +961,7 @@ object SparkEntry {
     "graph_bfs" -> graft.ops.GraphOps.supplierPartBfsSql(),
     "graph_kcore" -> graft.ops.GraphOps.supplierPartKCoreSql(),
     "graph_labelprop" -> graft.ops.GraphOps.supplierPartLabelPropSql(),
+    "graph_modularity" -> graft.ops.GraphOps.supplierPartModularitySql(),
     "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem
@@ -978,6 +988,7 @@ object SparkEntry {
     "quality_auc" -> graft.ops.StatsOps.aucExactSql(
       "documents", "n_chars", "lang = 'en'"),
     "text_nb_score" -> TextOps.nbScoreSql,
+    "text_nb_calibration" -> TextOps.nbCalibrationSql,
     "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
     "points_skyline" ->
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),

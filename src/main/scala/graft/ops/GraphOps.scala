@@ -532,6 +532,115 @@ object GraphOps {
        |SELECT node, label FROM l$rounds""".stripMargin
   }
 
+  /** Newman modularity Q of a community assignment over a symmetric
+    * edge relation (both directions stored) — the "did the clustering
+    * find real structure?" eval for [[labelPropagation]] /
+    * [[Dedup.connectedComponents]] output. With m_d = |directed
+    * edges|, intra_c = directed intra-community edges, and d_c = the
+    * community's degree sum:
+    *
+    *   Q = Σ_c [ intra_c/m_d − (d_c/m_d)² ]
+    *     = (m_d·Σ intra_c − Σ d_c²) / m_d²
+    *
+    * so the numerator and denominator are EXACT integers
+    * (DECIMAL(38,0) here, HUGEINT in the twin — exact while
+    * m_d ≲ 3e9, guarded loudly at the output cast like aucExact) and
+    * Q itself is one correctly-rounded IEEE division. Output 1 row:
+    * (m_edges, n_comms, q_num, q_den, q).
+    *
+    * Scale: degree agg + two label joins (node-keyed, map-side
+    * partials) + per-community sums — everything keyed on node/label
+    * ids; the community relation is ≤|V| rows and the final algebra is
+    * a 1-row agg. Nothing data-sized crosses a broadcast. */
+  def modularity(edges0: DataFrame, labels: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = edges0.select("src", "dst").distinct()
+    val m = edges.agg(count(lit(1)).as("md"))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels, Seq("node"))
+      .groupBy("label").agg(sum("deg").as("dc"))
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("label").as("ls")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+        Seq("dst"))
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra"))
+    val sums = dc.join(intra, Seq("label"), "left")
+      .select(col("dc"), coalesce(col("intra"), lit(0L)).as("intra"))
+      .agg(count(lit(1)).as("n_comms"), sum("intra").as("si"),
+        sum(col("dc").cast(Dec) * col("dc").cast(Dec)).as("sd2"))
+    val num = col("md").cast(Dec) * col("si").cast(Dec) - col("sd2")
+    val den = col("md").cast(Dec) * col("md").cast(Dec)
+    val guard = coalesce(
+      assert_true(den < lit(Long.MaxValue).cast(Dec),
+        lit("modularity: m_d^2 exceeds BIGINT — widen the output " +
+          "columns (internal decimal math is still exact)"))
+        .cast("long"),
+      lit(0L))
+    sums.crossJoin(broadcast(m)).select(
+      col("md").as("m_edges"), col("n_comms"),
+      (num.cast("long") + guard).as("q_num"),
+      den.cast("long").as("q_den"),
+      (num.cast("string").cast("double") /
+        den.cast("string").cast("double")).as("q"))
+  }
+
+  /** Modularity of the [[supplierPartLabelProp]] communities — LP and
+    * the Q algebra in ONE declarative plan/oracle pair.
+    *
+    * The label relation is eagerly checkpointed before the Q algebra:
+    * modularity references it THREE times (degree join + both
+    * endpoint joins), so a lazy LP lineage would replay all its
+    * per-round shuffles per reference (the kCore/pagerank multi-ref
+    * lesson — 29 shuffles measured lazy vs 12 checkpointed). Same for
+    * the symmetric edge relation (m / degree / intra references). */
+  def supplierPartModularity(lineitem: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = lineitem.select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    modularity(edges, labelPropagation(edges, rounds).localCheckpoint(true))
+  }
+
+  def supplierPartModularitySql(rounds: Int = 3): String = {
+    def stepSql(i: Int): String =
+      s"""l$i AS (SELECT node, label FROM (
+         |  SELECT e.src AS node, l.label, COUNT(*) AS cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY e.src
+         |      ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY e.src, l.label) t WHERE rn = 1)""".stripMargin
+    s"""WITH base_e AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM base_e
+       |          UNION SELECT dst, src FROM base_e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${(1 to rounds).map(stepSql).mkString(",\n")},
+       |m AS (SELECT COUNT(*) AS md FROM edges),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |dc AS (SELECT l.label, SUM(d.deg) AS dc
+       |  FROM deg d JOIN l$rounds l USING (node) GROUP BY l.label),
+       |intra AS (SELECT ls.label, COUNT(*) AS intra
+       |  FROM edges e
+       |  JOIN l$rounds ls ON e.src = ls.node
+       |  JOIN l$rounds ld ON e.dst = ld.node
+       |  WHERE ls.label = ld.label GROUP BY ls.label),
+       |sums AS (SELECT COUNT(*) AS n_comms,
+       |    SUM(COALESCE(i.intra, 0)) AS si,
+       |    SUM(CAST(d.dc AS HUGEINT) * d.dc) AS sd2
+       |  FROM dc d LEFT JOIN intra i USING (label))
+       |SELECT CAST(md AS BIGINT) AS m_edges, n_comms,
+       |  CAST(CAST(md AS HUGEINT) * si - sd2 AS BIGINT) AS q_num,
+       |  CAST(CAST(md AS HUGEINT) * md AS BIGINT) AS q_den,
+       |  CAST(CAST(CAST(md AS HUGEINT) * si - sd2 AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(CAST(md AS HUGEINT) * md AS VARCHAR) AS DOUBLE) AS q
+       |FROM sums CROSS JOIN m""".stripMargin
+  }
+
   def supplierPartBfsSql(iters: Int = 3): String = {
     def stepSql(i: Int): String =
       s"""d$i AS (

@@ -1420,9 +1420,11 @@ object TextOps {
       .withColumn("pred_en", col("margin") > 0.0)
   }
 
-  def nbScoreSql: String = {
+  /** The nbScore CTE chain (everything up to the per-doc margin
+    * SELECT), shared by [[nbScoreSql]] and [[nbCalibrationSql]]. */
+  private def nbCtes: String = {
     import graft.functions.PortableMath.plogSql
-    s"""WITH lab AS (SELECT doc_id, text,
+    s"""lab AS (SELECT doc_id, text,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
        |flat_tr AS (SELECT doc_id, y, unnest($tokensSql) AS token
        |  FROM lab WHERE doc_id % 2 = 0),
@@ -1452,13 +1454,45 @@ object TextOps {
        |terms AS (SELECT f.doc_id, f.y, COALESCE(w.wg, d.w0g) AS tg, d.prg
        |  FROM (SELECT doc_id, y, unnest($tokensSql) AS token
        |        FROM lab WHERE doc_id % 2 = 1) f
-       |  LEFT JOIN wts w USING (token) CROSS JOIN defaults d)
-       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  LEFT JOIN wts w USING (token) CROSS JOIN defaults d),
+       |nb AS (SELECT doc_id, COUNT(*) AS n_tokens,
        |  CAST(CAST(SUM(CAST(tg AS HUGEINT)) + MIN(prg) AS VARCHAR)
        |    AS DOUBLE) / 1e12 AS margin,
        |  MAX(y) = 1 AS is_en,
        |  CAST(CAST(SUM(CAST(tg AS HUGEINT)) + MIN(prg) AS VARCHAR)
        |    AS DOUBLE) / 1e12 > 0.0 AS pred_en
-       |FROM terms GROUP BY doc_id""".stripMargin
+       |FROM terms GROUP BY doc_id)""".stripMargin
   }
+
+  def nbScoreSql: String =
+    s"WITH $nbCtes\nSELECT doc_id, n_tokens, margin, is_en, pred_en FROM nb"
+
+  // -------------------------------------------------------------------
+  // Calibration (reliability) bins over the NB margins: group the
+  // scored held-out docs into fixed half-unit margin bins and report
+  // the positive fraction per bin — the "is the margin an honest
+  // probability signal?" diagnostic that decides where to put the
+  // keep/drop threshold. bin = floor(margin·2) is exact (margin is
+  // bit-identical cross-engine, ·2 and floor are exact IEEE ops);
+  // frac_pos is one division of exact counts. Fixed-width bins, never
+  // ntile — no SinglePartition exchange, the bin relation is
+  // dictionary-sized at any corpus size.
+  // -------------------------------------------------------------------
+  def nbCalibration(docs: DataFrame): DataFrame =
+    nbScore(docs)
+      .select(floor(col("margin") * 2).as("bin"), col("is_en"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+
+  def nbCalibrationSql: String =
+    s"""WITH $nbCtes
+       |SELECT CAST(FLOOR(margin * 2) AS BIGINT) AS bin,
+       |  COUNT(*) AS n,
+       |  SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_pos,
+       |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+       |FROM nb GROUP BY 1""".stripMargin
 }

@@ -178,4 +178,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
+
+  test("modularity: two clean triangles Q = 1/2 exactly; one community Q = 0") {
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val edges = sym(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)))
+    val twoComms = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("node", "label")
+    val r = GraphOps.modularity(edges, twoComms).collect()(0)
+    // m_d = 12, per community intra_d = 6, d_c = 6:
+    // Q = (12·12 − 2·36)/144 = 72/144 = 1/2 exactly
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((12L, 2L, 72L, 144L, 0.5)))
+    // the degenerate single community always scores 0
+    val oneComm = (1L to 6L).map(n => (n, 0L)).toDF("node", "label")
+    val r1 = GraphOps.modularity(edges, oneComm).collect()(0)
+    assert(r1.getLong(2) == 0L && r1.getDouble(4) == 0.0)
+  }
 }

@@ -438,6 +438,27 @@ class TextOpsSpec extends SparkSpec {
     assert(n5 == 3L && !m5.isNaN)
   }
 
+  test("nb calibration bins partition the scored split; signs land in the right bins") {
+    val docs = Seq(
+      (0L, "hello hello world", "en"),
+      (2L, "hello there world", "en"),
+      (4L, "bonjour monde monde", "fr"),
+      (6L, "bonjour le monde", "fr"),
+      (1L, "hello hello hello", "en"),
+      (3L, "bonjour bonjour bonjour", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val bins = TextOps.nbCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(bins.map(_._2).sum == 2L) // docs 1 and 3 scored
+    bins.foreach { case (_, n, np, f) =>
+      assert(f == np.toDouble / n && np <= n)
+    }
+    // the English doc's bin is non-negative, the French doc's negative
+    val pos = bins.filter(_._1 >= 0).map(_._3).sum
+    val neg = bins.filter(_._1 < 0).map(_._3).sum
+    assert(pos == 1L && neg == 0L, bins.mkString(","))
+  }
+
   test("nb classifier margin equals the hand-computed smoothed log-odds") {
     // tiny corpus: train = doc 0 (en: "a a"), doc 2 (fr: "b").
     // counts: a → cpos=2, cneg=0; b → cpos=0, cneg=1.
