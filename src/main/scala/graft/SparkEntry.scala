@@ -602,6 +602,10 @@ object SparkEntry {
     // P(next type | current type) — one user shuffle, |types|² agg
     "events_transitions" -> ((s, dir) =>
       EventOps.transitions(Tables.events(s, dir))),
+    // hourly-count autocorrelation at lags 1 and 24 — the seasonality
+    // detector; exact integer sufficient statistics, IEEE-only floats
+    "events_autocorr" -> ((s, dir) =>
+      EventOps.hourlyAutocorr(Tables.events(s, dir))),
     // full Pearson correlation matrix in ONE scan / ONE 1-row agg:
     // all k(k+3)/2 sufficient statistics accumulate together, floats
     // only at the final ratio (sqrt is IEEE-exact, not libm)
@@ -632,11 +636,20 @@ object SparkEntry {
     // fixed half-unit margin bin (threshold-placement diagnostic)
     "text_nb_calibration" -> ((s, dir) =>
       TextOps.nbCalibration(Tables.table(s, dir, "documents"))),
+    // per-doc top-3 tf-idf keyphrases through TopKPerKey (no Window,
+    // no per-doc sort of the posting relation)
+    "text_keyphrases" -> ((s, dir) =>
+      graft.ops.RetrievalOps.keyphrases(Tables.table(s, dir, "documents"))),
     // kNN majority-vote label transfer over the LSH-blocked knn graph;
     // both the per-source top-k and the vote argmax run through the
     // custom TopKPerKey physical operator (no Window, no per-group sort)
     "emb_knn_classify" -> ((s, dir) =>
       graft.ops.EmbeddingOps.knnClassify(
+        Tables.table(s, dir, "embeddings"))),
+    // nearest-centroid (Rocchio) classification: grid-exact per-label
+    // mean embeddings broadcast, zero-shuffle distance scoring
+    "emb_centroid_classify" -> ((s, dir) =>
+      graft.ops.EmbeddingOps.centroidClassify(
         Tables.table(s, dir, "embeddings"))),
     // 2-D Pareto skyline of the points relation — sort-free dominance
     // via per-distinct-x max + running max over x DESC
@@ -981,6 +994,7 @@ object SparkEntry {
     "events_deciles" -> EventOps.valueDecilesSql(),
     "text_sgns_negatives" -> TextOps.sgnsNegativesSql(),
     "events_transitions" -> EventOps.transitionsSql,
+    "events_autocorr" -> EventOps.hourlyAutocorrSql(),
     "orders_chisq" -> graft.ops.StatsOps.chiSquareSql(
       "orders", "o_orderpriority", "CAST(year(o_orderdate) AS INT)"),
     "corr_matrix" -> graft.ops.StatsOps.corrMatrixSql(
@@ -989,7 +1003,9 @@ object SparkEntry {
       "documents", "n_chars", "lang = 'en'"),
     "text_nb_score" -> TextOps.nbScoreSql,
     "text_nb_calibration" -> TextOps.nbCalibrationSql,
+    "text_keyphrases" -> graft.ops.RetrievalOps.keyphrasesSql(),
     "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
+    "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),
     "profile_docs" -> graft.ops.ProfileOps.profileSql(

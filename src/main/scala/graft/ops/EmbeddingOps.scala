@@ -442,6 +442,75 @@ object EmbeddingOps {
        |WHERE p.rn = 1""".stripMargin
   }
 
+  /** Nearest-centroid (Rocchio) classification: per-label mean
+    * embedding, then assign every vector to the closest centroid —
+    * the embedding-space audit twin of [[knnClassify]] (k-NN votes
+    * locally; the centroid view asks whether the classes are globally
+    * linearly separated). Exactness recipe: components are snapped to
+    * the 1e-6 integer grid BEFORE the mean (long sums are
+    * order-independent; the float32→double cast and round are exact),
+    * so each centroid component is one correctly-rounded IEEE
+    * division; distances then use the same left-to-right VecDot fold
+    * as every other embedding op via d² = x·x − 2·x·c + c·c; argmin
+    * tie-breaks on the smaller label. Exact while |Σ grid values| per
+    * (label, dim) < 2^53 — ~9e9 unit-scale vectors per label.
+    *
+    * Scale: one (label, pos) grid-sum agg (map-side combinable, ≤
+    * |labels|·dim rows out), k centroid rows broadcast, scoring is a
+    * zero-shuffle scan projection + one vec_id-keyed argmin agg. */
+  def centroidClassify(embs: DataFrame): DataFrame = {
+    val Grid = 1.0e6
+    val flat = embs.select(col("label").as("clabel"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("clabel"), col("pos"),
+        round(col("v") * Grid).cast("long").as("g"))
+    val comp = flat.groupBy("clabel", "pos")
+      .agg(sum("g").as("s"), count(lit(1)).as("n"))
+      .select(col("clabel"), col("pos"),
+        (col("s").cast("double") /
+          (col("n").cast("double") * Grid)).as("c"))
+    val cents = comp.groupBy("clabel").agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    embs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (dot(col("embedding"), col("embedding"))
+          - lit(2.0) * dot(col("embedding"), col("cvec"))
+          + dot(col("cvec"), col("cvec"))).as("d2"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("pred_label"),
+        col("m.d2").as("d2"), col("label"),
+        (col("m.clabel") === col("label")).as("correct"))
+  }
+
+  def centroidClassifySql: String =
+    s"""WITH flat AS (
+       |  SELECT label AS clabel, i AS pos,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS g
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) u(i)),
+       |comp AS (
+       |  SELECT clabel, pos,
+       |    CAST(SUM(g) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS c
+       |  FROM flat GROUP BY clabel, pos),
+       |cents AS (
+       |  SELECT clabel, list(c ORDER BY pos) AS cvec
+       |  FROM comp GROUP BY clabel),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.clabel,
+       |    ${dotSql("e.embedding", "e.embedding")}
+       |      - 2.0 * ${dotSql("e.embedding", "c.cvec")}
+       |      + ${dotSql("c.cvec", "c.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN cents c),
+       |r AS (SELECT vec_id, label, clabel, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, clabel ASC) AS rn
+       |  FROM scored)
+       |SELECT vec_id, clabel AS pred_label, d2, label,
+       |  clabel = label AS correct
+       |FROM r WHERE rn = 1""".stripMargin
+
   def cosineNearDupsSql(
       threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {

@@ -977,6 +977,78 @@ object EventOps {
   /** Floor division robust to negative epochs (Spark's `/` on longs
     * truncates toward zero; pre-1970 timestamps need true floor).
     * Shared with the streaming twin (StreamOps.intervalTagStream). */
+  /** Hourly-count autocorrelation at fixed lags (1 = hour-over-hour
+    * persistence, 24 = daily periodicity) — the seasonality detector
+    * that decides whether the anomaly baseline needs a
+    * time-of-day component. Pearson r between the hourly count series
+    * and its lag-L shift, over the OBSERVED overlapping hour pairs
+    * (sparse hours are absent, not zero-filled — the spine-join
+    * variant is a generate_series away and changes only the pair
+    * relation). corrMatrix discipline: all sufficient statistics are
+    * exact-integer DECIMAL(38,0) sums; float appears only in the two
+    * correctly-rounded sqrt and the final division. Degenerate
+    * (constant) series → NULL in both engines.
+    *
+    * Scale: one hour-keyed count agg (map-side partials collapse raw
+    * events to one row per hour), then a self equi-join and a
+    * lag-keyed agg over the |hours|-sized relation — nothing
+    * event-sized past the first shuffle. */
+  def hourlyAutocorr(events: DataFrame,
+      lags: Seq[Int] = Seq(1, 24)): DataFrame = {
+    val counts = events
+      .groupBy(floorDiv(unix_micros(col("ts")), 3600000000L).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val a = counts
+      .withColumn("lag", explode(array(lags.map(l => lit(l.toLong)): _*)))
+      .select(col("h"), col("lag"), col("c").as("ca"))
+    val pairs = a.join(counts.select(col("h"), col("c").as("cb"))
+        .withColumn("lag", explode(array(lags.map(l => lit(l.toLong)): _*)))
+        .select((col("h") - col("lag")).as("h"), col("lag"), col("cb")),
+      Seq("h", "lag"))
+    val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column) = c.cast(Dec38)
+    val st = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum(d(col("ca"))).as("sx"), sum(d(col("cb"))).as("sy"),
+      sum(d(col("ca")) * d(col("cb"))).as("sxy"),
+      sum(d(col("ca")) * d(col("ca"))).as("sxx"),
+      sum(d(col("cb")) * d(col("cb"))).as("syy"))
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val num = d(col("n")) * col("sxy") - col("sx") * col("sy")
+    val dx = d(col("n")) * col("sxx") - col("sx") * col("sx")
+    val dy = d(col("n")) * col("syy") - col("sy") * col("sy")
+    st.select(col("lag"), col("n"),
+      when(dx === 0 || dy === 0, lit(null).cast("double"))
+        .otherwise(dbl(num) / (sqrt(dbl(dx)) * sqrt(dbl(dy)))).as("r"))
+  }
+
+  def hourlyAutocorrSql(lags: Seq[Int] = Seq(1, 24)): String = {
+    val lagValues = lags.map(l => s"($l)").mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c
+       |  FROM events GROUP BY 1),
+       |pairs AS (
+       |  SELECT l.lag, a.c AS ca, b.c AS cb
+       |  FROM counts a
+       |  CROSS JOIN (VALUES $lagValues) l(lag)
+       |  JOIN counts b ON b.h = a.h + l.lag),
+       |st AS (
+       |  SELECT lag, COUNT(*) AS n,
+       |    SUM(CAST(ca AS HUGEINT)) AS sx, SUM(CAST(cb AS HUGEINT)) AS sy,
+       |    SUM(CAST(ca AS HUGEINT) * cb) AS sxy,
+       |    SUM(CAST(ca AS HUGEINT) * ca) AS sxx,
+       |    SUM(CAST(cb AS HUGEINT) * cb) AS syy
+       |  FROM pairs GROUP BY lag)
+       |SELECT CAST(lag AS BIGINT) AS lag, n,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       |    THEN NULL
+       |    ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |      / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+       |         * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+       |  END AS r
+       |FROM st""".stripMargin
+  }
+
   private[graft] def floorDiv(a: Column, b: Long): Column =
     ((a - pmod(a, lit(b))) / lit(b)).cast("long")
 

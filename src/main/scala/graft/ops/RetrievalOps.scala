@@ -77,6 +77,28 @@ object RetrievalOps {
        |  CAST(tf AS DOUBLE) * (${PortableMath.plogSql("r")} + 1.0) AS tfidf
        |FROM j""".stripMargin
 
+  /** Per-document keyphrase extraction: the top-k terms by tf-idf —
+    * the cheap summary/tagging primitive (what is this doc about?).
+    * Routed through the custom TopKPerKey physical operator: partial
+    * k-row heaps per partition, a doc_id exchange of ≤ k·partitions
+    * rows per doc, final heap merge emitting the rank — no Window, no
+    * per-doc sort over the full posting relation. Order (tfidf DESC,
+    * term ASC) is total, so both engines agree on every rank. */
+  def keyphrases(docs: DataFrame, k: Int = 3): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey(
+      tfidf(docs).select(col("doc_id"), col("term"), col("tfidf")),
+      Seq("doc_id"), Seq(("tfidf", false), ("term", true)), k,
+      rankCol = Some("rank"))
+
+  def keyphrasesSql(k: Int = 3): String =
+    s"""WITH base AS ($tfidfSql)
+       |SELECT doc_id, term, tfidf, rank FROM (
+       |  SELECT doc_id, term, tfidf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+       |  FROM base) r
+       |WHERE rank <= $k""".stripMargin
+
   // -------------------------------------------------------------------
   // BM25 top-k for a fixed term list. Per-doc score
   //   Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),

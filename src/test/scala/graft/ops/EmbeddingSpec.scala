@@ -190,6 +190,36 @@ class EmbeddingSpec extends SparkSpec {
     assert(got(2L) == ((0, 7, false)))
   }
 
+  test("centroid classify: grid-exact means, argmin label transfer, outlier corrected") {
+    // label 0 clusters at x≈1, label 1 at y≈1; vector 20 claims label 1
+    // but sits in the label-0 cluster → predicted 0, correct = false
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (10L, Array(0f, 0f, 1f, 0f), 1),
+      (11L, Array(0f, 0f, 0.9f, 0.1f), 1),
+      (20L, Array(0.95f, 0.05f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.centroidClassify(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3), r.getBoolean(4)))
+      .toMap
+    assert(got(0L) == ((0, 0, true)) && got(1L) == ((0, 0, true)))
+    assert(got(10L)._1 == 1 && got(11L)._1 == 1)
+    assert(got(20L) == ((0, 1, false)), s"outlier ${got(20L)}")
+  }
+
+  test("centroid classify scores with a broadcast, never a shuffled join") {
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (10L, Array(0f, 0f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val plan = EmbeddingOps.centroidClassify(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("knn classify plan uses TopKPerKey, not Window") {
     val docs = Seq(
       (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),

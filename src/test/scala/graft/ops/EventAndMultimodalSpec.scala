@@ -61,6 +61,35 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(sess((200L, 1L)) == 1L)
   }
 
+  test("hourly autocorr: alternating series gives r = -1 at lag 1 and r = +1 at lag 2") {
+    // hourly counts 1,5,1,5,1,5 → lag-1 pairs anti-correlate exactly,
+    // lag-2 pairs correlate exactly; both are rational results the
+    // exact-integer algebra must hit dead on
+    val rows = (0 until 6).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 5
+      (0 until n).map(i => (h.toLong * 100 + i,
+        ts(f"2024-01-01 ${10 + h}%02d:00:00"), 1L, "click", 1.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.hourlyAutocorr(ev, lags = Seq(1, 2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // sqrt(dx)·sqrt(dy) rounds once vs the exact |num|, so ±1 lands
+    // within 1 ulp, not exactly (deterministically so — the oracle
+    // twin computes the identical tree)
+    assert(got(1L)._1 == 5L && math.abs(got(1L)._2 + 1.0) < 1e-12,
+      s"lag1 ${got(1L)}")
+    assert(got(2L)._1 == 4L && math.abs(got(2L)._2 - 1.0) < 1e-12,
+      s"lag2 ${got(2L)}")
+  }
+
+  test("hourly autocorr: constant series is degenerate → NULL r") {
+    val ev = (0 until 4).map(h => (h.toLong,
+        ts(f"2024-01-01 ${10 + h}%02d:00:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.hourlyAutocorr(ev, lags = Seq(1)).collect()
+    assert(got.length == 1 && got(0).isNullAt(2), got.mkString(","))
+  }
+
   test("hourly agg groups by hour and type with exact sums") {
     val m = EventOps.hourlyTypeAgg(events).collect()
       .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))

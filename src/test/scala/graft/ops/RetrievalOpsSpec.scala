@@ -139,4 +139,31 @@ class RetrievalOpsSpec extends SparkSpec {
       terms = Seq("spark", "zzz_nowhere"), k = 3).collect()
     assert(gotAbsent.forall(r => !r.getDouble(1).isInfinite))
   }
+
+  test("keyphrases: rare terms outrank ubiquitous ones; ranks dense per doc") {
+    import spark.implicits._
+    // "common" appears in every doc (idf floor); each doc also has a
+    // unique term that must win rank 1
+    val docs = Seq(
+      (1L, "common alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma")
+    ).toDF("doc_id", "text")
+    val got = RetrievalOps.keyphrases(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1)).toMap
+    assert(got((1L, 1L)) == "alpha" && got((2L, 1L)) == "beta"
+      && got((3L, 1L)) == "gamma", got.toString)
+    assert(got((1L, 2L)) == "common" && got((2L, 2L)) == "common")
+  }
+
+  test("keyphrases plan routes through TopKPerKey with no Window") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = RetrievalOps.keyphrases(docs, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    // tfidf's df count itself uses a term window — assert only that
+    // the per-doc top-k is not window-ranked
+    assert(!plan.contains("row_number"), plan)
+  }
 }
