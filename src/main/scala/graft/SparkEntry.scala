@@ -623,6 +623,13 @@ object SparkEntry {
     // exact tie-corrected Mann-Whitney AUC: does doc length separate
     // English from non-English? (classifier-eval primitive; integer
     // scores force heavy tie handling through both engines)
+    // Benford first-digit screen on order totals — log-free digit
+    // extraction via the exact cents grid; portable-ln expectations
+    "orders_benford" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.StatsOps.benford(Tables.table(s, dir, "orders"),
+        col("o_totalprice"))
+    }),
     "quality_auc" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       graft.ops.StatsOps.aucExact(Tables.table(s, dir, "documents"),
@@ -1001,6 +1008,8 @@ object SparkEntry {
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "quality_auc" -> graft.ops.StatsOps.aucExactSql(
       "documents", "n_chars", "lang = 'en'"),
+    "orders_benford" -> graft.ops.StatsOps.benfordSql(
+      "orders", "o_totalprice"),
     "text_nb_score" -> TextOps.nbScoreSql,
     "text_nb_calibration" -> TextOps.nbCalibrationSql,
     "text_keyphrases" -> graft.ops.RetrievalOps.keyphrasesSql(),

@@ -227,6 +227,61 @@ object StatsOps {
           .cast("string").cast("double")).as("auc"))
   }
 
+  /** Benford first-significant-digit test over a positive 2-decimal
+    * money column — the fabricated-data / unit-mixup screen. The digit
+    * is extracted WITHOUT logarithms: round(x·100) is an exact long
+    * (cents grid), cast to string identically in both engines, first
+    * char → digit — no libm in the digit path at all. Expected Benford
+    * mass log10(1+1/d) = plog(1+1/d)/plog(10) uses the portable ln on
+    * ≥1 arguments; observed fraction is one exact-integer division.
+    * Output: one row per digit 1-9 (absent digits materialized with
+    * n = 0) with observed n, frac, benford_p, and the signed gap.
+    *
+    * Scale: one 9-bucket count agg with map-side partials — the scan
+    * is the cost; everything after is a 9-row projection. */
+  def benford(df: DataFrame, amount: Column): DataFrame = {
+    val digits = org.apache.spark.sql.functions.broadcast(
+      df.sparkSession.range(1, 10).toDF("digit"))
+    val obs = df.select(
+        substring(round(amount * 100).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n").as("t"))
+    val ten = graft.functions.PortableMath.plog(lit(10.0))
+    digits.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("frac"),
+        (graft.functions.PortableMath.plog(
+          lit(1.0) + lit(1.0) / col("digit").cast("double")) / ten)
+          .as("benford_p"))
+      .withColumn("gap", col("frac") - col("benford_p"))
+  }
+
+  def benfordSql(table: String, amountExpr: String): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH obs AS (
+       |  SELECT digit, COUNT(*) AS n FROM (
+       |    SELECT CAST(SUBSTR(CAST(CAST(ROUND(($amountExpr) * 100)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |    FROM $table) d
+       |  WHERE digit >= 1 GROUP BY digit),
+       |tot AS (SELECT SUM(n) AS t FROM obs),
+       |digits AS (SELECT CAST(u.d AS BIGINT) AS digit
+       |  FROM unnest(generate_series(1, 9)) u(d)),
+       |j AS (SELECT dg.digit, COALESCE(o.n, 0) AS n,
+       |    CAST(1.0 + 1.0 / CAST(dg.digit AS DOUBLE) AS DOUBLE) AS br
+       |  FROM digits dg LEFT JOIN obs o ON dg.digit = o.digit)
+       |SELECT digit, n,
+       |  CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS frac,
+       |  (${plogSql("br")}) / (${plogSql("10.0")}) AS benford_p,
+       |  CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+       |    - (${plogSql("br")}) / (${plogSql("10.0")}) AS gap
+       |FROM j CROSS JOIN tot""".stripMargin
+  }
+
   def aucExactSql(table: String, scoreExpr: String,
       labelExpr: String): String =
     s"""WITH s AS (

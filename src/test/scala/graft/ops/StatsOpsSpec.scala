@@ -77,6 +77,22 @@ class StatsOpsSpec extends SparkSpec {
       == ((2L, 2L, 7L, 0.875)))
   }
 
+  test("benford: digits from the cents grid, absent digits at n=0, masses sum to 1") {
+    import org.apache.spark.sql.functions.col
+    // first significant digits: 1.23→1, 0.05→5, 950.0→9, 12000.5→1
+    val df = Seq(1.23, 0.05, 950.0, 12000.5).toDF("x")
+    val got = StatsOps.benford(df, col("x")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    assert(got(1L)._1 == 2L && got(5L)._1 == 1L && got(9L)._1 == 1L)
+    assert(got(2L)._1 == 0L)
+    // Benford masses are a probability distribution
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+    // and decrease monotonically in the digit
+    val ps = (1L to 9L).map(d => got(d)._2)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a > b })
+  }
+
   test("exact AUC windows the distinct-score relation, not raw rows") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 100).map(i => (i % 7, i % 3 == 0)).toDF("s", "y")
