@@ -643,6 +643,9 @@ object SparkEntry {
     // fixed half-unit margin bin (threshold-placement diagnostic)
     "text_nb_calibration" -> ((s, dir) =>
       TextOps.nbCalibration(Tables.table(s, dir, "documents"))),
+    // confusion counts + precision/recall/F1 on the held-out split
+    "text_nb_confusion" -> ((s, dir) =>
+      TextOps.nbConfusion(Tables.table(s, dir, "documents"))),
     // per-doc top-3 tf-idf keyphrases through TopKPerKey (no Window,
     // no per-doc sort of the posting relation)
     "text_keyphrases" -> ((s, dir) =>
@@ -1013,6 +1016,7 @@ object SparkEntry {
     "text_nb_score" -> TextOps.nbScoreSql,
     "text_nb_calibration" -> TextOps.nbCalibrationSql,
     "text_keyphrases" -> graft.ops.RetrievalOps.keyphrasesSql(),
+    "text_nb_confusion" -> TextOps.nbConfusionSql,
     "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->

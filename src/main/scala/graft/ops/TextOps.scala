@@ -1487,6 +1487,51 @@ object TextOps {
       .withColumn("frac_pos",
         col("n_pos").cast("double") / col("n").cast("double"))
 
+  // -------------------------------------------------------------------
+  // Confusion counts + precision/recall/F1 of the NB predictions on the
+  // held-out split — with AUC (StatsOps.aucExact) and the calibration
+  // bins this completes the classifier-eval triad. Counts are exact
+  // integers from one 1-row agg over the scored docs; the three ratios
+  // are single IEEE divisions (F1 via 2·tp/(2·tp+fp+fn) — ONE division,
+  // not the p·r composition whose intermediate rounding would differ
+  // from the oracle's only if the trees diverged; both engines compute
+  // this exact same tree). Degenerate denominators → NULL.
+  // -------------------------------------------------------------------
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val scored = nbScore(docs)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val g = scored.agg(
+      cnt(col("pred_en") && col("is_en")).as("tp"),
+      cnt(col("pred_en") && !col("is_en")).as("fp"),
+      cnt(!col("pred_en") && col("is_en")).as("fn"),
+      cnt(!col("pred_en") && !col("is_en")).as("tn"))
+    def ratio(num: Column, den: Column) =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    g.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
+  def nbConfusionSql: String =
+    s"""WITH $nbCtes,
+       |cm AS (SELECT
+       |    SUM(CASE WHEN pred_en AND is_en THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN pred_en AND NOT is_en THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN NOT pred_en AND is_en THEN 1 ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN NOT pred_en AND NOT is_en THEN 1 ELSE 0 END) AS tn
+       |  FROM nb)
+       |SELECT tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       |  CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+       |    ELSE CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
+       |  END AS f1
+       |FROM cm""".stripMargin
+
   def nbCalibrationSql: String =
     s"""WITH $nbCtes
        |SELECT CAST(FLOOR(margin * 2) AS BIGINT) AS bin,

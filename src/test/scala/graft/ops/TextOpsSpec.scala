@@ -459,6 +459,25 @@ class TextOpsSpec extends SparkSpec {
     assert(pos == 1L && neg == 0L, bins.mkString(","))
   }
 
+  test("nb confusion: counts partition the scored split; PRF from the counts") {
+    val docs = Seq(
+      (0L, "hello hello world", "en"),
+      (2L, "hello there world", "en"),
+      (4L, "bonjour monde monde", "fr"),
+      (6L, "bonjour le monde", "fr"),
+      (1L, "hello hello hello", "en"),       // scored: pred en, is en → TP
+      (3L, "bonjour bonjour bonjour", "fr"), // scored: pred fr, is fr → TN
+      (5L, "hello hello", "fr")              // en tokens, fr label → FP
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.nbConfusion(docs).collect()(0)
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((tp, fp, fn, tn) == ((1L, 1L, 0L, 1L)), s"($tp,$fp,$fn,$tn)")
+    assert(r.getDouble(4) == 0.5)  // precision 1/2
+    assert(r.getDouble(5) == 1.0)  // recall 1/1
+    assert(r.getDouble(6) == 2.0 / 3.0) // f1 = 2/(2+1)
+  }
+
   test("nb classifier margin equals the hand-computed smoothed log-odds") {
     // tiny corpus: train = doc 0 (en: "a a"), doc 2 (fr: "b").
     // counts: a → cpos=2, cneg=0; b → cpos=0, cneg=1.
