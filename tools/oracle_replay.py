@@ -38,7 +38,14 @@ def main():
     sf_dir, out_dir, report = sys.argv[1], sys.argv[2], sys.argv[3]
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
-    con.execute(f"SET threads TO {min(os.cpu_count() or 8, 16)}")
+    con.execute(f"SET threads TO "
+                f"{int(os.environ.get('REPLAY_THREADS', min(os.cpu_count() or 8, 16)))}")
+    # Bound per-process memory so parallel partition replays don't each
+    # claim DuckDB's default 80%-of-RAM and OOM the box; large sorts
+    # spill to the temp dir instead.
+    con.execute(f"SET memory_limit = "
+                f"'{os.environ.get('REPLAY_MEM', '24GB')}'")
+    con.execute("SET temp_directory = '/tmp/duckdb_replay_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
