@@ -206,11 +206,25 @@ object KMeansOps {
 
   /** O13 — global sum → 1-row scalar, decimal-exact. sqdist magnitude is
     * ≤ ~1e10 here so DECIMAL(38,6) holds ~1e22 worth of sum headroom. */
+  // Exactness (fixed in r11, caught by the sf1 full-board replay):
+  // sqdist is an IRRATIONAL double, and a direct double→DECIMAL(38,6)
+  // cast rounds the exact binary expansion on the JVM but a scaled
+  // float in DuckDB — they disagree on edge values, first observed at
+  // sf1 magnitudes (Σ ≈ 9.3e13, off by one final-double ulp = 1/64).
+  // The integer-grid recipe is engine-identical: x·1e6 and round() are
+  // the same IEEE ops on both sides (for x·1e6 ≥ 2^53 round() is the
+  // identity on an already-integral double), the integral double casts
+  // to DECIMAL(38,0) exactly, the sum is exact, and the single final
+  // divide is correctly rounded. Same 1e-6 grid as before — only the
+  // rounding MECHANISM changed.
   def objective(assigned: DataFrame): DataFrame =
-    assigned.agg(sum(col("sqdist").cast(DecimalType(38, 6))).cast("double").as("objective"))
+    assigned.agg(
+      (sum(round(col("sqdist") * 1e6).cast(DecimalType(38, 0)))
+        .cast("string").cast("double") / 1e6).as("objective"))
 
   def objectiveSql(assignedRel: String): String =
-    s"SELECT CAST(CAST(SUM(CAST(sqdist AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS objective FROM $assignedRel"
+    s"SELECT CAST(CAST(SUM(CAST(ROUND(sqdist * 1e6) AS DECIMAL(38,0))) " +
+      s"AS VARCHAR) AS DOUBLE) / 1e6 AS objective FROM $assignedRel"
 
   // -----------------------------------------------------------------
   // O11/O12 — convergence check: equi join new/old on cid + theta filter
