@@ -546,6 +546,12 @@ object SparkEntry {
     "debtor_segments" -> ((s, dir) =>
       graft.ops.Relational.debtorSegments(
         Tables.table(s, dir, "customer"), Tables.table(s, dir, "orders"))),
+    // Deequ-style constraint suite: every single-table metric from ONE
+    // scan+agg (stack-unpivoted), plus two FK anti-join counts
+    "dq_orders" -> ((s, dir) =>
+      graft.ops.DataQuality.ordersChecks(
+        Tables.table(s, dir, "orders"), Tables.table(s, dir, "customer"),
+        Tables.table(s, dir, "lineitem"))),
     // association rules (2-itemset stage): top-k co-order pairs by
     // exact-integer lift, support-floor pruned, TakeOrdered
     "basket_lift" -> ((s, dir) =>
@@ -975,6 +981,7 @@ object SparkEntry {
     "small_qty_revenue" -> graft.ops.Relational.smallQtyRevenueSql(),
     "waiting_suppliers" -> graft.ops.Relational.waitingSuppliersSql(),
     "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
+    "dq_orders" -> graft.ops.DataQuality.ordersChecksSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
     "events_pit_join" -> EventOps.pitScd2JoinSql(),
     "dedup_editdist" -> Dedup.editDistancePairsSql(),

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deequ-style declarative data-quality validation — the constraint
+  * suite a production pipeline runs on every ingested partition before
+  * letting it into the lake (null rates, key uniqueness, value
+  * domains, range windows, cross-table referential integrity).
+  *
+  * Shape: ALL single-table metrics come out of ONE scan + one
+  * partial/final aggregate (a 1-row relation, unpivoted driver-free
+  * with `stack`), so adding a constraint costs an expression, not a
+  * pass. The two referential checks are anti-join counts that shuffle
+  * on the FK; at 100 TB those are the same exchanges the first real
+  * join of the day would pay, and AQE sizes them. Nothing here
+  * collects more than the fixed constraint rows.
+  *
+  * Output: one row per constraint — (check_name, value, pass) with
+  * `value` the exact BIGINT metric and `pass` an INT 0/1 (row_count
+  * must be positive; every other metric counts violations and must be
+  * zero). INT rather than BOOLEAN keeps the cross-engine canonical
+  * form trivial.
+  */
+object DataQuality {
+
+  def ordersChecks(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    // NULL-hostile domains: a NULL status/date is a violation, not a
+    // skip — fold IS NULL into the predicate before the negation.
+    val statusBad = col("o_orderstatus").isNull ||
+      !col("o_orderstatus").isin("O", "F", "P")
+    val dateBad = col("o_orderdate").isNull ||
+      col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+      col("o_orderdate") >= lit("1999-01-01").cast("timestamp")
+    val m = orders.agg(
+      count(lit(1)).as("row_count"),
+      count(when(col("o_orderkey").isNull, 1)).as("orderkey_nulls"),
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+        .as("orderkey_dupes"),
+      count(when(col("o_custkey").isNull, 1)).as("custkey_nulls"),
+      count(when(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0.0, 1)).as("totalprice_nonpos"),
+      count(when(statusBad, 1)).as("status_domain"),
+      count(when(dateBad, 1)).as("orderdate_range"))
+    val long = m.selectExpr(
+      """stack(7,
+        |  'row_count', row_count,
+        |  'orderkey_nulls', orderkey_nulls,
+        |  'orderkey_dupes', orderkey_dupes,
+        |  'custkey_nulls', custkey_nulls,
+        |  'totalprice_nonpos', totalprice_nonpos,
+        |  'status_domain', status_domain,
+        |  'orderdate_range', orderdate_range) AS (check_name, value)
+        |""".stripMargin)
+    val orphanOrders = orders
+      .join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("ri_orders_customer").as("check_name"), col("value"))
+    val orphanLines = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("ri_lineitem_orders").as("check_name"), col("value"))
+    long.unionByName(orphanOrders).unionByName(orphanLines)
+      .select(col("check_name"), col("value"),
+        when(col("check_name") === "row_count", col("value") > 0)
+          .otherwise(col("value") === 0).cast("int").as("pass"))
+  }
+
+  def ordersChecksSql(): String =
+    """WITH m AS (
+      |  SELECT COUNT(*) AS row_count,
+      |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS orderkey_nulls,
+      |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS orderkey_dupes,
+      |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS custkey_nulls,
+      |    COUNT(CASE WHEN o_totalprice IS NULL
+      |      OR o_totalprice <= 0.0 THEN 1 END) AS totalprice_nonpos,
+      |    COUNT(CASE WHEN o_orderstatus IS NULL
+      |      OR o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS status_domain,
+      |    COUNT(CASE WHEN o_orderdate IS NULL
+      |      OR o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+      |      OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 END)
+      |      AS orderdate_range
+      |  FROM orders),
+      |u AS (
+      |  SELECT 'row_count' AS check_name, row_count AS value FROM m
+      |  UNION ALL SELECT 'orderkey_nulls', orderkey_nulls FROM m
+      |  UNION ALL SELECT 'orderkey_dupes', orderkey_dupes FROM m
+      |  UNION ALL SELECT 'custkey_nulls', custkey_nulls FROM m
+      |  UNION ALL SELECT 'totalprice_nonpos', totalprice_nonpos FROM m
+      |  UNION ALL SELECT 'status_domain', status_domain FROM m
+      |  UNION ALL SELECT 'orderdate_range', orderdate_range FROM m
+      |  UNION ALL SELECT 'ri_orders_customer',
+      |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+      |       ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+      |  UNION ALL SELECT 'ri_lineitem_orders',
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL))
+      |SELECT check_name, value,
+      |  CAST(CASE WHEN check_name = 'row_count' THEN value > 0
+      |    ELSE value = 0 END AS INT) AS pass
+      |FROM u""".stripMargin
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("ordersChecks counts each planted violation class exactly once") {
+    val orders = Seq(
+      // clean row
+      (1L, 10L, "O", 100.0, ts("1995-06-01")),
+      // duplicate orderkey (one dupe)
+      (2L, 10L, "F", 50.0, ts("1996-01-01")),
+      (2L, 10L, "F", 60.0, ts("1996-01-02")),
+      // null custkey → RI check must NOT count it (null never matches,
+      // but the custkey_nulls metric owns it)
+      (3L, -1L, "P", 70.0, ts("1997-01-01")),
+      // bad status + nonpositive price
+      (4L, 10L, "X", -5.0, ts("1995-01-01")),
+      // date out of range
+      (5L, 10L, "O", 80.0, ts("1899-01-01")),
+      // orphan custkey
+      (6L, 99L, "O", 90.0, ts("1995-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .withColumn("o_custkey",
+        org.apache.spark.sql.functions.when($"o_custkey" === -1L, null)
+          .otherwise($"o_custkey"))
+    val customer = Seq((10L, "a")).toDF("c_custkey", "c_name")
+    val lineitem = Seq((1L, 1), (2L, 1), (7L, 1)) // 7 is an orphan line
+      .toDF("l_orderkey", "l_linenumber")
+
+    val got = DataQuality.ordersChecks(orders, customer, lineitem)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+    assert(got("row_count") == ((7L, 1)))
+    assert(got("orderkey_nulls") == ((0L, 1)))
+    assert(got("orderkey_dupes") == ((1L, 0)))
+    assert(got("custkey_nulls") == ((1L, 0)))
+    assert(got("totalprice_nonpos") == ((1L, 0)))
+    assert(got("status_domain") == ((1L, 0)))
+    assert(got("orderdate_range") == ((1L, 0)))
+    // "rows with no matching customer": order 6 (custkey 99) AND order
+    // 3 (NULL custkey — null never equi-joins, in Spark's left_anti and
+    // in the oracle's LEFT JOIN .. IS NULL alike)
+    assert(got("ri_orders_customer") == ((2L, 0)))
+    assert(got("ri_lineitem_orders") == ((1L, 0)))
+    assert(got.size == 9)
+  }
+
+  test("clean table passes every constraint") {
+    val orders = Seq((1L, 10L, "O", 100.0, ts("1995-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val customer = Seq((10L, "a")).toDF("c_custkey", "c_name")
+    val lineitem = Seq((1L, 1)).toDF("l_orderkey", "l_linenumber")
+    val rows = DataQuality.ordersChecks(orders, customer, lineitem).collect()
+    assert(rows.length == 9)
+    assert(rows.forall { case Row(_, _, pass: Int) => pass == 1 })
+  }
+}
