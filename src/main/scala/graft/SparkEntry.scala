@@ -552,6 +552,11 @@ object SparkEntry {
       graft.ops.DataQuality.ordersChecks(
         Tables.table(s, dir, "orders"), Tables.table(s, dir, "customer"),
         Tables.table(s, dir, "lineitem"))),
+    // blocked entity resolution: suffix+nation blocking join, edit-
+    // distance scoring, best-match-per-row via TopKPerKey (k=1)
+    "er_match" -> ((s, dir) =>
+      graft.ops.EntityResolution.matchCustomers(
+        Tables.table(s, dir, "customer"))),
     // association rules (2-itemset stage): top-k co-order pairs by
     // exact-integer lift, support-floor pruned, TakeOrdered
     "basket_lift" -> ((s, dir) =>
@@ -982,6 +987,7 @@ object SparkEntry {
     "waiting_suppliers" -> graft.ops.Relational.waitingSuppliersSql(),
     "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
     "dq_orders" -> graft.ops.DataQuality.ordersChecksSql(),
+    "er_match" -> graft.ops.EntityResolution.matchCustomersSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
     "events_pit_join" -> EventOps.pitScd2JoinSql(),
     "dedup_editdist" -> Dedup.editDistancePairsSql(),
