@@ -231,7 +231,10 @@ object StatsOps {
     * money column — the fabricated-data / unit-mixup screen. The digit
     * is extracted WITHOUT logarithms: round(x·100) is an exact long
     * (cents grid), cast to string identically in both engines, first
-    * char → digit — no libm in the digit path at all. Expected Benford
+    * char → digit — no libm in the digit path at all. Nonpositive
+    * amounts leave the digit domain identically in both engines: the
+    * leading '-'/'0' fails the digit cast (Spark non-ANSI cast → NULL,
+    * oracle TRY_CAST → NULL) and the >= 1 filter drops it. Expected Benford
     * mass log10(1+1/d) = plog(1+1/d)/plog(10) uses the portable ln on
     * ≥1 arguments; observed fraction is one exact-integer division.
     * Output: one row per digit 1-9 (absent digits materialized with
@@ -264,7 +267,7 @@ object StatsOps {
     import graft.functions.PortableMath.plogSql
     s"""WITH obs AS (
        |  SELECT digit, COUNT(*) AS n FROM (
-       |    SELECT CAST(SUBSTR(CAST(CAST(ROUND(($amountExpr) * 100)
+       |    SELECT TRY_CAST(SUBSTR(CAST(CAST(ROUND(($amountExpr) * 100)
        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
        |    FROM $table) d
        |  WHERE digit >= 1 GROUP BY digit),
