@@ -132,6 +132,10 @@ object SparkEntry {
     "jsonl_roundtrip" -> ((s, dir) =>
       Tables.jsonlRoundtrip(Tables.table(s, dir, "documents"),
         "target/jsonl_docs_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
+    // ORC sink ∘ scan over the same relation (typed columnar round trip)
+    "orc_roundtrip" -> ((s, dir) =>
+      Tables.orcRoundtrip(Tables.table(s, dir, "documents"),
+        "target/orc_docs_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))),
 
     // ----- LLM-data-pipeline surface (SURVEY.md §2.2) -----
     // Text analysis over `documents`
@@ -894,6 +898,8 @@ object SparkEntry {
     "text_ql_topk" -> graft.ops.RetrievalOps.qlTopKSql(),
     "hybrid_rrf_topk" -> graft.ops.RetrievalOps.hybridRrfTopKSql(),
     "jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "text_cms" -> TextOps.cmsEstimatesSql(CmsProbes),
     "text_gopher" -> TextOps.gopherFilterSql(),

@@ -170,6 +170,16 @@ object Tables {
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
+  /** ORC sink ∘ scan — the second columnar lake format. Same contract
+    * as [[jsonlRoundtrip]]: sharded parallel write, explicit-schema
+    * read-back (never inference), value-exact round trip — ORC stores
+    * typed primitives, so doubles/longs/strings hash back identically
+    * to the source relation. */
+  def orcRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.schema(df.schema).orc(path)
+  }
+
   /** O16 — collect-print sink (KMeans.java:143,243-245: `.print()` when
     * no output paths are given). */
   def printSink(df: DataFrame, numRows: Int = 100): Unit =

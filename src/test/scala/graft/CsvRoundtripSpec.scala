@@ -70,4 +70,27 @@ class CsvRoundtripSpec extends SparkSpec {
       .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).length
     assert(lines == 7, s"expected 7 JSONL lines, got $lines")
   }
+
+  test("ORC roundtrip is value-exact incl. nulls, unicode, and -0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unicode: café 中文 😀", Some(1.5)),
+      (2L, "", Some(-0.0)),
+      (3L, null: String, None: Option[Double])
+    ).toDF("doc_id", "text", "score")
+    val back = Tables.orcRoundtrip(df, "/tmp/graft-orc-roundtrip")
+    // names+types survive (nullability widens on read-back, as for parquet)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("doc_id").collect()
+    val b = back.orderBy("doc_id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x == y, s"$x vs $y")
+      // row equality treats -0.0 == 0.0; pin the sign bit explicitly
+      if (!x.isNullAt(2))
+        assert(java.lang.Double.doubleToRawLongBits(x.getDouble(2)) ==
+          java.lang.Double.doubleToRawLongBits(y.getDouble(2)))
+    }
+  }
 }
