@@ -53,8 +53,26 @@ object PortableMath {
   }
 
   /** Portable ln over a double column; domain x ≥ 1 (callers feed idf
-    * ratios ≥ 1). NaN/negative inputs are the caller's bug. */
-  def plog(x: Column): Column = {
+    * ratios ≥ 1). NaN/negative inputs are the caller's bug.
+    *
+    * Implemented as the single scalar [[plogDouble]] behind a custom
+    * codegen expression, NOT as an inline Column tree: the Column DSL
+    * duplicates shared subterms structurally (y appears twice in t,
+    * t twice in u, u eight times in the Horner chain → ~34 copies of
+    * the argument subtree per call), which blew multi-term scorers
+    * (QL/BM25 over 10 probe terms ⇒ ~14k-line generated methods) past
+    * janino's compiler and forced interpreted fallback. The scalar
+    * call evaluates the IDENTICAL correctly-rounded op sequence —
+    * same bits — in constant-size generated code
+    * ([[graft.functions.PortableMathSpec]] pins tree ≡ scalar). */
+  def plog(x: Column): Column =
+    org.apache.spark.sql.graft.VecBridge.column(
+      org.apache.spark.sql.graft.PLog(
+        org.apache.spark.sql.graft.VecBridge.expression(x)))
+
+  /** The Column-tree form of the same arithmetic — kept for the
+    * bit-equivalence pin in PortableMathSpec. */
+  private[graft] def plogColumnTree(x: Column): Column = {
     val y = sqrt(sqrt(sqrt(sqrt(sqrt(sqrt(x))))))
     val t = (y - lit(1.0)) / (y + lit(1.0))
     val u = t * t
@@ -62,6 +80,20 @@ object PortableMath {
     val h = coeffs.reverse.tail.foldLeft(lit(coeffs.last): Column)(
       (acc, c) => lit(c) + u * acc)
     lit(128.0) * (t * h)
+  }
+
+  /** Scalar twin of the tree: six correctly-rounded sqrts, the atanh
+    * transform, and the same innermost-first Horner over the same
+    * constants in the same association order. Java double semantics
+    * forbid FMA contraction, so JIT cannot perturb the bits. */
+  def plogDouble(x: Double): Double = {
+    val y = Math.sqrt(Math.sqrt(Math.sqrt(Math.sqrt(Math.sqrt(Math.sqrt(x))))))
+    val t = (y - 1.0) / (y + 1.0)
+    val u = t * t
+    var h = coeffs.last
+    var k = coeffs.length - 2
+    while (k >= 0) { h = coeffs(k) + u * h; k -= 1 }
+    128.0 * (t * h)
   }
 
   /** DuckDB twin of [[plog]] — the same tree, same association order,

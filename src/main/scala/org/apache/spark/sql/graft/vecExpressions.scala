@@ -216,6 +216,23 @@ object TextStats {
   }
 }
 
+/** Portable cross-engine ln (graft.functions.PortableMath): evaluates
+  * the exact correctly-rounded op sequence of the documented tree as
+  * ONE scalar call. Exists so multi-term scorers stay inside
+  * whole-stage codegen: inlining the tree through the Column DSL
+  * duplicates the argument subtree ~34× per call and overflowed
+  * janino on 10-term QL/BM25 aggregates (interpreted fallback). */
+case class PLog(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.PortableMath.plogDouble(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableMath.plogDouble($c)")
+  override def prettyName: String = "plog"
+  override protected def withNewChildInternal(c: Expression): PLog = copy(child = c)
+}
+
 /** Column <-> Expression bridge (ExpressionUtils is private[sql]). */
 object VecBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

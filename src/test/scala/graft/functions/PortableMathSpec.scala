@@ -47,6 +47,33 @@ class PortableMathSpec extends SparkSpec {
     assert(bits(1) == bits(7))
   }
 
+  test("scalar PLog expression is bit-identical to the Column tree") {
+    import spark.implicits._
+    // the codegen'd scalar call must reproduce the documented tree's
+    // bits exactly — same sqrt chain, same Horner order (this is what
+    // keeps every oracle that hash-matched the tree still green)
+    val xs = ((1 to 5001).map(df => 5002.0 / df) ++
+      Seq(1.0, 1.0000001, 1.5, 7.0, 1e3, 1e6, 1e9, 1e12)).distinct
+    val rows = xs.toDF("x")
+      .select(PortableMath.plog(col("x")).as("a"),
+        PortableMath.plogColumnTree(col("x")).as("b"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // and the scalar (interpreted/eval) path agrees with the DF result
+    // bit-for-bit on a spot grid:
+    val grid = Seq(1.0, 1.0000001, 1.5, 7.0, 998.0 / 3, 1e6, 1e12)
+    val viaDf = grid.toDF("x")
+      .select(col("x"), PortableMath.plog(col("x")).as("p")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    grid.foreach { x =>
+      assert(java.lang.Double.doubleToRawLongBits(PortableMath.plogDouble(x)) ==
+        java.lang.Double.doubleToRawLongBits(viaDf(x)))
+    }
+  }
+
   test("plogSql emits the same coefficient doubles the Column tree uses") {
     // the SQL twin must carry every odd-reciprocal coefficient as a
     // shortest-round-trip literal; spot the three that are inexact
