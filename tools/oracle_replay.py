@@ -3,7 +3,8 @@
 driver's CORRECTNESS gate, used for the at-scale sf1 sweep — VERDICT r10
 missing item 1).
 
-Usage: python3 tools/oracle_replay.py <sfDir> <verifyOutDir> <reportJson>
+Usage: python3 tools/oracle_replay.py <sfDir> <verifyOutDir> <reportJson> \
+           [--only n1,n2,...] [--skip n1,n2,...]
 
 For every <verifyOutDir>/<name>/ parquet dump with an entry in
 oracle_sql.json it runs the oracle SQL against DuckDB views over
@@ -15,7 +16,7 @@ driver). The oracle column is CAST to the Spark-side type per column so
 type-lattice differences (HUGEINT vs DECIMAL(38,0), etc.) don't produce
 spurious value diffs — the Spark parquet schema is the declared contract.
 """
-import json, os, sys
+import json, os, sys, time
 
 import duckdb
 
@@ -54,7 +55,24 @@ def main():
     results, n_pass, n_fail = {}, 0, 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    only, skip = None, set()
+    for i, a in enumerate(sys.argv[4:], start=4):
+        if a == "--only":
+            only = set(sys.argv[i + 1].split(","))
+        if a == "--skip":
+            skip = set(sys.argv[i + 1].split(","))
+    if only is not None:
+        names = [n for n in names if n in only]
+    names = [n for n in names if n not in skip]
+
+    def dump_report():
+        with open(report, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "n_queries": len(names), "n_pass": n_pass,
+                       "n_fail": n_fail, "results": results}, f, indent=1)
+
     for name in names:
+        t0 = time.time()
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         row = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None, "oracle_rows": None,
@@ -67,7 +85,10 @@ def main():
                 f"SELECT count(*) FROM ({srel})").fetchone()[0]
             if name not in oracle:
                 row["err"] = "no_oracle"
+                row["sec"] = round(time.time() - t0, 2)
                 results[name] = row
+                print(f"[replay] {name}: no_oracle", flush=True)
+                dump_report()
                 continue
             con.execute(f"CREATE OR REPLACE VIEW __o AS {oracle[name]}")
             odesc = con.execute("DESCRIBE __o").fetchall()
@@ -85,17 +106,17 @@ def main():
                 row["hash_match"] = h_s == h_o
         except Exception as e:  # noqa: BLE001 — record and continue
             row["err"] = f"{type(e).__name__}: {e}"[:300]
+        row["sec"] = round(time.time() - t0, 2)
         results[name] = row
         ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
         n_pass += 1 if ok else 0
         n_fail += 0 if ok or row["err"] == "no_oracle" else 1
         print(f"[replay] {name}: "
-              f"{'PASS' if ok else (row['err'] or 'FAIL')}", flush=True)
+              f"{'PASS' if ok else (row['err'] or 'FAIL')}"
+              f" ({row['sec']}s)", flush=True)
+        dump_report()
 
-    with open(report, "w") as f:
-        json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
-                   "n_queries": len(names), "n_pass": n_pass,
-                   "n_fail": n_fail, "results": results}, f, indent=1)
+    dump_report()
     print(f"[replay] {n_pass} pass / {n_fail} fail / "
           f"{len(names) - n_pass - n_fail} no_oracle -> {report}")
     sys.exit(1 if n_fail else 0)
