@@ -46,7 +46,10 @@ def main():
     # spill to the temp dir instead.
     con.execute(f"SET memory_limit = "
                 f"'{os.environ.get('REPLAY_MEM', '24GB')}'")
-    con.execute("SET temp_directory = '/tmp/duckdb_replay_spill'")
+    # per-PID spill dir: parallel replay processes must not share one
+    # (DuckDB instances overwrite each other's duckdb_temp_storage files)
+    con.execute(
+        f"SET temp_directory = '/tmp/duckdb_replay_spill_{os.getpid()}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
