@@ -836,6 +836,45 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("frame_idx"),
           org.apache.spark.sql.functions.hex(
             org.apache.spark.sql.functions.col("frame")).as("frame_hex"))),
+
+    // ---- Structured Streaming, driven end-to-end --------------------
+    // Each runs the REAL streaming engine (readStream parquet source →
+    // stateful transform → Trigger.AvailableNow → sink) and returns the
+    // final sink table, so the streaming execution path itself sits
+    // under the same DuckDB oracle as the batch operators rather than
+    // only under ScalaTest twins.
+    "stream_hourly_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.windowedTypeAgg(
+          graft.streaming.StreamOps.readEventStream(s, dir)),
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(col("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+    "stream_sliding_agg" -> ((s, dir) =>
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.slidingTypeAgg(
+          graft.streaming.StreamOps.readEventStream(s, dir),
+          windowLen = "1 hour", slide = "30 minutes"),
+        org.apache.spark.sql.streaming.OutputMode.Complete())),
+    // flatMapGroupsWithState CDC compaction run as a stream; update-mode
+    // sink rows are per-batch state emissions, so the final state is the
+    // per-user (ts, event_id) argmax over the sink — one k-row agg
+    "stream_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, max, struct}
+      import s.implicits._
+      val src = graft.streaming.StreamOps.readEventStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[graft.streaming.StreamOps.EvKeyed]
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.latestStateStream(src).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1069,6 +1108,31 @@ object SparkEntry {
     "mm_frames" -> Multimodal.sampleFramesSql(),
     "mm_features_full" -> Multimodal.featuresFlatSql,
     "mm_resize" -> Multimodal.resizeFlatSql(),
+    // streaming queries: the oracle is the batch twin of the transform —
+    // complete/update-mode final sink contents equal the batch result
+    "stream_hourly_agg" ->
+      """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+        |    AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // len=1h, slide=30min ⇒ every event lands in exactly the two
+    // epoch-aligned 30-min starts (b, b-1): start ∈ (ts-1h, ts]
+    "stream_sliding_agg" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(
+        |      ((epoch_us(ts) // 1800000000) - k) * 1800000000)
+        |    AS window_start, event_type
+        |  FROM events, (SELECT UNNEST([0, 1]) AS k))
+        |SELECT window_start, event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "stream_latest" ->
+      """SELECT user_id, ts, event_id, value FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
     // dedup_minhash / dedup_simhash: engine-specific hash functions
     // (xxhash64) — not DuckDB-expressible; covered by ScalaTest
     // planted-duplicate suites (rows-only check), AND each has a

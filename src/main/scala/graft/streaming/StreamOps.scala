@@ -360,6 +360,31 @@ object StreamOps {
   /** File-source stream over an events parquet directory — the
     * readStream entry (`spark.readStream.schema(...).parquet(dir)`),
     * normalized to the same shape `Tables.events` produces. */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drive a streaming frame to completion over its (bounded) source with
+    * `Trigger.AvailableNow` into a memory sink and return the sink table.
+    * This is the verify/bench face of the streaming surface: the SAME
+    * transform graph a production job would `writeStream` to a durable
+    * sink runs here against the parquet fixture directory, so the final
+    * sink contents are oracle-comparable to the batch SQL twin. The
+    * memory sink holds only the emitted rows (aggregate/update output —
+    * bounded by result cardinality, never input size); a 100 TB
+    * deployment swaps the sink for parquet/Kafka and the trigger for a
+    * processing-time one, nothing else changes. */
+  def runAvailableNow(
+      df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
