@@ -858,6 +858,19 @@ object SparkEntry {
           graft.streaming.StreamOps.readEventStream(s, dir),
           windowLen = "1 hour", slide = "30 minutes"),
         org.apache.spark.sql.streaming.OutputMode.Complete())),
+    // stateless stream-static enrichment: broadcast dim join, append
+    // mode — every arriving event emits exactly once, so the sink IS
+    // the batch join result
+    "stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val dim = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"))
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.enrichStream(
+          graft.streaming.StreamOps.readEventStream(s, dir), dim, "user_id"),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
     // flatMapGroupsWithState CDC compaction run as a stream; update-mode
     // sink rows are per-batch state emissions, so the final state is the
     // per-user (ts, event_id) argmax over the sink — one k-row agg
@@ -1127,6 +1140,11 @@ object SparkEntry {
         |  FROM events, (SELECT UNNEST([0, 1]) AS k))
         |SELECT window_start, event_type, COUNT(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "stream_enrich" ->
+      """SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value,
+        |  e.props, c.c_name, c.c_nationkey, c.c_acctbal
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
+        .stripMargin,
     "stream_latest" ->
       """SELECT user_id, ts, event_id, value FROM (
         |  SELECT user_id, ts, event_id, value,
