@@ -961,27 +961,27 @@ object SparkEntry {
         |WHERE d.doc_id % 5 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents h
         |  WHERE h.doc_id % 5 <> 0 AND h.text = d.text)""".stripMargin,
-    "dedup_incr_near" -> Dedup.dedupAgainstNearMd5Sql(
-      id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
-    "dedup_incr_indexed" -> Dedup.dedupAgainstNearMd5Sql(
-      id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
+    "dedup_incr_near" -> graft.ops.OracleCtes.materialize(Dedup.dedupAgainstNearMd5Sql(
+      id => s"$id % 5 <> 0", id => s"$id % 5 = 0")),
+    "dedup_incr_indexed" -> graft.ops.OracleCtes.materialize(Dedup.dedupAgainstNearMd5Sql(
+      id => s"$id % 5 <> 0", id => s"$id % 5 = 0")),
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,
     "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
-    "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
-    "dedup_prefix_jaccard" -> Dedup.prefixJaccardPairsSql(),
-    "dedup_minhash_md5" -> Dedup.minhashNearDupsMd5Sql(),
-    "dedup_simhash_md5" -> Dedup.simhashNearDupsMd5Sql(),
-    "dedup_semantic_pairs" -> graft.ops.SemDedup.semanticNearDupsSql(tau = 0.4),
-    "dedup_semantic" -> graft.ops.SemDedup.semanticDedupSql(tau = 0.4),
+    "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
+    "dedup_prefix_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.prefixJaccardPairsSql()),
+    "dedup_minhash_md5" -> graft.ops.OracleCtes.materialize(Dedup.minhashNearDupsMd5Sql()),
+    "dedup_simhash_md5" -> graft.ops.OracleCtes.materialize(Dedup.simhashNearDupsMd5Sql()),
+    "dedup_semantic_pairs" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticNearDupsSql(tau = 0.4)),
+    "dedup_semantic" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticDedupSql(tau = 0.4)),
     "sample_split" -> graft.ops.Sampling.splitAssignSql(),
     "corpus_mix" -> graft.ops.Sampling.weightedMixSql(mixWeights),
     "sample_stratified" -> graft.ops.Sampling.stratifiedSampleSql(stratRates),
     "sample_cap_stratum" -> graft.ops.Sampling.capPerStratumSql(n = 40),
-    "dedup_groups" -> Dedup.nearDupGroupsSql(),
-    "dedup_corpus" -> Dedup.dedupedCorpusSql(),
-    "dedup_best" -> Dedup.dedupKeepBestSql(),
+    "dedup_groups" -> graft.ops.OracleCtes.materialize(Dedup.nearDupGroupsSql()),
+    "dedup_corpus" -> graft.ops.OracleCtes.materialize(Dedup.dedupedCorpusSql()),
+    "dedup_best" -> graft.ops.OracleCtes.materialize(Dedup.dedupKeepBestSql()),
     "mix_temp" -> graft.ops.Sampling.temperatureMixSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
@@ -1000,8 +1000,8 @@ object SparkEntry {
     "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),
     "pipeline_sequences" -> graft.ops.PretrainOps.makeSequencesSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
-    "pipeline_pretrain" -> graft.ops.CuratePipeline.pretrainSql(),
-    "pipeline_pretrain_seqs" -> graft.ops.CuratePipeline.pretrainSequencesSql(),
+    "pipeline_pretrain" -> graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.pretrainSql()),
+    "pipeline_pretrain_seqs" -> graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.pretrainSequencesSql()),
     "pipeline_decontam" -> graft.ops.CuratePipeline.decontaminateSql(),
     "pipe_quality" -> graft.ops.CuratePipeline.qualityFilterSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
@@ -1048,14 +1048,14 @@ object SparkEntry {
     "er_match" -> graft.ops.EntityResolution.matchCustomersSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
     "events_pit_join" -> EventOps.pitScd2JoinSql(),
-    "dedup_editdist" -> Dedup.editDistancePairsSql(),
-    "graph_pagerank" -> graft.ops.GraphOps.supplierPartRankSql(),
-    "graph_ppr" -> graft.ops.GraphOps.supplierPartPPRSql(),
-    "graph_triangles" -> graft.ops.GraphOps.coOrderTrianglesSql(),
-    "graph_bfs" -> graft.ops.GraphOps.supplierPartBfsSql(),
-    "graph_kcore" -> graft.ops.GraphOps.supplierPartKCoreSql(),
-    "graph_labelprop" -> graft.ops.GraphOps.supplierPartLabelPropSql(),
-    "graph_modularity" -> graft.ops.GraphOps.supplierPartModularitySql(),
+    "dedup_editdist" -> graft.ops.OracleCtes.materialize(Dedup.editDistancePairsSql()),
+    "graph_pagerank" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartRankSql()),
+    "graph_ppr" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartPPRSql()),
+    "graph_triangles" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.coOrderTrianglesSql()),
+    "graph_bfs" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartBfsSql()),
+    "graph_kcore" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartKCoreSql()),
+    "graph_labelprop" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartLabelPropSql()),
+    "graph_modularity" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartModularitySql()),
     "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem
