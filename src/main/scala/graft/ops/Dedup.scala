@@ -403,8 +403,16 @@ object Dedup {
   def md5Hash60Sql(seed: Int, expr: String): String =
     s"CAST(('0x' || substr(md5('$seed|' || $expr), 1, 15)) AS BIGINT)"
 
-  /** Seeded per-permutation shingle hash: production family. */
-  val XxHash: (Int, Column) => Column = (p, c) => xxhash64(lit(p), c)
+  /** Production base hash: ONE xxhash64 per shingle, folded to 30
+    * bits — the numPerm permutations are affine transforms of this
+    * base (below), never numPerm string hashes per shingle. (The
+    * first shape hashed the shingle string once PER PERMUTATION:
+    * 64 string hashes per shingle row made the xxhash64 "fast"
+    * family 3x SLOWER than its md5 oracle twin at sf1 — 91 s vs
+    * 33 s — because the md5 twin already used the hash-once-affine
+    * construction.) */
+  def xxBase30(s: Column): Column =
+    xxhash64(s).bitwiseAND(lit(Base30Mask))
 
   /** The md5 signature family is ONE md5 per shingle (a 30-bit base
     * hash), then numPerm affine universal-hash permutations
@@ -437,27 +445,32 @@ object Dedup {
     md5(concat_ws(",", transform(arr, _.cast("string"))).cast("binary"))
 
   // -------------------------------------------------------------------
-  // MinHash signatures + LSH banding. numPerm independent min-hashes
-  // per doc (seeded by the permutation index), grouped into bands of
-  // `rowsPerBand`; docs agreeing on a whole band land in the same
-  // bucket. Signature computation is a pure projection (fold over
-  // the shingle array — zero shuffle); the bucket join shuffles
-  // O(n·bands) rows. P[bucket-collision] = 1-(1-j^r)^b — with 64 perms,
+  // MinHash signatures + LSH banding. numPerm affine permutations of
+  // one base hash per shingle, min-folded per doc and grouped into
+  // bands of `rowsPerBand`; docs agreeing on a whole band land in the
+  // same bucket. Signature computation is one doc_id-keyed aggregate
+  // with map-side partials (the shuffle carries numPerm longs per
+  // doc, never the shingles); the bucket join shuffles O(n·bands)
+  // rows. P[bucket-collision] = 1-(1-j^r)^b — with 64 perms,
   // 16 bands × 4 rows, j=0.8 docs collide w.p. ~99.98%.
   // -------------------------------------------------------------------
   def minhashSignatures(
-      docs: DataFrame, n: Int = 3, numPerm: Int = 64,
-      hash: (Int, Column) => Column = XxHash): DataFrame = {
-    // Shape matters: a nested transform(sequence, p -> array_min(
-    // transform(sh, ...))) would be a CodegenFallback (interpreted) per
-    // row. Exploding shingles and taking numPerm min() aggregates keeps
-    // everything inside whole-stage codegen + a partial/final
-    // HashAggregate — ~10x faster and the shuffle carries only
-    // numPerm longs per doc.
-    val sh = shingles(docs, n)
-    val aggs = (0 until numPerm)
-      .map(p => min(hash(p, col("shingle"))).as(s"m$p"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame = {
+    // Shape matters twice. (1) A nested transform(sequence, p ->
+    // array_min(transform(sh, ...))) would be a CodegenFallback
+    // (interpreted) per row — exploding shingles and taking numPerm
+    // min() aggregates keeps everything inside whole-stage codegen +
+    // a partial/final HashAggregate, and the shuffle carries only
+    // numPerm longs per doc. (2) The shingle STRING is hashed exactly
+    // once (xxBase30, projected before the aggregate); the numPerm
+    // permutations are affine Carter-Wegman transforms of that long —
+    // numPerm string hashes per shingle made this 3x slower at sf1.
+    val hs = shingles(docs, n)
+      .select(col("doc_id"), xxBase30(col("shingle")).as("h"))
+    val aggs = affineConsts(numPerm).zipWithIndex.map { case ((a, b), p) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$p")
+    }
+    hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numPerm).map(p => col(s"m$p")): _*).as("sig"))
   }
@@ -479,10 +492,9 @@ object Dedup {
 
   def lshCandidatePairs(
       docs: DataFrame, n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
-      hash: (Int, Column) => Column = XxHash,
       bandHash: Column => Column = XxBandHash): DataFrame =
     lshCandidatePairsFromSigs(
-      minhashSignatures(docs, n, numPerm, hash), numPerm, rowsPerBand, bandHash)
+      minhashSignatures(docs, n, numPerm), numPerm, rowsPerBand, bandHash)
 
   def lshCandidatePairsFromSigs(
       sigsIn: DataFrame, numPerm: Int, rowsPerBand: Int,
@@ -514,10 +526,9 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numPerm: Int = 64,
       rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxDf: Int = DefaultMaxDf,
-      hash: (Int, Column) => Column = XxHash,
       bandHash: Column => Column = XxBandHash): DataFrame =
     verifyCandidates(docs,
-      lshCandidatePairs(docs, n, numPerm, rowsPerBand, hash, bandHash),
+      lshCandidatePairs(docs, n, numPerm, rowsPerBand, bandHash),
       n, threshold, maxDf)
 
   /** Exact-Jaccard verification of an LSH candidate pair set (shared by
@@ -912,7 +923,13 @@ object Dedup {
     * name-pair DPs with D bounded by the vocabulary, and rows only
     * reappear in the final key-expansion joins (shuffled on name).
     * The first measured version paid the DP per row pair: 23.4 s at
-    * sf0.1 vs ~2 s for this shape — same output, bit for bit. */
+    * sf0.1 vs ~2 s for this shape — same output, bit for bit. Within
+    * a block the DP itself is banded: a length-difference prefilter
+    * (dist >= |Δlen|) drops pairs for two cheap length reads, and the
+    * survivors run the THRESHOLDED Wagner-Fischer (O(len·maxDist)
+    * cells with early exit) rather than the full O(len²) table —
+    * exact distances for every kept pair, so the DuckDB twin (which
+    * computes the unbounded DP) still hash-matches. */
   def editDistancePairs(part: DataFrame, maxDist: Int = 2): DataFrame = {
     val p = part.select(
       col("p_partkey"), lower(col("p_name")).as("name"),
@@ -921,8 +938,17 @@ object Dedup {
     val namePairs = names.select(col("blk"), col("name").as("a_name"))
       .join(names.select(col("blk"), col("name").as("b_name")), Seq("blk"))
       .filter(col("a_name") <= col("b_name"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= maxDist)
+      // dist >= |len(a) - len(b)|: prune the candidate band with two
+      // length reads before any DP cell is touched
+      .filter(abs(length(col("a_name")) - length(col("b_name")))
+        <= maxDist)
+      // thresholded levenshtein: banded O(len·maxDist) DP with early
+      // exit (-1 past the bound) instead of the full O(len²) table —
+      // for kept pairs the value is the exact distance, so the oracle
+      // compare is untouched
+      .withColumn("dist",
+        levenshtein(col("a_name"), col("b_name"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
     val ka = p.select(col("name").as("a_name"), col("p_partkey").as("ka"))
     val kb = p.select(col("name").as("b_name"), col("p_partkey").as("kb"))
     namePairs

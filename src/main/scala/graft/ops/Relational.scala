@@ -414,18 +414,18 @@ object Relational {
     * over x DESC excluding the current x, and keep vertices whose y
     * strictly beats it. No self-join, no quadratic dominance test.
     *
-    * Scale: the per-x max is one map-side-combinable agg; the window
-    * runs over the DISTINCT-x relation, which for grid-valued axes
-    * (prices in cents here) is dictionary-sized, so the
-    * single-partition running max is bounded. For continuous axes at
-    * 100 TB, range-partition x and two-pass the prefix max (broadcast
-    * per-partition maxima as offsets) — same algebra, no
-    * single-partition stage. */
+    * Scale: the per-x max is one map-side-combinable agg; the running
+    * max over the DISTINCT-x relation goes through [[Prefix.runningMax]]
+    * (range-partition x, per-partition fold, broadcast per-partition
+    * maxima as offsets), so even a fully continuous axis — distinct-x
+    * ≈ every row — never funnels into a single-partition window. */
   def skyline(points: DataFrame): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val g = points.groupBy("x").agg(max("y").as("y"))
-    val w = W.orderBy(col("x").desc).rowsBetween(W.unboundedPreceding, -1)
-    g.withColumn("pre", max("y").over(w))
+    // strict-prefix max over x DESC through the distributed two-pass
+    // fold — distinct x is data-sized for continuous axes, so no
+    // unpartitioned window here
+    Prefix.runningMax(g, Seq(col("x").desc), col("y"),
+        "pre", inclusive = false)
       .filter(col("pre").isNull || col("y") > col("pre"))
       .select(col("x"), col("y"))
   }

@@ -191,24 +191,26 @@ object StatsOps {
     * past ~4.3e9 balanced rows; the internal decimal math is already
     * 100 TB-exact — only the output cast narrows).
     *
-    * Scale: one groupBy(score) with map-side partials, then a window
-    * over the DISTINCT-score relation — for grid-valued scores
-    * (integer lengths, cents, quality deciles) that relation is
-    * dictionary-sized, so the single-partition window is bounded and
-    * cheap. For genuinely continuous scores at 100 TB, range-partition
-    * the distinct scores and two-pass the prefix sums (per-partition
-    * totals broadcast as offsets) — same algebra, no single-partition
-    * stage. */
+    * Scale: one groupBy(score) with map-side partials, then a
+    * strict-prefix sum over the DISTINCT-score relation through
+    * [[Prefix.runningSum]] (range-partition the scores, fold within
+    * each partition in parallel, broadcast per-partition totals as
+    * offsets) — so even genuinely continuous scores, where distinct-s
+    * ≈ every row, never funnel into a single-partition window. The
+    * reassociated sums are exact integers, bit-identical to the
+    * serial fold. */
   def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = df.select(score.as("s"),
         when(label, 1L).otherwise(0L).as("y"))
       .groupBy("s").agg(sum("y").as("np"),
         (count(lit(1)) - sum("y")).as("nn"))
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
-    val terms = g.withColumn("cumnn",
-      coalesce(sum("nn").over(w), lit(0L)))
+    // strict-prefix sum over the distinct-score relation via the
+    // distributed two-pass fold — for continuous scores that relation
+    // is data-sized, so no unpartitioned window here
+    val terms = Prefix.runningSum(g, Seq(col("s")), col("nn"),
+        "cumnn", inclusive = false)
+      .withColumn("cumnn", coalesce(col("cumnn"), lit(0L)))
     val tot = terms.agg(
       sum(col("np")).as("n_pos"),
       sum(col("nn")).as("n_neg"),

@@ -1172,9 +1172,10 @@ object TextOps {
     *    any partitioning, any cluster size, any run.
     *
     * The inverse-CDF lookup is the scale-shaped part: vocabulary rows
-    * carry exact integer cumulative bounds [cum_lo, cum_hi) (window
-    * cumsum over the token-ordered vocabulary — exact integer
-    * arithmetic, so the window order can't perturb a bit), each row
+    * carry exact integer cumulative bounds [cum_lo, cum_hi)
+    * ([[Prefix.runningSum]] over the token-ordered vocabulary — a
+    * distributed two-pass fold in exact integer arithmetic, so
+    * neither fold order nor partition layout can perturb a bit), each row
     * replicates to the fixed-width buckets its interval overlaps, and
     * probes join on the single bucket containing their target — an
     * EQUI join (broadcast — the exploded directory is vocabulary-
@@ -1198,11 +1199,11 @@ object TextOps {
     // integer weight grid: round(cnt^0.75 × 1e6) via the sqrt∘sqrt form
     val w = round(sqrt(sqrt((col("cnt") * col("cnt") * col("cnt"))
       .cast("double"))) * 1e6).cast("long")
-    val wc = Window.orderBy("token")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vocab = cnts
-      .withColumn("w", w)
-      .withColumn("cum_hi", sum("w").over(wc))
+    // vocabulary-sized running sum — distributed two-pass prefix, not
+    // an unpartitioned window (a web-scale vocab is 10^8 rows; one
+    // serial partition there is the plan's only non-parallel stage)
+    val vocab = Prefix.runningSum(
+        cnts.withColumn("w", w), Seq(col("token")), col("w"), "cum_hi")
       .withColumn("cum_lo", col("cum_hi") - col("w"))
     val total = vocab.agg(max("cum_hi").as("total"))
     // all bucket math in exact integer division (SQL `div`) — float

@@ -209,11 +209,18 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((4.0, 3.0), (2.0, 6.0)))
   }
 
-  test("skyline plan: no self-join, window over the per-x aggregate only") {
+  test("skyline plan: no data self-join; offsets broadcast; window bounded") {
     import spark.implicits._
     val pts = Seq((1.0, 2.0), (3.0, 4.0)).toDF("x", "y")
     val plan = Relational.skyline(pts).queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), plan)
+    // no quadratic dominance test: the only join is the BROADCAST of
+    // the per-range-partition offset maxima (|partitions| rows) back
+    // onto the per-x aggregate — never a shuffled data-vs-data join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      plan)
+    // the surviving unpartitioned window folds the bounded per-
+    // partition totals relation, not the data (Prefix.runningMax)
     assert(plan.contains("Window"), plan)
   }
 }
