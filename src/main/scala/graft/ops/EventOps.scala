@@ -335,6 +335,81 @@ object EventOps {
         col("pcts").getItem(1).as("p95_approx"),
         col("approx_users"), col("n"))
 
+  /** Deterministic sketch row per event_type: binned-histogram
+    * quantile estimates + md5-HLL distinct-user estimate + exact n.
+    * Same mergeable-partial-agg shapes as [[typeSketches]] (histogram
+    * merge = vector add, HLL merge = register max — both safe under
+    * any partitioning), but every estimate is a pure function of the
+    * data, so the whole sketch is oracle-exact in DuckDB. This is the
+    * gated face of the sketch family; the t-digest/HLL engine-native
+    * variant stays as the bench-only `events_sketches_approx`. */
+  def typeSketchesDet(events: DataFrame): DataFrame = {
+    val q = binnedQuantiles(events)
+    val u = hllUsers(events).select(col("event_type"), col("est_users"))
+    q.join(u, Seq("event_type"))
+      .select(col("event_type"), col("p50_est"), col("p95_est"),
+        col("est_users"), col("n"))
+  }
+
+  def typeSketchesDetSql(
+      domain: Double = 1000.0, bins: Int = 1000): String = {
+    val width = domain / bins
+    def est(q: Double) =
+      s"MIN(CASE WHEN cum >= CEIL($q * n) THEN (bin + 1) * $width END)"
+    val plogSql = graft.functions.PortableMath.plogSql(
+      s"CAST($HllM AS DOUBLE) / zeros")
+    s"""WITH hist AS (
+       |  SELECT event_type,
+       |    LEAST(GREATEST(CAST(FLOOR(value / $width) AS BIGINT), 0), ${bins - 1}) AS bin,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bin, c,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM hist),
+       |qb AS (
+       |  SELECT event_type,
+       |    ${est(0.5)} AS p50_est,
+       |    ${est(0.95)} AS p95_est,
+       |    MAX(n) AS n
+       |  FROM cum GROUP BY event_type),
+       |hh AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substr(md5('0|' || CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |rr AS (
+       |  SELECT event_type, h & ${HllM - 1} AS bucket,
+       |    CASE WHEN (h >> $HllBits) = 0 THEN 53
+       |         ELSE 53 - length(bin(h >> $HllBits)) END AS rho
+       |  FROM hh),
+       |regs AS (
+       |  SELECT event_type, bucket, MAX(rho) AS reg
+       |  FROM rr GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT event_type,
+       |    SUM(CAST(1 AS BIGINT) << CAST(53 - reg AS INT)) AS s_int,
+       |    COUNT(*) AS nonzero
+       |  FROM regs GROUP BY 1),
+       |hest AS (
+       |  SELECT event_type,
+       |    CAST($HllM AS DOUBLE) - CAST(nonzero AS DOUBLE) AS zeros,
+       |    CAST($HllAlphaM2 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+       |      / CAST((CAST($HllM AS BIGINT) - nonzero)
+       |             * CAST(9007199254740992 AS BIGINT) + s_int AS DOUBLE)
+       |      AS raw
+       |  FROM pt),
+       |hll AS (
+       |  SELECT event_type,
+       |    CASE WHEN raw <= CAST(${2.5 * HllM} AS DOUBLE) AND zeros > 0
+       |         THEN CAST($HllM AS DOUBLE) * ($plogSql)
+       |         ELSE raw END AS est_users
+       |  FROM hest)
+       |SELECT q.event_type, q.p50_est, q.p95_est, h.est_users, q.n
+       |FROM qb q JOIN hll h USING (event_type)""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Deterministic HyperLogLog (Flajolet et al. 2007) — the cardinality
   // member of the deterministic-sketch family (events_qbins: quantiles,

@@ -368,10 +368,13 @@ object StreamOps {
     * transform graph a production job would `writeStream` to a durable
     * sink runs here against the parquet fixture directory, so the final
     * sink contents are oracle-comparable to the batch SQL twin. The
-    * memory sink holds only the emitted rows (aggregate/update output —
-    * bounded by result cardinality, never input size); a 100 TB
-    * deployment swaps the sink for parquet/Kafka and the trigger for a
-    * processing-time one, nothing else changes. */
+    * memory sink holds the emitted rows: bounded by RESULT cardinality,
+    * which for aggregate/update queries is small, but for append-mode
+    * row-per-input transforms (stream_enrich) is the INPUT size — so
+    * this driver-memory sink is for the bounded verify/bench fixtures
+    * only, never a large-scale replay (a 100 TB deployment swaps the
+    * sink for parquet/Kafka and the trigger for a processing-time one,
+    * nothing else changes). */
   def runAvailableNow(
       df: DataFrame,
       mode: OutputMode): DataFrame = {

@@ -113,7 +113,7 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("summary line carries the isolated re-measure and stays in budget") {
     // the r8 shape: fresh-JVM re-measures of the four weak queries
-    val rm = Map("assign_join" -> 65.8, "dedup_simhash_md5" -> 15.1,
+    val rm = Map("assign_join" -> 65.8, "dedup_simhash_xx" -> 15.1,
       "pipeline_pretrain_seqs" -> 9.9, "csv_rt_cents" -> 8.8,
       "events_qbins" -> 7.7, "dedup_ngram_jaccard" -> 6.6)
     val line = Bench.summaryLine(fakeResults(allNames), "12.34",

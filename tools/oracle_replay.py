@@ -16,6 +16,7 @@ driver). The oracle column is CAST to the Spark-side type per column so
 type-lattice differences (HUGEINT vs DECIMAL(38,0), etc.) don't produce
 spurious value diffs — the Spark parquet schema is the declared contract.
 """
+import argparse
 import json, os, sys, time
 
 import duckdb
@@ -35,8 +36,20 @@ def canon_hash(con, rel_sql, cols):
     return con.execute(q).fetchone()[0]
 
 
+def parse_args():
+    ap = argparse.ArgumentParser(
+        description="DuckDB oracle replay over a graft.Verify dump")
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("report")
+    ap.add_argument("--only", help="comma-separated query names to run")
+    ap.add_argument("--skip", help="comma-separated query names to skip")
+    return ap.parse_args()
+
+
 def main():
-    sf_dir, out_dir, report = sys.argv[1], sys.argv[2], sys.argv[3]
+    a = parse_args()
+    sf_dir, out_dir, report = a.sf_dir, a.out_dir, a.report
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     con.execute(f"SET threads TO "
@@ -58,12 +71,8 @@ def main():
     results, n_pass, n_fail = {}, 0, 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    only, skip = None, set()
-    for i, a in enumerate(sys.argv[4:], start=4):
-        if a == "--only":
-            only = set(sys.argv[i + 1].split(","))
-        if a == "--skip":
-            skip = set(sys.argv[i + 1].split(","))
+    only = set(a.only.split(",")) if a.only else None
+    skip = set(a.skip.split(",")) if a.skip else set()
     if only is not None:
         names = [n for n in names if n in only]
     names = [n for n in names if n not in skip]
