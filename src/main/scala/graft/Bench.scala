@@ -297,6 +297,13 @@ object Bench {
       else try tools.StreamBench.run(spark, sfDir)
       catch { case _: Throwable => Nil }
 
+    // Recall@10 of every approximate index vs its exact-metric ground
+    // truth (r11 item 3) — quality alongside speed for the ANN family.
+    val recall: Seq[tools.RecallBench.Res] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SKIP_RECALL").contains("1")) Nil
+      else try tools.RecallBench.run(spark, sfDir)
+      catch { case _: Throwable => Nil }
+
     val load = loadNow()
     // Self-defense against session-state anomalies (the r8 lesson:
     // assign_join measured 66-87 s across all three runs in the official
@@ -323,7 +330,7 @@ object Bench {
     }
     try {
       val fresh = detailJson(all, load, cpus, fit10m, sfDir, loads,
-        remeasureJson, buildSecs.toMap, streaming)
+        remeasureJson, buildSecs.toMap, streaming, recall)
       // A SPARK_GRAFT_ONLY subset run must never REPLACE the committed
       // full-suite snapshot (the r9 lesson: a 5-query sf0.01 re-run
       // overwrote the 132-query sf0.1 baseline). Same sf+cpus → merge
@@ -364,7 +371,7 @@ object Bench {
       return ("BENCH_DETAIL_PARTIAL.json", fresh)
     val perQuery =
       Set("queries", "runs", "errors", "load_after", "remeasure",
-        "build_sec", "streaming")
+        "build_sec", "streaming", "recall")
     val oldFields = oldJ match { case JObject(o) => o; case _ => Nil }
     val newFields = newJ match { case JObject(n) => n; case _ => Nil }
     val keys = (oldFields.map(_._1) ++ newFields.map(_._1)).distinct
@@ -592,7 +599,8 @@ object Bench {
       loads: Map[String, String] = Map.empty,
       remeasureJson: String = "",
       buildSec: Map[String, Double] = Map.empty,
-      streaming: Seq[tools.StreamBench.Res] = Nil): String = {
+      streaming: Seq[tools.StreamBench.Res] = Nil,
+      recall: Seq[tools.RecallBench.Res] = Nil): String = {
     val runsJson = all.map { case (k, rs, _, _) =>
       s""""$k":${rs.mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -616,7 +624,8 @@ object Bench {
       """"ivf_topk_indexed":"partition-pruned probe; index persisted untimed (production path)",""" +
       """"ivfpq_topk":"IVFADC: coarse + residual-PQ build + probe inside the timed body",""" +
       """"ivfpq_topk_indexed":"partition-pruned codes probe + ADC; index persisted untimed (production path)",""" +
-      """"dedup_incr_indexed":"index write memoized per JVM (production: once per ingest) — the first pass pays ingest + probe, later passes probe only, so best-of-N is the production probe path (dedup_incr_near is the same computation unstaged)"}"""
+      """"dedup_incr_indexed":"index write memoized per JVM (production: once per ingest) — the first pass pays ingest + probe, later passes probe only, so best-of-N is the production probe path (dedup_incr_near is the same computation unstaged)",""" +
+      """"recall":"per-index recall@10 vs the exact top-10 under each index's own metric; the sf embeddings fixture is near-uniform 64-dim noise (ANN's degenerate case — see AnnBench.vectors), so small-parameter defaults under-recall here; @-suffixed rows sweep the parameter that buys recall back"}"""
     // machine-readable build-vs-probe split (r10 item 2): which entries
     // pay an index/codebook build inside the timed body, and what the
     // equivalent build costs when run untimed for the _indexed twins
@@ -633,9 +642,15 @@ object Bench {
         f""""${r.name}":{"sec":${r.sec}%.2f,"rows":${r.rows}""" +
           r.err.map(e => s""","error":"${jsonEsc(e)}"""").getOrElse("") + "}"
       }.mkString("{", ",", "}")}"""
+    val recallJson =
+      if (recall.isEmpty) ""
+      else s""","recall":${recall.map { r =>
+        f""""${r.name}":{"metric":"${r.metric}","recall":${r.recall}%.2f,"sec":${r.sec}%.2f""" +
+          r.err.map(e => s""","error":"${jsonEsc(e)}"""").getOrElse("") + "}"
+      }.mkString("{", ",", "}")}"""
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
-      s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson,"sf":"$sfDir"}"""
+      s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson$recallJson,"sf":"$sfDir"}"""
   }
 
   /** Generate-once 10M-point parquet scratch + two timed fits over it.

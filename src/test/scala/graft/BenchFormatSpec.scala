@@ -171,4 +171,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("fit10m_runs").size == 2)
     assert(root.get("cpus").asText == "32")
   }
+
+  test("detail json renders the recall object (metric, value, error escape)") {
+    val recall = Seq(
+      tools.RecallBench.Res("emb_lsh_topk", "cosine", 0.5, 3.1, None),
+      tools.RecallBench.Res("pq_topk", "l2", -1.0, 0.2, Some("boom \"q\"")))
+    val detail = Bench.detailJson(fakeResults(allNames), "7.80", "32",
+      None, "/root/testdata/sf0.1", recall = recall)
+    val root = mapper.readTree(detail)
+    assert(root.get("recall").get("emb_lsh_topk").get("recall").asDouble == 0.5)
+    assert(root.get("recall").get("emb_lsh_topk").get("metric").asText == "cosine")
+    assert(root.get("recall").get("pq_topk").get("error").asText == "boom \"q\"")
+  }
 }
