@@ -826,6 +826,11 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeFlat(
         Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))),
+    // REAL codec (javax.imageio PNG): render→encode→decode→channel
+    // sums in one partition-batched pass; output is closed-form in
+    // doc_id (PNG is lossless) so the REAL decode is hash-gated
+    "mm_decode_real" -> ((s, dir) =>
+      Multimodal.pngRoundtripSums(Tables.table(s, dir, "documents"))),
     // frame bytes hex-encoded for the oracle compare (raw BLOBs crash
     // the harness's sort on the oracle side)
     "mm_frames" -> ((s, dir) =>
@@ -1120,6 +1125,7 @@ object SparkEntry {
     "mm_frames" -> Multimodal.sampleFramesSql(),
     "mm_features_full" -> Multimodal.featuresFlatSql,
     "mm_resize" -> Multimodal.resizeFlatSql(),
+    "mm_decode_real" -> Multimodal.pngRoundtripSumsSql,
     // streaming queries: the oracle is the batch twin of the transform —
     // complete/update-mode final sink contents equal the batch result
     "stream_hourly_agg" ->

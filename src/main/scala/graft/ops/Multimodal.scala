@@ -229,6 +229,103 @@ object Multimodal {
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |  FROM documents) m GROUP BY kind""".stripMargin
 
+  // -------------------------------------------------------------------
+  // REAL codec path (r11 item 4): javax.imageio PNG — a genuine
+  // public pure-JVM codec, no extra dependencies. The trick that keeps
+  // it ORACLE-GATED rather than rows-only: the image content is a
+  // closed-form function of (doc_id, x, y), and PNG is lossless, so
+  // encode→decode→channel-sums must reproduce the closed form exactly —
+  // which DuckDB can compute without ever seeing a PNG byte. Any codec
+  // bug (stride, channel order, color-model drift) breaks the hash.
+  // The byte-histogram/resize stubs above stay as the deterministic
+  // fake-codec twins.
+  // -------------------------------------------------------------------
+
+  /** Closed-form sRGB pixel for the synthetic image of `docId`. */
+  def pixel(docId: Long, x: Int, y: Int): Int = {
+    val r = ((x * 7 + y * 13 + docId) % 256).toInt
+    val g = ((x * 3 + y * 11 + docId * 5) % 256).toInt
+    val b = ((x * 17 + y * 5 + docId * 7) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Render + PNG-encode the synthetic image (real codec, real bytes). */
+  def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG payload and reduce to (width, height, per-channel
+    * pixel sums) — integer-exact, the oracle-comparable face of a
+    * decoded tensor. */
+  def decodeChannelSums(png: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, rs, gs, bs)
+  }
+
+  /** Per-doc image dimensions — small (≤ 23×17) so the fixture encodes
+    * thousands of real PNGs in milliseconds. */
+  private def dims(docId: Long): (Int, Int) =
+    ((docId % 16 + 8).toInt, (docId % 12 + 6).toInt)
+
+  /** Real-codec round-trip over `documents`: render → PNG encode →
+    * PNG decode → channel sums, all inside one partition-batched
+    * mapPartitions (the same execution shape as [[extractFeatures]];
+    * payload bytes never shuffle — encode and decode are fused in the
+    * same task). Output is closed-form in doc_id, so the driver's
+    * DuckDB oracle hash-checks the REAL codec end-to-end. */
+  def pngRoundtripSums(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = dims(id)
+        val (dw, dh, rs, gs, bs) = decodeChannelSums(encodePng(id, w, h))
+        (id, dw, dh, rs, gs, bs)
+      })
+      .toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** DuckDB twin of [[pngRoundtripSums]]: the closed-form pixel sums,
+    * no codec involved — lossless round-trip means the real-codec path
+    * must reproduce these bits or the gate fails. */
+  val pngRoundtripSumsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 16 + 8 AS INT) AS width,
+      |    CAST(doc_id % 12 + 6 AS INT) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.width, d.height, gx.x, gy.y
+      |  FROM d
+      |  JOIN (SELECT unnest(generate_series(0, 23)) AS x) gx ON gx.x < d.width
+      |  JOIN (SELECT unnest(generate_series(0, 17)) AS y) gy ON gy.y < d.height)
+      |SELECT doc_id, width, height,
+      |  CAST(SUM((x * 7  + y * 13 + doc_id)     % 256) AS BIGINT) AS r_sum,
+      |  CAST(SUM((x * 3  + y * 11 + doc_id * 5) % 256) AS BIGINT) AS g_sum,
+      |  CAST(SUM((x * 17 + y * 5  + doc_id * 7) % 256) AS BIGINT) AS b_sum
+      |FROM px GROUP BY doc_id, width, height""".stripMargin
+
   /** Exact binary-payload dedup — the dedup family extended to the
     * media modality: group on the 128-bit payload digest (the ONLY
     * thing that crosses the wire — 16 bytes/item, never the blob),

@@ -252,6 +252,40 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(perDoc.map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("real PNG codec: golden image round-trips pixel-exact; batched path matches direct decode") {
+    // golden 3x2 image for doc_id=42: decode must reproduce every pixel
+    val png = Multimodal.encodePng(42L, 3, 2)
+    // real PNG bytes: 8-byte signature
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((img.getRGB(x, y) & 0xffffff) == Multimodal.pixel(42L, x, y),
+        s"pixel ($x,$y)")
+    // channel sums equal the closed form
+    val (w, h, rs, gs, bs) = Multimodal.decodeChannelSums(png)
+    val exp = for (y <- 0 until 2; x <- 0 until 3) yield Multimodal.pixel(42L, x, y)
+    assert((w, h) == (3, 2))
+    assert(rs == exp.map(p => (p >> 16) & 0xff).sum.toLong)
+    assert(gs == exp.map(p => (p >> 8) & 0xff).sum.toLong)
+    assert(bs == exp.map(p => p & 0xff).sum.toLong)
+    // batched relation path: every fixture doc's sums equal the closed
+    // form computed directly (single-image path) — batching changes
+    // nothing about the decode
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Multimodal.pngRoundtripSums(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.select("doc_id").limit(25).collect().map(_.getLong(0)).foreach { id =>
+      val (dw, dh) = ((id % 16 + 8).toInt, (id % 12 + 6).toInt)
+      val ps = for (y <- 0 until dh; x <- 0 until dw) yield Multimodal.pixel(id, x, y)
+      val r = out(id)
+      assert((r.getInt(1), r.getInt(2)) == (dw, dh))
+      assert(r.getLong(3) == ps.map(p => (p >> 16) & 0xff).sum.toLong)
+      assert(r.getLong(4) == ps.map(p => (p >> 8) & 0xff).sum.toLong)
+      assert(r.getLong(5) == ps.map(p => p & 0xff).sum.toLong)
+    }
+  }
+
   test("as-of join matches the latest at-or-before view, null when none") {
     val ev = Seq(
       (1L, ts("2024-01-01 09:00:00"), 1L, "view", 10.0, "{}"),
