@@ -277,7 +277,18 @@ object GraphOps {
     * are keyed shuffles on node ids (degree agg, wedge join, closure
     * semi join); nothing is driver-side and no stage carries payload
     * beyond two longs. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    // The edge relation feeds THREE consumers (degree agg + both sides
+    // of the orientation join) and the oriented relation feeds three
+    // more (both wedge sides + the closure probe) — without an eager
+    // cut, each consumer re-evaluates the whole upstream pipeline (the
+    // co-order self-join for the registered query), which is where the
+    // r9-audited 9-exchange plan came from. Checkpoint each once (the
+    // same discipline as labelPropagationModularity): edges is the
+    // SUPPORT-PRUNED pair set and oriented is the same rows re-keyed —
+    // both |E|-sized with two-long rows, safe to materialize at any
+    // scale.
+    val edges = edges0.localCheckpoint(true)
     val deg = edges.select(col("a").as("n"))
       .union(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -287,6 +298,7 @@ object GraphOps {
     val oriented = edges.join(da, "a").join(db, "b").select(
       when(col("dda") <= col("ddb"), col("a")).otherwise(col("b")).as("u"),
       when(col("dda") <= col("ddb"), col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
     val w1 = oriented.select(col("u").as("x"), col("v").as("y"))
     val w2 = oriented.select(col("u").as("y"), col("v").as("z"))
     val wedges = w1.join(w2, "y").select(col("x"), col("y"), col("z"))
