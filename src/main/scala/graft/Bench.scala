@@ -304,6 +304,14 @@ object Bench {
       else try tools.RecallBench.run(spark, sfDir)
       catch { case _: Throwable => Nil }
 
+    // Hot-key stress for the TopKPerKey consumers + quality_auc (r11
+    // item 6): base-vs-20%-hot-key times; ratios ≫ 1 would mean the
+    // partial-top-k / map-side-agg shapes don't actually bound skew.
+    val skew: Seq[tools.SkewStress.Res] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SKIP_SKEW").contains("1")) Nil
+      else try tools.SkewStress.run(spark, sfDir)
+      catch { case _: Throwable => Nil }
+
     val load = loadNow()
     // Self-defense against session-state anomalies (the r8 lesson:
     // assign_join measured 66-87 s across all three runs in the official
@@ -316,6 +324,12 @@ object Bench {
     val anomalies = all.collect {
       case (k, _, best, None) if best > anomalyThreshold(k) => (k, best)
     }.sortBy(-_._2).map(_._1).take(6)
+    // Silence ALL logging before teardown: executor/BlockManager
+    // shutdown occasionally WARN-logs a full ThreadPoolExecutor stack
+    // that lands in the harness's captured tail just above the summary
+    // line (BENCH_r11 tail). Timing is done; nothing after this point
+    // should write to stdout/stderr except the summary line itself.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     val remeasure: Either[String, Map[String, Double]] =
       if (only.nonEmpty || anomalies.isEmpty) Right(Map.empty)
@@ -330,7 +344,7 @@ object Bench {
     }
     try {
       val fresh = detailJson(all, load, cpus, fit10m, sfDir, loads,
-        remeasureJson, buildSecs.toMap, streaming, recall)
+        remeasureJson, buildSecs.toMap, streaming, recall, skew)
       // A SPARK_GRAFT_ONLY subset run must never REPLACE the committed
       // full-suite snapshot (the r9 lesson: a 5-query sf0.01 re-run
       // overwrote the 132-query sf0.1 baseline). Same sf+cpus → merge
@@ -371,7 +385,7 @@ object Bench {
       return ("BENCH_DETAIL_PARTIAL.json", fresh)
     val perQuery =
       Set("queries", "runs", "errors", "load_after", "remeasure",
-        "build_sec", "streaming", "recall")
+        "build_sec", "streaming", "recall", "skew_stress")
     val oldFields = oldJ match { case JObject(o) => o; case _ => Nil }
     val newFields = newJ match { case JObject(n) => n; case _ => Nil }
     val keys = (oldFields.map(_._1) ++ newFields.map(_._1)).distinct
@@ -600,7 +614,8 @@ object Bench {
       remeasureJson: String = "",
       buildSec: Map[String, Double] = Map.empty,
       streaming: Seq[tools.StreamBench.Res] = Nil,
-      recall: Seq[tools.RecallBench.Res] = Nil): String = {
+      recall: Seq[tools.RecallBench.Res] = Nil,
+      skew: Seq[tools.SkewStress.Res] = Nil): String = {
     val runsJson = all.map { case (k, rs, _, _) =>
       s""""$k":${rs.mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -648,9 +663,15 @@ object Bench {
         f""""${r.name}":{"metric":"${r.metric}","recall":${r.recall}%.2f,"sec":${r.sec}%.2f""" +
           r.err.map(e => s""","error":"${jsonEsc(e)}"""").getOrElse("") + "}"
       }.mkString("{", ",", "}")}"""
+    val skewJson =
+      if (skew.isEmpty) ""
+      else s""","skew_stress":${skew.map { r =>
+        f""""${r.name}":{"base_sec":${r.baseSec}%.2f,"skew_sec":${r.skewSec}%.2f""" +
+          r.err.map(e => s""","error":"${jsonEsc(e)}"""").getOrElse("") + "}"
+      }.mkString("{", ",", "}")}"""
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
-      s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson$recallJson,"sf":"$sfDir"}"""
+      s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson$recallJson$skewJson,"sf":"$sfDir"}"""
   }
 
   /** Generate-once 10M-point parquet scratch + two timed fits over it.
