@@ -669,9 +669,22 @@ object Bench {
         f""""${r.name}":{"base_sec":${r.baseSec}%.2f,"skew_sec":${r.skewSec}%.2f""" +
           r.err.map(e => s""","error":"${jsonEsc(e)}"""").getOrElse("") + "}"
       }.mkString("{", ",", "}")}"""
+    // The 100M-point fit is measured offline (runMain graft.tools
+    // .FitScale — too heavy for every bench round); embed its last
+    // at-HEAD artifact if present. Single-object sanity check so a
+    // corrupt file can't break the detail JSON.
+    val fit100mJson = try {
+      val p = java.nio.file.Paths.get("target/fit100m.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.readString(p).trim
+        if (s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
+          s""","fit100m":$s"""
+        else ""
+      } else ""
+    } catch { case _: Throwable => "" }
     s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
-      s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson$recallJson$skewJson,"sf":"$sfDir"}"""
+      s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson$recallJson$skewJson$fit100mJson,"sf":"$sfDir"}"""
   }
 
   /** Generate-once 10M-point parquet scratch + two timed fits over it.

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Fit scaling curve: runMain graft.tools.FitScale [rows] [reps].
   * Generates (once) a deterministic hash-uniform points parquet of the
@@ -34,13 +35,31 @@ object FitScale {
     val pts = spark.read.parquet(path)
     val init = pts.orderBy("pid").limit(8).collect().zipWithIndex
       .map { case (r, i) => graft.kmeans.Cent(i, r.getDouble(1), r.getDouble(2)) }.toSeq
-    for (r <- 1 to reps) {
+    val times = (1 to reps).map { r =>
       val t0 = System.nanoTime()
       val res = graft.kmeans.KMeansFit.fit(pts, init,
         graft.kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false),
         exact = false)
-      println(f"FITSCALE rows=$rows rep=$r ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"FITSCALE rows=$rows rep=$r $s%.2f s" +
         s" c0=${res.centroids.minBy(_.cid)}")
+      s
+    }
+    // peak heap across all memory pools since JVM start — the "does the
+    // fit fit in memory" number for the scaling claim
+    val peakHeapGb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / 1e9
+    // Persist for Bench to embed in BENCH_DETAIL.json's "fit100m" (the
+    // 100M fit is too heavy to re-run every bench round; this artifact
+    // carries the last at-HEAD measurement instead).
+    if (rows == 100000000L) {
+      val json = f"""{"rows":$rows,"runs":${times.map(t => f"$t%.2f")
+        .mkString("[", ",", "]")},"sec_per_iter":${times.min / 10}%.3f,""" +
+        f""""peak_heap_gb":$peakHeapGb%.1f,"iters":10,"k":8}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/fit100m.json"), json)
+      println(s"FITSCALE wrote target/fit100m.json: $json")
     }
     spark.stop()
   }
