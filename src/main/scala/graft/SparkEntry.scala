@@ -148,6 +148,9 @@ object SparkEntry {
     "text_zipf" -> ((s, dir) => TextOps.zipfSlope(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
+    // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
+    // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
+    "text_gopher_rep" -> ((s, dir) => TextOps.gopherRepetition(Tables.table(s, dir, "documents"))),
     // corpus-trained top-V vocab (TakeOrdered + broadcast id map) ->
     // per-position token ids, OOV -> 0
     "text_tok_ids" -> ((s, dir) =>
@@ -930,6 +933,7 @@ object SparkEntry {
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
+    "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_lm2_score" -> TextOps.lm2ScoreSql(),

@@ -37,4 +37,10 @@ object VecFunctions {
     * org.apache.spark.sql.graft.TextStats). */
   def textStats(a: Column, stopwords: Seq[String]): Column =
     VecBridge.column(TextStats(e(a), stopwords))
+
+  /** Single-pass Gopher-repetition stats `[top2_chars, dup2_chars, …,
+    * top10_chars, dup10_chars]` of an already-lower-cased string (see
+    * org.apache.spark.sql.graft.GramRepStats). */
+  def gramRepStats(a: Column): Column =
+    VecBridge.column(org.apache.spark.sql.graft.GramRepStats(e(a)))
 }

@@ -290,6 +290,95 @@ object TextOps {
        |FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Full Gopher Table-A1 repetition filter (Rae et al. 2021, "Scaling
+  // Language Models: ... Gopher", App. A1.1; also Dolma/RefinedWeb): the
+  // CHARACTER-fraction family over word n-grams —
+  //   top-n-gram char fraction  (n = 2..4): occurrences of the most
+  //     frequent n-gram × its char length, over the doc's char count;
+  //   dup-n-gram char fraction  (n = 5..10): chars in n-grams occurring
+  //     ≥ 2×, counted with multiplicity, over the doc's char count —
+  // with the paper's thresholds (0.20/0.18/0.16, 0.15..0.10) and a
+  // per-doc pass verdict. Complements [[repetitionStats]] (token-count
+  // fractions for unigram/bigram) and [[gopherFilter]] (the
+  // non-repetition Gopher gates).
+  //
+  // Shape: a pure scan-stage projection, ZERO shuffle — every n-gram of
+  // a doc lives inside its own row, so the stats come from one native
+  // codegen kernel call per row (org.apache.spark.sql.graft
+  // .GramRepStats: build each n-gram stream, sort, run-length scan;
+  // same single-pass pattern as the TextStats quality kernel). The
+  // first cut exploded (doc, n, gram) through two keyed aggregates —
+  // 7.7 s at sf0.1 for what is per-row arithmetic; the kernel removes
+  // the gram exchange entirely, which at 100 TB is the difference
+  // between a free curation gate and a corpus-sized string shuffle.
+  // Everything is exact integer char arithmetic until the final IEEE
+  // division by n_chars, so the relational DuckDB twin (explode →
+  // GROUP BY (doc, n, gram) — same values by construction) stays
+  // hash-exact.
+  // -------------------------------------------------------------------
+  private val TopGramThresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private val DupGramThresholds =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val st = graft.functions.VecFunctions.gramRepStats(lower(col("text")))
+    val based = docs.select(col("doc_id"), col("n_chars"), st.as("st"))
+    // kernel layout: item 2(n-2) = topN_chars, item 2(n-2)+1 = dupN_chars
+    def frac(idx: Int): Column =
+      col("st").getItem(idx).cast("double") / col("n_chars").cast("double")
+    val topFracs = TopGramThresholds.keys.toSeq.sorted
+      .map(n => frac(2 * (n - 2)).as(s"top${n}_frac"))
+    val dupFracs = DupGramThresholds.keys.toSeq.sorted
+      .map(n => frac(2 * (n - 2) + 1).as(s"dup${n}_frac"))
+    val pass = (
+      TopGramThresholds.toSeq.sortBy(_._1).map { case (n, t) =>
+        frac(2 * (n - 2)) <= lit(t) } ++
+      DupGramThresholds.toSeq.sortBy(_._1).map { case (n, t) =>
+        frac(2 * (n - 2) + 1) <= lit(t) }).reduceLeft(_ && _)
+    based.select(
+      col("doc_id") +: (topFracs ++ dupFracs) :+ pass.as("rep_pass"): _*)
+  }
+
+  val gopherRepetitionSql: String = {
+    val ns = 2 to 10
+    val pivot = ns.flatMap { n => Seq(
+      s"MAX(CASE WHEN n = $n THEN top_chars END) AS top${n}_chars",
+      s"MAX(CASE WHEN n = $n THEN dup_chars END) AS dup${n}_chars")
+    }.mkString(",\n|    ")
+    def frac(c: String) =
+      s"CAST(COALESCE(p.$c, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE)"
+    val topFracs = TopGramThresholds.keys.toSeq.sorted
+      .map(n => s"${frac(s"top${n}_chars")} AS top${n}_frac").mkString(",\n|  ")
+    val dupFracs = DupGramThresholds.keys.toSeq.sorted
+      .map(n => s"${frac(s"dup${n}_chars")} AS dup${n}_frac").mkString(",\n|  ")
+    val pass = (
+      TopGramThresholds.toSeq.sortBy(_._1).map { case (n, t) =>
+        s"${frac(s"top${n}_chars")} <= $t" } ++
+      DupGramThresholds.toSeq.sortBy(_._1).map { case (n, t) =>
+        s"${frac(s"dup${n}_chars")} <= $t" }).mkString("\n|    AND ")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |g AS (SELECT doc_id, n,
+       |    unnest(list_transform(generate_series(1, len(tk) - (n - 1)),
+       |      i -> array_to_string(list_slice(tk, i, i + n - 1), ' '))) AS gram
+       |  FROM tk CROSS JOIN (SELECT unnest(generate_series(2, 10)) AS n) ns
+       |  WHERE len(tk) >= n),
+       |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram),
+       |pn AS (SELECT doc_id, n,
+       |    MAX(c * CAST(LENGTH(gram) AS BIGINT)) AS top_chars,
+       |    SUM(CASE WHEN c >= 2 THEN c * CAST(LENGTH(gram) AS BIGINT)
+       |        ELSE 0 END) AS dup_chars
+       |  FROM c GROUP BY doc_id, n),
+       |p AS (SELECT doc_id,
+       |    $pivot
+       |  FROM pn GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  $topFracs,
+       |  $dupFracs,
+       |  ($pass) AS rep_pass
+       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Vocabulary tokenization: train a top-V frequency vocab from the
   // corpus itself (rank by count DESC, token ASC — fully deterministic),
   // then map every token position to its id (OOV → 0). The top-V

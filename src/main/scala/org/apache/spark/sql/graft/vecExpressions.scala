@@ -216,6 +216,96 @@ object TextStats {
   }
 }
 
+/** Single-pass Gopher-repetition kernel: for word n-grams with
+  * n = 2..10 over the space-tokenized input, emits
+  * [top2_chars, dup2_chars, top3_chars, dup3_chars, …, dup10_chars]
+  * (18 longs) where top = occurrences×charlen of the most repeated
+  * n-gram and dup = Σ occurrences×charlen over n-grams occurring ≥ 2×.
+  * Exact integer counts — the relational twin (explode → GROUP BY
+  * (doc, n, gram)) computes the identical values; this kernel exists so
+  * the per-doc stats never leave the scan stage: all grams of a doc
+  * are within one row, so a shuffle is pure waste (measured 7.7 s →
+  * sub-second at sf0.1). Same codegen pattern as [[TextStats]]. */
+case class GramRepStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GramRepStats.stats(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.GramRepStats.stats($c.toString())")
+
+  override def prettyName: String = "gram_rep_stats"
+  override protected def withNewChildInternal(c: Expression): GramRepStats =
+    copy(child = c)
+}
+
+object GramRepStats {
+  val MinN = 2
+  val MaxN = 10
+
+  /** Shared by interpreted eval and the codegen'd Java. */
+  def stats(s: String): ArrayData = {
+    // tokenize exactly like TextStats / TextOps.tokens: split on single
+    // spaces, drop empties
+    val toks = new java.util.ArrayList[String]()
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      var j = i
+      while (j < len && s.charAt(j) != ' ') j += 1
+      if (j > i) toks.add(s.substring(i, j))
+      i = j + 1
+    }
+    val t = toks.size
+    val out = new Array[Long](2 * (MaxN - MinN + 1))
+    var n = MinN
+    while (n <= MaxN) {
+      val m = t - n + 1
+      if (m > 0) {
+        val grams = new Array[String](m)
+        var g = 0
+        while (g < m) {
+          val sb = new java.lang.StringBuilder()
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks.get(g + k))
+            k += 1
+          }
+          grams(g) = sb.toString
+          g += 1
+        }
+        // any total order groups equal grams into runs; only equality
+        // matters, so UTF-16 String order is fine
+        java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+        var top = 0L
+        var dup = 0L
+        var runStart = 0
+        var p = 1
+        while (p <= m) {
+          if (p == m || grams(p) != grams(runStart)) {
+            val run = (p - runStart).toLong
+            val gram = grams(runStart)
+            val chars = run * gram.codePointCount(0, gram.length)
+            if (chars > top) top = chars
+            if (run >= 2L) dup += chars
+            runStart = p
+          }
+          p += 1
+        }
+        out(2 * (n - MinN)) = top
+        out(2 * (n - MinN) + 1) = dup
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Portable cross-engine ln (graft.functions.PortableMath): evaluates
   * the exact correctly-rounded op sequence of the documented tree as
   * ONE scalar call. Exists so multi-term scorers stay inside

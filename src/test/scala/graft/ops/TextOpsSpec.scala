@@ -493,4 +493,49 @@ class TextOpsSpec extends SparkSpec {
     val expect = math.log(3.0) - math.log(4.0 / 3.0)
     assert(math.abs(m - expect) < 1e-9, s"margin $m vs $expect")
   }
+
+  test("gopher repetition: char fractions are exact and the verdict applies Table A1") {
+    // doc 1: "x y x y x y" — 6 tokens, n_chars 11. Top 2-gram "x y"
+    // occurs 3× at 3 chars → top2_frac = 9/11 (> 0.20 → fail).
+    // doc 2: 40 distinct tokens — every n-gram unique, all dup fracs 0,
+    // top fracs tiny → pass.
+    // doc 3: one token — no n-grams at all → all-zero fractions, pass
+    // (the left-join totality path).
+    val clean = (0 until 40).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, "x y x y x y"), (2L, clean), (3L, "solo")
+    ).toDF("doc_id", "text").withColumn(
+      "n_chars", org.apache.spark.sql.functions.length($"text"))
+    val rows = TextOps.gopherRepetition(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[Double]("top2_frac") == 9.0 / 11.0)
+    // top 3-gram: "x y x" (5 chars) × 2 vs "y x y" × 2 → 10 chars
+    assert(r1.getAs[Double]("top3_frac") == 10.0 / 11.0)
+    // 5-grams: "x y x y x" ×1, "y x y x y" ×1 → no duplicates
+    assert(r1.getAs[Double]("dup5_frac") == 0.0)
+    assert(!r1.getAs[Boolean]("rep_pass"))
+    val r2 = rows(2L)
+    assert(r2.getAs[Double]("dup5_frac") == 0.0 &&
+      r2.getAs[Double]("dup10_frac") == 0.0)
+    assert(r2.getAs[Boolean]("rep_pass"))
+    val r3 = rows(3L)
+    assert(r3.getAs[Double]("top2_frac") == 0.0 &&
+      r3.getAs[Double]("dup10_frac") == 0.0)
+    assert(r3.getAs[Boolean]("rep_pass"))
+  }
+
+  test("gopher repetition: dup n-gram chars count every duplicated occurrence") {
+    // "spam spam spam spam spam spam" — 6 tokens, 29 chars. 5-gram
+    // "spam spam spam spam spam" (24 chars) occurs 2× → dup5 = 48/29.
+    // 2-gram "spam spam" (9 chars) × 5 → top2 = 45/29.
+    val d = Seq((7L, "spam spam spam spam spam spam"))
+      .toDF("doc_id", "text").withColumn(
+        "n_chars", org.apache.spark.sql.functions.length($"text"))
+    val r = TextOps.gopherRepetition(d).collect()(0)
+    assert(r.getAs[Double]("top2_frac") == 45.0 / 29.0)
+    assert(r.getAs[Double]("dup5_frac") == 48.0 / 29.0)
+    assert(r.getAs[Double]("dup6_frac") == 0.0) // only one 6-gram
+    assert(!r.getAs[Boolean]("rep_pass"))
+  }
 }
