@@ -151,6 +151,10 @@ object SparkEntry {
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
     "text_gopher_rep" -> ((s, dir) => TextOps.gopherRepetition(Tables.table(s, dir, "documents"))),
+    // offline IR eval: P@10 / MRR / AP@10 / NDCG@10 of per-term BM25
+    // rankings against graded term-frequency relevance
+    "rank_eval" -> ((s, dir) =>
+      graft.ops.RankEval.bm25Eval(Tables.table(s, dir, "documents"))(s)),
     // corpus-trained top-V vocab (TakeOrdered + broadcast id map) ->
     // per-position token ids, OOV -> 0
     "text_tok_ids" -> ((s, dir) =>
@@ -934,6 +938,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
+    "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_lm2_score" -> TextOps.lm2ScoreSql(),
