@@ -544,6 +544,10 @@ object SparkEntry {
     "graph_modularity" -> ((s, dir) =>
       graft.ops.GraphOps.supplierPartModularity(
         Tables.table(s, dir, "lineitem"))),
+    // HITS hubs/authorities: coupled eigenvector supersteps on the
+    // 1e6 integer grid with per-step max normalization
+    "graph_hits" -> ((s, dir) =>
+      graft.ops.GraphOps.supplierPartHits(Tables.table(s, dir, "lineitem"))),
     // TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS decorrelated
     // to one semi + one anti join over the deduped (order,supplier) pairs
     "waiting_suppliers" -> ((s, dir) =>
@@ -1070,6 +1074,7 @@ object SparkEntry {
     "graph_kcore" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartKCoreSql()),
     "graph_labelprop" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartLabelPropSql()),
     "graph_modularity" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartModularitySql()),
+    "graph_hits" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartHitsSql()),
     "basket_lift" -> graft.ops.GraphOps.basketLiftSql(),
     "bloom_semi" ->
       """SELECT * FROM lineitem

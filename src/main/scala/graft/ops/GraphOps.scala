@@ -653,6 +653,102 @@ object GraphOps {
        |FROM sums CROSS JOIN m""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
+  // a hyperlinked environment") — the mutual-reinforcement member of
+  // the iterative-graph family (PageRank converges a random-walk score,
+  // HITS a pair of coupled eigenvectors): per superstep
+  //   auth(v) = Σ_{(u,v)} hub(u),   hub(u) = Σ_{(u,v)} auth(v),
+  // each renormalized by its max. Over the DIRECTED supplier→part
+  // graph the hubs are broad-sourcing suppliers, authorities the
+  // widely-sourced parts.
+  //
+  // Exactness recipe: scores live on a 1e6 integer grid —
+  // round(score·1e6) per edge contribution, exact BIGINT sums, and the
+  // max-normalization is one long/long → double division, identical in
+  // both engines (sums ≤ 1e6 · max-degree stay far under 2^53 here; at
+  // larger scale the long→double cast rounds, but round-to-nearest
+  // identically in JVM and DuckDB). Fixed supersteps → unrolled-CTE
+  // oracle, hash-exact.
+  //
+  // 100 TB posture: each superstep is two keyed joins + two map-side-
+  // combined aggs on node ids plus a 1-row broadcast max; hub state is
+  // checkpointed per superstep (the a→h→a lineage would otherwise
+  // double per round). No driver-side state beyond the 1-row maxima.
+  // -------------------------------------------------------------------
+  private val HitsGrid = 1.0e6
+
+  def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct().localCheckpoint(true)
+    var hub: DataFrame = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      val asums = edges.join(hub, col("src") === col("node"))
+        .select(col("dst"),
+          round(col("h") * HitsGrid).cast("long").as("g"))
+        .groupBy(col("dst").as("node")).agg(sum("g").as("sa"))
+      val amax = asums.agg(max("sa").as("ma"))
+      auth = asums.crossJoin(broadcast(amax))
+        .select(col("node"),
+          (col("sa").cast("double") / col("ma").cast("double")).as("a"))
+      val hsums = edges.join(auth, col("dst") === col("node"))
+        .select(col("src"),
+          round(col("a") * HitsGrid).cast("long").as("g"))
+        .groupBy(col("src").as("node")).agg(sum("g").as("sh"))
+      val hmax = hsums.agg(max("sh").as("mh"))
+      hub = hsums.crossJoin(broadcast(hmax))
+        .select(col("node"),
+          (col("sh").cast("double") / col("mh").cast("double")).as("h"))
+      // hub state closes the superstep; cut the a->h->a lineage here
+      // (auth's own lineage is then one join off the checkpointed hub)
+      if (i < iters) hub = hub.localCheckpoint(true)
+    }
+    hub.select(col("node"), col("h").as("score"), lit("hub").as("kind"))
+      .unionAll(auth.select(
+        col("node"), col("a").as("score"), lit("authority").as("kind")))
+  }
+
+  /** HITS over the directed supplier→part sourcing graph (same node
+    * encoding as supplierPartRank; edges stay DIRECTED — hub and
+    * authority sides are disjoint by construction). */
+  def supplierPartHits(lineitem: DataFrame, iters: Int = 3): DataFrame =
+    hits(lineitem.select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst")), iters)
+
+  def supplierPartHitsSql(iters: Int = 3): String = {
+    def stepSql(i: Int): String = {
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""as$i AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(ROUND(h.h * 1000000.0) AS BIGINT)) AS sa
+         |  FROM edges e JOIN $prevH h ON e.src = h.node
+         |  GROUP BY 1),
+         |a$i AS (
+         |  SELECT node, CAST(sa AS DOUBLE)
+         |    / CAST((SELECT MAX(sa) FROM as$i) AS DOUBLE) AS a
+         |  FROM as$i),
+         |hs$i AS (
+         |  SELECT e.src AS node,
+         |    SUM(CAST(ROUND(a.a * 1000000.0) AS BIGINT)) AS sh
+         |  FROM edges e JOIN a$i a ON e.dst = a.node
+         |  GROUP BY 1),
+         |h$i AS (
+         |  SELECT node, CAST(sh AS DOUBLE)
+         |    / CAST((SELECT MAX(sh) FROM hs$i) AS DOUBLE) AS h
+         |  FROM hs$i)""".stripMargin
+    }
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM edges),
+       |${(1 to iters).map(stepSql).mkString(",\n")}
+       |SELECT node, h AS score, 'hub' AS kind FROM h$iters
+       |UNION ALL
+       |SELECT node, a AS score, 'authority' AS kind FROM a$iters""".stripMargin
+  }
+
   def supplierPartBfsSql(iters: Int = 3): String = {
     def stepSql(i: Int): String =
       s"""d$i AS (

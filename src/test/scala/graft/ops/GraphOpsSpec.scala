@@ -196,4 +196,29 @@ class GraphOpsSpec extends SparkSpec {
     val r1 = GraphOps.modularity(edges, oneComm).collect()(0)
     assert(r1.getLong(2) == 0L && r1.getDouble(4) == 0.0)
   }
+
+  test("hits: symmetric bipartite fixpoint is exact on the grid") {
+    // 1→10, 2→10, 2→11, 3→11: node 2 feeds both authorities.
+    // Fixpoint after one superstep: a(10)=a(11)=1, h=(0.5, 1, 0.5).
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
+      .toDF("src", "dst")
+    val m = GraphOps.hits(edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(1)).toMap
+    assert(m((1L, "hub")) == 0.5 && m((2L, "hub")) == 1.0 &&
+      m((3L, "hub")) == 0.5)
+    assert(m((10L, "authority")) == 1.0 && m((11L, "authority")) == 1.0)
+  }
+
+  test("hits: mutual reinforcement ranks the shared-authority hub highest") {
+    // 10 has three in-edges, 11 one; hub 1 links both authorities
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val rows = GraphOps.hits(edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(1)).toMap
+    assert(rows((1L, "hub")) == 1.0)                      // max-normalized
+    assert(rows((2L, "hub")) == rows((3L, "hub")))
+    assert(rows((2L, "hub")) < 1.0)
+    assert(rows((10L, "authority")) == 1.0)
+    assert(rows((11L, "authority")) < rows((10L, "authority")))
+  }
 }
