@@ -670,6 +670,10 @@ object SparkEntry {
     // confusion counts + precision/recall/F1 on the held-out split
     "text_nb_confusion" -> ((s, dir) =>
       TextOps.nbConfusion(Tables.table(s, dir, "documents"))),
+    // proper calibration metrics via the portable sigmoid/softplus:
+    // 10-bin ECE, Brier score, log-loss — all on the 1e12 integer grid
+    "text_nb_ece" -> ((s, dir) =>
+      TextOps.nbEce(Tables.table(s, dir, "documents"))),
     // per-doc top-3 tf-idf keyphrases through TopKPerKey (no Window,
     // no per-doc sort of the posting relation)
     "text_keyphrases" -> ((s, dir) =>
@@ -1107,6 +1111,7 @@ object SparkEntry {
     "text_nb_calibration" -> TextOps.nbCalibrationSql,
     "text_keyphrases" -> graft.ops.RetrievalOps.keyphrasesSql(),
     "text_nb_confusion" -> TextOps.nbConfusionSql,
+    "text_nb_ece" -> TextOps.nbEceSql,
     "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->

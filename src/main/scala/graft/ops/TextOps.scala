@@ -1630,4 +1630,99 @@ object TextOps {
        |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE) AS frac_pos
        |FROM nb GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Proper calibration metrics for the NB probabilities — ECE (expected
+  // calibration error, Naeini et al. 2015: 10 equal-width probability
+  // bins, Σ (n_b/N)·|acc_b − conf_b|), the Brier score, and log-loss.
+  // The probabilities come from the PORTABLE sigmoid
+  // (PortableMath.pexp/psigmoid — bit-identical in both engines), and
+  // log-loss goes through softplus(±margin) so no probability clamping
+  // is ever needed: ln(p) = −softplus(−m), ln(1−p) = −softplus(m),
+  // with the plog argument always in [1, 2].
+  //
+  // Every sum crosses engines on the integer grid: conf sums as
+  // round(p·1e12), Brier terms as round((p−y)²·1e12), log-loss terms
+  // as round(ll·1e12) — exact BIGINT aggregation in any order, one
+  // conversion at the end. The ECE absolute-difference algebra stays
+  // integral too: (n_b/N)·|acc_b − conf_b| = |npos_b·1e12 − Σpg| /
+  // (1e12·N), so ECE is ONE exact integer sum over ≤ 10 bins.
+  // 100 TB posture: one scan projection (sigmoid+softplus are scalar
+  // codegen), a 10-key agg with map-side partials, a 1-row reduce.
+  // -------------------------------------------------------------------
+  def nbEce(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.{psigmoid, psoftplus}
+    val Grid = 1.0e12
+    val GridL = 1000000000000L
+    val nb = nbScore(docs).select(col("margin"), col("is_en"))
+    val scored = nb.select(
+      col("is_en"),
+      psigmoid(col("margin")).as("p"),
+      when(col("is_en"), psoftplus(lit(0.0) - col("margin")))
+        .otherwise(psoftplus(col("margin"))).as("ll"))
+    val yd = when(col("is_en"), lit(1.0)).otherwise(lit(0.0))
+    val rows = scored.select(
+      least(floor(col("p") * 10), lit(9L)).as("bin"),
+      when(col("is_en"), 1L).otherwise(0L).as("y"),
+      round(col("p") * Grid).cast("long").as("pg"),
+      round((col("p") - yd) * (col("p") - yd) * Grid).cast("long").as("bg"),
+      round(col("ll") * Grid).cast("long").as("lg"))
+    // DECIMAL(38,0) sums: the 1e12-grid terms × row counts pass 2^63
+    // at large scale (DuckDB's SUM(BIGINT) is HUGEINT — exact — so the
+    // Spark side must be exact too); decimal→double converts once at
+    // the end, correctly rounded in both engines
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bins = rows.groupBy("bin").agg(
+      count(lit(1)).as("n"), sum("y").as("npos"),
+      sum(col("pg").cast(Dec)).as("sumpg"),
+      sum(col("bg").cast(Dec)).as("sumbg"),
+      sum(col("lg").cast(Dec)).as("sumlg"))
+    bins.agg(
+        sum("n").as("n"),
+        sum(abs(col("npos").cast(Dec) * lit(GridL).cast(Dec)
+          - col("sumpg"))).as("enum"),
+        sum("sumbg").as("bnum"), sum("sumlg").as("lnum"))
+      .select(col("n"),
+        (col("enum").cast("double") / (lit(Grid) * col("n").cast("double")))
+          .as("ece"),
+        (col("bnum").cast("double") / (lit(Grid) * col("n").cast("double")))
+          .as("brier"),
+        (col("lnum").cast("double") / (lit(Grid) * col("n").cast("double")))
+          .as("logloss"))
+  }
+
+  def nbEceSql: String = {
+    import graft.functions.PortableMath.{pexpSql, plogSql}
+    s"""WITH $nbCtes,
+       |s0 AS (SELECT is_en, margin,
+       |    (${pexpSql("0.0 - ABS(margin)")}) AS enm FROM nb),
+       |s1 AS (SELECT is_en, margin,
+       |    CASE WHEN margin >= 0.0 THEN 1.0 / (1.0 + enm)
+       |      ELSE enm / (1.0 + enm) END AS p,
+       |    CASE WHEN is_en THEN 0.0 - margin ELSE margin END AS z,
+       |    1.0 + enm AS op
+       |  FROM s0),
+       |s2 AS (SELECT is_en, p,
+       |    GREATEST(z, 0.0) + (${plogSql("op")}) AS ll FROM s1),
+       |rws AS (SELECT
+       |    LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+       |    CASE WHEN is_en THEN 1 ELSE 0 END AS y,
+       |    CAST(ROUND(p * 1000000000000.0) AS BIGINT) AS pg,
+       |    CAST(ROUND((p - (CASE WHEN is_en THEN 1.0 ELSE 0.0 END))
+       |      * (p - (CASE WHEN is_en THEN 1.0 ELSE 0.0 END))
+       |      * 1000000000000.0) AS BIGINT) AS bg,
+       |    CAST(ROUND(ll * 1000000000000.0) AS BIGINT) AS lg
+       |  FROM s2),
+       |bins AS (SELECT bin, COUNT(*) AS n, SUM(y) AS npos,
+       |    SUM(pg) AS sumpg, SUM(bg) AS sumbg, SUM(lg) AS sumlg
+       |  FROM rws GROUP BY bin)
+       |SELECT SUM(n) AS n,
+       |  CAST(SUM(ABS(npos * 1000000000000 - sumpg)) AS DOUBLE)
+       |    / (1000000000000.0 * CAST(SUM(n) AS DOUBLE)) AS ece,
+       |  CAST(SUM(sumbg) AS DOUBLE)
+       |    / (1000000000000.0 * CAST(SUM(n) AS DOUBLE)) AS brier,
+       |  CAST(SUM(sumlg) AS DOUBLE)
+       |    / (1000000000000.0 * CAST(SUM(n) AS DOUBLE)) AS logloss
+       |FROM bins""".stripMargin
+  }
 }

@@ -323,6 +323,20 @@ case class PLog(child: Expression) extends UnaryExpression with ExpectsInputType
   override protected def withNewChildInternal(c: Expression): PLog = copy(child = c)
 }
 
+/** Portable cross-engine e^x for x ≤ 0 (graft.functions.PortableMath.
+  * pexpDouble) as one scalar codegen call — same janino-size rationale
+  * as [[PLog]]. */
+case class PExp(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.PortableMath.pexpDouble(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableMath.pexpDouble($c)")
+  override def prettyName: String = "pexp"
+  override protected def withNewChildInternal(c: Expression): PExp = copy(child = c)
+}
+
 /** Column <-> Expression bridge (ExpressionUtils is private[sql]). */
 object VecBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

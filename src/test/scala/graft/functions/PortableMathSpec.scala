@@ -84,4 +84,54 @@ class PortableMathSpec extends SparkSpec {
     }
     assert(sql.contains("SQRT(SQRT(SQRT(SQRT(SQRT(SQRT(x))))))"))
   }
+
+  test("pexp matches StrictMath.exp to 1e-15 relative on [-700, 0]") {
+    // dense near 0 (sigmoid's hot region) plus the deep tail
+    val xs = (0 to 7000).map(i => -i / 10.0) ++
+      (1 to 999).map(i => -i / 1000.0)
+    xs.foreach { x =>
+      val p = PortableMath.pexpDouble(x)
+      val ref = StrictMath.exp(x)
+      val err = math.abs(p - ref) / ref
+      assert(err < 1e-15, s"pexp($x)=$p vs exp=$ref rel-err $err")
+    }
+    assert(PortableMath.pexpDouble(0.0) == 1.0)
+  }
+
+  test("scalar PExp column evaluates bit-identically to pexpDouble") {
+    import spark.implicits._
+    val xs = (0 to 997).map(i => -i * 0.7)
+    val viaDf = xs.toDF("x")
+      .select(col("x"), PortableMath.pexp(col("x")).as("p")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.foreach { x =>
+      assert(java.lang.Double.doubleToRawLongBits(PortableMath.pexpDouble(x)) ==
+        java.lang.Double.doubleToRawLongBits(viaDf(x)))
+    }
+  }
+
+  test("psigmoid is a stable, symmetric probability; psoftplus has plog in [1,2]") {
+    import spark.implicits._
+    val ms = Seq(-600.0, -40.0, -2.5, -1e-9, 0.0, 1e-9, 2.5, 40.0, 600.0)
+    val rows = ms.toDF("m").select(col("m"),
+      PortableMath.psigmoid(col("m")).as("p"),
+      PortableMath.psoftplus(col("m")).as("sp")).collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ms.foreach { m =>
+      val (p, sp) = rows(m)
+      assert(p >= 0.0 && p <= 1.0)
+      val refP = 1.0 / (1.0 + StrictMath.exp(-m))
+      assert(math.abs(p - refP) <= 1e-15 * math.max(refP, 1e-300), s"sigmoid($m)")
+      // softplus = -ln(sigmoid(-m)); compare against the stable ref.
+      // the 1 + e^-|z| sum collapses addends below ulp(1)/2, so the
+      // contract is combined: ~1e-16 absolute floor OR tight relative
+      val refSp =
+        math.max(m, 0.0) + StrictMath.log1p(StrictMath.exp(-math.abs(m)))
+      val abs = math.abs(sp - refSp)
+      assert(abs <= 1.2e-16 || abs <= 1e-12 * refSp,
+        s"softplus($m) $sp vs $refSp")
+    }
+    // exact midpoint
+    assert(rows(0.0)._1 == 0.5)
+  }
 }

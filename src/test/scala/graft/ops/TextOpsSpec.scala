@@ -494,6 +494,23 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(m - expect) < 1e-9, s"margin $m vs $expect")
   }
 
+  test("nb ece: zero-margin corpus lands at p=1/2, Brier 1/4, log-loss ln 2") {
+    // train split (even ids): one en + one fr doc with the same text →
+    // every token weight and the prior are exactly 0 → test margins 0,
+    // p = 1/2 for both test docs (one en, one fr): perfectly calibrated
+    // bin (acc = conf = 1/2) → ECE 0; Brier = 1/4 exactly on the grid;
+    // log-loss = softplus(0) = plog(2) ≈ ln 2.
+    val docs = Seq(
+      (0L, "a", "en"), (2L, "a", "fr"),
+      (1L, "a", "en"), (3L, "a", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.nbEce(docs).collect()(0)
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("ece") == 0.0)
+    assert(r.getAs[Double]("brier") == 0.25)
+    assert(math.abs(r.getAs[Double]("logloss") - math.log(2.0)) < 1e-9)
+  }
+
   test("gopher repetition: char fractions are exact and the verdict applies Table A1") {
     // doc 1: "x y x y x y" — 6 tokens, n_chars 11. Top 2-gram "x y"
     // occurs 3× at 3 chars → top2_frac = 9/11 (> 0.20 → fail).
