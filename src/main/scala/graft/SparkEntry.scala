@@ -889,6 +889,21 @@ object SparkEntry {
           graft.streaming.StreamOps.readEventStream(s, dir), dim, "user_id"),
         org.apache.spark.sql.streaming.OutputMode.Append())
     }),
+    // STREAM-STREAM event-time range join (view→click attribution):
+    // both sides watermarked, the join condition bounds the click ts
+    // from both directions so stream state is window-bounded. The
+    // AvailableNow single-batch replay makes the sink exactly the
+    // batch range join the oracle computes.
+    "stream_attribute" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.attributeStream(
+          graft.streaming.StreamOps.readEventStream(s, dir)
+            .filter(col("event_type") === "view"),
+          graft.streaming.StreamOps.readEventStream(s, dir)
+            .filter(col("event_type") === "click")),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
     // flatMapGroupsWithState CDC compaction run as a stream; update-mode
     // sink rows are per-batch state emissions, so the final state is the
     // per-user (ts, event_id) argmax over the sink — one k-row agg
@@ -1175,6 +1190,14 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "stream_attribute" ->
+      """SELECT c.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM events c JOIN events i
+        |  ON c.user_id = i.user_id
+        | AND i.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= i.ts
+        | AND c.ts <= i.ts + INTERVAL 30 MINUTE""".stripMargin,
   )
 
   /** Bench-only variants: run and timed by [[graft.Bench]] but NOT part
