@@ -81,10 +81,15 @@ object Tables {
     * scan should run once per process, not once per downstream query. */
   def initCentroids(spark: SparkSession, dir: String, k: Int = 8): Seq[kmeans.Cent] =
     centsMemo.computeIfAbsent((dir, k), { _ =>
-      val rows = points(spark, dir).orderBy("pid").limit(k).collect()
-      rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
-        kmeans.Cent(i, r.getDouble(1), r.getDouble(2))
-      }.toSeq
+      // Order by the full (pid, x, y) identity, not pid alone: pid is a
+      // natural-key packing the fixture does not guarantee unique, and a
+      // pid tie inside the k lowest rows would make the init set (and
+      // every downstream fit) engine- and run-nondeterministic.
+      val rows = points(spark, dir).orderBy("pid", "x", "y").limit(k).collect()
+      rows.sortBy(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .zipWithIndex.map { case (r, i) =>
+          kmeans.Cent(i, r.getDouble(1), r.getDouble(2))
+        }.toSeq
     })
 
   private val centsMemo =
@@ -113,7 +118,7 @@ object Tables {
 
   def centsSqlBody(k: Int): String =
     s"SELECT CAST(rn - 1 AS INT) AS cid, x, y FROM " +
-      s"(SELECT x, y, ROW_NUMBER() OVER (ORDER BY pid) AS rn FROM pts) t WHERE rn <= $k"
+      s"(SELECT x, y, ROW_NUMBER() OVER (ORDER BY pid, x, y) AS rn FROM pts) t WHERE rn <= $k"
 
   /** `WITH pts AS (...), cents AS (...) <tail>` oracle-SQL scaffold. */
   def withPtsCents(tail: String, k: Int = 8): String =

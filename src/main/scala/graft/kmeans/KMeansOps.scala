@@ -107,26 +107,40 @@ object KMeansOps {
       doubleBits(col("sq")).cast(Dec38) * lit(M) + col("cid").cast(Dec38)
     val bk = col("bk")
     val cidDec = bk % lit(M) // packed keys are non-negative: % == pmod
+    // Group on the FULL point identity (pid, x, y), not pid alone: pid is
+    // a derived natural-key packing the fixture does not guarantee unique
+    // (sf0.001 carries one duplicated key with two payloads). The argmin
+    // is a pure function of (x, y), so grouping by identity is lossless;
+    // exact row multiplicity is restored by the sequence-explode below —
+    // a zero-shuffle projection (n == 1 for virtually every group).
     points.crossJoin(broadcast(c))
       .withColumn("sq", sqDist(col("x"), col("y"), col("cx"), col("cy")))
-      .groupBy("pid")
-      .agg(min(packed).as("bk"), min(col("x")).as("x"), min(col("y")).as("y"))
+      .groupBy("pid", "x", "y")
+      .agg(min(packed).as("bk"), (count(lit(1)) / c.count()).cast("int").as("n"))
       .select(col("pid"), col("x"), col("y"),
         cidDec.cast("int").as("cid"),
-        bitsDouble(floor((bk - cidDec) / lit(M)).cast("long")).as("sqdist"))
+        bitsDouble(floor((bk - cidDec) / lit(M)).cast("long")).as("sqdist"),
+        col("n"))
+      .withColumn("dup", explode(sequence(lit(1), col("n"))))
       .join(broadcast(c), Seq("cid"))
       .select(col("pid"), col("x"), col("y"), col("cid"),
         col("cx"), col("cy"), col("sqdist"))
   }
 
-  /** DuckDB twin of `assign`: window argmin with the same tie-break. */
+  /** DuckDB twin of `assign`: per-row LATERAL argmin with the same
+    * tie-break (lowest sq, then lowest cid — reference first-wins).
+    * LATERAL, not `ROW_NUMBER() PARTITION BY pid`: the engine assigns
+    * every physical row independently, so the oracle must preserve row
+    * MULTIPLICITY — a window keyed on pid silently collapses duplicate
+    * pids (the synthetic sf0.001 lineitem carries one duplicated
+    * natural key with two distinct payloads, which made every window
+    * twin one row short of the engine). */
   def assignSql(ptsRel: String = "pts", centsRel: String = "cents"): String =
-    s"""SELECT pid, x, y, cid, cx, cy, sq AS sqdist FROM (
-       |  SELECT p.pid, p.x, p.y, c.cid, c.x AS cx, c.y AS cy,
-       |         (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) AS sq,
-       |         ROW_NUMBER() OVER (PARTITION BY p.pid
-       |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
-       |  FROM $ptsRel p CROSS JOIN $centsRel c) a WHERE rn = 1""".stripMargin
+    s"""SELECT p.pid, p.x, p.y, a.cid, a.cx, a.cy, a.sq AS sqdist
+       |FROM $ptsRel p CROSS JOIN LATERAL (
+       |  SELECT c.cid, c.x AS cx, c.y AS cy,
+       |         (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) AS sq
+       |  FROM $centsRel c ORDER BY sq, c.cid LIMIT 1) a""".stripMargin
 
   // -----------------------------------------------------------------
   // O7/O8 — count-append + keyed sum/count aggregate
@@ -183,17 +197,18 @@ object KMeansOps {
        |       CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS y
        |FROM $assignedRel GROUP BY cid""".stripMargin
 
-  /** One full Lloyd step as SQL: assign to `centsRel`, re-average. */
+  /** One full Lloyd step as SQL: assign to `centsRel`, re-average.
+    * Same LATERAL shape as [[assignSql]] (row-multiplicity-preserving;
+    * see the comment there), projecting only the argmin cid. */
   def stepSql(ptsRel: String, centsRel: String): String =
-    s"""SELECT cid,
-       |       CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS x,
-       |       CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS y
-       |FROM (
-       |  SELECT p.pid, p.x, p.y, c.cid,
-       |         ROW_NUMBER() OVER (PARTITION BY p.pid
-       |           ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid) AS rn
-       |  FROM $ptsRel p CROSS JOIN $centsRel c) a
-       |WHERE rn = 1 GROUP BY cid""".stripMargin
+    s"""SELECT a.cid,
+       |       CAST(CAST(SUM(CAST(p.x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS x,
+       |       CAST(CAST(SUM(CAST(p.y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS y
+       |FROM $ptsRel p CROSS JOIN LATERAL (
+       |  SELECT c.cid
+       |  FROM $centsRel c
+       |  ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid LIMIT 1) a
+       |GROUP BY a.cid""".stripMargin
 
   // -----------------------------------------------------------------
   // O13/O14 — objective function (WCSS/SSE). The reference round-trips
