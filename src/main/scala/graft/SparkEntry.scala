@@ -347,6 +347,13 @@ object SparkEntry {
         Tables.table(s, dir, "documents"), n = 40)),
     // Similarity search over `embeddings`
     "emb_norms" -> ((s, dir) => EmbeddingOps.norms(Tables.table(s, dir, "embeddings"))),
+    // dominant principal component by power iteration (constant-size
+    // sufficient-statistic aggregate + driver-side iteration), and the
+    // zero-shuffle centered projection of every vector onto it
+    "emb_pca_pc1" -> ((s, dir) =>
+      EmbeddingOps.pcaPc1(Tables.table(s, dir, "embeddings"), dir)),
+    "emb_pca_project" -> ((s, dir) =>
+      EmbeddingOps.pcaProject(Tables.table(s, dir, "embeddings"), dir)),
     "emb_cosine_topk" -> ((s, dir) =>
       EmbeddingOps.cosineTopK(Tables.table(s, dir, "embeddings"))),
     // SQ8 scalar-quantized ANN: per-dim corpus [lo,hi] grid (driver-
@@ -1021,6 +1028,8 @@ object SparkEntry {
     "dedup_best" -> graft.ops.OracleCtes.materialize(Dedup.dedupKeepBestSql()),
     "mix_temp" -> graft.ops.Sampling.temperatureMixSql(),
     "emb_norms" -> EmbeddingOps.normsSql,
+    "emb_pca_pc1" -> EmbeddingOps.pcaPc1Sql(),
+    "emb_pca_project" -> EmbeddingOps.pcaProjectSql(),
     "emb_cosine_topk" -> EmbeddingOps.cosineTopKSql(),
     "emb_sq8_topk" -> graft.ops.QuantOps.sq8TopKSql(),
     "emb_hamming_topk" -> graft.ops.QuantOps.hammingTopKSql(),

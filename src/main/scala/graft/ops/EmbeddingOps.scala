@@ -722,4 +722,190 @@ object EmbeddingOps {
        |$steps
        |$unions""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // PCA by power iteration: the dominant principal component of the
+  // embedding cloud + each vector's centered projection onto it — the
+  // standard dimensionality-reduction / decorrelation step of an
+  // embedding pipeline (whitening before ANN, drift monitoring, ABTT
+  // "all-but-the-top" postprocessing).
+  //
+  // Shape at 100 TB: ONE aggregation pass collapses the corpus to a
+  // constant-size sufficient statistic (d means + d² second moments,
+  // d=64 → 4 160 cells; partial aggs combine map-side so the wire
+  // carries ≤ cells/partition). The O(d²)-per-row explode happens
+  // INSIDE the scan stage before the combine — no shuffled blowup. The
+  // power iteration itself is O(T·d²) driver work on the collected
+  // matrix (like the k-sized centroid collects of the fit loop), and
+  // the projection is a zero-shuffle codegen scan with the PC vector
+  // broadcast as a literal.
+  //
+  // Cross-engine exactness: second moments and means go through the
+  // integer-grid recipe (ROUND(x·1e12) summed as DECIMAL(38,0), one
+  // VARCHAR→DOUBLE conversion); covariance cells, every matvec fold,
+  // norm, division, and the final Rayleigh quotient are the identical
+  // left-to-right IEEE sequences on both engines (Scala while-loops
+  // here, 0.0-prepended list_reduce folds in the DuckDB twin), so the
+  // eigenvector matches BIT-EXACT with no tolerance — convergence of
+  // the iteration is irrelevant to the compare, both engines stop at
+  // the same T.
+  // -------------------------------------------------------------------
+  final case class PcaResult(
+      mean: Array[Double], pc: Array[Double], lambda: Double)
+
+  private val PcaDim = 64
+  private val PcaGrid = 1e12
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), PcaResult]()
+
+  /** Fit the dominant PC of `embs` (memoized per (dir, iters): the two
+    * registered queries and the bench share one fit, as the kmeans
+    * surface shares its init-centroid scan). */
+  def pcaFit(embs: DataFrame, cacheKey: String, iters: Int = 8): PcaResult =
+    pcaMemo.computeIfAbsent((cacheKey, iters), { _ =>
+      val D = PcaDim
+      val vecs = embs.select(col("embedding").cast("array<double>").as("v"))
+      val n = vecs.count().toDouble
+      val ng = n * PcaGrid
+      // d-cell first moments (exact decimal sums → one correctly
+      // rounded double conversion, mirroring CAST(VARCHAR AS DOUBLE))
+      val meanRows = vecs
+        .select(posexplode(col("v")).as(Seq("i", "xi")))
+        .groupBy("i")
+        .agg(sum(round(col("xi") * PcaGrid).cast(DecimalType38))
+          .cast("string").cast("double").as("s"))
+        .collect()
+      val mean = Array.ofDim[Double](D)
+      meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / ng)
+      // d²-cell second moments: the pair explode stays inside the scan
+      // stage; the partial agg collapses it to ≤ d² rows per partition
+      val gramRows = vecs
+        .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+        .groupBy("i", "j")
+        .agg(sum(round(col("xi") * col("xj") * PcaGrid).cast(DecimalType38))
+          .cast("string").cast("double").as("s"))
+        .collect()
+      val cov = Array.ofDim[Double](D, D)
+      gramRows.foreach { r =>
+        val i = r.getInt(0); val j = r.getInt(1)
+        cov(i)(j) = r.getDouble(2) / ng - mean(i) * mean(j)
+      }
+      // power iteration from the uniform unit vector (1/√64 = 0.125, an
+      // exact binary literal — a basis-vector start lands in C's null
+      // space whenever one coordinate has zero variance); left-to-right
+      // folds throughout. A zero matvec (degenerate all-constant data)
+      // divides by 1 instead of 0 so the result is a deterministic zero
+      // vector, not NaN — the twin applies the identical guard.
+      var v = Array.fill(D)(0.125)
+      var t = 0
+      while (t < iters) {
+        val w = Array.tabulate(D) { i =>
+          var acc = 0.0; var j = 0
+          while (j < D) { acc += cov(i)(j) * v(j); j += 1 }
+          acc
+        }
+        var nrm2 = 0.0; var i = 0
+        while (i < D) { nrm2 += w(i) * w(i); i += 1 }
+        val nrm0 = math.sqrt(nrm2)
+        val nrm = if (nrm0 == 0.0) 1.0 else nrm0
+        v = w.map(_ / nrm)
+        t += 1
+      }
+      val cv = Array.tabulate(D) { i =>
+        var acc = 0.0; var j = 0
+        while (j < D) { acc += cov(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var lambda = 0.0
+      locally { var i = 0; while (i < D) { lambda += v(i) * cv(i); i += 1 } }
+      PcaResult(mean, v, lambda)
+    })
+
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** The fitted PC1 as a relation: (pos, loading, eigenvalue). */
+  def pcaPc1(embs: DataFrame, cacheKey: String, iters: Int = 8): DataFrame = {
+    val r = pcaFit(embs, cacheKey, iters)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    r.pc.zipWithIndex
+      .map { case (l, p) => (p, l, r.lambda) }.toSeq
+      .toDF("pos", "loading", "eigenvalue")
+  }
+
+  /** Centered projection of every vector onto PC1: score =
+    * dot(x, pc) − dot(μ, pc), both dots the shared left-to-right fold
+    * (the μ·pc term is a driver constant, so the scan is one codegen
+    * VecDot projection — zero shuffle, no per-row centering pass). */
+  def pcaProject(embs: DataFrame, cacheKey: String, iters: Int = 8): DataFrame = {
+    val r = pcaFit(embs, cacheKey, iters)
+    var mdot = 0.0
+    locally { var i = 0; while (i < PcaDim) { mdot += r.mean(i) * r.pc(i); i += 1 } }
+    val pcLit = array(r.pc.map(lit): _*)
+    embs.select(col("vec_id"),
+      (dot(col("embedding"), pcLit) - lit(mdot)).as("pc1_score"))
+  }
+
+  /** Shared CTE chain of the DuckDB twin: moments → covariance →
+    * `iters` unrolled, MATERIALIZED power steps (inlining would expand
+    * the iteration pyramid exponentially — each step references its
+    * predecessor twice through the norm). Ends with CTEs `pT` (the PC
+    * list), `lam` (Rayleigh eigenvalue), `mlist` (mean list). */
+  private def pcaCtes(iters: Int): String = {
+    val D = PcaDim
+    def fold(body: String, series: String = s"generate_series(1, $D)") =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform($series, $body)), (a, b) -> a + b)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT list_transform(generate_series(1, $D), i ->
+         |  ${fold(s"j -> mat[i][j] * pv[j]")}) AS w FROM cm, p${t - 1}),
+         |p$t AS MATERIALIZED (SELECT list_transform(w, z -> z /
+         |  (CASE WHEN SQRT(${fold("z -> z * z", "w")}) = 0.0 THEN 1.0
+         |        ELSE SQRT(${fold("z -> z * z", "w")}) END)) AS pv
+         |  FROM w$t)""".stripMargin
+    }.mkString(", ")
+    s"""vz AS MATERIALIZED (SELECT
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) * 1e12 AS ng FROM vz),
+       |ms AS MATERIALIZED (SELECT i,
+       |  CAST(CAST(SUM(CAST(ROUND(v[i] * 1e12) AS DECIMAL(38,0)))
+       |    AS VARCHAR) AS DOUBLE) / (SELECT ng FROM nn) AS m
+       |  FROM vz, unnest(generate_series(1, $D)) u(i) GROUP BY i),
+       |gs AS MATERIALIZED (SELECT i, j,
+       |  CAST(CAST(SUM(CAST(ROUND(v[i] * v[j] * 1e12) AS DECIMAL(38,0)))
+       |    AS VARCHAR) AS DOUBLE) / (SELECT ng FROM nn) AS s
+       |  FROM vz, unnest(generate_series(1, $D)) ui(i),
+       |    unnest(generate_series(1, $D)) uj(j) GROUP BY i, j),
+       |mlist AS (SELECT list(m ORDER BY i) AS mu FROM ms),
+       |cm AS MATERIALIZED (SELECT list(r ORDER BY i) AS mat FROM (
+       |  SELECT g.i, list(g.s - a.m * b.m ORDER BY g.j) AS r
+       |  FROM gs g JOIN ms a ON a.i = g.i JOIN ms b ON b.i = g.j
+       |  GROUP BY g.i) t),
+       |p0 AS (SELECT list_transform(generate_series(1, $D), i ->
+       |  CAST(0.125 AS DOUBLE)) AS pv),
+       |$steps,
+       |lam AS (SELECT ${fold(s"i -> pv[i] * cv[i]")} AS lambda FROM p$iters,
+       |  (SELECT list_transform(generate_series(1, $D), i ->
+       |    ${fold(s"j -> mat[i][j] * pv[j]")}) AS cv FROM cm, p$iters) t)"""
+      .stripMargin
+  }
+
+  def pcaPc1Sql(iters: Int = 8): String =
+    s"""WITH ${pcaCtes(iters)}
+       |SELECT CAST(i - 1 AS INT) AS pos, pv[i] AS loading,
+       |  (SELECT lambda FROM lam) AS eigenvalue
+       |FROM p$iters, unnest(generate_series(1, $PcaDim)) u(i)""".stripMargin
+
+  def pcaProjectSql(iters: Int = 8): String =
+    s"""WITH ${pcaCtes(iters)},
+       |md AS (SELECT ${
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $PcaDim), i -> mu[i] * pv[i])),
+         |  (a, b) -> a + b)""".stripMargin} AS mdot
+       |  FROM mlist, p$iters)
+       |SELECT e.vec_id,
+       |  ${dotSql("e.embedding", "p.pv")} - m.mdot AS pc1_score
+       |FROM embeddings e, p$iters p, md m""".stripMargin
 }

@@ -230,4 +230,37 @@ class EmbeddingSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  // 64-dim anisotropic cloud: variance concentrated on axis 7 (values
+  // ±3 alternating), small deterministic wiggle on axis 3. PC1 must
+  // align with e_7; the mean-centered projections must sum to ~0.
+  private def pcaFixture: DataFrame = {
+    val rows = (0 until 40).map { i =>
+      val v = Array.fill(64)(0f)
+      v(7) = if (i % 2 == 0) 3f + i * 0.01f else -3f - i * 0.01f
+      v(3) = 0.1f * ((i % 5) - 2)
+      (i.toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("power-iteration PC1 aligns with the dominant-variance axis") {
+    val r = EmbeddingOps.pcaFit(pcaFixture, cacheKey = "spec-aniso")
+    val nrm = math.sqrt(r.pc.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-12, s"PC not unit: $nrm")
+    assert(math.abs(r.pc(7)) > 0.999, s"PC1 off-axis: ${r.pc.toSeq}")
+    // eigenvalue ≈ variance along axis 7 (≈ 9+), far above the wiggle
+    assert(r.lambda > 8.0, s"lambda=${r.lambda}")
+  }
+
+  test("PCA projection is centered and the scan plan is shuffle-free") {
+    val df = EmbeddingOps.pcaProject(pcaFixture, cacheKey = "spec-aniso")
+    val scores = df.collect().map(_.getDouble(1))
+    assert(scores.length == 40)
+    // Σ(x−μ)·v = 0 up to the 1e-12 moment grid + fp accumulation
+    assert(math.abs(scores.sum) < 1e-6, s"sum=${scores.sum}")
+    // the per-vector scoring pass itself is a pure projection
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
