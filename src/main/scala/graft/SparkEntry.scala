@@ -147,6 +147,8 @@ object SparkEntry {
     // integer-grid sufficient statistics — corpus-health stat)
     "text_zipf" -> ((s, dir) => TextOps.zipfSlope(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
+    // Unicode NFC composition over a derived decomposed-accent variant
+    "text_nfc" -> ((s, dir) => TextOps.nfcNormalized(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -966,6 +968,7 @@ object SparkEntry {
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,
+    "text_nfc" -> TextOps.nfcNormalizedSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

@@ -32,6 +32,10 @@ object VecFunctions {
   /** 31-base polynomial rolling hash mod 1e9+7 (document fingerprint). */
   def docFingerprint(a: Column): Column = VecBridge.column(StringFingerprint(e(a)))
 
+  /** Unicode canonical composition (NFC). */
+  def nfcNormalize(a: Column): Column =
+    VecBridge.column(org.apache.spark.sql.graft.NfcNormalize(e(a)))
+
   /** Single-pass token stats `[n_tokens, total_token_chars, n_stop,
     * n_distinct]` of an already-lower-cased string (see
     * org.apache.spark.sql.graft.TextStats). */

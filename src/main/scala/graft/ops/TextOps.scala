@@ -233,6 +233,43 @@ object TextOps {
        |FROM documents""".stripMargin
 
   // -------------------------------------------------------------------
+  // Unicode NFC normalization (UAX #15 canonical composition) — the
+  // standard first cleaning step for web/OCR corpora where accents
+  // arrive decomposed (e + U+0301 vs é): normalize before hashing or
+  // the same visible text dedups to different keys. The synthetic
+  // corpus is pure ASCII (NFC = identity), so the query first derives a
+  // DECOMPOSED variant (every 'e' → 'e' + combining acute) and then
+  // composes it back — exercising real multi-code-point composition on
+  // both engines (JDK java.text.Normalizer here, utf8proc
+  // nfc_normalize in the twin; both implement UAX #15, é = U+00E9).
+  // Pure zero-shuffle projection via the codegen NfcNormalize
+  // expression; len_nfd − len_nfc counts the composed mark pairs, and
+  // the rolling-hash fingerprint of the NFC text pins every composed
+  // code point exactly (ascii(é) = 233 = the code point in DuckDB).
+  // -------------------------------------------------------------------
+  def nfcNormalized(docs: DataFrame): DataFrame = {
+    import graft.functions.VecFunctions.nfcNormalize
+    val dec = replace(col("text"), lit("e"), lit("é"))
+    val nfc = nfcNormalize(dec)
+    docs.select(col("doc_id"),
+      length(dec).as("len_nfd"),
+      length(nfc).as("len_nfc"),
+      fingerprint(nfc).as("fp_nfc"))
+  }
+
+  val nfcNormalizedSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(dec) AS INT) AS len_nfd,
+       |  CAST(length(nfc) AS INT) AS len_nfc,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(split(nfc, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % $FpMod) AS fp_nfc
+       |FROM (SELECT doc_id, dec, nfc_normalize(dec) AS nfc FROM (
+       |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS dec
+       |  FROM documents) d) n""".stripMargin
+
+  // -------------------------------------------------------------------
   // Repetition statistics (the Gopher-style repetition quality gates,
   // Rae et al. 2021 §A1.1): fraction of mass in the most frequent
   // token, in the most frequent bigram, and in bigrams occurring more

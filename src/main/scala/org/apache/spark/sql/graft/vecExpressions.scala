@@ -137,6 +137,34 @@ case class StringFingerprint(child: Expression) extends UnaryExpression with Exp
     copy(child = c)
 }
 
+/** Unicode canonical composition (NFC, UAX #15) of a string — the
+  * standard first step of corpus text normalization (decomposed
+  * accents, compatibility artifacts from OCR/HTML pipelines). Thin
+  * codegen shim over `java.text.Normalizer`, which implements the same
+  * canonical composition as DuckDB's utf8proc-backed `nfc_normalize`,
+  * so NFC output is oracle-comparable cross-engine. Native expression
+  * rather than a UDF: stays inside the hosting Project's
+  * whole-stage-codegen span. */
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      NfcNormalize.nfc(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"org.apache.spark.sql.graft.NfcNormalize.nfc($c.toString()))")
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+}
+
 object StringFingerprint {
   /** Shared by interpreted eval and generated code (called from the
     * codegen'd Java via this static-forwarder-friendly signature). */

@@ -555,4 +555,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("dup6_frac") == 0.0) // only one 6-gram
     assert(!r.getAs[Boolean]("rep_pass"))
   }
+
+  test("NFC composes decomposed accents and is idempotent on composed text") {
+    import graft.functions.VecFunctions.nfcNormalize
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // "café" (5 code points, decomposed) → "café" (4, composed)
+    val d = Seq((0L, "café"), (1L, "café"), (2L, "plain"))
+      .toDF("doc_id", "raw")
+    val got = d.select(col("doc_id"), nfcNormalize(col("raw")).as("n"),
+        length(nfcNormalize(col("raw"))).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(0L) == ("café", 4)) // composed to U+00E9
+    assert(got(1L) == ("café", 4)) // idempotent
+    assert(got(2L) == ("plain", 5))     // ASCII untouched
+    // the registered query counts the injected marks: every 'e' in the
+    // decomposed variant composes back, so len_nfd - len_nfc = #e
+    val q = TextOps.nfcNormalized(
+      Seq((9L, "tree level")).toDF("doc_id", "text")).collect()(0)
+    assert(q.getInt(1) - q.getInt(2) == 4) // "tree level" has 4 e's
+  }
 }
