@@ -149,6 +149,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.table(s, dir, "documents"))),
     // Unicode NFC composition over a derived decomposed-accent variant
     "text_nfc" -> ((s, dir) => TextOps.nfcNormalized(Tables.table(s, dir, "documents"))),
+    // per-source Gopher pass-rate ranked by the 95% Wilson lower bound
+    "source_wilson" -> ((s, dir) =>
+      TextOps.sourceQualityWilson(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -969,6 +972,7 @@ object SparkEntry {
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_nfc" -> TextOps.nfcNormalizedSql,
+    "source_wilson" -> TextOps.sourceQualityWilsonSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

@@ -138,6 +138,76 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Source curation by Wilson lower bound: per `source`, the share of
+  // docs passing the Gopher gate with the 95% Wilson score interval's
+  // LOWER bound — the statistically sound way to rank sources of very
+  // different volumes (a 10-doc source at 100% must not outrank a
+  // 100k-doc source at 95%; raw pass-rate does exactly that). The gate
+  // is the same single-pass TextStats scan projection as gopherFilter
+  // (zero extra shuffle), the aggregate is one map-side-combined
+  // source-keyed count pair, and the bound is closed-form IEEE
+  // arithmetic over the exact integer (k, n) — written as the same
+  // operation tree in both engines, so the compare is hash-exact.
+  // -------------------------------------------------------------------
+  def sourceQualityWilson(
+      docs: DataFrame,
+      minTokens: Long = 20L, maxTokens: Long = 80L,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minStopRatio: Double = 0.02, minTtr: Double = 0.35): DataFrame = {
+    val st = graft.functions.VecFunctions.textStats(lower(col("text")), stopwords)
+    val gated = docs.select(col("source"), st.as("st"))
+      .select(col("source"),
+        (col("st").getItem(0).between(minTokens, maxTokens) &&
+          (col("st").getItem(1).cast("double") / col("st").getItem(0))
+            .between(minAvgLen, maxAvgLen) &&
+          (col("st").getItem(2).cast("double") / col("st").getItem(0))
+            >= minStopRatio &&
+          (col("st").getItem(3).cast("double") / col("st").getItem(0))
+            >= minTtr).cast("long").as("pass"))
+    val agg = gated.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+    val nD = col("n_docs").cast("double")
+    val kD = col("n_pass").cast("double")
+    val z = lit(1.96)
+    val z2 = z * z
+    val phat = kD / nD
+    val center = phat + z2 / (lit(2.0) * nD)
+    val margin = z * sqrt((phat * (lit(1.0) - phat) + z2 / (lit(4.0) * nD)) / nD)
+    val denom = lit(1.0) + z2 / nD
+    agg.select(col("source"), col("n_docs"), col("n_pass"),
+      phat.as("pass_rate"),
+      ((center - margin) / denom).as("wilson_lb"))
+  }
+
+  def sourceQualityWilsonSql(
+      minTokens: Long = 20L, maxTokens: Long = 80L,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minStopRatio: Double = 0.02, minTtr: Double = 0.35): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT source,
+       |  CASE WHEN len(toks) BETWEEN $minTokens AND $maxTokens
+       |    AND CAST(list_reduce(list_prepend(0, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+       |      / len(toks) BETWEEN $minAvgLen AND $maxAvgLen
+       |    AND CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE)
+       |      / len(toks) >= $minStopRatio
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= $minTtr
+       |  THEN 1 ELSE 0 END AS pass
+       |FROM (SELECT source, $tokensSql AS toks FROM documents) d),
+       |a AS (SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(pass) AS BIGINT) AS n_pass FROM m GROUP BY source)
+       |SELECT source, n_docs, n_pass,
+       |  CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate,
+       |  ((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      + (1.96 * 1.96) / (2.0 * CAST(n_docs AS DOUBLE)))
+       |    - 1.96 * SQRT((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |        * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |        + (1.96 * 1.96) / (4.0 * CAST(n_docs AS DOUBLE)))
+       |      / CAST(n_docs AS DOUBLE)))
+       |  / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)) AS wilson_lb
+       |FROM a""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Language ID (n-gram/marker heuristic): score each doc against a
   // fixed per-language marker lexicon, pick the argmax with a
   // deterministic (score DESC, lang ASC) tie-break. The lexicon is an

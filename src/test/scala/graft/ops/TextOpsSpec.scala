@@ -574,4 +574,28 @@ class TextOpsSpec extends SparkSpec {
       Seq((9L, "tree level")).toDF("doc_id", "text")).collect()(0)
     assert(q.getInt(1) - q.getInt(2) == 4) // "tree level" has 4 e's
   }
+
+  test("Wilson lower bound ranks a large consistent source over a tiny perfect one") {
+    // good: passes the gopher gate (the fixture from the gopher tests);
+    // bad: too short. Source A: 2/2 pass; source B: 30/32 pass — the
+    // lower bound must prefer B's volume over A's perfect-but-tiny rate.
+    val good = "the quick brown fox jumps over the lazy dog and runs " +
+      "to the old stone bridge near the quiet river bank every day"
+    val bad = "x"
+    val rows =
+      (0 until 2).map(i => (i.toLong, good, "en", "A", 1L)) ++
+      (2 until 32).map(i => (i.toLong, good, "en", "B", 1L)) ++
+      (32 until 34).map(i => (i.toLong, bad, "en", "B", 1L))
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.sourceQualityWilson(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    val (na, ka, lbA) = m("A"); val (nb, kb, lbB) = m("B")
+    assert(na == 2 && ka == 2, s"A=$na/$ka")
+    assert(nb == 32 && kb == 30, s"B=$nb/$kb")
+    assert(lbA < lbB, s"tiny perfect A ($lbA) must not outrank B ($lbB)")
+    // closed form pinned against an independent computation for A (2/2)
+    val z = 1.96; val z2 = z * z; val n = 2.0; val p = 1.0
+    val expected = (p + z2 / (2 * n) - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n)) / (1 + z2 / n)
+    assert(math.abs(lbA - expected) < 1e-12, s"$lbA vs $expected")
+  }
 }
