@@ -152,6 +152,8 @@ object SparkEntry {
     // per-source Gopher pass-rate ranked by the 95% Wilson lower bound
     "source_wilson" -> ((s, dir) =>
       TextOps.sourceQualityWilson(Tables.table(s, dir, "documents"))),
+    // PSI distribution drift of value between the stream's two halves
+    "events_psi" -> ((s, dir) => EventOps.psiDrift(Tables.events(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -973,6 +975,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_nfc" -> TextOps.nfcNormalizedSql,
     "source_wilson" -> TextOps.sourceQualityWilsonSql(),
+    "events_psi" -> EventOps.psiDriftSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

@@ -1528,4 +1528,99 @@ object EventOps {
       |  CAST(n AS DOUBLE) /
       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM cnt""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Population Stability Index: distribution drift of `value` between
+  // the first and second half of the stream's time span — the standard
+  // production monitor for "did this week's data shift from last
+  // week's" (PSI < 0.1 stable, > 0.25 action). Baseline bins are
+  // equal-width over the BASELINE window's [min, max] (current-window
+  // values clamp into the edge bins), shares are +0.5-smoothed so an
+  // empty bin contributes a finite term, and ln goes through the
+  // portable ratio form (plog on the ≥1 side, negated otherwise) so
+  // both engines compute identical bits. Shape: two 1-row reductions
+  // (time bounds, baseline value bounds) broadcast back onto the scan,
+  // ONE (is_base × bin)-keyed count agg with map-side partials — ≤ 2·B
+  // rows cross the wire per partition — and a B-row spine fold into the
+  // final 1-row integer-grid sum. Nothing event-sized shuffles.
+  // -------------------------------------------------------------------
+  def psiDrift(events: DataFrame, bins: Int = 10): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Grid = 1e12
+    val ev = events.select(unix_micros(col("ts")).as("tu"), col("value"))
+    val tb = ev.agg(min("tu").as("t0"), max("tu").as("t1"))
+    val marked = ev.crossJoin(broadcast(tb))
+      .withColumn("is_base", col("tu") <= expr("t0 + (t1 - t0) DIV 2"))
+    val vb = marked.filter(col("is_base"))
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+    val binned = marked.crossJoin(broadcast(vb))
+      .select(col("is_base"),
+        least(greatest(
+          floor((col("value") - col("vmin"))
+            / ((col("vmax") - col("vmin")) / lit(bins.toDouble))).cast("int"),
+          lit(0)), lit(bins - 1)).as("bin"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("is_base"), 0L).otherwise(1L)).as("nc"))
+    val spine = events.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+    val filled = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = filled.agg(sum("nb").as("tb"), sum("nc").as("tc"))
+    val p = (col("nb").cast("double") + lit(0.5)) /
+      (col("tb").cast("double") + lit(bins.toDouble) * lit(0.5))
+    val q = (col("nc").cast("double") + lit(0.5)) /
+      (col("tc").cast("double") + lit(bins.toDouble) * lit(0.5))
+    val lnpq = when(p >= q, plog(p / q)).otherwise(lit(0.0) - plog(q / p))
+    filled.crossJoin(broadcast(tot))
+      .select((((p - q) * lnpq) * lit(Grid)).as("t"),
+        col("nb"), col("nc"))
+      .agg(
+        (sum(round(col("t")).cast(DecimalType(38, 0)))
+          .cast("string").cast("double") / lit(Grid)).as("psi"),
+        sum("nb").as("n_base"), sum("nc").as("n_curr"))
+  }
+
+  def psiDriftSql(bins: Int = 10): String = {
+    import graft.functions.PortableMath.plogSql
+    val pE = "(CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + " +
+      s"CAST($bins AS DOUBLE) * 0.5)"
+    val qE = "(CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + " +
+      s"CAST($bins AS DOUBLE) * 0.5)"
+    s"""WITH ev AS (SELECT epoch_us(ts) AS tu, value FROM events),
+       |tb AS (SELECT MIN(tu) AS t0, MAX(tu) AS t1 FROM ev),
+       |marked AS MATERIALIZED (SELECT value,
+       |  tu <= t0 + (t1 - t0) // 2 AS is_base FROM ev, tb),
+       |vb AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax
+       |  FROM marked WHERE is_base),
+       |binned AS (SELECT is_base,
+       |  LEAST(GREATEST(CAST(FLOOR((value - vmin)
+       |    / ((vmax - vmin) / CAST($bins AS DOUBLE))) AS INT), 0),
+       |    $bins - 1) AS bin
+       |  FROM marked, vb),
+       |counts AS (SELECT bin,
+       |  SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb0,
+       |  SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS nc0
+       |  FROM binned GROUP BY bin),
+       |filled AS (SELECT s.bin,
+       |  CAST(COALESCE(nb0, 0) AS BIGINT) AS nb,
+       |  CAST(COALESCE(nc0, 0) AS BIGINT) AS nc
+       |  FROM (SELECT unnest(generate_series(0, $bins - 1)) AS bin) s
+       |  LEFT JOIN counts ON s.bin = counts.bin),
+       |tot AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM filled),
+       |terms AS (SELECT nb, nc,
+       |  (($pE) - ($qE)) *
+       |    (CASE WHEN ($pE) >= ($qE)
+       |          THEN ${plogSql(s"(($pE) / ($qE))")}
+       |          ELSE 0.0 - ${plogSql(s"(($qE) / ($pE))")} END) AS term
+       |  FROM filled, tot)
+       |SELECT
+       |  CAST(CAST(SUM(CAST(ROUND(term * 1e12) AS DECIMAL(38,0)))
+       |    AS VARCHAR) AS DOUBLE) / 1e12 AS psi,
+       |  CAST(SUM(nb) AS BIGINT) AS n_base,
+       |  CAST(SUM(nc) AS BIGINT) AS n_curr
+       |FROM terms""".stripMargin
+  }
 }

@@ -636,4 +636,25 @@ class EventAndMultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(got == Map(1L -> 3L, 3L -> 1L), s"got $got")
   }
+
+  test("PSI: shifted second half scores high drift, identical halves near zero") {
+    def mk(rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.map { case (i, t, v) => (i, t, 1L, "m", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // first hour: values around 1..10; second hour: shifted to 91..100
+    val drift = mk((0 until 50).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:${i % 50}%02d:00"), 1.0 + (i % 10))) ++
+      (0 until 50).map(i =>
+        (50L + i, ts(f"2024-01-01 12:${i % 50}%02d:00"), 91.0 + (i % 10))))
+    val d = EventOps.psiDrift(drift).collect()(0)
+    assert(d.getLong(1) == 50 && d.getLong(2) == 50)
+    assert(d.getDouble(0) > 1.0, s"psi=${d.getDouble(0)}") // gross shift
+    // same value distribution in both halves → PSI ≈ 0
+    val same = mk((0 until 50).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:${i % 50}%02d:00"), 1.0 + (i % 10))) ++
+      (0 until 50).map(i =>
+        (50L + i, ts(f"2024-01-01 12:${i % 50}%02d:00"), 1.0 + (i % 10))))
+    val s0 = EventOps.psiDrift(same).collect()(0)
+    assert(math.abs(s0.getDouble(0)) < 1e-9, s"psi=${s0.getDouble(0)}")
+  }
 }
