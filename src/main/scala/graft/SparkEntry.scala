@@ -154,6 +154,9 @@ object SparkEntry {
       TextOps.sourceQualityWilson(Tables.table(s, dir, "documents"))),
     // PSI distribution drift of value between the stream's two halves
     "events_psi" -> ((s, dir) => EventOps.psiDrift(Tables.events(s, dir))),
+    // greedy quality-first selection under a 50%-of-corpus token budget
+    "corpus_budget" -> ((s, dir) =>
+      TextOps.budgetSelect(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -976,6 +979,7 @@ object SparkEntry {
     "text_nfc" -> TextOps.nfcNormalizedSql,
     "source_wilson" -> TextOps.sourceQualityWilsonSql(),
     "events_psi" -> EventOps.psiDriftSql(),
+    "corpus_budget" -> TextOps.budgetSelectSql,
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

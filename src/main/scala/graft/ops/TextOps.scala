@@ -208,6 +208,45 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Token-budget corpus selection: greedy highest-quality-first intake
+  // until a token budget is exhausted — the canonical "we can afford B
+  // training tokens, which documents make the cut" decision. Quality is
+  // the lexical-diversity ratio from the single-pass TextStats kernel;
+  // the budget is half the corpus's total tokens (a 1-row reduction
+  // broadcast back); the cumulative token count over the global
+  // (quality DESC, doc_id) order runs through Prefix.runningSum — range
+  // exchange + per-partition fold + broadcast offsets, never a
+  // SinglePartition window — so the selection scales with the corpus.
+  // -------------------------------------------------------------------
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val st = graft.functions.VecFunctions.textStats(lower(col("text")), stopwords)
+    val base = docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_tokens"),
+        (col("st").getItem(3).cast("double") / col("st").getItem(0)).as("ttr"))
+    val budget = base.agg(sum(col("n_tokens")).as("tot"))
+      .select(expr("tot div 2").as("budget"))
+    val cum = Prefix.runningSum(base,
+      Seq(col("ttr").desc, col("doc_id").asc),
+      col("n_tokens"), "cum_tokens")
+    cum.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("ttr"), col("cum_tokens"))
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents) d),
+       |b AS (SELECT SUM(n_tokens) // 2 AS budget FROM m),
+       |c AS (SELECT doc_id, n_tokens, ttr,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id) AS BIGINT)
+       |    AS cum_tokens FROM m)
+       |SELECT doc_id, n_tokens, ttr, cum_tokens
+       |FROM c, b WHERE cum_tokens <= budget""".stripMargin
+
+  // -------------------------------------------------------------------
   // Language ID (n-gram/marker heuristic): score each doc against a
   // fixed per-language marker lexicon, pick the argmax with a
   // deterministic (score DESC, lang ASC) tie-break. The lexicon is an

@@ -598,4 +598,26 @@ class TextOpsSpec extends SparkSpec {
     val expected = (p + z2 / (2 * n) - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n)) / (1 + z2 / n)
     assert(math.abs(lbA - expected) < 1e-12, s"$lbA vs $expected")
   }
+
+  test("budget select keeps the quality-top prefix and stops at the token budget") {
+    // 4 docs, quality (ttr) strictly ordered: d0 all-distinct > d1 > d2 > d3
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),                 // ttr 1.00, 4 tokens
+      (1L, "red blue green red"),                     // ttr 0.75, 4
+      (2L, "one two one two"),                        // ttr 0.50, 4
+      (3L, "spam spam spam spam")                     // ttr 0.25, 4
+    ).toDF("doc_id", "text")
+    // total 16 tokens → budget 8 → exactly d0 + d1 fit
+    val got = TextOps.budgetSelect(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L), s"got ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(4L, 8L)) // running totals
+    // the doc-sized relation never joins data-vs-data: the only joins
+    // are the broadcast of Prefix's |partitions|-row offsets and the
+    // 1-row budget (the surviving SinglePartition exchange feeds that
+    // bounded offsets fold, not the corpus)
+    val plan = TextOps.budgetSelect(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
