@@ -157,6 +157,9 @@ object SparkEntry {
     // greedy quality-first selection under a 50%-of-corpus token budget
     "corpus_budget" -> ((s, dir) =>
       TextOps.budgetSelect(Tables.table(s, dir, "documents"))),
+    // Bradley-Terry strengths from pairwise cross-source quality duels
+    "source_bt" -> ((s, dir) =>
+      graft.ops.Preference.bradleyTerry(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -980,6 +983,7 @@ object SparkEntry {
     "source_wilson" -> TextOps.sourceQualityWilsonSql(),
     "events_psi" -> EventOps.psiDriftSql(),
     "corpus_budget" -> TextOps.budgetSelectSql,
+    "source_bt" -> graft.ops.Preference.bradleyTerrySql,
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

@@ -32,7 +32,7 @@ object TextOps {
     docs.select(keep :+ explode(split(lower(col("text")), " ")).as(as): _*)
       .filter(col(as) =!= "")
 
-  private val tokensSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+  private[ops] val tokensSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
   // -------------------------------------------------------------------
   // Corpus token counts (tokenize + explode + count). One shuffle on
@@ -59,7 +59,7 @@ object TextOps {
   // of exact integer counts → bit-identical across engines (the DuckDB
   // twin below is unchanged).
   // -------------------------------------------------------------------
-  private val stopwords = Seq("a", "the", "and", "of", "to", "in", "is")
+  private[ops] val stopwords = Seq("a", "the", "and", "of", "to", "in", "is")
 
   def qualityScore(docs: DataFrame): DataFrame = {
     val st = graft.functions.VecFunctions.textStats(lower(col("text")), stopwords)
