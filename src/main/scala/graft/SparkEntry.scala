@@ -160,6 +160,8 @@ object SparkEntry {
     // Bradley-Terry strengths from pairwise cross-source quality duels
     "source_bt" -> ((s, dir) =>
       graft.ops.Preference.bradleyTerry(Tables.table(s, dir, "documents"))),
+    // KMV sketch set algebra: pairwise user-overlap estimates + exact
+    "events_kmv_overlap" -> ((s, dir) => EventOps.kmvOverlap(Tables.events(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -984,6 +986,7 @@ object SparkEntry {
     "events_psi" -> EventOps.psiDriftSql(),
     "corpus_budget" -> TextOps.budgetSelectSql,
     "source_bt" -> graft.ops.Preference.bradleyTerrySql,
+    "events_kmv_overlap" -> EventOps.kmvOverlapSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

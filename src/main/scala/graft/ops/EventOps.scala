@@ -655,6 +655,103 @@ object EventOps {
        |FROM r GROUP BY event_type""".stripMargin
   }
 
+  /** KMV sketch SET ALGEBRA: estimated user-set intersection between
+    * every pair of event types from the k-minimum-values sketches alone
+    * (Beyer et al. SIGMOD'07): combine the two k-sets, θ = the k-th
+    * smallest of the union, ρ = the fraction of those k that belong to
+    * BOTH sets; est_union = (k−1)/θ and est_overlap = ρ·est_union.
+    * This is the operation that makes sketches compose at 100 TB —
+    * overlap questions across T types answer from T·k retained hashes
+    * (here ≤ 5·64 rows) instead of re-scanning the corpus per pair.
+    * The md5-60 hash keeps every estimate a pure function of the data
+    * (oracle-exact); the exact overlap rides alongside as the
+    * ground-truth column, like the HLL family's exact twin. Shapes:
+    * one (type, user) distinct, one per-type top-k window, then
+    * everything downstream is constant-size; the exact baseline joins
+    * the deduped per-type user sets pairwise (T² fanout, T = 5). */
+  def kmvOverlap(events: DataFrame, k: Int = 64): DataFrame = {
+    val h = Dedup.md5Hash60(7, col("user_id").cast("string"))
+    val du = events.select(col("event_type"), col("user_id")).distinct()
+    val topk = du.withColumn("h", h)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rk") <= k).select(col("event_type"), col("h"))
+    val types = topk.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val uA = pairs.join(topk.withColumnRenamed("event_type", "ta"), Seq("ta"))
+      .select(col("ta"), col("tb"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+    val uB = pairs.join(topk.withColumnRenamed("event_type", "tb"), Seq("tb"))
+      .select(col("ta"), col("tb"), col("h"), lit(0L).as("ia"), lit(1L).as("ib"))
+    val u = uA.unionAll(uB).groupBy("ta", "tb", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy("h")))
+    val num = (k - 1).toDouble * 1152921504606846976.0
+    val sk = u.filter(col("rk") <= k).groupBy("ta", "tb").agg(
+      count(lit(1)).as("nu"),
+      max(when(col("rk") === k, col("h"))).as("theta"),
+      sum(when(col("ia") === 1L && col("ib") === 1L, 1L).otherwise(0L)).as("rho"))
+    val estU = when(col("theta").isNull, col("nu").cast("double"))
+      .otherwise(lit(num) / greatest(col("theta"), lit(1L)).cast("double"))
+    val est = sk.select(col("ta"), col("tb"),
+      estU.as("est_union"),
+      ((col("rho").cast("double") / least(lit(k.toLong), col("nu")).cast("double"))
+        * estU).as("est_overlap"))
+    val exact = du.select(col("event_type").as("ta"), col("user_id"))
+      .join(du.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_overlap"))
+    est.join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("est_union"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
+  def kmvOverlapSql(k: Int = 64): String = {
+    val num = (k - 1).toDouble * 1152921504606846976.0
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |hs AS (SELECT event_type,
+       |  CAST(('0x' || substr(md5('7|' || CAST(user_id AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h FROM du),
+       |topk AS (SELECT event_type, h FROM (
+       |  SELECT event_type, h, ROW_NUMBER() OVER (
+       |    PARTITION BY event_type ORDER BY h) AS rk FROM hs) t
+       |  WHERE rk <= $k),
+       |ty AS (SELECT DISTINCT event_type FROM topk),
+       |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM ty a, ty b WHERE a.event_type < b.event_type),
+       |u AS (SELECT ta, tb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+       |  SELECT p.ta, p.tb, s.h, 1 AS ia, 0 AS ib
+       |    FROM pairs p JOIN topk s ON s.event_type = p.ta
+       |  UNION ALL
+       |  SELECT p.ta, p.tb, s.h, 0 AS ia, 1 AS ib
+       |    FROM pairs p JOIN topk s ON s.event_type = p.tb) z
+       |  GROUP BY ta, tb, h),
+       |r AS (SELECT ta, tb, h, ia, ib, ROW_NUMBER() OVER (
+       |  PARTITION BY ta, tb ORDER BY h) AS rk FROM u),
+       |sk AS (SELECT ta, tb, COUNT(*) AS nu,
+       |  MAX(CASE WHEN rk = $k THEN h END) AS theta,
+       |  SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS rho
+       |  FROM r WHERE rk <= $k GROUP BY ta, tb),
+       |est AS (SELECT ta, tb,
+       |  CASE WHEN theta IS NULL THEN CAST(nu AS DOUBLE)
+       |       ELSE $num / CAST(GREATEST(theta, 1) AS DOUBLE) END AS est_union,
+       |  (CAST(rho AS DOUBLE) /
+       |     CAST(LEAST(CAST($k AS BIGINT), nu) AS DOUBLE)) *
+       |  (CASE WHEN theta IS NULL THEN CAST(nu AS DOUBLE)
+       |        ELSE $num / CAST(GREATEST(theta, 1) AS DOUBLE) END) AS est_overlap
+       |  FROM sk),
+       |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
+       |  COUNT(*) AS exact_overlap
+       |  FROM du a JOIN du b ON a.user_id = b.user_id
+       |    AND a.event_type < b.event_type
+       |  GROUP BY a.event_type, b.event_type)
+       |SELECT e.ta, e.tb, e.est_union, e.est_overlap,
+       |  CAST(COALESCE(x.exact_overlap, 0) AS BIGINT) AS exact_overlap
+       |FROM est e LEFT JOIN ex x ON e.ta = x.ta AND e.tb = x.tb""".stripMargin
+  }
+
   /** Latest-state snapshot (the CDC/upsert compaction shape): each
     * user's most recent event wins, ties on ts broken by event_id —
     * deterministic total order. One shuffle on user_id; at 100 TB this

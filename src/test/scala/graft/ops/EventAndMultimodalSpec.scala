@@ -657,4 +657,21 @@ class EventAndMultimodalSpec extends SparkSpec {
     val s0 = EventOps.psiDrift(same).collect()(0)
     assert(math.abs(s0.getDouble(0)) < 1e-9, s"psi=${s0.getDouble(0)}")
   }
+
+  test("KMV overlap: planted half-overlap estimated from sketches, exact alongside") {
+    // A = users 0..199, B = users 100..299 → overlap 100, union 300
+    val rows =
+      (0 until 200).map(u => (u.toLong, ts("2024-01-01 10:00:00"), u.toLong, "A", 1.0, "{}")) ++
+      (0 until 200).map(u => (1000L + u, ts("2024-01-01 10:00:00"), 100L + u, "B", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.kmvOverlap(ev).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "A" && row.getString(1) == "B")
+    assert(row.getLong(4) == 100, s"exact=${row.getLong(4)}")
+    val estU = row.getDouble(2); val estO = row.getDouble(3)
+    // k=64 KMV: stderr ≈ 1/√62 ≈ 13%; allow 3σ
+    assert(math.abs(estU - 300.0) / 300.0 < 0.4, s"est_union=$estU")
+    assert(math.abs(estO - 100.0) / 100.0 < 0.6, s"est_overlap=$estO")
+  }
 }
