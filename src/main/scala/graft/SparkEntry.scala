@@ -162,6 +162,9 @@ object SparkEntry {
       graft.ops.Preference.bradleyTerry(Tables.table(s, dir, "documents"))),
     // KMV sketch set algebra: pairwise user-overlap estimates + exact
     "events_kmv_overlap" -> ((s, dir) => EventOps.kmvOverlap(Tables.events(s, dir))),
+    // local clustering coefficient from the shared triangle machinery
+    "graph_clustering" -> ((s, dir) =>
+      graft.ops.GraphOps.coOrderClustering(Tables.table(s, dir, "lineitem"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -987,6 +990,8 @@ object SparkEntry {
     "corpus_budget" -> TextOps.budgetSelectSql,
     "source_bt" -> graft.ops.Preference.bradleyTerrySql,
     "events_kmv_overlap" -> EventOps.kmvOverlapSql(),
+    "graph_clustering" -> graft.ops.OracleCtes.materialize(
+      graft.ops.GraphOps.coOrderClusteringSql()),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

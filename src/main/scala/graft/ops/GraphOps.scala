@@ -349,6 +349,61 @@ object GraphOps {
        |  UNION ALL SELECT z FROM t) q
        |GROUP BY node""".stripMargin
 
+  /** Local clustering coefficient per node: cc(v) = 2·T_v / (d_v·(d_v−1))
+    * — "how close is v's neighborhood to a clique", the standard local
+    * cohesion metric (Watts–Strogatz). Pure derivative of the triangle
+    * machinery: the SAME checkpointed pruned-edge/oriented relations
+    * produce degrees and per-node triangle counts, one broadcast-sized
+    * left join stitches them (nodes in no triangle get coefficient 0),
+    * and the ratio is a single IEEE division of exact integers. Degree-1
+    * nodes are reported with coefficient 0 rather than dropped. */
+  def clusteringCoefficient(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    val deg = edges.select(col("a").as("n"))
+      .union(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val tri = triangleCounts(edges)
+    deg.join(tri.withColumnRenamed("node", "n"), Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2L,
+          (lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double")) /
+            (col("d").cast("double") * (col("d") - 1L).cast("double")))
+          .otherwise(lit(0.0)).as("coef"))
+  }
+
+  def coOrderClustering(lineitem: DataFrame, minSupport: Int = 2): DataFrame =
+    clusteringCoefficient(coOrderEdges(lineitem, minSupport))
+
+  def coOrderClusteringSql(minSupport: Int = 2): String =
+    s"""WITH e AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |deg AS (SELECT n, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) q GROUP BY n),
+       |o AS (SELECT
+       |    CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS u,
+       |    CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS v
+       |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+       |w AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+       |  FROM o o1 JOIN o o2 ON o1.v = o2.u),
+       |t AS (SELECT w.x, w.y, w.z
+       |  FROM w JOIN o ON w.x = o.u AND w.z = o.v),
+       |cnt AS (SELECT node, COUNT(*) AS n_tri FROM (
+       |  SELECT x AS node FROM t
+       |  UNION ALL SELECT y FROM t
+       |  UNION ALL SELECT z FROM t) q
+       |GROUP BY node)
+       |SELECT deg.n AS node, deg.d AS deg,
+       |  CAST(COALESCE(cnt.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CASE WHEN deg.d >= 2
+       |       THEN (2.0 * CAST(COALESCE(cnt.n_tri, 0) AS DOUBLE)) /
+       |            (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE))
+       |       ELSE 0.0 END AS coef
+       |FROM deg LEFT JOIN cnt ON deg.n = cnt.node""".stripMargin
+
   /** Association-rule mining, the 2-itemset stage: top-k co-ordered
     * part pairs ranked by lift = P(a,b)/(P(a)P(b)) with a minimum
     * support floor (Agrawal & Srikant 1994's Apriori counting stage,

@@ -87,6 +87,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("clustering coefficient: K4-minus-an-edge hand values; star is all zero") {
+    // K4 on {1,2,3,4} without (3,4): deg(1)=deg(2)=3, deg(3)=deg(4)=2;
+    // T_1=T_2=2, T_3=T_4=1 → cc(1)=cc(2)=4/6, cc(3)=cc(4)=1.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val cc = GraphOps.clusteringCoefficient(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cc(1L) == ((3L, 2L, 2.0 * 2.0 / (3.0 * 2.0))))
+    assert(cc(3L) == ((2L, 1L, 1.0)))
+    // star center deg 4, no triangles → 0; leaves deg 1 → 0 (not dropped)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val sc = GraphOps.clusteringCoefficient(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(sc.size == 5 && sc.values.forall(_ == 0.0), s"$sc")
+  }
+
   test("basket lift: hand-computed lifts, support floor, dedup within order") {
     // 4 orders; (1,2) co-occur twice (incl. a duplicated line for part 1
     // in order 100 — order-distinct counting must collapse it), (1,3)
