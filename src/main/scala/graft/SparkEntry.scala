@@ -165,6 +165,9 @@ object SparkEntry {
     // local clustering coefficient from the shared triangle machinery
     "graph_clustering" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderClustering(Tables.table(s, dir, "lineitem"))),
+    // deterministic k-means++ (exponential-race D^2 sampling)
+    "init_kmeanspp" -> ((s, dir) =>
+      KMeansOps.kmeansPlusPlus(Tables.points(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -992,6 +995,7 @@ object SparkEntry {
     "events_kmv_overlap" -> EventOps.kmvOverlapSql(),
     "graph_clustering" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderClusteringSql()),
+    "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

@@ -242,6 +242,89 @@ object KMeansOps {
       s"AS VARCHAR) AS DOUBLE) / 1e6 AS objective FROM $assignedRel"
 
   // -----------------------------------------------------------------
+  // k-means++ initialization (Arthur & Vassilvitskii 2007): first
+  // center by a uniform md5 draw, then each next center with key
+  // ln(u_p)/D²_p maximized — the exponential-race formulation of
+  // D²-weighted sampling (one Gumbel-style race per point; u_p is the
+  // per-point md5-60 uniform), which makes the classic randomized init
+  // a PURE FUNCTION of the data, reproducible in any engine. Each of
+  // the k rounds is a zero-shuffle scan projection (current centers
+  // folded in as literals, like the production assign) feeding
+  // TakeOrderedAndProject(1) — k passes over the data total. At 100 TB
+  // you'd trade exactness for passes via k-means|| oversampling; this
+  // is the exact sequential variant the oracle can replay (unrolled
+  // per-round CTEs, same plog/least/division trees). Points colliding
+  // with a chosen center (D²=0) get key -inf via an explicit CASE and
+  // are never re-picked — identically in both engines (ANSI Spark
+  // raises on x/0 rather than returning ±inf, so the CASE is load-
+  // bearing, not cosmetic).
+  // -----------------------------------------------------------------
+  def kmeansPlusPlus(points: DataFrame, k: Int = 8, seed: Int = 11): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Two60 = 1152921504606846976.0
+    val h = graft.ops.Dedup.md5Hash60(seed, col("pid").cast("string"))
+    // ln(u) = -plog(2^60 / h), h clamped ≥ 1
+    val lnU = lit(0.0) - plog(lit(Two60) / greatest(h, lit(1L)).cast("double"))
+    val first = points
+      .select(col("pid"), col("x"), col("y"), h.as("h"))
+      .orderBy(col("h").asc, col("pid").asc).limit(1)
+      .select("pid", "x", "y").collect()(0)
+    var cents = Vector((first.getLong(0), first.getDouble(1), first.getDouble(2)))
+    while (cents.length < k) {
+      val d2s = cents.map { case (_, cx, cy) =>
+        sqDist(col("x"), col("y"), lit(cx), lit(cy))
+      }
+      val d2 = if (d2s.size == 1) d2s.head else least(d2s: _*)
+      // chosen centers have D²=0 → push to -inf so they never re-win
+      // (explicit CASE: ANSI Spark raises on x/0, DuckDB returns ±inf)
+      val key = when(d2 === 0.0, lit(Double.NegativeInfinity))
+        .otherwise(lnU / d2)
+      val next = points
+        .select(col("pid"), col("x"), col("y"), key.as("key"))
+        .orderBy(col("key").desc, col("pid").asc).limit(1)
+        .select("pid", "x", "y").collect()(0)
+      cents = cents :+ ((next.getLong(0), next.getDouble(1), next.getDouble(2)))
+    }
+    val spark = points.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case ((pid, x, y), i) => (i, pid, x, y) }
+      .toDF("cid", "pid", "x", "y")
+  }
+
+  /** DuckDB twin: the same k unrolled rounds — each next-center CTE
+    * recomputes the identical ln(u)/D² race against the previously
+    * chosen 1-row CTEs. */
+  def kmeansPlusPlusSql(k: Int = 8, seed: Int = 11): String = {
+    import graft.functions.PortableMath.plogSql
+    val Two60 = "1152921504606846976.0"
+    val hE = graft.ops.Dedup.md5Hash60Sql(seed, "CAST(pid AS VARCHAR)")
+    val lnU = s"(0.0 - ${plogSql(s"($Two60 / CAST(GREATEST(h, 1) AS DOUBLE))")})"
+    val rounds = (2 to k).map { j =>
+      val d2terms = (1 until j).map(i =>
+        s"((p.x - c$i.x) * (p.x - c$i.x) + (p.y - c$i.y) * (p.y - c$i.y))")
+      val d2 =
+        if (d2terms.size == 1) d2terms.head
+        else d2terms.mkString("LEAST(", ", ", ")")
+      val froms = (1 until j).map(i => s"c$i").mkString(", ")
+      val keyE = s"CASE WHEN $d2 = 0.0 THEN CAST('-infinity' AS DOUBLE) " +
+        s"ELSE $lnU / $d2 END"
+      s"""c$j AS MATERIALIZED (SELECT pid, x, y FROM (
+         |  SELECT p.pid, p.x, p.y, $keyE AS key
+         |  FROM hp p, $froms
+         |  ORDER BY key DESC, p.pid ASC LIMIT 1) t$j)""".stripMargin
+    }.mkString(", ")
+    val outs = (1 to k).map(j =>
+      s"SELECT ${j - 1} AS cid, pid, x, y FROM c$j").mkString(" UNION ALL ")
+    s"""WITH pts AS (${graft.Tables.pointsSqlBody}),
+       |hp AS MATERIALIZED (SELECT pid, x, y, $hE AS h FROM pts),
+       |c1 AS MATERIALIZED (SELECT pid, x, y FROM hp
+       |  ORDER BY h ASC, pid ASC LIMIT 1),
+       |$rounds
+       |SELECT CAST(cid AS INT) AS cid, pid, x, y FROM ($outs) f""".stripMargin
+  }
+
+  // -----------------------------------------------------------------
   // O11/O12 — convergence check: equi join new/old on cid + theta filter
   // dist > epsilon (strict: KMeans.java:175-181). Both sides are k rows →
   // Catalyst picks BroadcastHashJoin on its own.

@@ -36,4 +36,24 @@ class InitSpec extends SparkSpec {
     assert(KMeansFit.randomInit(cfg.copy(seed = 3L)).size == 2)
     assert(KMeansFit.respace(cents, cfg, new Random(3L)) == cents)
   }
+
+  test("kmeansPlusPlus picks k distinct real points, deterministically") {
+    val pts = graft.Tables.points(spark, "/root/testdata/sf0.001")
+    val a = KMeansOps.kmeansPlusPlus(pts, k = 5, seed = 11).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val b = KMeansOps.kmeansPlusPlus(pts, k = 5, seed = 11).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq)                      // pure function of data
+    assert(a.map(_._2).distinct.length == 5)        // k distinct source pids
+    // every chosen center is an actual point (pid/x/y agree with the table)
+    val byPid = pts.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    a.foreach { case (_, pid, x, y) => assert(byPid(pid) == ((x, y))) }
+    // a different seed picks a different first center
+    val c = KMeansOps.kmeansPlusPlus(pts, k = 5, seed = 12).collect()
+      .map(_.getLong(1)).toSet
+    assert(c != a.map(_._2).toSet)
+  }
 }
