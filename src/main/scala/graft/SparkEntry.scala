@@ -168,6 +168,9 @@ object SparkEntry {
     // deterministic k-means++ (exponential-race D^2 sampling)
     "init_kmeanspp" -> ((s, dir) =>
       KMeansOps.kmeansPlusPlus(Tables.points(s, dir))),
+    // connected components of the co-order graph (min-label + doubling)
+    "graph_cc" -> ((s, dir) =>
+      graft.ops.GraphOps.coOrderComponents(Tables.table(s, dir, "lineitem"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -996,6 +999,7 @@ object SparkEntry {
     "graph_clustering" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderClusteringSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
+    "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

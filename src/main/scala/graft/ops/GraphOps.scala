@@ -404,6 +404,41 @@ object GraphOps {
        |       ELSE 0.0 END AS coef
        |FROM deg LEFT JOIN cnt ON deg.n = cnt.node""".stripMargin
 
+  /** Connected components of the co-order graph: comp(v) = the smallest
+    * part id reachable from v through support-filtered co-order edges —
+    * the graph-native face of [[Dedup.connectedComponents]] (min-label
+    * propagation with pointer doubling, O(log diameter) rounds, eager
+    * per-round checkpoint). Output (node, comp) for every node with at
+    * least one edge; isolated parts never enter the edge relation so
+    * they carry no row, matching the recursive-closure twin.
+    *
+    * 100 TB posture: the iterative labels are |V|-sized and every round
+    * shuffles only node-keyed joins of the PRUNED edge set (support
+    * filter first); the oracle's O(n·|comp|) transitive closure is a
+    * DuckDB-side test artifact, not the production algorithm. */
+  def coOrderComponents(lineitem: DataFrame, minSupport: Int = 2): DataFrame =
+    Dedup.connectedComponents(
+        coOrderEdges(lineitem, minSupport)
+          .select(col("a").as("da"), col("b").as("db")))
+      .select(col("doc_id").as("node"), col("group_id").as("comp"))
+
+  /** DuckDB twin: transitive closure by recursive CTE (UNION dedup
+    * terminates cycles), then min over each reach set — the
+    * nearDupGroupsSql shape over the co-order edge relation. */
+  def coOrderComponentsSql(minSupport: Int = 2): String =
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS node, LEAST(a, MIN(b)) AS comp
+       |FROM reach GROUP BY a""".stripMargin
+
   /** Association-rule mining, the 2-itemset stage: top-k co-ordered
     * part pairs ranked by lift = P(a,b)/(P(a)P(b)) with a minimum
     * support floor (Agrawal & Srikant 1994's Apriori counting stage,

@@ -237,4 +237,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows((10L, "authority")) == 1.0)
     assert(rows((11L, "authority")) < rows((10L, "authority")))
   }
+
+  test("connected components: two islands and a bridge collapse correctly") {
+    import spark.implicits._
+    // island {1,2,3} (path), island {7,9} — comp = min id of the island
+    val pairs = Seq((1L,2L),(2L,3L),(7L,9L)).toDF("da","db")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L->1L, 2L->1L, 3L->1L, 7L->7L, 9L->7L))
+    // adding a bridge 3-7 merges the islands into comp 1
+    val merged = Dedup.connectedComponents(
+        pairs.union(Seq((3L,7L)).toDF("da","db")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.values.toSet == Set(1L))
+  }
 }
