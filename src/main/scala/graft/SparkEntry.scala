@@ -171,6 +171,13 @@ object SparkEntry {
     // connected components of the co-order graph (min-label + doubling)
     "graph_cc" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderComponents(Tables.table(s, dir, "lineitem"))),
+    // Welch unequal-variance t-test between two event cohorts
+    "events_ab_ttest" -> ((s, dir) =>
+      graft.ops.StatsOps.welchTTest(
+        Tables.events(s, dir),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("event_type"),
+        "click", "view")),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -1000,6 +1007,8 @@ object SparkEntry {
       graft.ops.GraphOps.coOrderClusteringSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
     "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
+    "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(
+      "events", "value", "event_type", "click", "view"),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

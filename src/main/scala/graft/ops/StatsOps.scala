@@ -87,6 +87,92 @@ object StatsOps {
       selects.mkString("\nUNION ALL\n")
   }
 
+  /** Welch's unequal-variance t-test between two cohorts of a metric —
+    * the A/B-experiment readout (is the mean `value` of cohort A
+    * different from cohort B?), reported as the t statistic plus the
+    * Welch–Satterthwaite degrees of freedom (the two numbers any
+    * p-value table needs). One scan, one 1-row conditional aggregate:
+    * both cohorts' sufficient statistics (n, Σx, Σx²) accumulate in the
+    * same partial-agg pass — no per-cohort scans, no shuffle of data
+    * rows.
+    *
+    * Determinism: 2-decimal metric → round(x·100) is an exact LONG;
+    * sums run in DECIMAL(38,0) (HUGEINT twin); the variance numerator
+    * n·Σx² − (Σx)² is exact integer algebra, and means/variances/t/df
+    * are IDENTICAL IEEE expression trees both sides (division and sqrt
+    * are correctly-rounded, so bit-stable cross-engine). Cohorts with
+    * n < 2 yield NULL t/df via a guarding CASE (which also keeps ANSI
+    * division-by-zero unreachable). */
+  def welchTTest(
+      df: DataFrame, metric: Column, cohort: Column,
+      a: String, b: String): DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val g = round(metric * 100).cast("long")
+    def side(tag: String, v: String) = Seq(
+      count(when(cohort === v, lit(1))).as(s"n$tag"),
+      sum(when(cohort === v, g).otherwise(lit(0L)).cast(Dec)).as(s"s$tag"),
+      sum(when(cohort === v, g * g).otherwise(lit(0L)).cast(Dec)).as(s"q$tag"))
+    val aggs = side("1", a) ++ side("2", b)
+    val st = df.agg(aggs.head, aggs.tail: _*)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    def nD(tag: String) = col(s"n$tag").cast(Dec)
+    def mean(tag: String): Column =
+      dbl(col(s"s$tag")) / (lit(100.0) * col(s"n$tag"))
+    // sample variance in METRIC units: (n·Σg² − (Σg)²) / (1e4·n·(n−1))
+    def svar(tag: String): Column =
+      dbl(nD(tag) * col(s"q$tag") - col(s"s$tag") * col(s"s$tag")) /
+        (lit(1.0e4) * col(s"n$tag") * (col(s"n$tag") - 1))
+    val vn1 = svar("1") / col("n1")
+    val vn2 = svar("2") / col("n2")
+    val se2 = vn1 + vn2
+    val ok = col("n1") >= 2 && col("n2") >= 2
+    st.select(
+      lit(a).as("cohort_a"), lit(b).as("cohort_b"),
+      col("n1"), col("n2"),
+      when(col("n1") >= 1, mean("1")).otherwise(lit(null)).as("mean_a"),
+      when(col("n2") >= 1, mean("2")).otherwise(lit(null)).as("mean_b"),
+      when(ok, (mean("1") - mean("2")) / sqrt(se2))
+        .otherwise(lit(null)).as("t_stat"),
+      when(ok, (se2 * se2) /
+          (vn1 * vn1 / (col("n1") - 1) + vn2 * vn2 / (col("n2") - 1)))
+        .otherwise(lit(null)).as("df"))
+  }
+
+  def welchTTestSql(
+      table: String, metricExpr: String, cohortExpr: String,
+      a: String, b: String): String = {
+    val g = s"CAST(ROUND(($metricExpr) * 100) AS BIGINT)"
+    def side(tag: String, v: String) = Seq(
+      s"COUNT(CASE WHEN ($cohortExpr) = '$v' THEN 1 END) AS n$tag",
+      s"SUM(CAST(CASE WHEN ($cohortExpr) = '$v' THEN $g ELSE 0 END AS HUGEINT)) AS s$tag",
+      s"SUM(CAST(CASE WHEN ($cohortExpr) = '$v' THEN $g * $g ELSE 0 END AS HUGEINT)) AS q$tag")
+    val stats = (side("1", a) ++ side("2", b)).mkString(",\n    ")
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    // literals CAST to DOUBLE: DuckDB's bare 100.0 is DECIMAL and would
+    // compute the denominator exactly where Spark rounds per step
+    def mean(tag: String) =
+      s"(${dbl(s"s$tag")} / (CAST(100.0 AS DOUBLE) * n$tag))"
+    def svar(tag: String) =
+      s"(${dbl(s"CAST(n$tag AS HUGEINT) * q$tag - s$tag * s$tag")} / " +
+        s"(CAST(10000.0 AS DOUBLE) * n$tag * (n$tag - 1)))"
+    val vn1 = s"(${svar("1")} / n1)"
+    val vn2 = s"(${svar("2")} / n2)"
+    val se2 = s"($vn1 + $vn2)"
+    s"""WITH st AS (
+       |  SELECT $stats
+       |  FROM $table)
+       |SELECT '$a' AS cohort_a, '$b' AS cohort_b,
+       |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  CASE WHEN n1 >= 1 THEN ${mean("1")} END AS mean_a,
+       |  CASE WHEN n2 >= 1 THEN ${mean("2")} END AS mean_b,
+       |  CASE WHEN n1 >= 2 AND n2 >= 2
+       |    THEN (${mean("1")} - ${mean("2")}) / SQRT($se2) END AS t_stat,
+       |  CASE WHEN n1 >= 2 AND n2 >= 2
+       |    THEN ($se2 * $se2) /
+       |      ($vn1 * $vn1 / (n1 - 1) + $vn2 * $vn2 / (n2 - 1)) END AS df
+       |FROM st""".stripMargin
+  }
+
   /** Pearson chi-square independence test between two categorical
     * columns — the distribution-shift test (is order priority
     * independent of order year?). χ² = Σ_cells (O−E)²/E with

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -103,5 +104,22 @@ class StatsOpsSpec extends SparkSpec {
     val winIdx = plan.indexOf("Window")
     val aggIdx = plan.indexOf("Aggregate", winIdx)
     assert(winIdx >= 0 && aggIdx > winIdx, plan)
+  }
+
+  test("welch t-test matches hand algebra; degenerate cohorts yield NULL") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("c", "v")
+    val r = StatsOps.welchTTest(df, col("v"), col("c"), "a", "b").collect()(0)
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("n2") == 2)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 3.0)
+    // varA=1, varB=2 -> se2=1/3+1 -> t=-1/sqrt(4/3); df=(4/3)^2/((1/3)^2/2+1)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-1.0 / math.sqrt(4.0 / 3.0))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - (16.0 / 9.0) / (1.0 / 18.0 + 1.0)) < 1e-12)
+    // a singleton cohort cannot have a variance -> NULL t/df, means intact
+    val s1 = StatsOps.welchTTest(df.filter(col("v") =!= 4.0), col("v"), col("c"), "a", "b")
+      .collect()(0)
+    assert(s1.isNullAt(s1.fieldIndex("t_stat")) && s1.isNullAt(s1.fieldIndex("df")))
+    assert(s1.getAs[Double]("mean_b") == 2.0)
   }
 }
