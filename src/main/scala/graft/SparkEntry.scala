@@ -171,6 +171,10 @@ object SparkEntry {
     // connected components of the co-order graph (min-label + doubling)
     "graph_cc" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderComponents(Tables.table(s, dir, "lineitem"))),
+    // D²-sensitivity k-means coreset with unbiased estimator weights
+    "sample_coreset" -> ((s, dir) =>
+      graft.ops.Sampling.coresetSample(
+        Tables.points(s, dir), Tables.initCentroids(s, dir, K))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1007,6 +1011,9 @@ object SparkEntry {
       graft.ops.GraphOps.coOrderClusteringSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
     "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
+    "sample_coreset" -> withAssigned(
+      s", tot AS (${KMeansOps.objectiveSql("assigned")}) " +
+        graft.ops.Sampling.coresetSampleSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(
       "events", "value", "event_type", "click", "view"),
     "text_repetition" -> TextOps.repetitionStatsSql,

@@ -344,4 +344,64 @@ object Sampling {
        |      ORDER BY key DESC, doc_id ASC) AS rn
        |  FROM keyed) r WHERE rn <= $k""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // k-means coreset by D²-sensitivity sampling (the lightweight-coreset
+  // construction, Bachem/Lucic/Krause 2018 shape): importance of a
+  // point = its squared distance to the current centroid set, m points
+  // drawn PPS-without-replacement by the same A-ES exponential race as
+  // aresSample (key = ln(u)/D², top-m win), each carrying the unbiased
+  // estimator weight ΣD² / (m·D²_p) — so weighted SSE over the coreset
+  // estimates full-corpus SSE. Points coinciding with a center (D²=0,
+  // zero sensitivity) get key −inf via an explicit CASE and can never
+  // be drawn (ANSI Spark raises on x/0, so the CASE is load-bearing).
+  //
+  // 100 TB posture: the assignment is the zero-shuffle broadcast-argmin
+  // scan, ΣD² is one map-side-combined 1-row aggregate riding back as a
+  // broadcast, and selection is TakeOrderedAndProject (per-partition
+  // m-heaps) — no global sort, nothing corpus-sized near the driver.
+  // Exactness: ΣD² via the DECIMAL round(·1e6) grid (the objective
+  // recipe); key and weight are identical IEEE trees both engines.
+  // -------------------------------------------------------------------
+  def coresetSample(
+      points: DataFrame, cents: Seq[graft.kmeans.Cent], m: Int = 256,
+      seed: Int = 17): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val assigned = graft.kmeans.KMeansOps.assign(points, cents)
+    val tot = graft.kmeans.KMeansOps.objective(assigned)
+    val h = Dedup.md5Hash60(seed, col("pid").cast("string"))
+    val invU = lit(Pow2_60) / (h.cast("double") + lit(1.0))
+    val key = when(col("sqdist") === 0.0, lit(Double.NegativeInfinity))
+      .otherwise((lit(0.0) - plog(invU)) / col("sqdist"))
+    assigned.crossJoin(broadcast(tot))
+      .select(col("pid"), col("x"), col("y"), col("cid"), col("sqdist"),
+        when(col("sqdist") === 0.0, lit(null))
+          .otherwise(col("objective") / (lit(m.toDouble) * col("sqdist")))
+          .as("weight"),
+        key.as("key"))
+      .orderBy(col("key").desc, col("pid").asc, col("x"), col("y"))
+      .limit(m)
+      .select("pid", "x", "y", "cid", "sqdist", "weight")
+  }
+
+  /** DuckDB twin TAIL (composes after the pts/cents/assigned scaffold —
+    * register via SparkEntry's withAssigned). `m.0` is CAST to DOUBLE so
+    * DuckDB multiplies in double exactly as Spark does. */
+  def coresetSampleSql(m: Int = 256, seed: Int = 17): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""SELECT pid, x, y, cid, sqdist, weight FROM (
+       |  SELECT pid, x, y, cid, sqdist,
+       |    CASE WHEN sqdist = 0.0 THEN NULL
+       |      ELSE (SELECT objective FROM tot) /
+       |        (CAST($m.0 AS DOUBLE) * sqdist) END AS weight,
+       |    CASE WHEN sqdist = 0.0 THEN CAST('-infinity' AS DOUBLE)
+       |      ELSE (0.0 - (${plogSql("inv_u")})) / sqdist END AS key
+       |  FROM (
+       |    SELECT pid, x, y, cid, sqdist,
+       |      1152921504606846976.0 /
+       |        (CAST(${Dedup.md5Hash60Sql(seed, "CAST(pid AS VARCHAR)")}
+       |           AS DOUBLE) + 1.0) AS inv_u
+       |    FROM assigned) t
+       |  ORDER BY key DESC, pid ASC, x, y LIMIT $m) s""".stripMargin
+  }
 }

@@ -210,4 +210,23 @@ class SamplingSpec extends SparkSpec {
       d.filter(col("source") === "a"), k = 10).collect().map(_.getLong(0)).toSet
     assert(got.filter(_._1 == "a").map(_._2).toSet == aOnly)
   }
+
+  test("coreset: m rows, no zero-sensitivity picks, exact SSE identity") {
+    val pts = graft.Tables.points(spark, "/root/testdata/sf0.001")
+    val cents = graft.Tables.initCentroids(spark, "/root/testdata/sf0.001", 8)
+    val cs = Sampling.coresetSample(pts, cents, m = 64, seed = 17)
+    val rows = cs.collect()
+    assert(rows.length == 64)
+    // zero-distance points (the centers themselves) are never drawn
+    assert(rows.forall(_.getAs[Double]("sqdist") > 0.0))
+    // w_p * D2_p == SSE/m per pick, so weighted coreset cost == full SSE
+    val sse = graft.kmeans.KMeansOps.objective(
+      graft.kmeans.KMeansOps.assign(pts, cents))
+      .collect()(0).getAs[Double]("objective")
+    val est = rows.map(r => r.getAs[Double]("weight") * r.getAs[Double]("sqdist")).sum
+    assert(math.abs(est - sse) / sse < 1e-9)
+    // pure function of the data: a rerun is row-identical
+    assert(Sampling.coresetSample(pts, cents, m = 64, seed = 17)
+      .collect().toSeq == rows.toSeq)
+  }
 }
