@@ -182,6 +182,9 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("value"),
         org.apache.spark.sql.functions.col("event_type"),
         "click", "view")),
+    // logistic regression trained in-engine (3 full-batch GD steps)
+    "text_logreg" -> ((s, dir) =>
+      TextOps.logregScore(Tables.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
     // full Gopher Table-A1 repetition gate: top-{2..4}-gram and
     // dup-{5..10}-gram CHAR fractions + the paper's threshold verdict
@@ -1016,6 +1019,7 @@ object SparkEntry {
         graft.ops.Sampling.coresetSampleSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(
       "events", "value", "event_type", "click", "view"),
+    "text_logreg" -> TextOps.logregScoreSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,
     "rank_eval" -> graft.ops.RankEval.bm25EvalSql(),

@@ -1871,4 +1871,107 @@ object TextOps {
        |    / (1000000000000.0 * CAST(SUM(n) AS DOUBLE)) AS logloss
        |FROM bins""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Logistic-regression quality classifier TRAINED IN-ENGINE: batch
+  // gradient descent on the TextStats quality features (stopword ratio,
+  // type/token ratio, mean token length + bias), `iters` full-batch
+  // steps at unit learning rate, then per-doc scores on the held-out
+  // split — the trainable sibling of the Naive-Bayes scorer (same
+  // doc_id-parity split, same lang='en' target). Each step is ONE scan
+  // + ONE 1-row aggregate (4 gradient sums, map-side combined); the
+  // weight vector is d+1 doubles collected per step and folded into the
+  // next scan as literals, exactly the Lloyd-fit driver-loop shape — at
+  // 100 TB the per-step cost is the feature scan, nothing else.
+  //
+  // Determinism: per-row gradient terms x_j·(y − σ(w·x)) are snapped to
+  // the 1e-12 grid and summed in DECIMAL(38,0) (HUGEINT twin) so row
+  // order can't move a bit; σ is PortableMath.psigmoid (bit-identical
+  // engines); the weight updates and the scoring margin are IDENTICAL
+  // IEEE trees in the driver loop and the oracle's unrolled w1..wT
+  // CTE chain.
+  // -------------------------------------------------------------------
+  private def logregFeats(docs: DataFrame): DataFrame = {
+    val st = graft.functions.VecFunctions.textStats(lower(col("text")), stopwords)
+    docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"), st.as("st"))
+      .select(col("doc_id"), col("y"),
+        (col("st").getItem(2).cast("double") / col("st").getItem(0)).as("x1"),
+        (col("st").getItem(3).cast("double") / col("st").getItem(0)).as("x2"),
+        (col("st").getItem(1).cast("double") / col("st").getItem(0)).as("x3"))
+  }
+
+  def logregScore(docs: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.functions.PortableMath.psigmoid
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Grid = 1.0e12
+    val feats = logregFeats(docs)
+    // the train features are scanned once per GD step: materialize once
+    val train = feats.filter(col("doc_id") % 2 === 0)
+      .select("y", "x1", "x2", "x3").localCheckpoint(true)
+    val w = Array.fill(4)(0.0)
+    def z: Column =
+      lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    for (_ <- 1 to iters) {
+      val r = col("y").cast("double") - psigmoid(z)
+      val terms = Seq(r, r * col("x1"), r * col("x2"), r * col("x3"))
+      val aggs = count(lit(1)).as("n") +:
+        terms.zipWithIndex.map { case (t, j) =>
+          sum(round(t * Grid).cast("long").cast(Dec)).as(s"g$j") }
+      val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getLong(0)
+      for (j <- 0 to 3)
+        w(j) = w(j) +
+          row.getDecimal(j + 1).toPlainString.toDouble / (1e12 * n)
+    }
+    feats.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), z.as("margin"), psigmoid(z).as("prob"),
+        (col("y") === 1L).as("is_en"), (z > 0.0).as("pred_en"))
+  }
+
+  /** DuckDB twin: the same `iters` steps as unrolled w1..wT CTEs (σ
+    * aliased per round so psigmoidSql's multi-reference expansion stays
+    * a column read, per the psoftplus note in PortableMath). */
+  def logregScoreSql(iters: Int = 3): String = {
+    import graft.functions.PortableMath.psigmoidSql
+    val stops = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    def rnd(i: Int): String = {
+      def g(t: String, j: Int) =
+        s"SUM(CAST(CAST(ROUND($t) AS BIGINT) AS HUGEINT)) AS g$j"
+      s"""z$i AS (SELECT y, x1, x2, x3,
+         |    w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+         |  FROM tr, w${i - 1} w),
+         |s$i AS (SELECT y, x1, x2, x3, ${psigmoidSql("z")} AS sg FROM z$i),
+         |g$i AS MATERIALIZED (SELECT COUNT(*) AS n,
+         |    ${g("(CAST(y AS DOUBLE) - sg) * 1e12", 0)},
+         |    ${g("((CAST(y AS DOUBLE) - sg) * x1) * 1e12", 1)},
+         |    ${g("((CAST(y AS DOUBLE) - sg) * x2) * 1e12", 2)},
+         |    ${g("((CAST(y AS DOUBLE) - sg) * x3) * 1e12", 3)}
+         |  FROM s$i),
+         |w$i AS (SELECT
+         |    w.w0 + CAST(CAST(g.g0 AS VARCHAR) AS DOUBLE) / (1e12 * g.n) AS w0,
+         |    w.w1 + CAST(CAST(g.g1 AS VARCHAR) AS DOUBLE) / (1e12 * g.n) AS w1,
+         |    w.w2 + CAST(CAST(g.g2 AS VARCHAR) AS DOUBLE) / (1e12 * g.n) AS w2,
+         |    w.w3 + CAST(CAST(g.g3 AS VARCHAR) AS DOUBLE) / (1e12 * g.n) AS w3
+         |  FROM w${i - 1} w, g$i g)""".stripMargin
+    }
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE)
+       |      / len(toks) AS x1,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x2,
+       |    CAST(list_reduce(list_prepend(0, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+       |      / len(toks) AS x3
+       |  FROM (SELECT doc_id, lang, $tokensSql AS toks FROM documents) d),
+       |tr AS MATERIALIZED (SELECT y, x1, x2, x3 FROM feats WHERE doc_id % 2 = 0),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${(1 to iters).map(rnd).mkString(",\n")},
+       |fin AS (SELECT doc_id, y,
+       |    w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS margin
+       |  FROM feats, w$iters w WHERE doc_id % 2 = 1)
+       |SELECT doc_id, margin, ${psigmoidSql("margin")} AS prob,
+       |  y = 1 AS is_en, margin > 0.0 AS pred_en
+       |FROM fin""".stripMargin
+  }
 }

@@ -620,4 +620,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("logreg: held-out scores are deterministic, bounded, and trained") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextOps.logregScore(docs, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    // only the held-out parity split is scored
+    assert(a.length == 250 && a.forall(_._1 % 2 == 1))
+    // probabilities are proper and margins moved off the w=0 init
+    assert(a.forall { case (_, _, p) => p > 0.0 && p < 1.0 })
+    assert(a.map(_._2).distinct.length > 1)
+    assert(a.exists(_._2 != 0.0))
+    // pure function of the data: a rerun is bit-identical
+    val b = TextOps.logregScore(docs, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }
