@@ -934,6 +934,17 @@ object SparkEntry {
           graft.streaming.StreamOps.readEventStream(s, dir), dim, "user_id"),
         org.apache.spark.sql.streaming.OutputMode.Append())
     }),
+    // streaming exact dedup: the event stream delivered TWICE (two
+    // unioned file-source reads — the at-least-once re-delivery case),
+    // watermarked dropDuplicates keeps the first arrival of each
+    // (event_id, ts); the sink is exactly the distinct events relation
+    "stream_dedup" -> ((s, dir) => {
+      val a = graft.streaming.StreamOps.readEventStream(s, dir)
+      val b = graft.streaming.StreamOps.readEventStream(s, dir)
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.dedupStream(a.unionAll(b)),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
     // STREAM-STREAM event-time range join (view→click attribution):
     // both sides watermarked, the join condition bounds the click ts
     // from both directions so stream state is window-bounded. The
@@ -1247,6 +1258,7 @@ object SparkEntry {
         |  e.props, c.c_name, c.c_nationkey, c.c_acctbal
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
         .stripMargin,
+    "stream_dedup" -> "SELECT * FROM events",
     "stream_latest" ->
       """SELECT user_id, ts, event_id, value FROM (
         |  SELECT user_id, ts, event_id, value,
