@@ -601,6 +601,9 @@ object SparkEntry {
         Tables.table(s, dir, "supplier"))),
     // TPC-H Q22 shape: scalar-avg subquery (broadcast 1-row frame) +
     // anti join on o_custkey, decimal-routed balance sums
+    // Pareto/ABC customer segmentation via the scale-safe prefix fold
+    "orders_pareto" -> ((s, dir) =>
+      graft.ops.Relational.paretoAbc(Tables.table(s, dir, "orders"))),
     "debtor_segments" -> ((s, dir) =>
       graft.ops.Relational.debtorSegments(
         Tables.table(s, dir, "customer"), Tables.table(s, dir, "orders"))),
@@ -1154,6 +1157,7 @@ object SparkEntry {
     "large_orders" -> graft.ops.Relational.largeVolumeOrdersSql(),
     "small_qty_revenue" -> graft.ops.Relational.smallQtyRevenueSql(),
     "waiting_suppliers" -> graft.ops.Relational.waitingSuppliersSql(),
+    "orders_pareto" -> graft.ops.Relational.paretoAbcSql,
     "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
     "dq_orders" -> graft.ops.DataQuality.ordersChecksSql(),
     "er_match" -> graft.ops.EntityResolution.matchCustomersSql(),

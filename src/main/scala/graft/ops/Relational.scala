@@ -361,6 +361,51 @@ object Relational {
     * is date-filtered BEFORE the join, so the pushed o_orderdate
     * predicate prunes the orders scan; the avg is computed on the
     * positive slice only, exactly as Q22's cntrycode-filtered avg. */
+  /** Pareto / ABC analysis over customer revenue: rank customers by
+    * total order value, classify by cumulative revenue share — A up to
+    * 80 %, B up to 95 %, C the tail (the classic inventory/account
+    * segmentation). The running total is [[Prefix.runningSum]] (range
+    * repartition + per-partition fold + broadcast offsets), NOT an
+    * unpartitioned window — the classification never funnels the
+    * customer relation through one partition.
+    *
+    * Exactness: revenue accumulates as integer CENTS (round(·100) of
+    * the 2-decimal totalprice is exact), the running sum is integral
+    * (reassociation-safe), and the 80/95 cuts compare cum·100 ≤ tot·80
+    * in DECIMAL(38,0)/HUGEINT — no float enters the classification. */
+  def paretoAbc(orders: DataFrame): DataFrame = {
+    val Dec38 = DecimalType(38, 0)
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val tot = rev.agg(sum(col("cents").cast(Dec38)).as("tot"))
+    val cum = Prefix.runningSum(rev,
+      Seq(col("cents").desc, col("o_custkey").asc), col("cents"), "cum")
+    cum.crossJoin(broadcast(tot))
+      .select(col("o_custkey"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        col("cum").as("cum_cents"),
+        when(col("cum").cast(Dec38) * 100 <= col("tot") * 80, "A")
+          .when(col("cum").cast(Dec38) * 100 <= col("tot") * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  def paretoAbcSql: String =
+    s"""WITH rev AS (SELECT o_custkey,
+       |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT SUM(CAST(cents AS HUGEINT)) AS tot FROM rev),
+       |cum AS (SELECT o_custkey, cents,
+       |    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey)
+       |      AS BIGINT) AS cum
+       |  FROM rev)
+       |SELECT o_custkey,
+       |  CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue,
+       |  cum AS cum_cents,
+       |  CASE WHEN CAST(cum AS HUGEINT) * 100 <= tot * 80 THEN 'A'
+       |       WHEN CAST(cum AS HUGEINT) * 100 <= tot * 95 THEN 'B'
+       |       ELSE 'C' END AS abc_class
+       |FROM cum, tot""".stripMargin
+
   def debtorSegments(
       customer: DataFrame, orders: DataFrame,
       cutoff: String = "2000-07-01"): DataFrame = {

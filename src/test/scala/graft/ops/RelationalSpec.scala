@@ -223,4 +223,22 @@ class RelationalSpec extends SparkSpec {
     // partition totals relation, not the data (Prefix.runningMax)
     assert(plan.contains("Window"), plan)
   }
+
+  test("pareto ABC: inclusive 80/95 boundaries, ties broken by custkey") {
+    import spark.implicits._
+    // one order per customer: revenues 80, 15, 5 -> cums 80, 95, 100
+    val orders = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0))
+      .toDF("o_custkey", "o_totalprice")
+    val r = Relational.paretoAbc(orders).collect()
+      .map(x => x.getAs[Long]("o_custkey") -> x.getAs[String]("abc_class"))
+      .toMap
+    // exactly-80% lands in A, exactly-95% in B (inclusive cuts)
+    assert(r == Map(1L -> "A", 2L -> "B", 3L -> "C"))
+    // revenue ties fall back to custkey order deterministically
+    val tied = Seq((5L, 10.0), (4L, 10.0)).toDF("o_custkey", "o_totalprice")
+    val t = Relational.paretoAbc(tied).collect()
+      .map(x => (x.getAs[Long]("o_custkey"), x.getAs[Long]("cum_cents")))
+      .toMap
+    assert(t == Map(4L -> 1000L, 5L -> 2000L))
+  }
 }
