@@ -334,6 +334,9 @@ object SparkEntry {
       graft.ops.SpanDedup.spanStats(Tables.table(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
+    // asymmetric containment |A∩B|/|A| — the quote/subset detector
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.table(s, dir, "documents"))),
     // lossless prefix-filtering variant (SSJoin/PPJoin family): the
     // rarest-first prefix index replaces the DF cap entirely
     "dedup_prefix_jaccard" -> ((s, dir) =>
@@ -1082,6 +1085,7 @@ object SparkEntry {
     "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
+    "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
     "dedup_prefix_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.prefixJaccardPairsSql()),
     "dedup_minhash" -> graft.ops.OracleCtes.materialize(Dedup.minhashNearDupsMd5Sql()),
     "dedup_simhash" -> graft.ops.OracleCtes.materialize(Dedup.simhashNearDupsMd5Sql()),

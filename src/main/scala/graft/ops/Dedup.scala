@@ -294,6 +294,53 @@ object Dedup {
        |JOIN sizes sb ON db = sb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold""".stripMargin
 
+  /** Directed n-gram CONTAINMENT pairs: c(a→b) = |A∩B| / |A| — the
+    * asymmetric cousin of Jaccard that resemblance misses (a short
+    * quote fully inside a long doc has tiny Jaccard but containment 1;
+    * Broder 1997 distinguishes exactly these two). Reports both
+    * directions per unordered pair and keeps those where either side is
+    * ≥ `threshold` — the "doc A is (nearly) inside doc B" detector for
+    * quote/boilerplate/subset dedup. Same DF-capped inverted-index
+    * blocking and intersection join as [[ngramJaccardPairs]]; the only
+    * change is the denominator. */
+  def ngramContainmentPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val sh = cappedShingles(shingles(docs, n), maxDf).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("shingle"))
+    val b = sh.select(col("doc_id").as("db"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
+      .withColumn("cont_ab", col("inter").cast("double") / col("sza"))
+      .withColumn("cont_ba", col("inter").cast("double") / col("szb"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select("da", "db", "inter", "cont_ab", "cont_ba")
+  }
+
+  def ngramContainmentPairsSql(
+      n: Int = 3, threshold: Double = 0.9, maxDf: Int = DefaultMaxDf): String =
+    s"""WITH sh0 AS (${shinglesSql(n)}),
+       |sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IN (
+       |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxDf)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, inter,
+       |       CAST(inter AS DOUBLE) / sa.sz AS cont_ab,
+       |       CAST(inter AS DOUBLE) / sb.sz AS cont_ba
+       |FROM inter
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE GREATEST(CAST(inter AS DOUBLE) / sa.sz,
+       |               CAST(inter AS DOUBLE) / sb.sz) >= $threshold""".stripMargin
+
   // -------------------------------------------------------------------
   // Prefix-filtering similarity self-join (SSJoin/All-Pairs/PPJoin
   // family: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07, Xiao et

@@ -359,4 +359,21 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1) && r.getInt(2) <= 2)
     }
   }
+
+  test("containment: a quote inside a long doc scores 1.0 one-way") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "gamma delta epsilon zeta"),          // fully inside doc 1
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.ngramContainmentPairs(docs, n = 3, threshold = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getAs[Double]("cont_ab"), x.getAs[Double]("cont_ba")))
+    // doc 2's two 3-shingles both occur in doc 1: containment(2→1)=1.0,
+    // while Jaccard is only 2/8 — the asymmetric detector fires where
+    // resemblance would not
+    assert(r.toSeq == Seq((1L, 2L, 2.0, 0.25, 1.0))
+      .map(t => (t._1, t._2, t._4, t._5)))
+  }
 }
