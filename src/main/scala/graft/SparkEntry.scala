@@ -175,6 +175,9 @@ object SparkEntry {
     "sample_coreset" -> ((s, dir) =>
       graft.ops.Sampling.coresetSample(
         Tables.points(s, dir), Tables.initCentroids(s, dir, K))),
+    // link prediction: top-k neighborhood-Jaccard non-edges
+    "graph_linkpred" -> ((s, dir) =>
+      graft.ops.GraphOps.coOrderLinkPrediction(Tables.table(s, dir, "lineitem"))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1034,6 +1037,8 @@ object SparkEntry {
     "sample_coreset" -> withAssigned(
       s", tot AS (${KMeansOps.objectiveSql("assigned")}) " +
         graft.ops.Sampling.coresetSampleSql()),
+    "graph_linkpred" -> graft.ops.OracleCtes.materialize(
+      graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(
       "events", "value", "event_type", "click", "view"),
     "text_logreg" -> TextOps.logregScoreSql(),

@@ -439,6 +439,64 @@ object GraphOps {
        |SELECT a AS node, LEAST(a, MIN(b)) AS comp
        |FROM reach GROUP BY a""".stripMargin
 
+  /** Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    * 2003): for every NON-edge pair sharing at least one neighbor,
+    * J = |N(a)∩N(b)| / |N(a)∪N(b)|, top-k strongest predictions — "these
+    * parts are never co-ordered but their co-order neighborhoods nearly
+    * coincide", the complete-the-graph recommender primitive.
+    *
+    * Candidate pairs are generated through the wedge join (x—n—y), so
+    * the pair space is Σ_n d(n)² over the SUPPORT-PRUNED graph, never
+    * |V|² — the same fan-out bound the triangle counter lives on (a hub
+    * cap or the degree orientation would bound it further on power-law
+    * graphs). Existing edges drop via one left-anti join against the
+    * |E|-row relation; selection is TakeOrderedAndProject. Jaccard is a
+    * single IEEE division of exact integer counts. */
+  def jaccardLinkPrediction(edges0: DataFrame, k: Int = 100): DataFrame = {
+    val edges = edges0.select("a", "b").distinct().localCheckpoint(true)
+    val nbrs = edges.select(col("a").as("n"), col("b").as("nbr"))
+      .union(edges.select(col("b").as("n"), col("a").as("nbr")))
+    val deg = nbrs.groupBy("n").agg(count(lit(1)).as("d"))
+    val common = nbrs.select(col("n").as("pa"), col("nbr"))
+      .join(nbrs.select(col("n").as("pb"), col("nbr")), Seq("nbr"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("common"))
+    common
+      .join(edges.select(col("a").as("pa"), col("b").as("pb")),
+        Seq("pa", "pb"), "left_anti")
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), Seq("pb"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("da") + col("db") - col("common")))
+      .orderBy(col("jaccard").desc, col("pa").asc, col("pb").asc)
+      .limit(k)
+      .select("pa", "pb", "common", "jaccard")
+  }
+
+  def coOrderLinkPrediction(
+      lineitem: DataFrame, minSupport: Int = 2, k: Int = 100): DataFrame =
+    jaccardLinkPrediction(coOrderEdges(lineitem, minSupport), k)
+
+  def coOrderLinkPredictionSql(minSupport: Int = 2, k: Int = 100): String =
+    s"""WITH e AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |nbrs AS (SELECT a AS n, b AS nbr FROM e
+       |         UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT n, COUNT(*) AS d FROM nbrs GROUP BY n),
+       |common AS (
+       |  SELECT x.n AS pa, y.n AS pb, COUNT(*) AS common
+       |  FROM nbrs x JOIN nbrs y ON x.nbr = y.nbr AND x.n < y.n
+       |  GROUP BY 1, 2),
+       |ne AS (SELECT pa, pb, common FROM common
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pa AND e.b = pb))
+       |SELECT pa, pb, common,
+       |  CAST(common AS DOUBLE) / (da.d + db.d - common) AS jaccard
+       |FROM ne JOIN deg da ON pa = da.n JOIN deg db ON pb = db.n
+       |ORDER BY jaccard DESC, pa ASC, pb ASC LIMIT $k""".stripMargin
+
   /** Association-rule mining, the 2-itemset stage: top-k co-ordered
     * part pairs ranked by lift = P(a,b)/(P(a)P(b)) with a minimum
     * support floor (Agrawal & Srikant 1994's Apriori counting stage,

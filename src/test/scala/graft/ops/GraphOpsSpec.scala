@@ -251,4 +251,16 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged.values.toSet == Set(1L))
   }
+
+  test("link prediction: shared-neighborhood non-edges rank by Jaccard") {
+    import spark.implicits._
+    // square 1-2-4-3-1: the two diagonals (1,4) and (2,3) are the only
+    // non-edges; each shares both neighbors -> J = 2/2 = 1.0
+    val edges = Seq((1L,2L),(2L,4L),(3L,4L),(1L,3L)).toDF("a","b")
+    val r = GraphOps.jaccardLinkPrediction(edges, k = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getAs[Double]("jaccard")))
+    assert(r.toSet == Set((1L,4L,1.0), (2L,3L,1.0)))
+    // an existing edge never appears even with a full shared hood
+    assert(!r.exists(p => (p._1,p._2) == (1L,2L)))
+  }
 }
