@@ -419,6 +419,9 @@ object SparkEntry {
       EmbeddingOps.mmrTopK(Tables.table(s, dir, "embeddings"))),
     "emb_lsh_topk" -> ((s, dir) =>
       EmbeddingOps.lshTopK(Tables.table(s, dir, "embeddings"))),
+    // Johnson-Lindenstrauss random-projection shortlist + exact rerank
+    "emb_rp_topk" -> ((s, dir) =>
+      EmbeddingOps.rpTopK(Tables.table(s, dir, "embeddings"))),
     "emb_near_dups" -> ((s, dir) =>
       EmbeddingOps.cosineNearDups(Tables.table(s, dir, "embeddings"))),
     // hard-negative mining: per anchor, top-k most-similar with a
@@ -1113,6 +1116,7 @@ object SparkEntry {
     "emb_matryoshka_topk" -> graft.ops.QuantOps.matryoshkaTopKSql(),
     "emb_mmr_topk" -> EmbeddingOps.mmrTopKSql(),
     "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
+    "emb_rp_topk" -> EmbeddingOps.rpTopKSql(),
     "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
     "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(
       id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),

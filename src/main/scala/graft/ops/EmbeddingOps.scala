@@ -248,6 +248,81 @@ object EmbeddingOps {
        |  FROM scored) s WHERE rn <= $k""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Johnson–Lindenstrauss random-projection ANN: project every vector
+  // to p ≪ d seeded Gaussian directions (distances are preserved within
+  // 1±ε by the JL lemma), shortlist the k·overscan nearest in the
+  // CHEAP projected space (p mults/row instead of d), then exact-cosine
+  // rerank the shortlist. The dimensionality-reduction member of the
+  // ANN family: LSH quantizes projections to sign bits and pays recall;
+  // this keeps the real values and pays p/d of the scan arithmetic —
+  // at 100 TB the projected relation is p/d of the vector bytes and is
+  // the thing you'd persist (like the SQ8/PQ codes).
+  //
+  // Determinism: the seeded projection matrix is a driver-side constant
+  // inlined into both engines (Double.toString round-trips exactly);
+  // projections, the left-assoc squared-distance chain, and the rerank
+  // are identical IEEE trees → bit-identical shortlist and top-k.
+  // -------------------------------------------------------------------
+  def rpTopK(
+      embs: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      p: Int = 16, overscan: Int = 4, seed: Long = 77L): DataFrame = {
+    val planes = hyperplanes(dim, p, 1, seed).head
+    def projArr(emb: Column): Column =
+      array(planes.map { pl =>
+        dot(emb, array(pl.toIndexedSeq.map(lit): _*)) }: _*)
+    val proj = embs.select(col("vec_id"), projArr(col("embedding")).as("pv"))
+      .cache()
+    val qp = proj.filter(col("vec_id") === queryId).select(col("pv").as("qv"))
+    val d2 = (0 until p).map { j =>
+      val d = col("pv").getItem(j) - col("qv").getItem(j); d * d
+    }.reduce(_ + _)
+    val cand = proj.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qp))
+      .select(col("vec_id"), d2.as("pd2"))
+      .orderBy(col("pd2").asc, col("vec_id").asc)
+      .limit(k * overscan)
+      .select("vec_id")
+    cosineTopK(embs.join(cand.unionAll(
+        embs.filter(col("vec_id") === queryId).select("vec_id")),
+      Seq("vec_id"), "left_semi"), queryId, k)
+  }
+
+  /** DuckDB twin of [[rpTopK]]: same inlined projection matrix, same
+    * left-associated squared-distance chain, same overscan + rerank. */
+  def rpTopKSql(
+      queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      p: Int = 16, overscan: Int = 4, seed: Long = 77L): String = {
+    val planes = hyperplanes(dim, p, 1, seed).head
+    def planeLit(pl: Array[Double]): String =
+      pl.map(_.toString).mkString("[", ", ", "]")
+    val projCols = planes.zipWithIndex.map { case (pl, j) =>
+      s"${dotSql("embedding", planeLit(pl))} AS p$j" }.mkString(",\n    ")
+    val distChain = (0 until p)
+      .map(j => s"(pr.p$j - qp.p$j) * (pr.p$j - qp.p$j)").mkString(" + ")
+    s"""WITH pr AS MATERIALIZED (SELECT vec_id,
+       |    $projCols
+       |  FROM embeddings),
+       |qp AS (SELECT * FROM pr WHERE vec_id = $queryId),
+       |cand AS (SELECT vec_id FROM (
+       |  SELECT pr.vec_id, $distChain AS pd2
+       |  FROM pr, qp WHERE pr.vec_id <> $queryId
+       |  ORDER BY pd2 ASC, pr.vec_id ASC LIMIT ${k * overscan}) c),
+       |q AS (SELECT embedding AS q_emb,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS q_norm
+       |  FROM embeddings WHERE vec_id = $queryId),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    ${dotSql("e.embedding", "q.q_emb")}
+       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * q.q_norm) AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id IN (SELECT vec_id FROM cand))
+       |SELECT vec_id, cosine FROM (
+       |  SELECT vec_id, cosine,
+       |    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scored) s WHERE rn <= $k""".stripMargin
+  }
+
   /** DuckDB twin of `cosineNearDups` — same inlined-hyperplane buckets,
     * pair join within (table, bucket), exact-cosine verify. */
   // -------------------------------------------------------------------

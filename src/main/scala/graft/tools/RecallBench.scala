@@ -64,6 +64,8 @@ object RecallBench {
           convergence = false)
         graft.ops.IvfIndex.search(spark, idx, q, k = K + 1, nprobe = 4)
       },
+      score("emb_rp_topk", "cosine", cosTruth)(
+        graft.ops.EmbeddingOps.rpTopK(embs, 0L, K)),
       score("pq_topk", "l2", l2Truth)(
         graft.ops.PqIndex.pqTopK(embs, k = K + 1)),
       score("ivfpq_topk", "l2", l2Truth)(
@@ -83,7 +85,11 @@ object RecallBench {
         graft.ops.QuantOps.matryoshkaTopK(embs, 0L, K, shortlist = 200)),
       score("ivfpq_topk_refined@kf20np4", "l2", l2Truth)(
         graft.ops.PqIndex.ivfPqTopKRefined(embs, k = K + 1, kFactor = 20,
-          nprobe = 4)))
+          nprobe = 4)),
+      score("emb_rp_topk@p32o20", "cosine", cosTruth)(
+        graft.ops.EmbeddingOps.rpTopK(embs, 0L, K, p = 32, overscan = 20)),
+      score("emb_rp_topk@p48o50", "cosine", cosTruth)(
+        graft.ops.EmbeddingOps.rpTopK(embs, 0L, K, p = 48, overscan = 50)))
   }
 
   /** Standalone runner: runMain graft.tools.RecallBench [sfDir] */

@@ -263,4 +263,21 @@ class EmbeddingSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("rp ANN: deterministic, self-excluded, and exact at p = d") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = EmbeddingOps.rpTopK(embs, 0L, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.length == 5 && !a.exists(_._1 == 0L))
+    val b = EmbeddingOps.rpTopK(embs, 0L, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+    // with p = d and a generous overscan the JL shortlist cannot miss:
+    // full-rank projection preserves the ranking candidates exactly
+    val exact = EmbeddingOps.cosineTopK(embs, 0L, 5).collect()
+      .map(_.getLong(0)).toSet
+    val full = EmbeddingOps.rpTopK(embs, 0L, 5, p = 64, overscan = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect full).size >= 4)
+  }
 }
