@@ -178,6 +178,8 @@ object SparkEntry {
     // link prediction: top-k neighborhood-Jaccard non-edges
     "graph_linkpred" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderLinkPrediction(Tables.table(s, dir, "lineitem"))),
+    // differentially-private per-type counts (deterministic Laplace)
+    "events_dp_counts" -> ((s, dir) => EventOps.dpCounts(Tables.events(s, dir))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1040,6 +1042,7 @@ object SparkEntry {
     "sample_coreset" -> withAssigned(
       s", tot AS (${KMeansOps.objectiveSql("assigned")}) " +
         graft.ops.Sampling.coresetSampleSql()),
+    "events_dp_counts" -> EventOps.dpCountsSql(),
     "graph_linkpred" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(

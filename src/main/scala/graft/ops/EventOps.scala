@@ -1720,4 +1720,51 @@ object EventOps {
        |  CAST(SUM(nc) AS BIGINT) AS n_curr
        |FROM terms""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Differentially-private release of the per-type event counts:
+  // count + Laplace(Δ/ε) noise (Dwork et al. 2006; sensitivity Δ=1 for
+  // a counting query). The noise is the INVERSE-CDF sample
+  // X = −(1/ε)·sgn(u−½)·ln(1−2|u−½|) driven by the md5-60 uniform of
+  // the key — a pure function of (seed, key), so the release is
+  // reproducible and the oracle replays it bit-exactly (ln via plog of
+  // the ≥1 reciprocal; h is clamped one ulp under 2^60 so the log
+  // argument can never hit 0). One k-row count aggregate + a scalar
+  // projection — nothing beyond the count shuffle at any scale.
+  // NOTE: deterministic seeding is for the CROSS-ENGINE GATE; a real
+  // privacy deployment must draw u from a CSPRNG, not a keyed hash.
+  // -------------------------------------------------------------------
+  def dpCounts(
+      events: DataFrame, epsilon: Double = 1.0, seed: Int = 23): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Two60 = 1152921504606846976.0
+    val h = least(Dedup.md5Hash60(seed, col("event_type")),
+      lit(1152921504606846974L))
+    val u = (h.cast("double") + lit(1.0)) / lit(Two60)
+    val t = lit(1.0) - lit(2.0) * abs(u - lit(0.5))
+    val noise = (lit(1.0) / lit(epsilon)) * signum(u - lit(0.5)) *
+      plog(lit(1.0) / t)
+    events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (col("n").cast("double") + noise).as("noisy_n"),
+        lit(epsilon).as("epsilon"))
+  }
+
+  def dpCountsSql(epsilon: Double = 1.0, seed: Int = 23): String = {
+    import graft.functions.PortableMath.plogSql
+    val hE =
+      s"LEAST(${Dedup.md5Hash60Sql(seed, "event_type")}, 1152921504606846974)"
+    s"""WITH c AS (SELECT event_type, COUNT(*) AS n
+       |  FROM events GROUP BY event_type),
+       |u AS (SELECT event_type, n,
+       |  (CAST($hE AS DOUBLE) + 1.0) / 1152921504606846976.0 AS u FROM c),
+       |t AS (SELECT event_type, n, u, 1.0 - 2.0 * ABS(u - 0.5) AS tv,
+       |  1.0 / (1.0 - 2.0 * ABS(u - 0.5)) AS inv_t FROM u)
+       |SELECT event_type, n,
+       |  CAST(n AS DOUBLE) +
+       |    (1.0 / $epsilon) * CAST(SIGN(u - 0.5) AS DOUBLE) *
+       |    (${plogSql("inv_t")}) AS noisy_n,
+       |  $epsilon AS epsilon
+       |FROM t""".stripMargin
+  }
 }

@@ -674,4 +674,22 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(math.abs(estU - 300.0) / 300.0 < 0.4, s"est_union=$estU")
     assert(math.abs(estO - 100.0) / 100.0 < 0.6, s"est_overlap=$estO")
   }
+
+  test("dp counts: keyed Laplace noise is reproducible and count-independent") {
+    import spark.implicits._
+    val a = Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("event_type", "event_id")
+    val b = Seq(("x", 9L), ("y", 8L), ("y", 7L), ("y", 6L)).toDF("event_type", "event_id")
+    def noise(df: org.apache.spark.sql.DataFrame) =
+      EventOps.dpCounts(df).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Double]("noisy_n") - r.getAs[Long]("n"))).toMap
+    val na = noise(a); val nb = noise(b)
+    // noise is a pure function of (seed, key): same per key across inputs
+    assert(na("x") == nb("x") && na("y") == nb("y"))
+    // a different epsilon scales the same draw by 1/eps exactly
+    val half = EventOps.dpCounts(a, epsilon = 2.0).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("noisy_n") - r.getAs[Long]("n"))).toMap
+    assert(math.abs(half("x") - na("x") * 0.5) < 1e-12)
+  }
 }
