@@ -718,6 +718,13 @@ object SparkEntry {
       graft.ops.StatsOps.aucExact(Tables.table(s, dir, "documents"),
         col("n_chars"), col("lang") === "en")
     }),
+    // precision-recall curve of the NB scorer at every margin threshold
+    "quality_pr_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.StatsOps.prCurve(
+        TextOps.nbScore(Tables.table(s, dir, "documents")),
+        col("margin"), col("is_en"))
+    }),
     // naive-Bayes quality classifier trained on even doc_ids, scored
     // on the held-out odd split — portable-ln weights, grid-snapped sums
     "text_nb_score" -> ((s, dir) =>
@@ -1214,6 +1221,8 @@ object SparkEntry {
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "quality_auc" -> graft.ops.StatsOps.aucExactSql(
       "documents", "n_chars", "lang = 'en'"),
+    "quality_pr_curve" -> graft.ops.StatsOps.prCurveSql(
+      s"(${TextOps.nbScoreSql}) nbrel", "margin", "is_en"),
     "orders_benford" -> graft.ops.StatsOps.benfordSql(
       "orders", "o_totalprice"),
     "text_nb_score" -> TextOps.nbScoreSql,

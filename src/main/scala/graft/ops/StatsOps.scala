@@ -315,6 +315,67 @@ object StatsOps {
           .cast("string").cast("double")).as("auc"))
   }
 
+  /** Precision–recall curve at EVERY distinct score threshold — the
+    * classifier-eval companion to [[aucExact]] (ROC summarizes ranking;
+    * the PR curve is what you read to PICK the deployment threshold on
+    * an imbalanced gate). Predict-positive-at-score-≥-s gives, per
+    * distinct s: TP = Σ positives above, FP = Σ negatives above,
+    * precision TP/(TP+FP), recall TP/P, F1.
+    *
+    * Scale shape mirrors aucExact: one distinct-score aggregate, then
+    * the distributed two-pass prefix fold — BOTH running counts ride in
+    * ONE fold by packing (np·2³¹ + nn) into a single long (exact while
+    * the corpus is < 2³¹ rows, enforced by an assert_true guard the
+    * same way aucExact guards its U statistic; the internal fold is the
+    * thing that must stay single so the range exchange runs once).
+    * Ratios are IEEE divisions of exact integers. Zero-TP thresholds
+    * (possible prefix: top-scored rows all negative) yield NULL F1. */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val M = 2147483648L // 2^31
+    val g = df.select(score.as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("s").agg(sum("y").as("np"),
+        (count(lit(1)) - sum("y")).as("nn"))
+    val cum = Prefix.runningSum(g, Seq(col("s").desc),
+      col("np") * M + col("nn"), "cum", inclusive = true)
+    val tot = g.agg(
+      sum("np").as("n_pos"),
+      coalesce(assert_true(sum(col("np") + col("nn")) < M,
+          lit("prCurve: corpus exceeds 2^31 rows — widen the packing"))
+        .cast("long"), lit(0L)).as("z"))
+    val tp = expr("cum div 2147483648") + col("z")
+    val fp = col("cum") % lit(M)
+    val p = tp.cast("double") / (tp + fp)
+    val r = tp.cast("double") / col("n_pos")
+    cum.crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"), tp.as("tp"), fp.as("fp"),
+        p.as("prec"), r.as("rec"),
+        when(tp > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(null)).as("f1"))
+  }
+
+  /** DuckDB twin over any relation expression with (score, label). */
+  def prCurveSql(rel: String, scoreExpr: String, labelExpr: String): String =
+    s"""WITH gpr AS (SELECT ($scoreExpr) AS s,
+       |    SUM(CASE WHEN ($labelExpr) THEN 1 ELSE 0 END) AS np,
+       |    COUNT(*) - SUM(CASE WHEN ($labelExpr) THEN 1 ELSE 0 END) AS nn
+       |  FROM $rel GROUP BY 1),
+       |cpr AS (SELECT s,
+       |    CAST(SUM(np) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(SUM(nn) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+       |  FROM gpr),
+       |tpr AS (SELECT SUM(np) AS n_pos FROM gpr),
+       |ipr AS (SELECT s, tp, fp,
+       |    CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+       |    CAST(tp AS DOUBLE) / n_pos AS rec
+       |  FROM cpr, tpr)
+       |SELECT s AS threshold, tp, fp, prec, rec,
+       |  CASE WHEN tp > 0
+       |    THEN CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec) END AS f1
+       |FROM ipr""".stripMargin
+
   /** Benford first-significant-digit test over a positive 2-decimal
     * money column — the fabricated-data / unit-mixup screen. The digit
     * is extracted WITHOUT logarithms: round(x·100) is an exact long

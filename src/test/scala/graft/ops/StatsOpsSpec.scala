@@ -122,4 +122,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(s1.isNullAt(s1.fieldIndex("t_stat")) && s1.isNullAt(s1.fieldIndex("df")))
     assert(s1.getAs[Double]("mean_b") == 2.0)
   }
+
+  test("pr curve: hand-computed thresholds, zero-TP prefix yields NULL F1") {
+    import spark.implicits._
+    // scores desc: 0.9(neg) 0.8(pos) 0.5(pos) 0.1(neg); P = 2
+    val df = Seq((0.9, false), (0.8, true), (0.5, true), (0.1, false))
+      .toDF("s", "y")
+    val rows = StatsOps.prCurve(df, col("s"), col("y")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("prec"), r.getAs[Double]("rec")))
+      .sortBy(-_._1)
+    assert(rows.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((0.9, 0L, 1L), (0.8, 1L, 1L), (0.5, 2L, 1L), (0.1, 2L, 2L)))
+    assert(rows(2)._4 == 2.0 / 3.0 && rows(2)._5 == 1.0)
+    // the all-negative prefix has tp=0 -> NULL f1, precision 0
+    val first = StatsOps.prCurve(df, col("s"), col("y"))
+      .filter(col("threshold") === 0.9).collect()(0)
+    assert(first.isNullAt(first.fieldIndex("f1")))
+    assert(first.getAs[Double]("prec") == 0.0)
+  }
 }
