@@ -912,6 +912,10 @@ object SparkEntry {
     // doc_id (PNG is lossless) so the REAL decode is hash-gated
     "mm_decode_real" -> ((s, dir) =>
       Multimodal.pngRoundtripSums(Tables.table(s, dir, "documents"))),
+    // perceptual dHash of the real decoded PNG (9x8 grid, cross-
+    // multiplied brightness compares) vs the closed-form pixel twin
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.pngDHash(Tables.table(s, dir, "documents"))),
     // frame bytes hex-encoded for the oracle compare (raw BLOBs crash
     // the harness's sort on the oracle side)
     "mm_frames" -> ((s, dir) =>
@@ -1263,6 +1267,7 @@ object SparkEntry {
     "mm_features_full" -> Multimodal.featuresFlatSql,
     "mm_resize" -> Multimodal.resizeFlatSql(),
     "mm_decode_real" -> Multimodal.pngRoundtripSumsSql,
+    "mm_phash" -> Multimodal.pngDHashSql,
     // streaming queries: the oracle is the batch twin of the transform —
     // complete/update-mode final sink contents equal the batch result
     "stream_hourly_agg" ->

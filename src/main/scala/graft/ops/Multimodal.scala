@@ -326,6 +326,90 @@ object Multimodal {
       |  CAST(SUM((x * 17 + y * 5  + doc_id * 7) % 256) AS BIGINT) AS b_sum
       |FROM px GROUP BY doc_id, width, height""".stripMargin
 
+  /** Perceptual difference-hash (dHash) of the REAL decoded PNG: the
+    * image is average-pooled onto a 9×8 grid (pixel → cell by integer
+    * division, sums compared cross-multiplied so no float division
+    * exists anywhere), and bit (r,c) records whether cell (r,c) is
+    * brighter than its right neighbor — the standard near-duplicate
+    * IMAGE fingerprint (two re-encodes of the same picture share the
+    * hash; Hamming distance ranks visual similarity). Split into two
+    * 32-bit halves so neither BIGINT can overflow. Runs decode+hash
+    * fused in one partition-batched pass like [[pngRoundtripSums]];
+    * payload bytes never shuffle. The DuckDB twin recomputes the hash
+    * from the closed-form pixel function WITHOUT any codec — so a
+    * hash match certifies the real decode path end-to-end. Empty grid
+    * cells (w < 9 or h < 8) compare as 0 > 0 = false on the JVM and
+    * are simply absent rows summing to 0 in SQL — identical bits. */
+  def pngDHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = dims(id)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePng(id, w, h)))
+        val sg = Array.ofDim[Long](8, 9)
+        val n = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val r = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val c = x * 9 / w
+            val p = img.getRGB(x, y)
+            sg(r)(c) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            n(r)(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var lo = 0L; var hi = 0L
+        for (r <- 0 until 8; c <- 0 until 8) {
+          if (sg(r)(c) * n(r)(c + 1) > sg(r)(c + 1) * n(r)(c)) {
+            val k = r * 8 + c
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+        }
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "phash_hi", "phash_lo")
+  }
+
+  /** DuckDB twin of [[pngDHash]]: the same grid/bit algebra over the
+    * closed-form pixels — no codec. */
+  val pngDHashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 16 + 8 AS INT) AS width,
+      |    CAST(doc_id % 12 + 6 AS INT) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.width, d.height, gx.x, gy.y,
+      |    ((gx.x * 7  + gy.y * 13 + d.doc_id)     % 256) +
+      |    ((gx.x * 3  + gy.y * 11 + d.doc_id * 5) % 256) +
+      |    ((gx.x * 17 + gy.y * 5  + d.doc_id * 7) % 256) AS gray
+      |  FROM d
+      |  JOIN (SELECT unnest(generate_series(0, 23)) AS x) gx ON gx.x < d.width
+      |  JOIN (SELECT unnest(generate_series(0, 17)) AS y) gy ON gy.y < d.height),
+      |cells AS (
+      |  SELECT doc_id, (y * 8) // height AS r, (x * 9) // width AS c,
+      |    SUM(gray) AS sg, COUNT(*) AS n
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, CAST(a.r * 8 + a.c AS BIGINT) AS k
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8 AND a.sg * b.n > b.sg * a.n)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(SUM(CASE WHEN k >= 32
+      |    THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) END), 0) AS BIGINT)
+      |    AS phash_hi,
+      |  CAST(COALESCE(SUM(CASE WHEN k < 32
+      |    THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) END), 0) AS BIGINT)
+      |    AS phash_lo
+      |FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+      |GROUP BY d.doc_id""".stripMargin
+
   /** Exact binary-payload dedup — the dedup family extended to the
     * media modality: group on the 128-bit payload digest (the ONLY
     * thing that crosses the wire — 16 bytes/item, never the blob),

@@ -692,4 +692,32 @@ class EventAndMultimodalSpec extends SparkSpec {
         (r.getAs[Double]("noisy_n") - r.getAs[Long]("n"))).toMap
     assert(math.abs(half("x") - na("x") * 0.5) < 1e-12)
   }
+
+  test("dHash: real-codec hash equals the codec-free closed-form hash") {
+    import spark.implicits._
+    val ids = Seq(5L, 12L, 123L, 321L)
+    val got = Multimodal.pngDHash(ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: same grid algebra straight off the pixel function
+    def ref(id: Long): (Long, Long) = {
+      val w = (id % 16 + 8).toInt; val h = (id % 12 + 6).toInt
+      val sg = Array.ofDim[Long](8, 9); val n = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.pixel(id, x, y)
+        sg(y * 8 / h)(x * 9 / w) +=
+          ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        n(y * 8 / h)(x * 9 / w) += 1
+      }
+      var lo = 0L; var hi = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (sg(r)(c) * n(r)(c + 1) > sg(r)(c + 1) * n(r)(c)) {
+          val k = r * 8 + c
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      (hi, lo)
+    }
+    ids.foreach(id => assert(got(id) == ref(id), s"doc $id"))
+    // hashes discriminate: not all equal across different images
+    assert(got.values.toSet.size > 1)
+  }
 }
