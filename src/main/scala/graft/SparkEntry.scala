@@ -615,6 +615,9 @@ object SparkEntry {
     // Pareto/ABC customer segmentation via the scale-safe prefix fold
     "orders_pareto" -> ((s, dir) =>
       graft.ops.Relational.paretoAbc(Tables.table(s, dir, "orders"))),
+    // RFM segmentation: rank-quintile scores via chained prefix folds
+    "orders_rfm" -> ((s, dir) =>
+      graft.ops.Relational.rfmSegments(Tables.table(s, dir, "orders"))),
     "debtor_segments" -> ((s, dir) =>
       graft.ops.Relational.debtorSegments(
         Tables.table(s, dir, "customer"), Tables.table(s, dir, "orders"))),
@@ -1185,6 +1188,7 @@ object SparkEntry {
     "small_qty_revenue" -> graft.ops.Relational.smallQtyRevenueSql(),
     "waiting_suppliers" -> graft.ops.Relational.waitingSuppliersSql(),
     "orders_pareto" -> graft.ops.Relational.paretoAbcSql,
+    "orders_rfm" -> graft.ops.Relational.rfmSegmentsSql,
     "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
     "dq_orders" -> graft.ops.DataQuality.ordersChecksSql(),
     "er_match" -> graft.ops.EntityResolution.matchCustomersSql(),

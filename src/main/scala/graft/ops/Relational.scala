@@ -406,6 +406,60 @@ object Relational {
        |       ELSE 'C' END AS abc_class
        |FROM cum, tot""".stripMargin
 
+  /** RFM customer segmentation: per-customer Recency (last order
+    * date), Frequency (order count), Monetary (total cents), each
+    * scored 1–5 by exact rank quintile — the standard CRM segmentation
+    * (5-5-5 = best customers). Ranks come from THREE chained
+    * [[Prefix.runningSum]] folds of the constant 1 over the
+    * customer-sized aggregate (one range exchange per metric order,
+    * never a SinglePartition ROW_NUMBER); the quintile is the pure
+    * integer map ((rank−1)·5) div n + 1, identical in both engines —
+    * no NTILE remainder semantics to cross-check. Monetary stays on
+    * the exact cents grid until the final display division. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val base = orders.groupBy(col("o_custkey")).agg(
+      max(col("o_orderdate")).as("last_dt"),
+      count(lit(1)).as("freq"),
+      sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val ranked = Prefix.runningSum(
+      Prefix.runningSum(
+        Prefix.runningSum(base,
+          Seq(col("last_dt").asc, col("o_custkey").asc), lit(1L), "rk_r"),
+        Seq(col("freq").asc, col("o_custkey").asc), lit(1L), "rk_f"),
+      Seq(col("cents").asc, col("o_custkey").asc), lit(1L), "rk_m")
+    def score(rk: String): org.apache.spark.sql.Column =
+      (expr(s"(($rk - 1) * 5) div n") + 1).cast("int")
+    ranked.crossJoin(broadcast(n))
+      .select(col("o_custkey"), col("freq"),
+        (col("cents").cast("double") / lit(100.0)).as("monetary"),
+        score("rk_r").as("r_score"), score("rk_f").as("f_score"),
+        score("rk_m").as("m_score"),
+        (score("rk_r") * 100 + score("rk_f") * 10 + score("rk_m"))
+          .as("rfm"))
+  }
+
+  def rfmSegmentsSql: String =
+    s"""WITH base AS (SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+       |    COUNT(*) AS freq,
+       |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+       |  FROM orders GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM base),
+       |rk AS (SELECT o_custkey, freq, cents,
+       |    ROW_NUMBER() OVER (ORDER BY last_dt ASC, o_custkey ASC) AS rk_r,
+       |    ROW_NUMBER() OVER (ORDER BY freq ASC, o_custkey ASC) AS rk_f,
+       |    ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS rk_m
+       |  FROM base)
+       |SELECT o_custkey, freq,
+       |  CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS monetary,
+       |  CAST(((rk_r - 1) * 5) // n + 1 AS INT) AS r_score,
+       |  CAST(((rk_f - 1) * 5) // n + 1 AS INT) AS f_score,
+       |  CAST(((rk_m - 1) * 5) // n + 1 AS INT) AS m_score,
+       |  CAST((((rk_r - 1) * 5) // n + 1) * 100 +
+       |       (((rk_f - 1) * 5) // n + 1) * 10 +
+       |       (((rk_m - 1) * 5) // n + 1) AS INT) AS rfm
+       |FROM rk, nn""".stripMargin
+
   def debtorSegments(
       customer: DataFrame, orders: DataFrame,
       cutoff: String = "2000-07-01"): DataFrame = {

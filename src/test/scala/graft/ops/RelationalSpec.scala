@@ -241,4 +241,18 @@ class RelationalSpec extends SparkSpec {
       .toMap
     assert(t == Map(4L -> 1000L, 5L -> 2000L))
   }
+
+  test("rfm: quintile scores by exact rank, best customer is 555") {
+    import spark.implicits._
+    // 5 customers, strictly increasing on all three axes: customer i
+    // has i orders, later dates, bigger spend -> scores = rank
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(j => (c.toLong, s"1995-0$c-0${j % 9 + 1} 00:00:00", c * 100.0))
+    }.toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate",
+        org.apache.spark.sql.functions.col("d").cast("timestamp")).drop("d")
+    val r = Relational.rfmSegments(orders).collect()
+      .map(x => x.getAs[Long]("o_custkey") -> x.getAs[Int]("rfm")).toMap
+    assert(r == Map(1L -> 111, 2L -> 222, 3L -> 333, 4L -> 444, 5L -> 555))
+  }
 }
