@@ -171,6 +171,9 @@ object SparkEntry {
     // connected components of the co-order graph (min-label + doubling)
     "graph_cc" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderComponents(Tables.table(s, dir, "lineitem"))),
+    // Poisson(1) bootstrap replicate weights (online-bootstrap trick)
+    "sample_bootstrap" -> ((s, dir) =>
+      graft.ops.Sampling.bootstrapWeights(Tables.table(s, dir, "documents"))),
     // D²-sensitivity k-means coreset with unbiased estimator weights
     "sample_coreset" -> ((s, dir) =>
       graft.ops.Sampling.coresetSample(
@@ -1053,6 +1056,7 @@ object SparkEntry {
       graft.ops.GraphOps.coOrderClusteringSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
     "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
+    "sample_bootstrap" -> graft.ops.Sampling.bootstrapWeightsSql(),
     "sample_coreset" -> withAssigned(
       s", tot AS (${KMeansOps.objectiveSql("assigned")}) " +
         graft.ops.Sampling.coresetSampleSql()),

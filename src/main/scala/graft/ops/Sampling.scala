@@ -346,6 +346,52 @@ object Sampling {
   }
 
   // -------------------------------------------------------------------
+  // Poisson(1) bootstrap replicate weights (the online-bootstrap trick,
+  // Oza & Russell 2001): each doc draws w ~ Poisson(1) — its replicate
+  // count in ONE bootstrap resample of the corpus — via the inverse CDF
+  // on the keyed md5-60 uniform. E[w]=1, P(w=0)=e⁻¹ ≈ 0.368, so a
+  // resample keeps ~63.2% of docs with multiplicity. The CDF cut
+  // points e⁻¹·Σ 1/i! are driver-side constants inlined as identical
+  // literals in both engines (w ≥ 8 is collapsed into the last bucket —
+  // P ≈ 1e-6, deterministic either way). Zero-shuffle scan projection;
+  // a full B-replicate bootstrap just varies the seed.
+  // -------------------------------------------------------------------
+  def bootstrapWeights(
+      docs: DataFrame, seed: Int = 29): DataFrame = {
+    val u = (Dedup.md5Hash60(seed, col("doc_id").cast("string"))
+      .cast("double") + lit(1.0)) / lit(Pow2_60)
+    val cdf = poissonCdf1
+    val w = cdf.zipWithIndex.foldRight(lit(8)) { case ((c, k), els) =>
+      when(u < lit(c), lit(k)).otherwise(els)
+    }
+    docs.select(col("doc_id"), w.as("w"))
+      .filter(col("w") >= 1)
+  }
+
+  def bootstrapWeightsSql(seed: Int = 29): String = {
+    val u = s"((CAST(${Dedup.md5Hash60Sql(seed, "CAST(doc_id AS VARCHAR)")} " +
+      "AS DOUBLE) + 1.0) / 1152921504606846976.0)"
+    val cases = poissonCdf1.zipWithIndex
+      .map { case (c, k) => s"WHEN $u < $c THEN $k" }.mkString(" ")
+    s"""SELECT doc_id, w FROM (
+       |  SELECT doc_id, CASE $cases ELSE 8 END AS w FROM documents) t
+       |WHERE w >= 1""".stripMargin
+  }
+
+  /** CDF of Poisson(1) at k = 0..7 — StrictMath so the driver-side
+    * constants are identical on any JVM; Double.toString round-trips
+    * them into both engines exactly. */
+  private lazy val poissonCdf1: Seq[Double] = {
+    val e1 = StrictMath.exp(-1.0)
+    (0 to 7).map { k =>
+      // cumulative: e^-1 * sum_{i<=k} 1/i!
+      (0 to k).map { i =>
+        var f = 1.0; (1 to i).foreach(f *= _); e1 / f
+      }.sum
+    }
+  }
+
+  // -------------------------------------------------------------------
   // k-means coreset by D²-sensitivity sampling (the lightweight-coreset
   // construction, Bachem/Lucic/Krause 2018 shape): importance of a
   // point = its squared distance to the current centroid set, m points

@@ -229,4 +229,22 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.coresetSample(pts, cents, m = 64, seed = 17)
       .collect().toSeq == rows.toSeq)
   }
+
+  test("bootstrap weights: Poisson(1) shape, deterministic, seed-sensitive") {
+    import spark.implicits._
+    val docs = (1L to 4000L).toDF("doc_id")
+    val w = Sampling.bootstrapWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // keep-rate ~ 1 - 1/e and E[sum w] = n (loose 3-sigma-ish bands)
+    assert(math.abs(w.size / 4000.0 - 0.632) < 0.03, s"keep ${w.size}")
+    assert(math.abs(w.values.sum / 4000.0 - 1.0) < 0.05)
+    assert(w.values.forall(v => v >= 1 && v <= 8))
+    // reproducible; a different seed reshuffles membership
+    val w2 = Sampling.bootstrapWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(w == w2)
+    val w3 = Sampling.bootstrapWeights(docs, seed = 30).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(w3 != w)
+  }
 }
