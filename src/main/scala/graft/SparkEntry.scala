@@ -922,6 +922,9 @@ object SparkEntry {
     // multiplied brightness compares) vs the closed-form pixel twin
     "mm_phash" -> ((s, dir) =>
       Multimodal.pngDHash(Tables.table(s, dir, "documents"))),
+    // visually-near-duplicate image pairs (pigeonhole chunk join)
+    "mm_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashNearDups(Tables.table(s, dir, "documents"))),
     // frame bytes hex-encoded for the oracle compare (raw BLOBs crash
     // the harness's sort on the oracle side)
     "mm_frames" -> ((s, dir) =>
@@ -1276,6 +1279,7 @@ object SparkEntry {
     "mm_resize" -> Multimodal.resizeFlatSql(),
     "mm_decode_real" -> Multimodal.pngRoundtripSumsSql,
     "mm_phash" -> Multimodal.pngDHashSql,
+    "mm_phash_pairs" -> Multimodal.phashNearDupsSql(),
     // streaming queries: the oracle is the batch twin of the transform —
     // complete/update-mode final sink contents equal the batch result
     "stream_hourly_agg" ->

@@ -410,6 +410,56 @@ object Multimodal {
       |FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
       |GROUP BY d.doc_id""".stripMargin
 
+  /** Near-duplicate IMAGE pairs by perceptual-hash Hamming distance:
+    * pairs of docs whose [[pngDHash]] fingerprints differ in at most
+    * `maxHamming` of 64 bits — the visual-similarity join (re-encoded /
+    * slightly-altered copies of the same picture). Candidate generation
+    * is the pigeonhole chunk trick shared with the text SimHash join:
+    * the 64 bits split into 4×16-bit chunks, any pair within Hamming 3
+    * agrees on ≥ 1 whole chunk, so the join runs on (chunk_idx,
+    * chunk_value) — O(n·4) index entries, never n² — and the exact
+    * popcount-xor distance verifies candidates. */
+  def phashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val ph = pngDHash(docs).localCheckpoint(true)
+    val chunks = ph.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("phash_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL)))))
+      .toDF("doc_id", "phash_hi", "phash_lo", "chunk", "cval")
+    val a = chunks.select(col("doc_id").as("da"), col("phash_hi").as("ha"),
+      col("phash_lo").as("la"), col("chunk"), col("cval"))
+    val b = chunks.select(col("doc_id").as("db"), col("phash_hi").as("hb"),
+      col("phash_lo").as("lb"), col("chunk"), col("cval"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (bit_count(col("ha").bitwiseXOR(col("hb")))
+          + bit_count(col("la").bitwiseXOR(col("lb")))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def phashNearDupsSql(maxHamming: Int = 3): String =
+    s"""WITH ph AS MATERIALIZED ($pngDHashSql),
+       |chunks AS (
+       |  SELECT doc_id, phash_hi, phash_lo, ch.chunk,
+       |    CASE ch.chunk
+       |      WHEN 0 THEN phash_lo & 65535
+       |      WHEN 1 THEN (phash_lo >> 16) & 65535
+       |      WHEN 2 THEN phash_hi & 65535
+       |      ELSE (phash_hi >> 16) & 65535 END AS cval
+       |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS chunk) ch)
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(bit_count(xor(a.phash_hi, b.phash_hi)) +
+       |       bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash_hi, b.phash_hi)) +
+       |      bit_count(xor(a.phash_lo, b.phash_lo)) <= $maxHamming""".stripMargin
+
   /** Exact binary-payload dedup — the dedup family extended to the
     * media modality: group on the 128-bit payload digest (the ONLY
     * thing that crosses the wire — 16 bytes/item, never the blob),

@@ -720,4 +720,23 @@ class EventAndMultimodalSpec extends SparkSpec {
     // hashes discriminate: not all equal across different images
     assert(got.values.toSet.size > 1)
   }
+
+  test("phash pairs: identical images at distance 0, pigeonhole is lossless") {
+    import spark.implicits._
+    // doc ids congruent mod lcm(16,12,256-ish pattern) share dims AND
+    // pixels only when the pixel formula coincides; ids 5 and 5 would be
+    // trivial - instead verify against a brute-force all-pairs check
+    val ids = (1L to 60L).toDF("doc_id")
+    val got = Multimodal.phashNearDups(ids, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ph = Multimodal.pngDHash(ids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = (for {
+      a <- 1L to 60L; b <- (a + 1) to 60L
+      d = java.lang.Long.bitCount(ph(a)._1 ^ ph(b)._1) +
+        java.lang.Long.bitCount(ph(a)._2 ^ ph(b)._2)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute)   // candidate generation misses nothing
+  }
 }
