@@ -183,6 +183,9 @@ object SparkEntry {
       graft.ops.GraphOps.coOrderLinkPrediction(Tables.table(s, dir, "lineitem"))),
     // differentially-private per-type counts (deterministic Laplace)
     "events_dp_counts" -> ((s, dir) => EventOps.dpCounts(Tables.events(s, dir))),
+    // Markov stationary distribution of the event-type chain
+    "events_stationary" -> ((s, dir) =>
+      EventOps.stationaryDistribution(Tables.events(s, dir))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1064,6 +1067,7 @@ object SparkEntry {
       s", tot AS (${KMeansOps.objectiveSql("assigned")}) " +
         graft.ops.Sampling.coresetSampleSql()),
     "events_dp_counts" -> EventOps.dpCountsSql(),
+    "events_stationary" -> EventOps.stationaryDistributionSql(),
     "graph_linkpred" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(

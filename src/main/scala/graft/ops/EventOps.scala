@@ -1722,6 +1722,70 @@ object EventOps {
   }
 
   // -------------------------------------------------------------------
+  // Stationary distribution of the event-type Markov chain: where does
+  // a user's behavior settle long-run? π = πP by `iters` unrolled power
+  // steps from the uniform start over the row-normalized transition
+  // counts (the [[transitions]] matrix). The chain matrix is k² rows
+  // (k = |event types|) — collected driver-side like the Bradley-Terry
+  // and PCA sufficient statistics; the heavy work is the ONE lead-window
+  // + count aggregate producing it. Determinism: p_ij = n_ij / r_i is an
+  // exact-int division; each step's terms π_i·p_ij snap to the 1e15 grid
+  // and sum as longs (order-free), mirrored term-for-term by the
+  // oracle's unrolled per-round CTEs. Types that never appear as a
+  // to_type drop out of the support identically in both engines.
+  // -------------------------------------------------------------------
+  def stationaryDistribution(events: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trans = transitions(events)
+      .select("from_type", "to_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowTot = trans.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(_._3).sum }
+    val p = trans.map { case (f, t, n) => (f, t, n.toDouble / rowTot(f)) }
+    val types = trans.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    var pi: Map[String, Double] = types.map(_ -> 1.0 / types.length).toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map[String, Long]()
+      p.foreach { case (f, t, pij) =>
+        pi.get(f).foreach { pf =>
+          acc(t) = acc.getOrElse(t, 0L) + math.round(pf * pij * 1e15)
+        }
+      }
+      pi = acc.map { case (t, g) => t -> g.toDouble / 1e15 }.toMap
+    }
+    pi.toSeq.sortBy(_._1).toDF("event_type", "pi")
+  }
+
+  def stationaryDistributionSql(iters: Int = 10): String = {
+    def rnd(i: Int): String =
+      s"""pi$i AS (SELECT p.to_type AS t,
+         |    CAST(SUM(CAST(ROUND((pi.pi * p.p) * 1e15) AS BIGINT))
+         |      AS DOUBLE) / 1e15 AS pi
+         |  FROM pi${i - 1} pi JOIN p ON pi.t = p.from_type
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |cnt AS MATERIALIZED (
+       |  SELECT from_type, to_type, COUNT(*) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT from_type, to_type,
+       |  CAST(n AS DOUBLE) /
+       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+       |  FROM cnt),
+       |types AS (SELECT DISTINCT t FROM (
+       |  SELECT from_type AS t FROM cnt
+       |  UNION ALL SELECT to_type FROM cnt) q),
+       |pi0 AS (SELECT t, CAST(1.0 AS DOUBLE) /
+       |  (SELECT COUNT(*) FROM types) AS pi FROM types),
+       |${(1 to iters).map(rnd).mkString(",\n")}
+       |SELECT t AS event_type, pi FROM pi$iters""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Differentially-private release of the per-type event counts:
   // count + Laplace(Δ/ε) noise (Dwork et al. 2006; sensitivity Δ=1 for
   // a counting query). The noise is the INVERSE-CDF sample

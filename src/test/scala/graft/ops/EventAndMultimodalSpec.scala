@@ -739,4 +739,21 @@ class EventAndMultimodalSpec extends SparkSpec {
     } yield (a, b, d)).toSet
     assert(got == brute)   // candidate generation misses nothing
   }
+
+  test("stationary distribution: two-state chain converges to the known fixpoint") {
+    import spark.implicits._
+    // transitions: a->a 1x, a->b 3x, b->a 3x  =>  P(a->b)=3/4,
+    // P(b->a)=1  =>  stationary pi = (4/7, 3/7)
+    val evs = Seq(
+      // user 1: a a b a b a b a  (a->a once, a->b 3x, b->a 3x)
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "b", 3L), (1L, "a", 4L),
+      (1L, "b", 5L), (1L, "a", 6L), (1L, "b", 7L), (1L, "a", 8L)
+    ).map { case (u, t, i) =>
+      (u, t, i, java.sql.Timestamp.valueOf(s"2020-01-01 00:00:0$i"))
+    }.toDF("user_id", "event_type", "event_id", "ts")
+    val pi = EventOps.stationaryDistribution(evs, iters = 40).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pi("a") - 4.0 / 7) < 1e-6 && math.abs(pi("b") - 3.0 / 7) < 1e-6)
+    assert(math.abs(pi.values.sum - 1.0) < 1e-9)
+  }
 }
