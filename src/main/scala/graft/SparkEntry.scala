@@ -83,6 +83,9 @@ object SparkEntry {
     "sum_count_agg" -> ((s, dir) => KMeansOps.sumCount(assigned(s, dir))),
     // O9 — mean recompute (one full Lloyd step = assign + recompute)
     "kmeans_step" -> ((s, dir) => KMeansOps.recompute(assigned(s, dir))),
+    // simplified (centroid-based) silhouette per cluster
+    "kmeans_silhouette" -> ((s, dir) => KMeansOps.silhouette(
+      Tables.points(s, dir), Tables.initCentroids(s, dir, K))),
     // O14 — per-point squared distance
     "objective_sqdist" -> ((s, dir) => KMeansOps.objSqdist(assigned(s, dir))),
     // O13 — global sum → scalar SSE
@@ -1028,6 +1031,8 @@ object SparkEntry {
     "count_append" -> withAssigned("SELECT pid, cid, CAST(1 AS BIGINT) AS cnt FROM assigned"),
     "sum_count_agg" -> withAssigned(KMeansOps.sumCountSql("assigned")),
     "kmeans_step" -> Tables.withPtsCents(KMeansOps.stepSql("pts", "cents"), K),
+    "kmeans_silhouette" ->
+      Tables.withPtsCents(KMeansOps.silhouetteSql("pts", "cents"), K),
     "objective_sqdist" -> withAssigned("SELECT pid, sqdist FROM assigned"),
     "objective_sum" -> withAssigned(KMeansOps.objectiveSql("assigned")),
     "converge_pairs" -> withAssigned(

@@ -242,6 +242,56 @@ object KMeansOps {
       s"AS VARCHAR) AS DOUBLE) / 1e6 AS objective FROM $assignedRel"
 
   // -----------------------------------------------------------------
+  // Simplified silhouette (centroid-based, the O(n·k) member of the
+  // silhouette family): a = distance to own centroid, b = distance to
+  // the nearest OTHER centroid, s = (b−a)/max(a,b) — the standard
+  // "how well-separated is this clustering" eval without the exact
+  // silhouette's O(n²) pairwise matrix. One zero-shuffle scan (the
+  // argmin fold + a masked second-min fold in the same projection) and
+  // one k-row aggregate; per-cluster means run on the 1e-12 integer
+  // grid so the irrational sqrt terms sum order-independently.
+  // -----------------------------------------------------------------
+  def silhouette(points: DataFrame, cents: Seq[Cent]): DataFrame = {
+    require(cents.size >= 2, "silhouette needs k >= 2")
+    val Dec = DecimalType(38, 0)
+    val withBest = assign(points, cents)
+    val d2Others = cents.map { c =>
+      when(lit(c.cid) === col("cid"), lit(Double.PositiveInfinity))
+        .otherwise(sqDist(col("x"), col("y"), lit(c.x), lit(c.y)))
+    }
+    val a = sqrt(col("sqdist"))
+    val b = sqrt(least(d2Others: _*))
+    val s = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    withBest.select(col("cid"), s.as("s"))
+      .groupBy("cid").agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("s") * 1e12).cast(Dec)).cast("string").cast("double")
+          / 1e12 / count(lit(1))).as("mean_sil"))
+  }
+
+  /** DuckDB twin: the same LATERAL argmin as [[assignSql]] plus a
+    * second LATERAL min over the other centroids. */
+  def silhouetteSql(ptsRel: String = "pts", centsRel: String = "cents"): String =
+    s"""SELECT a.cid, COUNT(*) AS n,
+       |  CAST(CAST(SUM(CAST(ROUND(
+       |    CASE WHEN GREATEST(SQRT(a.sq), SQRT(b.sq2)) = 0.0 THEN 0.0
+       |      ELSE (SQRT(b.sq2) - SQRT(a.sq)) /
+       |        GREATEST(SQRT(a.sq), SQRT(b.sq2)) END * 1e12)
+       |    AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12 / COUNT(*)
+       |    AS mean_sil
+       |FROM $ptsRel p
+       |CROSS JOIN LATERAL (
+       |  SELECT c.cid, (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) AS sq
+       |  FROM $centsRel c
+       |  ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid
+       |  LIMIT 1) a
+       |CROSS JOIN LATERAL (
+       |  SELECT MIN((p.x-c2.x)*(p.x-c2.x) + (p.y-c2.y)*(p.y-c2.y)) AS sq2
+       |  FROM $centsRel c2 WHERE c2.cid <> a.cid) b
+       |GROUP BY a.cid""".stripMargin
+
+  // -----------------------------------------------------------------
   // k-means++ initialization (Arthur & Vassilvitskii 2007): first
   // center by a uniform md5 draw, then each next center with key
   // ln(u_p)/D²_p maximized — the exponential-race formulation of

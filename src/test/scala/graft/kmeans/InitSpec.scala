@@ -56,4 +56,26 @@ class InitSpec extends SparkSpec {
       .map(_.getLong(1)).toSet
     assert(c != a.map(_._2).toSet)
   }
+
+  test("silhouette: perfect separation scores 1, centroid-points score 1") {
+    import spark.implicits._
+    // two tight clusters around far-apart centroids
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0),
+      (4L, 100.0, 100.0), (5L, 101.0, 100.0)
+    ).toDF("pid", "x", "y")
+    val cents = Seq(Cent(0, 0.0, 0.0), Cent(1, 100.0, 100.0))
+    val r = KMeansOps.silhouette(pts, cents).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getAs[Double]("mean_sil")))
+      .toMap
+    assert(r(0)._1 == 3L && r(1)._1 == 2L)
+    // all points are >= 99x closer to their own centroid: s ~ 1
+    assert(r(0)._2 > 0.99 && r(1)._2 > 0.99)
+    // a point equidistant to both centroids scores exactly 0
+    val mid = Seq((9L, 50.0, 50.0)).toDF("pid", "x", "y")
+    val m = KMeansOps.silhouette(pts.union(mid), cents).collect()
+      .map(x => x.getInt(0) -> x.getAs[Double]("mean_sil")).toMap
+    // cluster 0 absorbed the tie (first-wins) and its mean dropped
+    assert(m(0) < r(0)._2)
+  }
 }
