@@ -189,6 +189,9 @@ object SparkEntry {
     // Markov stationary distribution of the event-type chain
     "events_stationary" -> ((s, dir) =>
       EventOps.stationaryDistribution(Tables.events(s, dir))),
+    // Kaplan-Meier view->purchase survival curve with censoring
+    "events_survival" -> ((s, dir) =>
+      EventOps.survivalCurve(Tables.events(s, dir))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1073,6 +1076,8 @@ object SparkEntry {
         graft.ops.Sampling.coresetSampleSql()),
     "events_dp_counts" -> EventOps.dpCountsSql(),
     "events_stationary" -> EventOps.stationaryDistributionSql(),
+    "events_survival" -> graft.ops.OracleCtes.materialize(
+      EventOps.survivalCurveSql),
     "graph_linkpred" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(

@@ -1722,6 +1722,109 @@ object EventOps {
   }
 
   // -------------------------------------------------------------------
+  // Kaplan–Meier survival curve of the view→purchase conversion
+  // (Kaplan & Meier 1958): for every user with a first view, the
+  // observed duration is either time-to-first-subsequent-purchase
+  // (event) or time-to-end-of-window (right-censored). At each distinct
+  // conversion time t: n_t = users still at risk (duration ≥ t), d_t =
+  // conversions at t, and S(t) = Π_{u ≤ t} (1 − d_u/n_u) — THE standard
+  // time-to-event estimator (conversion, churn, time-to-failure) under
+  // censoring, which a naive mean-lag readout gets wrong.
+  //
+  // Scale + determinism: the duration relation is user-sized; the risk
+  // set comes from one strict prefix fold over the distinct-time spine
+  // (never a data window), and the product is exp of a prefix sum of
+  // ln(1 − d/n) terms — each term −plog(n/(n−d)) snapped to the 1e12
+  // grid so the fold is exact-integer, with the portable pexp mapping
+  // back. A time where everyone remaining converts (d = n, only ever
+  // possible at the last conversion time) is emitted with surv = 0.
+  // -------------------------------------------------------------------
+  def survivalCurve(events: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.{pexp, plog}
+    val Dec = DecimalType(38, 0)
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) div 1000000")).as("first_view"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("pts"))
+    val conv = views.join(buys, Seq("user_id"))
+      .filter(col("pts") >= col("first_view"))
+      .groupBy("user_id", "first_view")
+      .agg(min(col("pts")).as("first_purchase"))
+      .select(col("user_id"),
+        (col("first_purchase") - col("first_view")).as("dur"),
+        lit(1L).as("ev"))
+    val endTs = events.agg(
+      max(expr("unix_micros(ts) div 1000000")).as("end_ts"))
+    val cens = views.join(conv.select("user_id"), Seq("user_id"), "left_anti")
+      .crossJoin(broadcast(endTs))
+      .select(col("user_id"),
+        (col("end_ts") - col("first_view")).as("dur"), lit(0L).as("ev"))
+    val obs = conv.select("dur", "ev").unionAll(cens.select("dur", "ev"))
+    val spine = obs.groupBy("dur").agg(
+      sum("ev").as("d"), count(lit(1)).as("c"))
+    val tot = spine.agg(sum("c").as("n_obs"))
+    val cum = Prefix.runningSum(spine, Seq(col("dur").asc), col("c"),
+        "before", inclusive = false)
+      .withColumn("before", coalesce(col("before"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_obs") - col("before"))
+      .filter(col("d") >= 1)
+    val lnGrid = when(col("d") < col("n_risk"),
+      round((lit(0.0) - plog(col("n_risk").cast("double") /
+        (col("n_risk") - col("d")).cast("double"))) * 1e12).cast("long"))
+      .otherwise(lit(0L))
+    val curve = Prefix.runningSum(
+      cum.withColumn("lng", lnGrid), Seq(col("dur").asc),
+      col("lng"), "cumln", inclusive = true)
+    curve.select(col("dur"), col("n_risk"), col("d"),
+      when(col("d") < col("n_risk"),
+        pexp(col("cumln").cast(Dec).cast("string").cast("double") / 1e12))
+        .otherwise(lit(0.0)).as("surv"))
+  }
+
+  def survivalCurveSql: String = {
+    import graft.functions.PortableMath.{pexpSql, plogSql}
+    s"""WITH v AS (
+       |  SELECT user_id, MIN(epoch_us(ts) // 1000000) AS first_view
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+       |b AS (
+       |  SELECT user_id, epoch_us(ts) // 1000000 AS pts
+       |  FROM events WHERE event_type = 'purchase'),
+       |conv AS (
+       |  SELECT user_id, MIN(pts) - first_view AS dur, 1 AS ev
+       |  FROM v JOIN b USING (user_id)
+       |  WHERE pts >= first_view GROUP BY user_id, first_view),
+       |ee AS (SELECT MAX(epoch_us(ts) // 1000000) AS end_ts FROM events),
+       |cens AS (
+       |  SELECT v.user_id, ee.end_ts - v.first_view AS dur, 0 AS ev
+       |  FROM v, ee WHERE v.user_id NOT IN (SELECT user_id FROM conv)),
+       |obs AS (SELECT dur, ev FROM conv UNION ALL SELECT dur, ev FROM cens),
+       |spine AS (SELECT dur, SUM(ev) AS d, COUNT(*) AS c
+       |  FROM obs GROUP BY dur),
+       |tot AS (SELECT SUM(c) AS n_obs FROM spine),
+       |risk AS (
+       |  SELECT dur, CAST(d AS BIGINT) AS d,
+       |    CAST(n_obs - COALESCE(SUM(c) OVER (ORDER BY dur ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n_risk
+       |  FROM spine, tot),
+       |keep AS (SELECT dur, d, n_risk,
+       |    CASE WHEN d < n_risk THEN CAST(ROUND((0.0 - (${plogSql(
+            "(CAST(n_risk AS DOUBLE) / CAST(n_risk - d AS DOUBLE))")})) * 1e12)
+       |      AS BIGINT) ELSE 0 END AS lng
+       |  FROM risk WHERE d >= 1),
+       |curve AS (SELECT dur, n_risk, d,
+       |    CAST(CAST(CAST(SUM(lng) OVER (ORDER BY dur ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) / 1e12 AS clv
+       |  FROM keep)
+       |SELECT dur, n_risk, d,
+       |  CASE WHEN d < n_risk THEN (${pexpSql("clv")}) ELSE 0.0 END AS surv
+       |FROM curve""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Stationary distribution of the event-type Markov chain: where does
   // a user's behavior settle long-run? π = πP by `iters` unrolled power
   // steps from the uniform start over the row-normalized transition

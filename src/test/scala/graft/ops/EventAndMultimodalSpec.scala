@@ -756,4 +756,31 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(math.abs(pi("a") - 4.0 / 7) < 1e-6 && math.abs(pi("b") - 3.0 / 7) < 1e-6)
     assert(math.abs(pi.values.sum - 1.0) < 1e-9)
   }
+
+  test("survival: hand Kaplan-Meier with censoring; d=n tail hits zero") {
+    import spark.implicits._
+    def ev(u: Long, t: String, sec: Int) =
+      (u, t, u * 100 + sec, java.sql.Timestamp.valueOf(
+        f"2020-01-01 00:00:$sec%02d"))
+    // users 1,2 convert at +1s and +2s; user 3 views only (censored at
+    // the corpus end = +30s); user 4 never views (not in the cohort)
+    val evs = Seq(
+      ev(1, "view", 0), ev(1, "purchase", 1),
+      ev(2, "view", 0), ev(2, "purchase", 2),
+      ev(3, "view", 0),
+      ev(4, "purchase", 30)
+    ).toDF("user_id", "event_type", "event_id", "ts")
+    val r = EventOps.survivalCurve(evs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getAs[Double]("surv"))).toMap
+    // t=1: n=3 d=1 -> S=2/3 ; t=2: n=2 d=1 -> S=1/3 ; censor adds no row
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L)._1 == 3L && r(1L)._2 == 1L)
+    assert(math.abs(r(1L)._3 - 2.0 / 3) < 1e-12)
+    assert(r(2L)._1 == 2L && math.abs(r(2L)._3 - 1.0 / 3) < 1e-12)
+    // drop the censored user: at t=2 everyone remaining converts -> S=0
+    val r2 = EventOps.survivalCurve(evs.filter(col("user_id") =!= 3L))
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("surv")).toMap
+    assert(r2(2L) == 0.0 && math.abs(r2(1L) - 0.5) < 1e-12)
+  }
 }
