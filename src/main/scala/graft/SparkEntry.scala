@@ -199,6 +199,9 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("value"),
         org.apache.spark.sql.functions.col("event_type"),
         "click", "view")),
+    // tokenizer fertility (chars/bytes per token) by source
+    "text_fertility" -> ((s, dir) =>
+      TextOps.tokenizerFertility(Tables.table(s, dir, "documents"))),
     // logistic regression trained in-engine (3 full-batch GD steps)
     "text_logreg" -> ((s, dir) =>
       TextOps.logregScore(Tables.table(s, dir, "documents"))),
@@ -1082,6 +1085,7 @@ object SparkEntry {
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(
       "events", "value", "event_type", "click", "view"),
+    "text_fertility" -> TextOps.tokenizerFertilitySql,
     "text_logreg" -> TextOps.logregScoreSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,
     "text_gopher_rep" -> TextOps.gopherRepetitionSql,

@@ -1873,6 +1873,52 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Tokenizer fertility by source: chars-per-token and bytes-per-token
+  // — the standard tokenizer-efficiency readout (a source whose bytes
+  // per token runs high is expensive to train on; multilingual corpora
+  // live and die by this number). One TextStats scan + one source-keyed
+  // aggregate; ratios are IEEE divisions of exact integer sums (counts
+  // accumulate in DECIMAL/HUGEINT so order can't move a bit).
+  // -------------------------------------------------------------------
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = graft.functions.VecFunctions.textStats(lower(col("text")), stopwords)
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        octet_length(col("text")).cast("long").as("nb"),
+        st.getItem(0).as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt").cast(Dec)).cast("long").as("n_tokens"),
+        sum(col("nc").cast(Dec)).cast("long").as("n_chars"),
+        sum(col("nb").cast(Dec)).cast("long").as("n_bytes"),
+        (sum(col("nc").cast(Dec)).cast("string").cast("double") /
+          sum(col("nt").cast(Dec)).cast("string").cast("double"))
+          .as("chars_per_token"),
+        (sum(col("nb").cast(Dec)).cast("string").cast("double") /
+          sum(col("nt").cast(Dec)).cast("string").cast("double"))
+          .as("bytes_per_token"))
+  }
+
+  def tokenizerFertilitySql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(nt AS HUGEINT)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CAST(nc AS HUGEINT)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(CAST(nb AS HUGEINT)) AS BIGINT) AS n_bytes,
+       |  CAST(CAST(SUM(CAST(nc AS HUGEINT)) AS VARCHAR) AS DOUBLE) /
+       |    CAST(CAST(SUM(CAST(nt AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |    AS chars_per_token,
+       |  CAST(CAST(SUM(CAST(nb AS HUGEINT)) AS VARCHAR) AS DOUBLE) /
+       |    CAST(CAST(SUM(CAST(nt AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |    AS bytes_per_token
+       |FROM (SELECT source,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(strlen(text) AS BIGINT) AS nb,
+       |    CAST(len($tokensSql) AS BIGINT) AS nt
+       |  FROM documents) t
+       |GROUP BY source""".stripMargin
+
+  // -------------------------------------------------------------------
   // Logistic-regression quality classifier TRAINED IN-ENGINE: batch
   // gradient descent on the TextStats quality features (stopword ratio,
   // type/token ratio, mean token length + bias), `iters` full-batch

@@ -636,4 +636,17 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("tokenizer fertility: exact ratios; multibyte text inflates bytes only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab cd", "s1"),         // 2 tokens, 5 chars, 5 bytes
+      (2L, "\u00e9\u00e9 xy", "s1") // 2 tokens, 5 chars, 7 bytes (2-byte e-acute)
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.tokenizerFertility(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("n_chars") == 10 && r.getAs[Long]("n_bytes") == 12)
+    assert(r.getAs[Double]("chars_per_token") == 2.5)
+    assert(r.getAs[Double]("bytes_per_token") == 3.0)
+  }
 }
