@@ -199,6 +199,9 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("value"),
         org.apache.spark.sql.functions.col("event_type"),
         "click", "view")),
+    // majority-vote ensemble of gopher + NB + logreg quality gates
+    "pipe_ensemble" -> ((s, dir) =>
+      TextOps.ensembleGate(Tables.table(s, dir, "documents"))),
     // tokenizer fertility (chars/bytes per token) by source
     "text_fertility" -> ((s, dir) =>
       TextOps.tokenizerFertility(Tables.table(s, dir, "documents"))),
@@ -1085,6 +1088,8 @@ object SparkEntry {
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(
       "events", "value", "event_type", "click", "view"),
+    "pipe_ensemble" -> graft.ops.OracleCtes.materialize(
+      TextOps.ensembleGateSql),
     "text_fertility" -> TextOps.tokenizerFertilitySql,
     "text_logreg" -> TextOps.logregScoreSql(),
     "text_repetition" -> TextOps.repetitionStatsSql,

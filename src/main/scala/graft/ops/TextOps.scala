@@ -1873,6 +1873,46 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Ensemble quality gate: majority vote of three INDEPENDENT quality
+  // signals — the Gopher heuristic band filter, the Naive-Bayes
+  // lang-quality scorer, and the trained logistic regression — over the
+  // held-out split (the two learned scorers only score doc_id%2=1 by
+  // the shared train/test contract). Production pipelines run exactly
+  // this shape: no single gate is trusted alone, a doc survives if ≥2
+  // agree. Pure composition of three oracle-gated machineries: one scan
+  // each + doc_id-keyed joins (broadcast-scale at the gate SF, plain
+  // hash joins at scale; nothing new shuffles).
+  // -------------------------------------------------------------------
+  def ensembleGate(docs: DataFrame): DataFrame = {
+    val g = gopherFilter(docs).select(col("doc_id"), lit(true).as("gok"))
+    val nb = nbScore(docs).select(col("doc_id"), col("pred_en").as("nb_en"))
+    val lr = logregScore(docs)
+      .select(col("doc_id"), col("pred_en").as("lr_en"))
+    nb.join(lr, Seq("doc_id"))
+      .join(g, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("gok"), lit(false)).as("gopher_ok"),
+        col("nb_en"), col("lr_en"))
+      .withColumn("keep",
+        (col("gopher_ok").cast("int") + col("nb_en").cast("int")
+          + col("lr_en").cast("int")) >= 2)
+  }
+
+  def ensembleGateSql: String =
+    s"""WITH gsel AS (SELECT doc_id FROM (${gopherFilterSql()}) gg),
+       |nbsel AS (SELECT doc_id, pred_en AS nb_en FROM ($nbScoreSql) nn),
+       |lrsel AS (SELECT doc_id, pred_en AS lr_en
+       |  FROM (${logregScoreSql()}) ll)
+       |SELECT nbsel.doc_id,
+       |  COALESCE(gsel.doc_id IS NOT NULL, FALSE) AS gopher_ok,
+       |  nb_en, lr_en,
+       |  (CAST(COALESCE(gsel.doc_id IS NOT NULL, FALSE) AS INT) +
+       |   CAST(nb_en AS INT) + CAST(lr_en AS INT)) >= 2 AS keep
+       |FROM nbsel
+       |JOIN lrsel ON nbsel.doc_id = lrsel.doc_id
+       |LEFT JOIN gsel ON nbsel.doc_id = gsel.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // Tokenizer fertility by source: chars-per-token and bytes-per-token
   // — the standard tokenizer-efficiency readout (a source whose bytes
   // per token runs high is expensive to train on; multilingual corpora

