@@ -192,6 +192,9 @@ object SparkEntry {
     // Kaplan-Meier view->purchase survival curve with censoring
     "events_survival" -> ((s, dir) =>
       EventOps.survivalCurve(Tables.events(s, dir))),
+    // multi-touch attribution: first/last/linear channel credits
+    "events_attribution" -> ((s, dir) =>
+      EventOps.attributionCredits(Tables.events(s, dir))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1084,6 +1087,7 @@ object SparkEntry {
     "events_stationary" -> EventOps.stationaryDistributionSql(),
     "events_survival" -> graft.ops.OracleCtes.materialize(
       EventOps.survivalCurveSql),
+    "events_attribution" -> EventOps.attributionCreditsSql,
     "graph_linkpred" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(

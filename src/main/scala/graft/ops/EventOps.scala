@@ -1722,6 +1722,88 @@ object EventOps {
   }
 
   // -------------------------------------------------------------------
+  // Multi-touch attribution: credit each channel (event type) for
+  // conversions under the three standard models — first-touch,
+  // last-touch, and linear (1/k to each of the user's k pre-purchase
+  // touches). The touch sequence is every view/click strictly before
+  // the user's FIRST purchase. First/last are exact integer counts
+  // (argmin/argmax over the unique (ts, event_id) order); linear
+  // credits are rationals cnt/k snapped per (user, channel) to the
+  // 1e12 grid and summed in DECIMAL — order-free. Two user-keyed aggs
+  // + one channel-keyed reduce; nothing data-sized near the driver.
+  // -------------------------------------------------------------------
+  def attributionCredits(events: DataFrame): DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val fp = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("fp_ts"))
+    val touches = events
+      .filter(col("event_type").isin("view", "click"))
+      .join(fp, Seq("user_id"))
+      .filter(col("ts") < col("fp_ts"))
+    val perUser = touches.groupBy("user_id").agg(
+      count(lit(1)).as("k"),
+      min(struct(col("ts"), col("event_id"), col("event_type"))).as("fst"),
+      max(struct(col("ts"), col("event_id"), col("event_type"))).as("lst"))
+    val firsts = perUser.groupBy(col("fst.event_type").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lasts = perUser.groupBy(col("lst.event_type").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    val linear = touches
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .join(perUser.select("user_id", "k"), Seq("user_id"))
+      .select(col("event_type").as("channel"),
+        round((col("cnt").cast("double") / col("k")) * 1e12)
+          .cast("long").as("lg"))
+      .groupBy("channel")
+      .agg((sum(col("lg").cast(Dec)).cast("string").cast("double") / 1e12)
+        .as("linear"))
+    linear
+      .join(firsts, Seq("channel"), "left")
+      .join(lasts, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        col("linear"))
+  }
+
+  val attributionCreditsSql: String =
+    """WITH fp AS (SELECT user_id, MIN(ts) AS fp_ts
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |touches AS (
+      |  SELECT e.user_id, e.ts, e.event_id, e.event_type
+      |  FROM events e JOIN fp USING (user_id)
+      |  WHERE e.event_type IN ('view', 'click') AND e.ts < fp.fp_ts),
+      |ranked AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM touches),
+      |per_user AS (SELECT user_id, COUNT(*) AS k
+      |  FROM touches GROUP BY user_id),
+      |firsts AS (SELECT event_type AS channel, COUNT(*) AS first_touch
+      |  FROM ranked WHERE rn_a = 1 GROUP BY 1),
+      |lasts AS (SELECT event_type AS channel, COUNT(*) AS last_touch
+      |  FROM ranked WHERE rn_d = 1 GROUP BY 1),
+      |lin AS (
+      |  SELECT t.event_type AS channel,
+      |    CAST(CAST(SUM(CAST(CAST(ROUND(
+      |      (CAST(cnt AS DOUBLE) / k) * 1e12) AS BIGINT) AS HUGEINT)
+      |      ) AS VARCHAR) AS DOUBLE) / 1e12 AS linear
+      |  FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+      |        FROM touches GROUP BY 1, 2) t
+      |  JOIN per_user p USING (user_id)
+      |  GROUP BY 1)
+      |SELECT channel,
+      |  COALESCE(first_touch, 0) AS first_touch,
+      |  COALESCE(last_touch, 0) AS last_touch,
+      |  linear
+      |FROM lin
+      |LEFT JOIN firsts USING (channel)
+      |LEFT JOIN lasts USING (channel)""".stripMargin
+
+  // -------------------------------------------------------------------
   // Kaplan–Meier survival curve of the view→purchase conversion
   // (Kaplan & Meier 1958): for every user with a first view, the
   // observed duration is either time-to-first-subsequent-purchase

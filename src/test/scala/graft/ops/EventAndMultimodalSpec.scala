@@ -783,4 +783,29 @@ class EventAndMultimodalSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getAs[Double]("surv")).toMap
     assert(r2(2L) == 0.0 && math.abs(r2(1L) - 0.5) < 1e-12)
   }
+
+  test("attribution: first/last/linear hand credits; post-purchase ignored") {
+    import spark.implicits._
+    def ev(u: Long, t: String, sec: Int, id: Long) =
+      (u, t, id, java.sql.Timestamp.valueOf(f"2020-01-01 00:00:$sec%02d"))
+    val evs = Seq(
+      // user 1: view click view purchase -> first=view last=view
+      // linear: view 2/3, click 1/3
+      ev(1, "view", 1, 11), ev(1, "click", 2, 12), ev(1, "view", 3, 13),
+      ev(1, "purchase", 4, 14),
+      ev(1, "click", 5, 15),                       // after purchase: ignored
+      // user 2: click purchase -> all credit to click
+      ev(2, "click", 1, 21), ev(2, "purchase", 2, 22),
+      // user 3: views but never buys: not attributed
+      ev(3, "view", 1, 31)
+    ).toDF("user_id", "event_type", "event_id", "ts")
+      .select("user_id", "event_type", "event_id", "ts")
+    val r = EventOps.attributionCredits(evs).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getAs[Double]("linear"))).toMap
+    assert(r("view") == ((1L, 1L, r("view")._3)))
+    assert(math.abs(r("view")._3 - 2.0 / 3) < 1e-9)
+    assert(r("click")._1 == 1L && r("click")._2 == 1L)
+    assert(math.abs(r("click")._3 - (1.0 / 3 + 1.0)) < 1e-9)
+  }
 }
