@@ -742,6 +742,10 @@ object SparkEntry {
       graft.ops.StatsOps.aucExact(Tables.table(s, dir, "documents"),
         col("n_chars"), col("lang") === "en")
     }),
+    // split-conformal calibration threshold + held-out coverage
+    "quality_conformal" -> ((s, dir) =>
+      graft.ops.StatsOps.conformal(
+        TextOps.nbScore(Tables.table(s, dir, "documents")))),
     // precision-recall curve of the NB scorer at every margin threshold
     "quality_pr_curve" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
@@ -1265,6 +1269,8 @@ object SparkEntry {
       "documents", "n_chars", "lang = 'en'"),
     "quality_pr_curve" -> graft.ops.StatsOps.prCurveSql(
       s"(${TextOps.nbScoreSql}) nbrel", "margin", "is_en"),
+    "quality_conformal" -> graft.ops.StatsOps.conformalSql(
+      TextOps.nbScoreSql),
     "orders_benford" -> graft.ops.StatsOps.benfordSql(
       "orders", "o_totalprice"),
     "text_nb_score" -> TextOps.nbScoreSql,

@@ -376,6 +376,68 @@ object StatsOps {
        |    THEN CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec) END AS f1
        |FROM ipr""".stripMargin
 
+  /** Split-conformal calibration (Vovk et al.; the distribution-free
+    * coverage guarantee): on a CALIBRATION split, take the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score q̂; predictions on
+    * fresh data whose score ≤ q̂ then cover the truth with probability
+    * ≥ 1−α, no matter what the model is. Here the score is the NB
+    * margin signed against the true label (s = −margin for English
+    * docs, +margin otherwise — "how wrong was the scorer"), calibration
+    * = doc_id%4==1, evaluation = %4==3, and the output is one row:
+    * (n_cal, n_eval, qhat, coverage).
+    *
+    * The rank selection runs through the distributed prefix fold (rank
+    * = running count over the unique (s, doc_id) order), with the
+    * target rank ⌈(n+1)·(1−α)⌉ computed in exact integer arithmetic
+    * (((n+1)·k + d − 1) div d for α = 1 − k/d) — at extreme scale
+    * swap the exact rank for the fixed-bin quantile (binnedQuantiles)
+    * exactly as events_mad documents. */
+  def conformal(
+      scored: DataFrame, alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    val keepNum = alphaDen - alphaNum // (1-α) = keepNum/alphaDen
+    val s = when(col("is_en"), lit(0.0) - col("margin"))
+      .otherwise(col("margin"))
+    val cal = scored.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), s.as("s"))
+    val ev = scored.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), s.as("s"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val ranked = Prefix.runningSum(cal,
+      Seq(col("s").asc, col("doc_id").asc), lit(1L), "rk")
+    val qhat = ranked.crossJoin(broadcast(nCal))
+      .filter(col("rk") ===
+        expr(s"((n_cal + 1) * $keepNum + ${alphaDen - 1}) div $alphaDen"))
+      .select(col("s").as("qhat"), col("n_cal"))
+    ev.crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_eval"),
+        max(col("qhat")).as("qhat"),
+        (sum(when(col("s") <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("coverage"))
+  }
+
+  /** DuckDB twin over a relation with (doc_id, margin, is_en). */
+  def conformalSql(
+      rel: String, alphaNum: Int = 1, alphaDen: Int = 10): String = {
+    val keepNum = alphaDen - alphaNum
+    s"""WITH sc AS (SELECT doc_id,
+       |    CASE WHEN is_en THEN 0.0 - margin ELSE margin END AS s
+       |  FROM ($rel) r),
+       |cal AS (SELECT doc_id, s FROM sc WHERE doc_id % 4 = 1),
+       |ev AS (SELECT doc_id, s FROM sc WHERE doc_id % 4 = 3),
+       |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+       |rk AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s ASC, doc_id ASC)
+       |    AS rk FROM cal),
+       |qh AS (SELECT rk.s AS qhat, nc.n_cal FROM rk, nc
+       |  WHERE rk.rk = ((n_cal + 1) * $keepNum + ${alphaDen - 1})
+       |    // $alphaDen)
+       |SELECT MAX(qh.n_cal) AS n_cal, COUNT(*) AS n_eval,
+       |  MAX(qh.qhat) AS qhat,
+       |  CAST(SUM(CASE WHEN ev.s <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS coverage
+       |FROM ev, qh""".stripMargin
+  }
+
   /** Benford first-significant-digit test over a positive 2-decimal
     * money column — the fabricated-data / unit-mixup screen. The digit
     * is extracted WITHOUT logarithms: round(x·100) is an exact long

@@ -141,4 +141,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(first.isNullAt(first.fieldIndex("f1")))
     assert(first.getAs[Double]("prec") == 0.0)
   }
+
+  test("conformal: rank-9-of-9 threshold and exact held-out coverage") {
+    import spark.implicits._
+    // 9 calibration docs (doc_id%4==1) with s = margin = 1..9 (is_en
+    // false -> s = +margin); rank ceil(10*0.9) = 9 -> qhat = 9.0
+    val cal = (0 until 9).map(i => (4L * i + 1, (i + 1).toDouble, false))
+    // 4 eval docs with s = 3, 9, 9.5, 20 -> 3 and 9 are covered: 2/4
+    val ev = Seq((3L, 3.0, false), (7L, 9.0, false),
+      (11L, 9.5, false), (15L, 20.0, false))
+    val scored = (cal ++ ev).toDF("doc_id", "margin", "is_en")
+    val r = StatsOps.conformal(scored).collect()(0)
+    assert(r.getAs[Long]("n_cal") == 9 && r.getAs[Long]("n_eval") == 4)
+    assert(r.getAs[Double]("qhat") == 9.0)
+    assert(r.getAs[Double]("coverage") == 0.5)
+    // is_en flips the score sign: margin 9 with is_en=true scores -9
+    val flipped = StatsOps.conformal(
+      scored.withColumn("is_en",
+        org.apache.spark.sql.functions.lit(true))).collect()(0)
+    assert(flipped.getAs[Double]("qhat") == -1.0)
+  }
 }
