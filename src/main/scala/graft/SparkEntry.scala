@@ -195,6 +195,9 @@ object SparkEntry {
     // multi-touch attribution: first/last/linear channel credits
     "events_attribution" -> ((s, dir) =>
       EventOps.attributionCredits(Tables.events(s, dir))),
+    // next-hour volume forecast: exponential smoothing per type
+    "events_forecast" -> ((s, dir) =>
+      EventOps.sesForecast(Tables.events(s, dir))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1092,6 +1095,7 @@ object SparkEntry {
     "events_survival" -> graft.ops.OracleCtes.materialize(
       EventOps.survivalCurveSql),
     "events_attribution" -> EventOps.attributionCreditsSql,
+    "events_forecast" -> EventOps.sesForecastSql(),
     "graph_linkpred" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(

@@ -1722,6 +1722,64 @@ object EventOps {
   }
 
   // -------------------------------------------------------------------
+  // Next-hour volume forecast by simple exponential smoothing (Brown
+  // 1956): ŷ = α·Σ_{i=0..H−1} (1−α)^i · y(t−i) over the trailing H
+  // hourly buckets per event type — the ops-dashboard forecasting
+  // primitive. The geometric weights are DRIVER-SIDE constants inlined
+  // as identical double literals in both engines (the tail beyond H
+  // carries (1−α)^H < 0.08% of mass at H=24, dropped identically);
+  // per-term products weight·count snap to the 1e12 grid and sum in
+  // DECIMAL so bucket order can't move a bit. One hour×type count agg
+  // (map-side combined) + a 24-row broadcast weight join + one k-type
+  // reduce; the forecast never shuffles event rows twice.
+  // -------------------------------------------------------------------
+  def sesForecast(
+      events: DataFrame, alpha: Double = 0.3, horizon: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Dec = DecimalType(38, 0)
+    val buckets = events.groupBy(
+        expr("unix_micros(ts) div 3600000000").as("hb"),
+        col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val hmax = buckets.agg(max("hb").as("hmax"))
+    val weights = (0 until horizon)
+      .map(i => (i.toLong, alpha * math.pow(1.0 - alpha, i)))
+      .toDF("lag", "w")
+    buckets.crossJoin(broadcast(hmax))
+      .join(broadcast(weights), col("hb") === col("hmax") - col("lag"))
+      .select(col("event_type"),
+        round((col("w") * col("y")) * 1e12).cast("long").as("tg"))
+      .groupBy("event_type")
+      .agg((sum(col("tg").cast(Dec)).cast("string").cast("double") / 1e12)
+        .as("forecast"))
+  }
+
+  def sesForecastSql(alpha: Double = 0.3, horizon: Int = 24): String = {
+    // E-notation so DuckDB parses the weights as DOUBLE — a bare
+    // 17-digit decimal literal types DECIMAL(38,17) and double-rounds
+    // one ulp off the JVM parse (the RankEval.dlit lesson)
+    def e(d: Double): String = {
+      val s = java.lang.Double.toString(d)
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val ws = (0 until horizon)
+      .map(i => s"($i, ${e(alpha * math.pow(1.0 - alpha, i))})")
+      .mkString(", ")
+    s"""WITH b AS (SELECT epoch_us(ts) // 3600000000 AS hb, event_type,
+       |    COUNT(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |hm AS (SELECT MAX(hb) AS hmax FROM b),
+       |w(lag, w) AS (VALUES $ws)
+       |SELECT event_type,
+       |  CAST(CAST(SUM(CAST(CAST(ROUND((w.w * y) * 1e12) AS BIGINT)
+       |    AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1e12 AS forecast
+       |FROM b, hm
+       |JOIN w ON b.hb = hm.hmax - w.lag
+       |GROUP BY event_type""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Multi-touch attribution: credit each channel (event type) for
   // conversions under the three standard models — first-touch,
   // last-touch, and linear (1/k to each of the user's k pre-purchase

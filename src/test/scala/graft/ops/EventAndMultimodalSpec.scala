@@ -808,4 +808,27 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(r("click")._1 == 1L && r("click")._2 == 1L)
     assert(math.abs(r("click")._3 - (1.0 / 3 + 1.0)) < 1e-9)
   }
+
+  test("ses forecast: geometric weights over trailing buckets, hand value") {
+    import spark.implicits._
+    def ev(t: String, hour: Int, id: Long) =
+      (1L, t, id, java.sql.Timestamp.valueOf(f"2020-01-01 $hour%02d:30:00"))
+    // type a: counts 2 then 3 in the last two hours -> forecast
+    // 0.3*3 + 0.3*0.7*2 = 1.32 ; type b only in the last hour: 0.3*4
+    val evs = Seq(
+      ev("a", 10, 1), ev("a", 10, 2),
+      ev("a", 11, 3), ev("a", 11, 4), ev("a", 11, 5),
+      ev("b", 11, 6), ev("b", 11, 7), ev("b", 11, 8), ev("b", 11, 9)
+    ).toDF("user_id", "event_type", "event_id", "ts")
+    val f = EventOps.sesForecast(evs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(f("a") - (0.3 * 3 + 0.3 * 0.7 * 2)) < 1e-9)
+    assert(math.abs(f("b") - 0.3 * 4) < 1e-9)
+    // a bucket older than the horizon contributes nothing
+    val old = Seq((1L, "a", 99L, java.sql.Timestamp.valueOf("2019-12-01 00:00:00")))
+      .toDF("user_id", "event_type", "event_id", "ts")
+    val f2 = EventOps.sesForecast(evs.union(old)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(f2 == f)
+  }
 }
