@@ -366,6 +366,9 @@ object SparkEntry {
     // asymmetric containment |A∩B|/|A| — the quote/subset detector
     "dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(Tables.table(s, dir, "documents"))),
+    // banding-loss eval: LSH near-dups vs exact-Jaccard truth
+    "dedup_eval" -> ((s, dir) =>
+      Dedup.minhashEval(Tables.table(s, dir, "documents"))),
     // lossless prefix-filtering variant (SSJoin/PPJoin family): the
     // rarest-first prefix index replaces the DF cap entirely
     "dedup_prefix_jaccard" -> ((s, dir) =>
@@ -1153,6 +1156,7 @@ object SparkEntry {
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
+    "dedup_eval" -> graft.ops.OracleCtes.materialize(Dedup.minhashEvalSql()),
     "dedup_prefix_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.prefixJaccardPairsSql()),
     "dedup_minhash" -> graft.ops.OracleCtes.materialize(Dedup.minhashNearDupsMd5Sql()),
     "dedup_simhash" -> graft.ops.OracleCtes.materialize(Dedup.simhashNearDupsMd5Sql()),

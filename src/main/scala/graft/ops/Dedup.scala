@@ -823,6 +823,58 @@ object Dedup {
   // DuckDB-expressible, so the driver hash-checks the WHOLE pipeline.
   // -------------------------------------------------------------------
 
+  /** Banding-loss evaluation of the MinHash pipeline: compare the
+    * md5-family LSH near-dup pairs against the exact n-gram Jaccard
+    * truth at the same threshold — n_truth / n_found / n_hit plus
+    * precision and recall in one row. Because candidates are verified
+    * with the exact Jaccard, precision is 1 BY CONSTRUCTION (asserted
+    * by the gate, not assumed); recall is the number that matters —
+    * how many true near-dup pairs the banding scheme never surfaced.
+    * This is the eval a pipeline owner runs before trusting b/r
+    * settings at scale. Three 1-row aggregates over the two
+    * (already scale-shaped) pair pipelines + a pair-keyed semi join. */
+  def minhashEval(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n, threshold, maxDf)
+      .select("da", "db").localCheckpoint(true)
+    val found = minhashNearDupsMd5(docs, n, numPerm, rowsPerBand,
+      threshold, maxDf).select("da", "db").localCheckpoint(true)
+    val tA = truth.agg(count(lit(1)).as("n_truth"))
+    val fA = found.agg(count(lit(1)).as("n_found"))
+    val hA = truth.join(found, Seq("da", "db"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    tA.crossJoin(fA).crossJoin(hA).select(
+      col("n_truth"), col("n_found"), col("n_hit"),
+      when(col("n_found") > 0,
+        col("n_hit").cast("double") / col("n_found")).as("precision"),
+      when(col("n_truth") > 0,
+        col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
+  def minhashEvalSql(
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String =
+    s"""WITH tt AS (SELECT da, db
+       |  FROM (${ngramJaccardPairsSql(n, threshold, maxDf)}) q1),
+       |ff AS (SELECT da, db
+       |  FROM (${minhashNearDupsMd5Sql(n, numPerm, rowsPerBand,
+            threshold, maxDf)}) q2),
+       |ta AS (SELECT COUNT(*) AS n_truth FROM tt),
+       |fa AS (SELECT COUNT(*) AS n_found FROM ff),
+       |ha AS (SELECT COUNT(*) AS n_hit FROM tt
+       |  WHERE EXISTS (SELECT 1 FROM ff
+       |                WHERE ff.da = tt.da AND ff.db = tt.db))
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_found AS BIGINT) AS n_found,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CASE WHEN n_found > 0
+       |    THEN CAST(n_hit AS DOUBLE) / n_found END AS precision,
+       |  CASE WHEN n_truth > 0
+       |    THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall
+       |FROM ta, fa, ha""".stripMargin
+
   /** [[minhashNearDups]] over the md5-affine hash family. */
   def minhashNearDupsMd5(
       docs: DataFrame, n: Int = 3, numPerm: Int = 64,

@@ -376,4 +376,19 @@ class DedupSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 2.0, 0.25, 1.0))
       .map(t => (t._1, t._2, t._4, t._5)))
   }
+
+  test("minhash eval: counts agree with the two pipelines run directly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = Dedup.minhashEval(docs).collect()(0)
+    val truth = Dedup.ngramJaccardPairs(docs).select("da", "db").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val found = Dedup.minhashNearDupsMd5(docs).select("da", "db").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getAs[Long]("n_truth") == truth.size)
+    assert(r.getAs[Long]("n_found") == found.size)
+    assert(r.getAs[Long]("n_hit") == (truth intersect found).size)
+    // verified candidates are a subset of truth -> precision is 1.0
+    assert(r.getAs[Double]("precision") == 1.0)
+    assert(r.getAs[Double]("recall") <= 1.0 && r.getAs[Double]("recall") > 0.0)
+  }
 }
