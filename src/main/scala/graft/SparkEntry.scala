@@ -181,6 +181,9 @@ object SparkEntry {
     "sample_coreset" -> ((s, dir) =>
       graft.ops.Sampling.coresetSample(
         Tables.points(s, dir), Tables.initCentroids(s, dir, K))),
+    // degree assortativity of the co-order graph
+    "graph_assortativity" -> ((s, dir) =>
+      graft.ops.GraphOps.coOrderAssortativity(Tables.table(s, dir, "lineitem"))),
     // link prediction: top-k neighborhood-Jaccard non-edges
     "graph_linkpred" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderLinkPrediction(Tables.table(s, dir, "lineitem"))),
@@ -1101,6 +1104,8 @@ object SparkEntry {
     "events_forecast" -> EventOps.sesForecastSql(),
     "graph_linkpred" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
+    "graph_assortativity" -> graft.ops.OracleCtes.materialize(
+      graft.ops.GraphOps.coOrderAssortativitySql()),
     "events_ab_ttest" -> graft.ops.StatsOps.welchTTestSql(
       "events", "value", "event_type", "click", "view"),
     "pipe_ensemble" -> graft.ops.OracleCtes.materialize(

@@ -856,11 +856,16 @@ object Dedup {
   def minhashEvalSql(
       n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
       threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String =
+    // the inner pipelines are PRE-materialized: the registration-time
+    // OracleCtes.materialize only rewrites depth-0 CTE names, and the
+    // un-hinted inner shingle chains (sh0 referenced 2-3× each) re-
+    // evaluated per reference at sf1 until DuckDB's spill disk filled
     s"""WITH tt AS (SELECT da, db
-       |  FROM (${ngramJaccardPairsSql(n, threshold, maxDf)}) q1),
+       |  FROM (${OracleCtes.materialize(
+            ngramJaccardPairsSql(n, threshold, maxDf))}) q1),
        |ff AS (SELECT da, db
-       |  FROM (${minhashNearDupsMd5Sql(n, numPerm, rowsPerBand,
-            threshold, maxDf)}) q2),
+       |  FROM (${OracleCtes.materialize(minhashNearDupsMd5Sql(
+            n, numPerm, rowsPerBand, threshold, maxDf))}) q2),
        |ta AS (SELECT COUNT(*) AS n_truth FROM tt),
        |fa AS (SELECT COUNT(*) AS n_found FROM ff),
        |ha AS (SELECT COUNT(*) AS n_hit FROM tt

@@ -497,6 +497,72 @@ object GraphOps {
        |FROM ne JOIN deg da ON pa = da.n JOIN deg db ON pb = db.n
        |ORDER BY jaccard DESC, pa ASC, pb ASC LIMIT $k""".stripMargin
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge relation — do hubs
+    * link to hubs (r > 0, social-network shape) or to leaves (r < 0,
+    * technological/dependency shape)? Degrees are exact integers, so
+    * ALL sufficient statistics (Σx, Σy, Σxy, Σx², Σy², m) accumulate in
+    * DECIMAL(38,0)/HUGEINT with zero grid-snapping, and r is the one
+    * closed-form IEEE expression of exact numbers — the corrMatrix
+    * recipe specialized to the graph. Two node-keyed joins to annotate
+    * degrees + one 1-row aggregate; |E|-sized throughout. */
+  def assortativity(edges0: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = edges0.select("a", "b").distinct().localCheckpoint(true)
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val st = pairs.agg(
+      count(lit(1)).as("m"),
+      sum(col("du").cast(Dec)).as("sx"),
+      sum(col("dv").cast(Dec)).as("sy"),
+      sum((col("du") * col("dv")).cast(Dec)).as("sxy"),
+      sum((col("du") * col("du")).cast(Dec)).as("sxx"),
+      sum((col("dv") * col("dv")).cast(Dec)).as("syy"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val mD = col("m").cast(Dec)
+    val num = mD * col("sxy") - col("sx") * col("sy")
+    val dx = mD * col("sxx") - col("sx") * col("sx")
+    val dy = mD * col("syy") - col("sy") * col("sy")
+    st.select(col("m").as("m_directed"),
+      when(dx === lit(0).cast(Dec) || dy === lit(0).cast(Dec),
+        lit(null).cast("double"))
+        .otherwise(dbl(num) / (sqrt(dbl(dx)) * sqrt(dbl(dy))))
+        .as("assortativity"))
+  }
+
+  def coOrderAssortativity(
+      lineitem: DataFrame, minSupport: Int = 2): DataFrame =
+    assortativity(coOrderEdges(lineitem, minSupport))
+
+  def coOrderAssortativitySql(minSupport: Int = 2): String =
+    s"""WITH e AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |sym AS (SELECT a AS u, b AS v FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT u AS n, COUNT(*) AS d FROM sym GROUP BY u),
+       |st AS (SELECT COUNT(*) AS m,
+       |    SUM(CAST(da.d AS HUGEINT)) AS sx,
+       |    SUM(CAST(db.d AS HUGEINT)) AS sy,
+       |    SUM(CAST(da.d * db.d AS HUGEINT)) AS sxy,
+       |    SUM(CAST(da.d * da.d AS HUGEINT)) AS sxx,
+       |    SUM(CAST(db.d * db.d AS HUGEINT)) AS syy
+       |  FROM sym JOIN deg da ON sym.u = da.n JOIN deg db ON sym.v = db.n)
+       |SELECT CAST(m AS BIGINT) AS m_directed,
+       |  CASE WHEN (CAST(m AS HUGEINT) * sxx - sx * sx) = 0
+       |         OR (CAST(m AS HUGEINT) * syy - sy * sy) = 0 THEN NULL
+       |    ELSE CAST(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |      / (SQRT(CAST(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+       |         * SQRT(CAST(CAST(CAST(m AS HUGEINT) * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+       |  END AS assortativity
+       |FROM st""".stripMargin
+
   /** Association-rule mining, the 2-itemset stage: top-k co-ordered
     * part pairs ranked by lift = P(a,b)/(P(a)P(b)) with a minimum
     * support floor (Agrawal & Srikant 1994's Apriori counting stage,

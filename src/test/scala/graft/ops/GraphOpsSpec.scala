@@ -263,4 +263,17 @@ class GraphOpsSpec extends SparkSpec {
     // an existing edge never appears even with a full shared hood
     assert(!r.exists(p => (p._1,p._2) == (1L,2L)))
   }
+
+  test("assortativity: a star is perfectly disassortative, a cycle is degenerate") {
+    import spark.implicits._
+    // star: hub 1 to leaves 2..5 -> every edge links deg-4 to deg-1: r = -1
+    val star = Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L)).toDF("a","b")
+    val r = GraphOps.assortativity(star).collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-12)
+    // cycle: all degrees equal -> zero variance -> NULL by contract
+    val cyc = Seq((1L,2L),(2L,3L),(3L,1L)).toDF("a","b")
+    val c = GraphOps.assortativity(cyc).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("assortativity")))
+  }
 }
