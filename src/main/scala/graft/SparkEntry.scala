@@ -986,6 +986,14 @@ object SparkEntry {
           graft.streaming.StreamOps.readEventStream(s, dir),
           windowLen = "1 hour", slide = "30 minutes"),
         org.apache.spark.sql.streaming.OutputMode.Complete())),
+    // built-in session_window aggregation run as a stream (Complete
+    // mode — the engine's session-window state store does the gap
+    // merging; the sink is the final merged session set)
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.sessionWindowAgg(
+          graft.streaming.StreamOps.readEventStream(s, dir)),
+        org.apache.spark.sql.streaming.OutputMode.Complete())),
     // stateless stream-static enrichment: broadcast dim join, append
     // mode — every arriving event emits exactly once, so the sink IS
     // the batch join result
@@ -1351,6 +1359,27 @@ object SparkEntry {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
         .stripMargin,
     "stream_dedup" -> "SELECT * FROM events",
+    // gap-and-islands twin of the engine's session_window merging:
+    // same session iff next ts < prev ts + gap (strict), end = last+gap
+    "stream_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "stream_latest" ->
       """SELECT user_id, ts, event_id, value FROM (
         |  SELECT user_id, ts, event_id, value,
