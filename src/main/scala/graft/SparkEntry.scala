@@ -201,6 +201,9 @@ object SparkEntry {
     // next-hour volume forecast: exponential smoothing per type
     "events_forecast" -> ((s, dir) =>
       EventOps.sesForecast(Tables.events(s, dir))),
+    // rank / dense_rank / percent_rank / cume_dist in one window pass
+    "events_rank_suite" -> ((s, dir) =>
+      EventOps.rankSuite(Tables.events(s, dir))),
     // Welch unequal-variance t-test between two event cohorts
     "events_ab_ttest" -> ((s, dir) =>
       graft.ops.StatsOps.welchTTest(
@@ -1110,6 +1113,7 @@ object SparkEntry {
       EventOps.survivalCurveSql),
     "events_attribution" -> EventOps.attributionCreditsSql,
     "events_forecast" -> EventOps.sesForecastSql(),
+    "events_rank_suite" -> EventOps.rankSuiteSql,
     "graph_linkpred" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderLinkPredictionSql()),
     "graph_assortativity" -> graft.ops.OracleCtes.materialize(

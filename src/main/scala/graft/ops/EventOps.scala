@@ -1722,6 +1722,34 @@ object EventOps {
   }
 
   // -------------------------------------------------------------------
+  // The rank-function family in one per-type window pass: rank,
+  // dense_rank, percent_rank, cume_dist over value (ties broken into
+  // the ORDER BY only where the function's own semantics demand ties —
+  // rank/dense_rank/percent_rank/cume_dist are all tie-aware, so the
+  // order key is the raw value and ties produce the SQL-standard
+  // shared ranks). percent_rank = (rank−1)/(n−1) and cume_dist =
+  // peers_cume/n are exact integer ratios → bit-stable cross-engine.
+  // One event_type shuffle; per-type partitions sort independently.
+  // -------------------------------------------------------------------
+  def rankSuite(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"))
+    events.select(col("event_id"), col("event_type"), col("value"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  val rankSuiteSql: String =
+    """SELECT event_id, event_type, value,
+      |  CAST(RANK() OVER w AS INT) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      |  PERCENT_RANK() OVER w AS prnk,
+      |  CUME_DIST() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value)""".stripMargin
+
+  // -------------------------------------------------------------------
   // Next-hour volume forecast by simple exponential smoothing (Brown
   // 1956): ŷ = α·Σ_{i=0..H−1} (1−α)^i · y(t−i) over the trailing H
   // hourly buckets per event type — the ops-dashboard forecasting

@@ -831,4 +831,17 @@ class EventAndMultimodalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(f2 == f)
   }
+
+  test("rank suite: ties share ranks with SQL-standard gaps and ratios") {
+    import spark.implicits._
+    val evs = Seq((1L, "a", 10.0), (2L, "a", 10.0), (3L, "a", 20.0),
+      (4L, "a", 30.0)).toDF("event_id", "event_type", "value")
+    val r = EventOps.rankSuite(evs).collect()
+      .map(x => x.getLong(0) -> (x.getInt(3), x.getInt(4),
+        x.getAs[Double]("prnk"), x.getAs[Double]("cdist"))).toMap
+    // tie at 10.0: rank 1,1 then GAP to 3; dense_rank 1,1,2,3
+    assert(r(1L) == ((1, 1, 0.0, 0.5)) && r(2L) == ((1, 1, 0.0, 0.5)))
+    assert(r(3L) == ((3, 2, 2.0 / 3, 0.75)))
+    assert(r(4L) == ((4, 3, 1.0, 1.0)))
+  }
 }
