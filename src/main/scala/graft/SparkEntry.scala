@@ -651,6 +651,9 @@ object SparkEntry {
     // RFM segmentation: rank-quintile scores via chained prefix folds
     "orders_rfm" -> ((s, dir) =>
       graft.ops.Relational.rfmSegments(Tables.table(s, dir, "orders"))),
+    // Gini coefficient of revenue concentration (exact rank formula)
+    "orders_gini" -> ((s, dir) =>
+      graft.ops.Relational.giniRevenue(Tables.table(s, dir, "orders"))),
     "debtor_segments" -> ((s, dir) =>
       graft.ops.Relational.debtorSegments(
         Tables.table(s, dir, "customer"), Tables.table(s, dir, "orders"))),
@@ -1252,6 +1255,7 @@ object SparkEntry {
     "waiting_suppliers" -> graft.ops.Relational.waitingSuppliersSql(),
     "orders_pareto" -> graft.ops.Relational.paretoAbcSql,
     "orders_rfm" -> graft.ops.Relational.rfmSegmentsSql,
+    "orders_gini" -> graft.ops.Relational.giniRevenueSql,
     "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
     "dq_orders" -> graft.ops.DataQuality.ordersChecksSql(),
     "er_match" -> graft.ops.EntityResolution.matchCustomersSql(),

@@ -406,6 +406,53 @@ object Relational {
        |       ELSE 'C' END AS abc_class
        |FROM cum, tot""".stripMargin
 
+  /** Gini coefficient of customer revenue concentration — the summary
+    * number behind the Pareto/ABC curve (0 = perfectly equal, →1 = one
+    * customer is the whole book). Computed by the exact rank formula
+    * G = (2·Σ rank·x) / (n·Σx) − (n+1)/n over cents-integer revenues
+    * ranked ascending (ties broken by custkey — the formula is
+    * tie-order-invariant because equal x contribute symmetric rank
+    * sums, and the fixed tiebreak keeps both engines identical anyway).
+    * Every Σ is exact DECIMAL/HUGEINT; rank comes from the
+    * range-partitioned prefix fold; the final G is one IEEE expression
+    * of exact integers. */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    val Dec38 = DecimalType(38, 0)
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val ranked = Prefix.runningSum(rev,
+      Seq(col("cents").asc, col("o_custkey").asc), lit(1L), "rk")
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("string").cast("double")
+    val st = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast(Dec38)).as("sx"),
+      sum(col("rk").cast(Dec38) * col("cents").cast(Dec38)).as("srx"))
+    st.select(col("n").as("n_customers"),
+      (dbl(col("sx")) / lit(100.0)).as("total_revenue"),
+      (dbl(lit(2).cast(Dec38) * col("srx")) /
+        dbl(col("n").cast(Dec38) * col("sx")) -
+        (col("n") + 1).cast("double") / col("n")).as("gini"))
+  }
+
+  def giniRevenueSql: String =
+    s"""WITH rev AS (SELECT o_custkey,
+       |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+       |  FROM orders GROUP BY 1),
+       |rk AS (SELECT cents,
+       |    ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS rk
+       |  FROM rev),
+       |st AS (SELECT COUNT(*) AS n,
+       |    SUM(CAST(cents AS HUGEINT)) AS sx,
+       |    SUM(CAST(rk AS HUGEINT) * CAST(cents AS HUGEINT)) AS srx
+       |  FROM rk)
+       |SELECT CAST(n AS BIGINT) AS n_customers,
+       |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 100.0 AS total_revenue,
+       |  CAST(CAST(2 * srx AS VARCHAR) AS DOUBLE) /
+       |    CAST(CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) -
+       |    CAST(n + 1 AS DOUBLE) / n AS gini
+       |FROM st""".stripMargin
+
   /** RFM customer segmentation: per-customer Recency (last order
     * date), Frequency (order count), Monetary (total cents), each
     * scored 1–5 by exact rank quintile — the standard CRM segmentation

@@ -255,4 +255,18 @@ class RelationalSpec extends SparkSpec {
       .map(x => x.getAs[Long]("o_custkey") -> x.getAs[Int]("rfm")).toMap
     assert(r == Map(1L -> 111, 2L -> 222, 3L -> 333, 4L -> 444, 5L -> 555))
   }
+
+  test("gini: equality at 0, extreme concentration near 1, hand value") {
+    import spark.implicits._
+    def g(rev: Seq[Double]): Double =
+      Relational.giniRevenue(rev.zipWithIndex
+          .map { case (r, i) => (i.toLong, r) }
+          .toDF("o_custkey", "o_totalprice"))
+        .collect()(0).getAs[Double]("gini")
+    assert(math.abs(g(Seq(5.0, 5.0, 5.0, 5.0))) < 1e-12)
+    // one customer holds everything: G = (n-1)/n = 0.75 for n = 4
+    assert(math.abs(g(Seq(0.0, 0.0, 0.0, 100.0)) - 0.75) < 1e-12)
+    // hand case (1,2,3,4): G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert(math.abs(g(Seq(1.0, 2.0, 3.0, 4.0)) - 0.25) < 1e-12)
+  }
 }
