@@ -192,6 +192,9 @@ object SparkEntry {
     // Markov stationary distribution of the event-type chain
     "events_stationary" -> ((s, dir) =>
       EventOps.stationaryDistribution(Tables.events(s, dir))),
+    // Markov entropy rate: predictability of the next event type
+    "events_entropy_rate" -> ((s, dir) =>
+      EventOps.entropyRate(Tables.events(s, dir))),
     // Kaplan-Meier view->purchase survival curve with censoring
     "events_survival" -> ((s, dir) =>
       EventOps.survivalCurve(Tables.events(s, dir))),
@@ -1112,6 +1115,7 @@ object SparkEntry {
         graft.ops.Sampling.coresetSampleSql()),
     "events_dp_counts" -> EventOps.dpCountsSql(),
     "events_stationary" -> EventOps.stationaryDistributionSql(),
+    "events_entropy_rate" -> EventOps.entropyRateSql(),
     "events_survival" -> graft.ops.OracleCtes.materialize(
       EventOps.survivalCurveSql),
     "events_attribution" -> EventOps.attributionCreditsSql,

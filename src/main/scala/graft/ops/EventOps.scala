@@ -2057,6 +2057,57 @@ object EventOps {
   }
 
   // -------------------------------------------------------------------
+  // Entropy rate of the event-type Markov chain: H = −Σ_i π_i Σ_j
+  // p_ij ln p_ij nats/step — how predictable is the NEXT action given
+  // the current one (0 = deterministic behavior, ln k = uniform
+  // chaos). Pure composition of [[stationaryDistribution]] (k rows,
+  // broadcast) and the [[transitions]] matrix: each of the k² terms
+  // π·p·ln(1/p) goes through the portable log and snaps to the 1e15
+  // grid before the 1-row sum, so both engines fold identically.
+  // -------------------------------------------------------------------
+  def entropyRate(events: DataFrame, iters: Int = 10): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Dec = DecimalType(38, 0)
+    val pi = stationaryDistribution(events, iters)
+      .select(col("event_type").as("from_type"), col("pi").as("piv"))
+    val p = transitions(events).select(col("from_type"), col("p"))
+    val nStates = pi.agg(count(lit(1)).as("n_states"))
+    p.join(broadcast(pi), Seq("from_type"))
+      .select(round(((col("piv") * col("p")) *
+          plog(lit(1.0) / col("p"))) * 1e15).cast("long").as("tg"))
+      .agg((sum(col("tg").cast(Dec)).cast("string").cast("double") / 1e15)
+        .as("entropy_nats"))
+      .crossJoin(broadcast(nStates))
+      .select(col("n_states"), col("entropy_nats"))
+  }
+
+  def entropyRateSql(iters: Int = 10): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH pires AS MATERIALIZED (${stationaryDistributionSql(iters)}),
+       |seq2 AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |cnt2 AS MATERIALIZED (
+       |  SELECT from_type, to_type, COUNT(*) AS n
+       |  FROM seq2 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |p2 AS (SELECT from_type,
+       |  CAST(n AS DOUBLE) /
+       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+       |  FROM cnt2),
+       |terms AS (SELECT
+       |    CAST(ROUND(((pires.pi * p2.p) * (${plogSql("1.0 / p2.p")}))
+       |      * 1e15) AS BIGINT) AS tg
+       |  FROM p2 JOIN pires ON p2.from_type = pires.event_type),
+       |ns AS (SELECT COUNT(*) AS n_states FROM pires)
+       |SELECT ns.n_states,
+       |  CAST(CAST(SUM(CAST(tg AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1e15
+       |    AS entropy_nats
+       |FROM terms, ns GROUP BY ns.n_states""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Differentially-private release of the per-type event counts:
   // count + Laplace(Δ/ε) noise (Dwork et al. 2006; sensitivity Δ=1 for
   // a counting query). The noise is the INVERSE-CDF sample

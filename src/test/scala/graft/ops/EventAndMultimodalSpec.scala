@@ -844,4 +844,18 @@ class EventAndMultimodalSpec extends SparkSpec {
     assert(r(3L) == ((3, 2, 2.0 / 3, 0.75)))
     assert(r(4L) == ((4, 3, 1.0, 1.0)))
   }
+
+  test("entropy rate: deterministic chain is 0, fair alternation is ln 2") {
+    import spark.implicits._
+    def mk(seq: String) = seq.zipWithIndex.map { case (c, i) =>
+      (1L, c.toString, i.toLong,
+        java.sql.Timestamp.valueOf(f"2020-01-01 00:00:${i}%02d"))
+    }.toDF("user_id", "event_type", "event_id", "ts")
+    // strict alternation: every transition is certain -> H = 0
+    val det = EventOps.entropyRate(mk("abababab"), iters = 30).collect()(0)
+    assert(det.getAs[Double]("entropy_nats") == 0.0)
+    // from each state both successors equally likely -> H = ln 2
+    val fair = EventOps.entropyRate(mk("aabbabba" * 8), iters = 60).collect()(0)
+    assert(math.abs(fair.getAs[Double]("entropy_nats") - math.log(2)) < 0.05)
+  }
 }
