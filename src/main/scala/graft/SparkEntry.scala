@@ -666,6 +666,10 @@ object SparkEntry {
       graft.ops.DataQuality.ordersChecks(
         Tables.table(s, dir, "orders"), Tables.table(s, dir, "customer"),
         Tables.table(s, dir, "lineitem"))),
+    // the same suite shape over the corpus table (pre-ingest DQ gate)
+    "dq_documents" -> ((s, dir) =>
+      graft.ops.DataQuality.documentsChecks(
+        Tables.table(s, dir, "documents"))),
     // blocked entity resolution: suffix+nation blocking join, edit-
     // distance scoring, best-match-per-row via TopKPerKey (k=1)
     "er_match" -> ((s, dir) =>
@@ -1262,6 +1266,7 @@ object SparkEntry {
     "orders_gini" -> graft.ops.Relational.giniRevenueSql,
     "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
     "dq_orders" -> graft.ops.DataQuality.ordersChecksSql(),
+    "dq_documents" -> graft.ops.DataQuality.documentsChecksSql(),
     "er_match" -> graft.ops.EntityResolution.matchCustomersSql(),
     "events_scd2" -> EventOps.scd2HistorySql,
     "events_pit_join" -> EventOps.pitScd2JoinSql(),

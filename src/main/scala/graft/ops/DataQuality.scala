@@ -67,6 +67,71 @@ object DataQuality {
           .otherwise(col("value") === 0).cast("int").as("pass"))
   }
 
+  /** The same Deequ-style suite shape over the CORPUS table — the DQ
+    * gate a training pipeline runs before ingest: completeness of
+    * text/lang/source, doc_id uniqueness, a lang domain check, and a
+    * non-degenerate length bound (n_chars must match length(text) —
+    * catching a stale derived column, the classic silent corruption).
+    * One scan + one 1-row aggregate; stack-unpivoted like the orders
+    * suite. */
+  def documentsChecks(docs: DataFrame): DataFrame = {
+    val langBad = col("lang").isNull ||
+      !col("lang").isin("en", "de", "es", "fr", "zh")
+    val m = docs.agg(
+      count(lit(1)).as("row_count"),
+      count(when(col("doc_id").isNull, 1)).as("docid_nulls"),
+      (count(col("doc_id")) - countDistinct(col("doc_id")))
+        .as("docid_dupes"),
+      count(when(col("text").isNull || length(col("text")) === 0, 1))
+        .as("text_empty"),
+      count(when(langBad, 1)).as("lang_domain"),
+      count(when(col("source").isNull, 1)).as("source_nulls"),
+      count(when(col("n_chars").isNull ||
+        col("n_chars") =!= length(col("text")).cast("long"), 1))
+        .as("nchars_stale"))
+    m.selectExpr(
+      """stack(7,
+        |  'row_count', row_count,
+        |  'docid_nulls', docid_nulls,
+        |  'docid_dupes', docid_dupes,
+        |  'text_empty', text_empty,
+        |  'lang_domain', lang_domain,
+        |  'source_nulls', source_nulls,
+        |  'nchars_stale', nchars_stale) AS (check_name, value)
+        |""".stripMargin)
+      .select(col("check_name"), col("value"),
+        when(col("check_name") === "row_count", col("value") > 0)
+          .otherwise(col("value") === 0).cast("int").as("pass"))
+  }
+
+  def documentsChecksSql(): String =
+    """WITH m AS (
+      |  SELECT COUNT(*) AS row_count,
+      |    COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS docid_nulls,
+      |    COUNT(doc_id) - COUNT(DISTINCT doc_id) AS docid_dupes,
+      |    COUNT(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+      |      AS text_empty,
+      |    COUNT(CASE WHEN lang IS NULL
+      |      OR lang NOT IN ('en','de','es','fr','zh') THEN 1 END)
+      |      AS lang_domain,
+      |    COUNT(CASE WHEN source IS NULL THEN 1 END) AS source_nulls,
+      |    COUNT(CASE WHEN n_chars IS NULL
+      |      OR n_chars <> CAST(length(text) AS BIGINT) THEN 1 END)
+      |      AS nchars_stale
+      |  FROM documents),
+      |u AS (
+      |  SELECT 'row_count' AS check_name, row_count AS value FROM m
+      |  UNION ALL SELECT 'docid_nulls', docid_nulls FROM m
+      |  UNION ALL SELECT 'docid_dupes', docid_dupes FROM m
+      |  UNION ALL SELECT 'text_empty', text_empty FROM m
+      |  UNION ALL SELECT 'lang_domain', lang_domain FROM m
+      |  UNION ALL SELECT 'source_nulls', source_nulls FROM m
+      |  UNION ALL SELECT 'nchars_stale', nchars_stale FROM m)
+      |SELECT check_name, value,
+      |  CAST(CASE WHEN check_name = 'row_count' THEN value > 0
+      |    ELSE value = 0 END AS INT) AS pass
+      |FROM u""".stripMargin
+
   def ordersChecksSql(): String =
     """WITH m AS (
       |  SELECT COUNT(*) AS row_count,

@@ -59,4 +59,28 @@ class DataQualitySpec extends SparkSpec {
     assert(rows.length == 9)
     assert(rows.forall { case Row(_, _, pass: Int) => pass == 1 })
   }
+
+  test("documents DQ: planted violations trip exactly their checks") {
+    import spark.implicits._
+    val clean = Seq((1L, "hello world", "en", "s0", 11L),
+      (2L, "guten tag", "de", "s1", 9L))
+    val dirty = clean ++ Seq(
+      (2L, "dupe id", "en", "s0", 7L),          // doc_id dupe
+      (3L, "", "en", "s0", 0L),                 // empty text
+      (4L, "bad lang", "xx", "s0", 8L),         // lang domain
+      (5L, "stale count", "en", "s0", 999L))    // n_chars mismatch
+    def run(rows: Seq[(Long, String, String, String, Long)]) =
+      DataQuality.documentsChecks(
+          rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2)))
+        .toMap
+    val ok = run(clean)
+    assert(ok.forall(_._2._2 == 1))
+    val bad = run(dirty)
+    assert(bad("docid_dupes") == ((1L, 0)))
+    assert(bad("text_empty") == ((1L, 0)))
+    assert(bad("lang_domain") == ((1L, 0)))
+    assert(bad("nchars_stale") == ((1L, 0)))
+    assert(bad("source_nulls") == ((0L, 1)))
+  }
 }
