@@ -378,6 +378,9 @@ object SparkEntry {
     // banding-loss eval: LSH near-dups vs exact-Jaccard truth
     "dedup_eval" -> ((s, dir) =>
       Dedup.minhashEval(Tables.table(s, dir, "documents"))),
+    // threshold operating curve: pairs at-or-above each 5% Jaccard step
+    "dedup_threshold_curve" -> ((s, dir) =>
+      Dedup.thresholdCurve(Tables.table(s, dir, "documents"))),
     // lossless prefix-filtering variant (SSJoin/PPJoin family): the
     // rarest-first prefix index replaces the DF cap entirely
     "dedup_prefix_jaccard" -> ((s, dir) =>
@@ -1185,6 +1188,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
     "dedup_eval" -> graft.ops.OracleCtes.materialize(Dedup.minhashEvalSql()),
+    "dedup_threshold_curve" -> graft.ops.OracleCtes.materialize(
+      Dedup.thresholdCurveSql()),
     "dedup_prefix_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.prefixJaccardPairsSql()),
     "dedup_minhash" -> graft.ops.OracleCtes.materialize(Dedup.minhashNearDupsMd5Sql()),
     "dedup_simhash" -> graft.ops.OracleCtes.materialize(Dedup.simhashNearDupsMd5Sql()),

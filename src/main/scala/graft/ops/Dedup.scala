@@ -823,6 +823,45 @@ object Dedup {
   // DuckDB-expressible, so the driver hash-checks the WHOLE pipeline.
   // -------------------------------------------------------------------
 
+  /** Threshold operating curve for near-dup dedup: how many pairs (and
+    * how many would-be-deleted docs) fall at or above each candidate
+    * Jaccard threshold — the tuning readout for picking the dedup
+    * aggressiveness before committing to a corpus-wide delete. ONE
+    * pass of the pair join at the floor threshold, then a 5%-bucket
+    * histogram with a descending cumulative over the CONSTANT
+    * ≤(1−floor)/0.05-row spine (an unpartitioned window over ~6 rows,
+    * not data). Pair counts are exact integers. */
+  def thresholdCurve(
+      docs: DataFrame, n: Int = 3, floorT: Double = 0.7,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccardPairs(docs, n, floorT, maxDf)
+    // bucket = the highest 5%-grid threshold the pair clears; jaccard
+    // = 1 tops out at the 0.95 bucket so the spine stays fixed
+    val b = least(floor(col("jaccard") * 20).cast("int"), lit(19))
+    val hist = pairs.select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_at_bucket"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("threshold", col("bucket").cast("double") / 20)
+      .withColumn("n_pairs_ge", sum(col("n_at_bucket")).over(w))
+      .select("threshold", "n_at_bucket", "n_pairs_ge")
+  }
+
+  def thresholdCurveSql(
+      n: Int = 3, floorT: Double = 0.7, maxDf: Int = DefaultMaxDf): String =
+    s"""WITH pairs AS (${ngramJaccardPairsSql(n, floorT, maxDf)}),
+       |hist AS (
+       |  SELECT LEAST(CAST(FLOOR(jaccard * 20) AS INT), 19) AS bucket,
+       |    COUNT(*) AS n_at_bucket
+       |  FROM pairs GROUP BY 1)
+       |SELECT CAST(bucket AS DOUBLE) / 20 AS threshold, n_at_bucket,
+       |  CAST(SUM(n_at_bucket) OVER (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_pairs_ge
+       |FROM hist""".stripMargin
+
   /** Banding-loss evaluation of the MinHash pipeline: compare the
     * md5-family LSH near-dup pairs against the exact n-gram Jaccard
     * truth at the same threshold — n_truth / n_found / n_hit plus

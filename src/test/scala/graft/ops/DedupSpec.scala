@@ -391,4 +391,18 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("precision") == 1.0)
     assert(r.getAs[Double]("recall") <= 1.0 && r.getAs[Double]("recall") > 0.0)
   }
+
+  test("threshold curve: cumulative counts agree with direct filtering") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val curve = Dedup.thresholdCurve(docs).collect()
+      .map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    val all = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+      .select("jaccard").collect().map(_.getDouble(0))
+    curve.foreach { case (t, nGe) =>
+      assert(nGe == all.count(_ >= t), s"threshold $t")
+    }
+    // the curve is monotone nonincreasing in the threshold
+    val sorted = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+  }
 }
