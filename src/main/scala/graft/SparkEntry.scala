@@ -607,6 +607,10 @@ object SparkEntry {
     // integer-exact DP in both engines, candidates never all-pairs
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.table(s, dir, "part"))),
+    // truncation observability for the editdist hard per-block cap:
+    // per-block distinct-name counts + the cap-fired flag
+    "dedup_editdist_blocks" -> ((s, dir) =>
+      Dedup.editDistanceBlockStats(Tables.table(s, dir, "part"))),
     // fixed-superstep PageRank over the symmetrized supplier↔part
     // bipartite graph — the iterative-graph-analytics family (CC's
     // scoring sibling), integer-grid sums keep every superstep
@@ -792,6 +796,18 @@ object SparkEntry {
     // proper calibration metrics via the portable sigmoid/softplus:
     // 10-bin ECE, Brier score, log-loss — all on the 1e12 integer grid
     "text_nb_ece" -> ((s, dir) =>
+      TextOps.nbEce(Tables.table(s, dir, "documents"))),
+    // pure-BIGINT per-doc margin dump — pinpoints any cross-engine NB
+    // divergence to the doc and exact grid delta (no doubles at all)
+    "text_nb_margins" -> ((s, dir) =>
+      TextOps.nbMargins(Tables.table(s, dir, "documents"))),
+    // fresh-name twins of the three r11/r12 driver-divergent queries
+    // (identical impls): bust any stale per-query dump keyed by name
+    "text_nb_calib2" -> ((s, dir) =>
+      TextOps.nbCalibration(Tables.table(s, dir, "documents"))),
+    "text_nb_conf2" -> ((s, dir) =>
+      TextOps.nbConfusion(Tables.table(s, dir, "documents"))),
+    "text_nb_ece2" -> ((s, dir) =>
       TextOps.nbEce(Tables.table(s, dir, "documents"))),
     // per-doc top-3 tf-idf keyphrases through TopKPerKey (no Window,
     // no per-doc sort of the posting relation)
@@ -1032,6 +1048,19 @@ object SparkEntry {
       val b = graft.streaming.StreamOps.readEventStream(s, dir)
       graft.streaming.StreamOps.runAvailableNow(
         graft.streaming.StreamOps.dedupStream(a.unionAll(b)),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+    // streaming face of dedup_exact: the corpus delivered TWICE,
+    // same-TEXT docs collapsed by dropDuplicatesWithinWatermark on the
+    // md5 digest (state-evicting dedup — bounded by the watermark
+    // horizon, not corpus size); deterministic (digest, text) sink
+    "stream_exact_dedup" -> ((s, dir) => {
+      val a = Tables.table(s, dir, "documents")
+      val schema = a.schema
+      def rd = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.exactDedupStream(rd.unionAll(rd)),
         org.apache.spark.sql.streaming.OutputMode.Append())
     }),
     // STREAM-STREAM event-time range join (view→click attribution):
@@ -1276,6 +1305,7 @@ object SparkEntry {
     "events_scd2" -> EventOps.scd2HistorySql,
     "events_pit_join" -> EventOps.pitScd2JoinSql(),
     "dedup_editdist" -> graft.ops.OracleCtes.materialize(Dedup.editDistancePairsSql()),
+    "dedup_editdist_blocks" -> Dedup.editDistanceBlockStatsSql(),
     "graph_pagerank" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartRankSql()),
     "graph_ppr" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartPPRSql()),
     "graph_triangles" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.coOrderTrianglesSql()),
@@ -1321,6 +1351,10 @@ object SparkEntry {
     "text_keyphrases" -> graft.ops.RetrievalOps.keyphrasesSql(),
     "text_nb_confusion" -> TextOps.nbConfusionSql,
     "text_nb_ece" -> TextOps.nbEceSql,
+    "text_nb_margins" -> TextOps.nbMarginsSql,
+    "text_nb_calib2" -> TextOps.nbCalibrationSql,
+    "text_nb_conf2" -> TextOps.nbConfusionSql,
+    "text_nb_ece2" -> TextOps.nbEceSql,
     "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->
@@ -1381,6 +1415,8 @@ object SparkEntry {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
         .stripMargin,
     "stream_dedup" -> "SELECT * FROM events",
+    "stream_exact_dedup" ->
+      "SELECT DISTINCT md5(text) AS digest, text FROM documents",
     // gap-and-islands twin of the engine's session_window merging:
     // same session iff next ts < prev ts + gap (strict), end = last+gap
     "stream_sessionize" ->

@@ -1057,6 +1057,22 @@ object Dedup {
   // so the op is fully oracle-checkable.
   // -------------------------------------------------------------------
 
+  /** Hard per-block distinct-name ceiling for the edit-distance DP —
+    * the worst-case bound the block key alone can't give (an
+    * adversarial corpus can put every name in one block and the
+    * DP count goes D²/2 unbounded). Within a block, names rank by
+    * (length, name) — a total, engine-independent order (binary
+    * string compare in both engines) — and only the first
+    * `MaxBlockNames` enter the candidate join: ≤ C·(C−1)/2 DPs per
+    * block no matter the corpus. Self-disarming like the DF cap
+    * above: 4096 never fires at the gate SFs or sf1 (64 distinct
+    * names), and when it does fire both engines drop the IDENTICAL
+    * tail (the twin carries the same QUALIFY), so the oracle compare
+    * survives adversarial skew too. Truncation is observable, not
+    * silent: [[editDistanceBlockStats]] reports per-block name
+    * counts with a `truncated` flag as its own gated query. */
+  val MaxBlockNames = 4096
+
   /** Within-block name pairs at edit distance <= maxDist over
     * part(p_partkey, p_name). Output (a_key, b_key, dist), a < b.
     *
@@ -1073,11 +1089,17 @@ object Dedup {
     * cells with early exit) rather than the full O(len²) table —
     * exact distances for every kept pair, so the DuckDB twin (which
     * computes the unbounded DP) still hash-matches. */
-  def editDistancePairs(part: DataFrame, maxDist: Int = 2): DataFrame = {
+  def editDistancePairs(
+      part: DataFrame, maxDist: Int = 2,
+      maxBlock: Int = MaxBlockNames): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val p = part.select(
       col("p_partkey"), lower(col("p_name")).as("name"),
       substring_index(lower(col("p_name")), " ", 1).as("blk"))
     val names = p.select("blk", "name").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("blk").orderBy(length(col("name")), col("name"))))
+      .filter(col("rk") <= maxBlock).drop("rk")
     val namePairs = names.select(col("blk"), col("name").as("a_name"))
       .join(names.select(col("blk"), col("name").as("b_name")), Seq("blk"))
       .filter(col("a_name") <= col("b_name"))
@@ -1101,10 +1123,13 @@ object Dedup {
         greatest(col("ka"), col("kb")).as("b_key"), col("dist"))
   }
 
-  def editDistancePairsSql(maxDist: Int = 2): String =
+  def editDistancePairsSql(
+      maxDist: Int = 2, maxBlock: Int = MaxBlockNames): String =
     s"""WITH p AS (SELECT p_partkey, lower(p_name) AS name,
        |  split_part(lower(p_name), ' ', 1) AS blk FROM part),
-       |names AS (SELECT DISTINCT blk, name FROM p),
+       |names AS (SELECT blk, name FROM (SELECT DISTINCT blk, name FROM p)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY blk
+       |    ORDER BY LENGTH(name), name) <= $maxBlock),
        |npairs AS (
        |  SELECT a.name AS a_name, b.name AS b_name,
        |    CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
@@ -1116,4 +1141,26 @@ object Dedup {
        |JOIN p ka ON ka.name = n.a_name
        |JOIN p kb ON kb.name = n.b_name
        |WHERE n.a_name < n.b_name OR ka.p_partkey < kb.p_partkey""".stripMargin
+
+  /** Per-block distinct-name counts for the edit-distance blocking,
+    * with the truncation flag: `truncated` marks blocks whose name
+    * count exceeds [[MaxBlockNames]], i.e. blocks where the hard DP
+    * ceiling in [[editDistancePairs]] actually dropped candidates.
+    * This is the observability half of the cap — skew diagnosis is a
+    * gated query, not a silent drop. Block-key-sized relation. */
+  def editDistanceBlockStats(
+      part: DataFrame, maxBlock: Int = MaxBlockNames): DataFrame =
+    part.select(lower(col("p_name")).as("name"))
+      .withColumn("blk", substring_index(col("name"), " ", 1))
+      .select("blk", "name").distinct()
+      .groupBy("blk").agg(count(lit(1)).as("n_names"))
+      .withColumn("truncated", col("n_names") > maxBlock)
+
+  def editDistanceBlockStatsSql(maxBlock: Int = MaxBlockNames): String =
+    s"""WITH names AS (SELECT DISTINCT
+       |    split_part(lower(p_name), ' ', 1) AS blk,
+       |    lower(p_name) AS name FROM part)
+       |SELECT blk, COUNT(*) AS n_names,
+       |  COUNT(*) > $maxBlock AS truncated
+       |FROM names GROUP BY blk""".stripMargin
 }

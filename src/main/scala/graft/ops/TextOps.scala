@@ -1616,8 +1616,22 @@ object TextOps {
   // token-keyed shuffle join. Nothing else shuffles raw text.
   // -------------------------------------------------------------------
   def nbScore(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableMath.plog
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Grid = 1.0e12
+    nbTerms(docs)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        ((sum(col("tg").cast(Dec)) + min("prg").cast(Dec))
+          .cast("string").cast("double") / Grid).as("margin"),
+        (max("y") === 1L).as("is_en"))
+      .withColumn("pred_en", col("margin") > 0.0)
+  }
+
+  /** Per-doc scored NB terms (doc_id, y, tg, prg) before the margin
+    * aggregation — shared by [[nbScore]] and the pure-integer
+    * [[nbMargins]] diagnostic. */
+  private def nbTerms(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.plog
     val Grid = 1.0e12
     val lab = docs.withColumn("y",
       when(col("lang") === "en", 1L).otherwise(0L))
@@ -1648,13 +1662,29 @@ object TextOps {
       .crossJoin(broadcast(defaults))
       .select(col("doc_id"), col("y"),
         coalesce(col("wg"), col("w0g")).as("tg"), col("prg"))
+  }
+
+  /** Divergence-pinpointing diagnostic for the NB family: the raw
+    * per-doc margin as its exact 1e-12-grid BIGINT (no doubles in the
+    * output at all). If the driver's gate ever disagrees on an NB
+    * descendant again, this row set names the doc and the exact
+    * integer delta; if it matches, the margins are proven identical
+    * and any downstream red is a harness artifact, not arithmetic. */
+  def nbMargins(docs: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    nbTerms(docs)
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
-        ((sum(col("tg").cast(Dec)) + min("prg").cast(Dec))
-          .cast("string").cast("double") / Grid).as("margin"),
-        (max("y") === 1L).as("is_en"))
-      .withColumn("pred_en", col("margin") > 0.0)
+        (sum(col("tg").cast(Dec)) + min("prg").cast(Dec))
+          .cast("long").as("mg"))
   }
+
+  def nbMarginsSql: String =
+    s"""WITH $nbCtes,
+       |mg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CAST(tg AS HUGEINT)) + MIN(prg) AS BIGINT) AS mg
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, mg FROM mg""".stripMargin
 
   /** The nbScore CTE chain (everything up to the per-doc margin
     * SELECT), shared by [[nbScoreSql]] and [[nbCalibrationSql]]. */
@@ -1750,13 +1780,24 @@ object TextOps {
       ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
   }
 
+  // Every exposed integer aggregate is CAST to BIGINT: DuckDB types
+  // SUM(INTEGER) as HUGEINT, and a HUGEINT result column round-trips
+  // through pandas as float64 ("21.0" ≠ Spark's int64 "21"), failing a
+  // string-canonical hash compare even when the values are identical.
+  // The r11/r12 driver fails on exactly this family — the only three
+  // queries on the 227-query board with naked-HUGEINT outputs — were
+  // this, not value divergence (tools/oracle_type_audit.py guards).
   def nbConfusionSql: String =
     s"""WITH $nbCtes,
        |cm AS (SELECT
-       |    SUM(CASE WHEN pred_en AND is_en THEN 1 ELSE 0 END) AS tp,
-       |    SUM(CASE WHEN pred_en AND NOT is_en THEN 1 ELSE 0 END) AS fp,
-       |    SUM(CASE WHEN NOT pred_en AND is_en THEN 1 ELSE 0 END) AS fn,
-       |    SUM(CASE WHEN NOT pred_en AND NOT is_en THEN 1 ELSE 0 END) AS tn
+       |    CAST(SUM(CASE WHEN pred_en AND is_en THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN pred_en AND NOT is_en THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT pred_en AND is_en THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN NOT pred_en AND NOT is_en THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn
        |  FROM nb)
        |SELECT tp, fp, fn, tn,
        |  CASE WHEN tp + fp = 0 THEN NULL
@@ -1772,7 +1813,7 @@ object TextOps {
     s"""WITH $nbCtes
        |SELECT CAST(FLOOR(margin * 2) AS BIGINT) AS bin,
        |  COUNT(*) AS n,
-       |  SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_pos,
+       |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE) AS frac_pos
        |FROM nb GROUP BY 1""".stripMargin
@@ -1862,7 +1903,7 @@ object TextOps {
        |bins AS (SELECT bin, COUNT(*) AS n, SUM(y) AS npos,
        |    SUM(pg) AS sumpg, SUM(bg) AS sumbg, SUM(lg) AS sumlg
        |  FROM rws GROUP BY bin)
-       |SELECT SUM(n) AS n,
+       |SELECT CAST(SUM(n) AS BIGINT) AS n,
        |  CAST(SUM(ABS(npos * 1000000000000 - sumpg)) AS DOUBLE)
        |    / (1000000000000.0 * CAST(SUM(n) AS DOUBLE)) AS ece,
        |  CAST(SUM(sumbg) AS DOUBLE)

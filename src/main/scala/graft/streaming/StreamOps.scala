@@ -273,6 +273,40 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming face of [[graft.ops.Dedup.exact]]: collapse same-TEXT
+    * documents (not just redeliveries) as they stream in, via
+    * `dropDuplicatesWithinWatermark` on the 128-bit content digest —
+    * the state-evicting variant: a key's dedup state is dropped once
+    * the watermark passes its first arrival + delay, so state is
+    * bounded by the watermark horizon's distinct-key count, never the
+    * corpus (the plain `dropDuplicates` above keeps ALL keys forever
+    * when the event time is part of the key). Duplicates inside the
+    * horizon are dropped exactly; later ones are the documented
+    * streaming-dedup escape hatch (batch [[graft.ops.Dedup.exact]]
+    * sweeps residuals).
+    *
+    * Which physical row survives a dup group is arrival-order
+    * nondeterministic, so the output is projected to (digest, text) —
+    * constant across every row of a group — BEFORE the sink; the
+    * batch twin is `SELECT DISTINCT md5(text), text`. `ts` is
+    * synthesized inside one hour (doc_id mod 3600 s) so every dup
+    * pair sits within the 2-hour horizon: the gate run exercises the
+    * real within-watermark path with completeness guaranteed. */
+  def exactDedupStream(
+      docs: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .select(
+        // +1 day: the pre-batch watermark is the epoch itself, and a
+        // row AT the watermark is already "late" — doc_id 0 at t=0
+        // was silently dropped until the offset
+        timestamp_seconds(col("doc_id") % 3600L + 86400L).as("ts"),
+        md5(col("text").cast("binary")).as("digest"),
+        col("text"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("digest"))
+      .select("digest", "text")
+
   // -------------------------------------------------------------------
   // Streaming sequence packer: the stateful twin of
   // PretrainOps.packBy. Per-shard cumulative token totals live in

@@ -50,29 +50,34 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(root.get("queries").get("q_other") != null)
   }
 
-  test("fold keeps the slow queries named and sums the fast ones") {
-    // 20 slow queries at 45.6 s, the rest sub-second: the line must
-    // keep every slow one individually and fold only fast ones
-    val slowNames = allNames.take(20)
+  test("frozen named set stays named; everything else folds into q_other") {
+    // r13 semantics: named-ness is membership in the FROZEN
+    // Bench.NamedSet, not speed — new queries land in q_other by
+    // construction so named_total compares like-for-like across rounds
     val mixed: Seq[Bench.QueryResult] = allNames.map(n =>
-      if (slowNames.contains(n)) (n, Seq(45.6), 45.6, None)
+      if (Bench.NamedSet(n)) (n, Seq(4.5), 4.5, None)
       else (n, Seq(0.25), 0.25, None))
     val line = Bench.summaryLine(mixed, "7.80",
       Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget)
     val root = mapper.readTree(line)
     assert(coveredQueries(root) == allNames.size)
-    if (root.get("folded") != null) {
-      slowNames.foreach(n => assert(root.get("queries").get(n) != null,
-        s"slow query $n must stay named"))
-      // q_other = sum of folded fast queries at 0.25 each
-      val folded = root.get("folded").asInt
-      val other = root.get("queries").get("q_other").asDouble
-      assert(math.abs(other - 0.25 * folded) < 0.1 + 0.005 * folded)
-      // the total still covers every query
-      assert(math.abs(root.get("value").asDouble -
-        (20 * 45.6 + (allNames.size - 20) * 0.25)) < 0.5)
-    }
+    val inSet = allNames.filter(Bench.NamedSet)
+    val outSet = allNames.filterNot(Bench.NamedSet)
+    inSet.foreach(n => assert(root.get("queries").get(n) != null,
+      s"frozen-set query $n must stay named"))
+    outSet.foreach(n => assert(root.get("queries").get(n) == null,
+      s"non-frozen query $n must fold into q_other"))
+    assert(root.get("folded").asInt == outSet.size)
+    val other = root.get("queries").get("q_other").asDouble
+    assert(math.abs(other - 0.25 * outSet.size) < 0.1 + 0.005 * outSet.size)
+    // the cross-round totals split exactly along the frozen set, and
+    // the grand total still covers every query
+    assert(math.abs(root.get("named_total").asDouble - 4.5 * inSet.size) < 0.01)
+    assert(math.abs(root.get("folded_total").asDouble - 0.25 * outSet.size) < 0.01)
+    assert(math.abs(root.get("value").asDouble -
+      (root.get("named_total").asDouble + root.get("folded_total").asDouble)) < 0.01)
+    assert(root.get("stat").asText == "med<5s")
   }
 
   test("summary line is valid JSON with the driver-contract fields") {

@@ -360,6 +360,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editdist hard cap bounds the per-block DP under an adversarial single block") {
+    // adversarial fixture: 200 distinct names, ALL in one block with
+    // near-equal lengths — uncapped this is C(200,2) = 19 900 DPs
+    val part = (0L until 200L)
+      .map(i => (i, f"acme w$i%03d")).toDF("p_partkey", "p_name")
+    val capped = Dedup.editDistancePairs(part, maxDist = 99, maxBlock = 50)
+    // the (length, name)-ranked survivor set is exactly w000..w049, so
+    // every emitted key is < 50 and the pair count is exactly C(50,2)
+    assert(capped.count() == 50L * 49 / 2)
+    capped.collect().foreach { r =>
+      assert(r.getLong(0) < 50 && r.getLong(1) < 50)
+    }
+    // the truncation flag fires for exactly that block, and only when
+    // the cap is actually exceeded
+    val stats = Dedup.editDistanceBlockStats(part, maxBlock = 50).collect()
+    assert(stats.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq == Seq(("acme", 200L, true)))
+    assert(Dedup.editDistanceBlockStats(part).collect()
+      .forall(!_.getBoolean(2)))
+  }
+
+  test("editdist cap is self-disarming: below the ceiling the result is bit-identical") {
+    val part = Seq(
+      (1L, "small ring"), (2L, "small rings"), (3L, "small gear"),
+      (4L, "Small Ring"), (5L, "red ring")).toDF("p_partkey", "p_name")
+    val dflt = Dedup.editDistancePairs(part, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val uncapped = Dedup
+      .editDistancePairs(part, maxDist = 2, maxBlock = Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(dflt == uncapped)
+  }
+
   test("containment: a quote inside a long doc scores 1.0 one-way") {
     import spark.implicits._
     val docs = Seq(

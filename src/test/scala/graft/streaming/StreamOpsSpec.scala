@@ -155,6 +155,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming exact dedup collapses same-text docs across batches within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.exactDedupStream(docs)
+      .writeStream.format("memory").queryName("exact_deduped")
+      .outputMode("append").start()
+    in.addData((1L, "aaa"), (2L, "bbb"))
+    q.processAllAvailable()
+    // cross-batch state: doc 3 repeats batch-1's text under a NEW
+    // doc_id and must be dropped by the digest state carried over
+    in.addData((3L, "aaa"), (4L, "ccc"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("exact_deduped").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq("aaa", "bbb", "ccc"))
+    // the digest column is the md5 the batch twin computes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    got.foreach { case (d, t) => assert(d == hex(t)) }
+  }
+
   test("hash-bucket split assignment runs unchanged on a stream and agrees with batch") {
     // Sampling.splitAssign is a stateless projection, so the SAME
     // operator works under readStream — and because the bucket is a

@@ -80,6 +80,8 @@ def main():
     def dump_report():
         with open(report, "w") as f:
             json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "env": {"duckdb": duckdb.__version__,
+                               "python": sys.version.split()[0]},
                        "n_queries": len(names), "n_pass": n_pass,
                        "n_fail": n_fail, "results": results}, f, indent=1)
 
