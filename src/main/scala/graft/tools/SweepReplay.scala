@@ -82,6 +82,20 @@ object SweepReplay {
     if (rated.nonEmpty)
       println(f"SWEEP $mode summary: ${rated.size} cells vs goldens, " +
         f"median best/golden ratio=${rated.sorted.apply(rated.size / 2)}%.3f")
+    // machine-readable artifact (r12 verdict item 8): per-cell best vs
+    // golden best + the ratio, so the repo carries the replay evidence
+    // instead of a console transcript
+    val cellsJson = rows.map { case (tag, best, golden, ratio) =>
+      f"""{"tag":$tag,"best":$best,"golden":${golden.getOrElse(-1.0)},""" +
+        f""""ratio":$ratio%.6f,"exact_1e6":${golden.exists(g =>
+          math.abs(best - g) / math.max(1.0, math.abs(g)) < 1e-6)}}"""
+    }.mkString("[", ",", "]")
+    val sumPath = s"$outDir/summary.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sumPath),
+      (s"""{"mode":"$mode","execs":$execs,"iterations":$iters,""" +
+        s""""ref":"$refDir","cells":$cellsJson}""").getBytes("UTF-8"))
+    println(s"SWEEP artifact -> $sumPath")
     spark.stop()
   }
 

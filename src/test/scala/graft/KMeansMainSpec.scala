@@ -41,6 +41,46 @@ class KMeansMainSpec extends SparkSpec {
     assert(a.iterations == 3)
   }
 
+  test("script_1 k-sweep through the CLI: unique-basin cells hit the golden best to 1e-6") {
+    // The reference's objective-vs-k sweep (scripts/script_1.sh) did
+    // not preserve its per-run random inits, so only the cells with a
+    // UNIQUE optimum basin (k = 1..4 on the blob points — every init
+    // converges to the same partition, so the converged SSE is
+    // init-independent) are exactly comparable. Those four cells
+    // replayed through the real CLI contract (KMeansMain.run with
+    // seeded generated init, best of 2 seeds) must reproduce the
+    // golden file's best objective within 1e-6 relative — the same
+    // band the script_3 replay uses. k ≥ 5 scatters with init noise
+    // in the goldens themselves (SweepReplay's artifact records the
+    // full-curve ratios).
+    val s1 = "/root/reference/script_results/script_1"
+    assume(new java.io.File(s"$s1/input/points.csv").exists())
+    def goldenBest(k: Int): Double = {
+      val src = scala.io.Source.fromFile(s"$s1/results_objfun_$k.csv")
+      try src.getLines().drop(1)
+        .flatMap(_.split(",").lift(1).map(_.toDouble)).min
+      finally src.close()
+    }
+    (1 to 4).foreach { k =>
+      val best = (1 to 2).map { i =>
+        val res = KMeansMain.run(spark, Map(
+          "points" -> s"$s1/input/points.csv",
+          "numcentroids" -> k.toString,
+          "seed" -> (1000L * k + i).toString,
+          "iterations" -> "30", "custconvergence" -> "false"))
+        kmeans.KMeansFit.sse(
+          Tables.pointsCsv(spark, s"$s1/input/points.csv")
+            .withColumn("pid",
+              org.apache.spark.sql.functions.monotonically_increasing_id())
+            .select("pid", "x", "y"),
+          res.centroids)
+      }.min
+      val g = goldenBest(k)
+      assert(math.abs(best - g) / g < 1e-6,
+        s"k=$k: best=$best golden=$g")
+    }
+  }
+
   test("objtraceout emits the per-iteration objective matching the reference goldens") {
     assume(new java.io.File(s"$base/input/points.csv").exists())
     KMeansMain.run(spark, Map(
