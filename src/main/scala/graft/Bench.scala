@@ -115,7 +115,8 @@ object Bench {
     // that would just re-measure ivf_topk plus a parquet write)
     val selected = (only.fold(board)(names =>
       board.view.filterKeys(names).toMap)) -
-      "ivf_topk_indexed" - "pq_topk_indexed" - "ivfpq_topk_indexed"
+      "ivf_topk_indexed" - "pq_topk_indexed" - "ivfpq_topk_indexed" -
+      "emb_sq8_topk_indexed"
 
     var loads = Map.empty[String, String]
     // Untimed TARGET-SF warmup for the fit-family entries before any
@@ -247,6 +248,30 @@ object Bench {
       }
     }
     pqIndexed.foreach(_ => loads += "pq_topk_indexed" -> loadNow())
+    // SQ8: codes + grid persisted once (untimed); the timed body reads
+    // only the 1-int/dim codes table + the d-row grid.
+    val runSq8Indexed = only.forall(_.contains("emb_sq8_topk_indexed"))
+    val sq8Indexed: Option[QueryResult] = if (!runSq8Indexed) None else Some {
+      try {
+        val embs = Tables.table(spark, sfDir, "embeddings")
+        val path = "target/bench_sq8_index.parquet"
+        val tb0 = System.nanoTime()
+        ops.QuantOps.writeSq8Index(embs, path)
+        buildSecs("emb_sq8_topk") = (System.nanoTime() - tb0) / 1e9
+        val q = embs
+          .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+          .select(org.apache.spark.sql.functions.col("embedding")
+            .cast("array<double>"))
+          .head().getSeq[Double](0)
+        val (runs, best, err) = bestOf(3)(
+          execute(ops.QuantOps.searchSq8Index(spark, path, q, 0L, k = 10)))
+        ("emb_sq8_topk_indexed", runs, best, err)
+      } catch { case e: Throwable =>
+        ("emb_sq8_topk_indexed", Seq(-1.0), -1.0,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
+    }
+    sq8Indexed.foreach(_ => loads += "emb_sq8_topk_indexed" -> loadNow())
     // And for the composed IVFADC: coarse lists + residual codebooks +
     // codes persisted once (untimed); the timed body is the partition-
     // pruned codes probe + ADC rescore — the production search path.
@@ -275,7 +300,7 @@ object Bench {
     if (runFit) loads += "kmeans_fit10" -> loadNow()
 
     val all = results ++ ivfIndexed.toSeq ++ pqIndexed.toSeq ++
-      ivfPqIndexed.toSeq ++
+      sq8Indexed.toSeq ++ ivfPqIndexed.toSeq ++
       (if (runFit) Seq(("kmeans_fit10", fitRuns, fitSec, fitErr)) else Nil)
 
     // The fit at the baseline's own headline scale (BASELINE.md: 10M
@@ -497,12 +522,13 @@ object Bench {
     "stream_enrich", "stream_hourly_agg", "stream_latest",
     "stream_sessionize", "stream_sliding_agg", "text_bpe_train",
     "text_cms", "text_cosine_pairs", "text_lm2_score", "text_repetition",
-    // + the three production ANN probe rows (frozen as of r13): the
+    // + the production ANN probe rows (frozen as of r13): the
     // build-inside-the-body twins above (ivf_topk, pq_topk,
     // ivfpq_topk*) conflate codebook training with search, so the
     // probe latency the 100 TB design actually ships must be a named
     // row too, not a q_other resident (r12 verdict item 5)
-    "ivf_topk_indexed", "pq_topk_indexed", "ivfpq_topk_indexed")
+    "ivf_topk_indexed", "pq_topk_indexed", "ivfpq_topk_indexed",
+    "emb_sq8_topk_indexed")
 
   /** Per-query headline statistic (r12 verdict item 6): sub-5 s
     * queries are scheduler-noise-dominated at local[32] (the r12

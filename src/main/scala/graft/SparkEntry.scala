@@ -904,6 +904,20 @@ object SparkEntry {
     // readIndex — the probe is a partition-pruned scan of nprobe/nlist
     // of the data. The parquet round-trip is exact (doubles), so the
     // result — and therefore the oracle — is identical to ivf_topk's.
+    // SQ8 persisted-index probe: codes written once (1 int/dim vs the
+    // raw vector bytes), probe reads ONLY codes + the d-row grid —
+    // completes the _indexed production-probe family (ivf/pq/ivfpq)
+    "emb_sq8_topk_indexed" -> ((s, dir) => {
+      val embs = Tables.table(s, dir, "embeddings")
+      val path = "target/sq8_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.QuantOps.writeSq8Index(embs, path)
+      val q = embs
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .select(org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>"))
+        .collect()(0).getSeq[Double](0)
+      graft.ops.QuantOps.searchSq8Index(s, path, q, queryId = 0L, k = 10)
+    }),
     "ivf_topk_indexed" -> ((s, dir) => {
       val embs = Tables.table(s, dir, "embeddings")
       val built = graft.ops.IvfIndex.build(embs, nlist = 16, maxIter = 5,
@@ -1377,6 +1391,7 @@ object SparkEntry {
     // parquet round-trip of the same fixed-iteration build
     "ivf_topk_indexed" -> graft.ops.IvfIndex.ivfTopKSql(
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
+    "emb_sq8_topk_indexed" -> graft.ops.QuantOps.sq8TopKSql(),
     "pq_topk" -> graft.ops.PqIndex.pqTopKSql(),
     "pq_topk_indexed" -> graft.ops.PqIndex.pqTopKSql(),
     "ivfpq_topk" -> graft.ops.PqIndex.ivfPqTopKSql(),

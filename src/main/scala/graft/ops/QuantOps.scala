@@ -70,6 +70,52 @@ object QuantOps {
             .cast("int")).as("codes"))
   }
 
+  /** Persist the SQ8 index: the codes relation (1 byte/dim of info,
+    * int-typed) plus the d-row grid (lo, inv per dim) the probe needs
+    * to decode. The raw vectors are read exactly once, at build. */
+  def writeSq8Index(embs: DataFrame, path: String, dim: Int = 64): Unit = {
+    val (lo, hi) = dimStats(embs, dim)
+    val inv = lo.indices.map(i =>
+      if (hi(i) == lo(i)) 0.0 else (hi(i) - lo(i)) / 255.0).toArray
+    sq8Codes(embs, dim).write.mode("overwrite").parquet(s"$path/codes")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    lo.indices.map(i => (i, lo(i), inv(i))).toDF("i", "lo", "inv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
+  }
+
+  /** SQ8 probe over a persisted index: reads ONLY the codes table
+    * (plus the d-row grid, driver-collected like the PQ codebooks) —
+    * the production path whose scan is ~4× smaller than the raw
+    * vectors. decode_i = lo_i + code_i · inv_i is the identical
+    * value path as [[sq8TopK]]'s fused quantize∘decode (round∘scale of
+    * the same doubles), so a fixed corpus probe shares sq8TopKSql as
+    * its oracle through the exact int/double parquet round-trip. */
+  def searchSq8Index(spark: SparkSession, path: String,
+      query: Seq[Double], queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val grid = spark.read.parquet(s"$path/grid").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val lo = grid.map(_._2); val inv = grid.map(_._3)
+    val dim = grid.length
+    val codes = spark.read.parquet(s"$path/codes")
+    val qvec = array(query.map(lit): _*)
+    val qnorm = math.sqrt(query.foldLeft(0.0)((a, v) => a + v * v))
+    codes.filter(col("vec_id") =!= queryId)
+      .withColumn("__lo", litArr(lo)).withColumn("__inv", litArr(inv))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          element_at(col("__lo"), i)
+            + element_at(col("codes"), i) * element_at(col("__inv"), i))
+          .as("dvec"))
+      .crossJoin(broadcast(
+        spark.range(1).select(qvec.as("q_emb"), lit(qnorm).as("q_norm"))))
+      .select(col("vec_id"),
+        (EmbeddingOps.dot(col("dvec"), col("q_emb"))
+          / (EmbeddingOps.l2Norm(col("dvec")) * col("q_norm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(k)
+  }
+
   /** Asymmetric SQ8 top-k: raw query vector against the decoded grid
     * points of every database vector (encode→decode is the plan here so
     * the whole pipeline is one oracle-checkable query; production

@@ -38,6 +38,24 @@ class QuantOpsSpec extends SparkSpec {
     assert(top.length == 2)
   }
 
+  test("persisted sq8 index probe is bit-identical to the in-body search") {
+    val path = "/tmp/graft-test-sq8-index"
+    QuantOps.writeSq8Index(embs, path)
+    val q = embs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val probed = QuantOps.searchSq8Index(spark, path, q, 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val inBody = QuantOps.sq8TopK(embs, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq == inBody.toSeq)
+    // the probe plan reads codes only: no raw `embedding` column scan
+    val plan = QuantOps.searchSq8Index(spark, path, q, 0L, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("sq8 codes are bytes and decode within half a grid cell") {
     val dim = 64
     val codes = QuantOps.sq8Codes(embs, dim).collect()
