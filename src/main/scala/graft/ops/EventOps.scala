@@ -355,7 +355,7 @@ object EventOps {
       domain: Double = 1000.0, bins: Int = 1000): String = {
     val width = domain / bins
     def est(q: Double) =
-      s"MIN(CASE WHEN cum >= CEIL($q * n) THEN (bin + 1) * $width END)"
+      s"MIN(CASE WHEN cum >= CEIL($q * n) THEN (bin + 1) * CAST($width AS DOUBLE) END)"
     val plogSql = graft.functions.PortableMath.plogSql(
       s"CAST($HllM AS DOUBLE) / zeros")
     s"""WITH hist AS (
@@ -830,7 +830,7 @@ object EventOps {
   def binnedQuantilesSql(domain: Double = 1000.0, bins: Int = 1000): String = {
     val width = domain / bins
     def est(q: Double) =
-      s"MIN(CASE WHEN cum >= CEIL($q * n) THEN (bin + 1) * $width END)"
+      s"MIN(CASE WHEN cum >= CEIL($q * n) THEN (bin + 1) * CAST($width AS DOUBLE) END)"
     s"""WITH hist AS (
        |  SELECT event_type,
        |    LEAST(GREATEST(CAST(FLOOR(value / $width) AS BIGINT), 0), ${bins - 1}) AS bin,
@@ -2136,6 +2136,11 @@ object EventOps {
         lit(epsilon).as("epsilon"))
   }
 
+  // Output-surface types in the SQL twins are CAST to the Spark-side
+  // type (DOUBLE here): a bare `1.0` literal types DECIMAL(2,1) and
+  // BIGINT·DECIMAL(2,1) types DECIMAL(21,1) — benign at integral
+  // values, but the same comparator fragility class as the NB-trio
+  // HUGEINT fail (tools/oracle_type_audit.py flags both).
   def dpCountsSql(epsilon: Double = 1.0, seed: Int = 23): String = {
     import graft.functions.PortableMath.plogSql
     val hE =
@@ -2150,7 +2155,7 @@ object EventOps {
        |  CAST(n AS DOUBLE) +
        |    (1.0 / $epsilon) * CAST(SIGN(u - 0.5) AS DOUBLE) *
        |    (${plogSql("inv_t")}) AS noisy_n,
-       |  $epsilon AS epsilon
+       |  CAST($epsilon AS DOUBLE) AS epsilon
        |FROM t""".stripMargin
   }
 }
