@@ -171,6 +171,12 @@ object SparkEntry {
     // deterministic k-means++ (exponential-race D^2 sampling)
     "init_kmeanspp" -> ((s, dir) =>
       KMeansOps.kmeansPlusPlus(Tables.points(s, dir))),
+    // k-means|| oversampling sweep (Bahmani 2012) — weighted candidates
+    "init_kmeansbb" -> ((s, dir) =>
+      graft.kmeans.KMeansParallel.candidates(Tables.points(s, dir))),
+    // k-means||: weighted k-means++ recluster of the candidates to k seeds
+    "init_kmeansbb_final" -> ((s, dir) =>
+      graft.kmeans.KMeansParallel.finalCenters(Tables.points(s, dir))),
     // connected components of the co-order graph (min-label + doubling)
     "graph_cc" -> ((s, dir) =>
       graft.ops.GraphOps.coOrderComponents(Tables.table(s, dir, "lineitem"))),
@@ -1158,6 +1164,8 @@ object SparkEntry {
     "graph_clustering" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderClusteringSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
+    "init_kmeansbb" -> graft.kmeans.KMeansParallel.candidatesSql(),
+    "init_kmeansbb_final" -> graft.kmeans.KMeansParallel.finalCentersSql(),
     "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
     "sample_bootstrap" -> graft.ops.Sampling.bootstrapWeightsSql(),
     "sample_coreset" -> withAssigned(
