@@ -171,6 +171,9 @@ object SparkEntry {
     // deterministic k-means++ (exponential-race D^2 sampling)
     "init_kmeanspp" -> ((s, dir) =>
       KMeansOps.kmeansPlusPlus(Tables.points(s, dir))),
+    // exact heavy hitters via bounded-state Misra-Gries + verify pass
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.heavyHitters(Tables.table(s, dir, "documents"))),
     // k-means|| oversampling sweep (Bahmani 2012) — weighted candidates
     "init_kmeansbb" -> ((s, dir) =>
       graft.kmeans.KMeansParallel.candidates(Tables.points(s, dir))),
@@ -1164,6 +1167,7 @@ object SparkEntry {
     "graph_clustering" -> graft.ops.OracleCtes.materialize(
       graft.ops.GraphOps.coOrderClusteringSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
+    "text_heavy_hitters" -> graft.ops.HeavyHitters.heavyHittersSql(),
     "init_kmeansbb" -> graft.kmeans.KMeansParallel.candidatesSql(),
     "init_kmeansbb_final" -> graft.kmeans.KMeansParallel.finalCentersSql(),
     "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
