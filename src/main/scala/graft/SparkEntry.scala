@@ -171,6 +171,12 @@ object SparkEntry {
     // deterministic k-means++ (exponential-race D^2 sampling)
     "init_kmeanspp" -> ((s, dir) =>
       KMeansOps.kmeansPlusPlus(Tables.points(s, dir))),
+    // winnowing fingerprint census (MOSS local-minimum selection)
+    "text_winnow" -> ((s, dir) =>
+      graft.ops.Winnow.census(Tables.table(s, dir, "documents"))),
+    // near-dup candidates sharing winnowed fingerprints (DF-capped)
+    "dedup_winnow" -> ((s, dir) =>
+      graft.ops.Winnow.pairs(Tables.table(s, dir, "documents"))),
     // exact heavy hitters via bounded-state Misra-Gries + verify pass
     "text_heavy_hitters" -> ((s, dir) =>
       graft.ops.HeavyHitters.heavyHitters(Tables.table(s, dir, "documents"))),
@@ -1168,6 +1174,8 @@ object SparkEntry {
       graft.ops.GraphOps.coOrderClusteringSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
     "text_heavy_hitters" -> graft.ops.HeavyHitters.heavyHittersSql(),
+    "text_winnow" -> graft.ops.Winnow.censusSql(),
+    "dedup_winnow" -> graft.ops.Winnow.pairsSql(),
     "init_kmeansbb" -> graft.kmeans.KMeansParallel.candidatesSql(),
     "init_kmeansbb_final" -> graft.kmeans.KMeansParallel.finalCentersSql(),
     "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
