@@ -257,6 +257,9 @@ object SparkEntry {
     // scan-side pair stream + two map-combined aggs + pair-key join
     "text_lm2_score" -> ((s, dir) =>
       TextOps.lm2Score(Tables.table(s, dir, "documents"))),
+    // interpolated Kneser-Ney bigram LM: continuation-count smoothing
+    "text_kn_score" -> ((s, dir) =>
+      TextOps.knScore(Tables.table(s, dir, "documents"))),
     // lexical diversity: per-doc token entropy (grid-snapped plog terms)
     "text_entropy" -> ((s, dir) =>
       TextOps.tokenEntropy(Tables.table(s, dir, "documents"))),
@@ -1207,6 +1210,7 @@ object SparkEntry {
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_lm2_score" -> TextOps.lm2ScoreSql(),
+    "text_kn_score" -> TextOps.knScoreSql(),
     "text_entropy" -> TextOps.tokenEntropySql,
     "text_znorm" -> TextOps.lengthZNormSql,
     "text_winsorize" -> TextOps.winsorizeSql(),

@@ -866,6 +866,87 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995; the
+  // smoothing KenLM/SRILM default to, vs [[lm2Score]]'s Jelinek-Mercer
+  // mixture): P(w|v) = (c(vw)−D)/c(v·) + D·N1+(v·)/c(v·) · P_cont(w),
+  // with the CONTINUATION unigram P_cont(w) = N1+(·w)/N1+(··) — "how
+  // many contexts does w follow" rather than raw frequency, the fix
+  // for Zipf-head words that are frequent but context-bound. Every
+  // factor is an integer count over the distinct-bigram relation
+  // (N1+ counts are plain COUNT(*) group-bys of it), so the relational
+  // shape is identical to lm2Score: scan-side pair stream, three
+  // vocab-sized map-side-combined aggs, pair-keyed join back. Seen
+  // bigrams have c(vw) ≥ 1 > D, and p ≤ 1 algebraically (c(vw) +
+  // D·(N1+(v·)−1) ≤ c(v·) since each extra follower type contributes
+  // ≥1 to the context total), so plog(1/p) stays in domain. D = 0.75
+  // (the literature constant) inlined as an E-notation literal.
+  // -------------------------------------------------------------------
+  def knScore(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Grid = 1.0e12
+    val DecInt = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tk = tokens(col("text"))
+    val pairsFlat = docs.select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1).as("tok_l"),
+        slice(col("tk"), lit(2), size(col("tk")) - 1).as("tok_r"))).as("pr"))
+      .select(col("doc_id"),
+        col("pr.tok_l").as("tok_l"), col("pr.tok_r").as("tok_r"))
+    val big = pairsFlat.groupBy("tok_l", "tok_r").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy("tok_l").agg(
+      sum("cb").as("cl"), count(lit(1)).as("nl"))
+    val cont = big.groupBy("tok_r").agg(count(lit(1)).as("nr"))
+    val ntypes = big.agg(count(lit(1)).as("nt"))
+    val d = lit(discount)
+    val p = (col("cb").cast("double") - d) / col("cl").cast("double") +
+      ((d * col("nl").cast("double")) / col("cl").cast("double")) *
+        (col("nr").cast("double") / col("nt").cast("double"))
+    val nlp = big.join(ctx, "tok_l")
+      .join(cont, "tok_r")
+      .crossJoin(broadcast(ntypes))
+      .select(col("tok_l"), col("tok_r"), plog(lit(1.0) / p).as("nlp"))
+    pairsFlat.join(nlp, Seq("tok_l", "tok_r"))
+      .select(col("doc_id"), round(col("nlp") * Grid).cast(DecInt).as("tg"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        (lit(0.0) - sum("tg").cast("string").cast("double") / lit(Grid)
+          / count(lit(1))).as("avg_logp_kn"))
+  }
+
+  def knScoreSql(discount: Double = 0.75): String = {
+    import graft.functions.PortableMath.plogSql
+    val dl = { // E-notation so DuckDB types the literal DOUBLE
+      val s = java.lang.Double.toString(discount)
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val pExpr =
+      s"(CAST(b.cb AS DOUBLE) - $dl) / CAST(c.cl AS DOUBLE)" +
+        s" + (($dl * CAST(c.nl AS DOUBLE)) / CAST(c.cl AS DOUBLE))" +
+        s" * (CAST(r.nr AS DOUBLE) / CAST(t.nt AS DOUBLE))"
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS tok_l,
+       |         unnest(tk[2:len(tk)]) AS tok_r
+       |  FROM toks WHERE len(tk) >= 2),
+       |big AS (SELECT tok_l, tok_r, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+       |ctx AS (SELECT tok_l, SUM(cb) AS cl, COUNT(*) AS nl FROM big GROUP BY 1),
+       |cont AS (SELECT tok_r, COUNT(*) AS nr FROM big GROUP BY 1),
+       |ntypes AS (SELECT COUNT(*) AS nt FROM big),
+       |nlp AS (
+       |  SELECT b.tok_l, b.tok_r,
+       |    (${plogSql(s"1.0 / ($pExpr)")}) AS nlp
+       |  FROM big b JOIN ctx c ON b.tok_l = c.tok_l
+       |  JOIN cont r ON b.tok_r = r.tok_r, ntypes t)
+       |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       |  0.0 - CAST(CAST(SUM(CAST(ROUND(n.nlp * 1000000000000.0)
+       |        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+       |      / 1000000000000.0 / COUNT(*) AS avg_logp_kn
+       |FROM pairs p JOIN nlp n USING (tok_l, tok_r)
+       |GROUP BY p.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Curriculum ordering: emit a training order that interleaves
   // difficulty — consecutive positions cycle through K quality bands,
   // so every mini-batch sees the whole difficulty spectrum (the

@@ -115,6 +115,28 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.lm2Score(e).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("kneser-ney bigram: hand algebra on a tiny corpus; p stays in (0,1]") {
+    // corpus bigrams: (a b)x2, (b a)x1, (b c)x1 → c(a·)=2, c(b·)=2,
+    // N1+(a·)=1, N1+(b·)=2, N1+(·a)=1, N1+(·b)=1, N1+(·c)=1, N1+(··)=3
+    val d = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val m = TextOps.knScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(1L)._1 == 4L)
+    val D = 0.75
+    def pAB = (2.0 - D) / 2.0 + ((D * 1.0) / 2.0) * (1.0 / 3.0)
+    def pBA = (1.0 - D) / 2.0 + ((D * 2.0) / 2.0) * (1.0 / 3.0)
+    def pBC = (1.0 - D) / 2.0 + ((D * 2.0) / 2.0) * (1.0 / 3.0)
+    // output is the MEAN LOG-PROB (negative), the lm2Score convention
+    val expect = (2 * math.log(pAB) + math.log(pBA) + math.log(pBC)) / 4.0
+    assert(math.abs(m(1L)._2 - expect) < 1e-9, s"got ${m(1L)._2} want $expect")
+    // every probability stays in (0, 1] so plog(1/p) is in domain and
+    // the mean log-prob is never positive
+    val big = Seq((1L, "x y x y x z q y r y"), (2L, "y q")).toDF("doc_id", "text")
+    TextOps.knScore(big).collect().foreach { r =>
+      assert(r.getDouble(2) <= 0.0, "mean log-prob must be non-positive")
+    }
+  }
+
   test("JS divergence: identical distributions -> exactly 0; disjoint vocab -> ln 2") {
     // split membership is hash-determined — discover one train doc and
     // one holdout doc instead of assuming ids
