@@ -145,6 +145,9 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.table(s, dir, "documents"))),
+    // langid precision/recall/F1 vs the gold lang column (per-language)
+    "text_langid_eval" -> ((s, dir) =>
+      TextOps.langIdEval(Tables.table(s, dir, "documents"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     // Zipf-law OLS fit over the top-100 token frequencies (plog +
     // integer-grid sufficient statistics — corpus-health stat)
@@ -1164,6 +1167,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_quality" -> TextOps.qualityScoreSql,
     "text_langid" -> TextOps.langIdSql,
+    "text_langid_eval" -> TextOps.langIdEvalSql,
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,

@@ -294,6 +294,82 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Language-ID evaluation against the gold `lang` column: per-language
+  // support / prediction counts / hits and the derived precision,
+  // recall, F1 (NULL on degenerate denominators, the nbConfusion
+  // convention). Docs the marker heuristic cannot place (no marker hit
+  // at all) predict 'und' — they count against recall of their gold
+  // language and build the 'und' prediction row, exactly how a
+  // production langid gate would quarantine them. Shapes: one left
+  // join of per-doc gold onto the langid argmax, then two
+  // language-keyed aggs full-outer-joined on the (tiny) language key —
+  // every relation crossing the wire after the scan is |langs|-sized.
+  // -------------------------------------------------------------------
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("lang"))
+      .join(langId(docs).select(col("doc_id"), col("pred_lang")), Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("pred_lang"), lit("und")).as("pred"))
+    val gold = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_gold"),
+      sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_hit"))
+    val pred = perDoc.groupBy(col("pred").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    def ratio(num: Column, den: Column) =
+      when(den === 0 || den.isNull, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    gold.join(pred, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        ratio(coalesce(col("n_hit"), lit(0L)), col("n_pred")).as("precision"),
+        ratio(coalesce(col("n_hit"), lit(0L)), col("n_gold")).as("recall"),
+        ratio(coalesce(col("n_hit"), lit(0L)) * 2,
+          coalesce(col("n_gold"), lit(0L)) + coalesce(col("n_pred"), lit(0L)))
+          .as("f1"))
+  }
+
+  def langIdEvalSql: String = {
+    val rows = langMarkers
+      .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+    s"""WITH markers(cand_lang, marker) AS (VALUES $rows),
+       |tok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |scores AS (
+       |  SELECT t.doc_id, m.cand_lang, COUNT(*) AS score
+       |  FROM tok t JOIN markers m ON t.token = m.marker
+       |  GROUP BY t.doc_id, m.cand_lang),
+       |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM (
+       |  SELECT doc_id, cand_lang,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, cand_lang ASC) AS rn
+       |  FROM scores) s WHERE rn = 1),
+       |perdoc AS (
+       |  SELECT d.lang, COALESCE(p.pred_lang, 'und') AS pred
+       |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id),
+       |gold AS (SELECT lang, COUNT(*) AS n_gold,
+       |    CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hit
+       |  FROM perdoc GROUP BY lang),
+       |prd AS (SELECT pred AS lang, COUNT(*) AS n_pred
+       |  FROM perdoc GROUP BY pred)
+       |SELECT COALESCE(g.lang, p.lang) AS lang,
+       |  COALESCE(g.n_gold, 0) AS n_gold,
+       |  COALESCE(p.n_pred, 0) AS n_pred,
+       |  COALESCE(g.n_hit, 0) AS n_hit,
+       |  CASE WHEN p.n_pred IS NULL OR p.n_pred = 0 THEN NULL
+       |    ELSE CAST(COALESCE(g.n_hit, 0) AS DOUBLE) / CAST(p.n_pred AS DOUBLE)
+       |  END AS precision,
+       |  CASE WHEN g.n_gold IS NULL OR g.n_gold = 0 THEN NULL
+       |    ELSE CAST(COALESCE(g.n_hit, 0) AS DOUBLE) / CAST(g.n_gold AS DOUBLE)
+       |  END AS recall,
+       |  CASE WHEN COALESCE(g.n_gold, 0) + COALESCE(p.n_pred, 0) = 0 THEN NULL
+       |    ELSE CAST(COALESCE(g.n_hit, 0) * 2 AS DOUBLE)
+       |      / CAST(COALESCE(g.n_gold, 0) + COALESCE(p.n_pred, 0) AS DOUBLE)
+       |  END AS f1
+       |FROM gold g FULL OUTER JOIN prd p ON g.lang = p.lang""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Token counting: whitespace tokens + a BPE-ish regex segmentation
   // (letter runs | digit runs | single non-alnum marks). Pure
   // projection, zero shuffle.

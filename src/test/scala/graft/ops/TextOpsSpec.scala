@@ -41,6 +41,32 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1L) == "en" && m(2L) == "de" && m(3L) == "es")
   }
 
+  test("langid eval: per-language counts and ratios, incl. the 'und' row") {
+    val d = Seq(
+      (1L, "the cat and the dog is in a house", "en"),   // hit
+      (2L, "der hund und die katze ist ein tier", "de"), // hit
+      (3L, "el perro y la casa es un lugar", "fr"),      // pred es, gold fr
+      (4L, "zzz qqq www", "en")                          // no markers → und
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextOps.langIdEval(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // gold en: 2 docs, 1 hit (doc 4 → und); pred en: 1
+    val en = rows("en")
+    assert(en.getLong(1) == 2L && en.getLong(2) == 1L && en.getLong(3) == 1L)
+    assert(en.getAs[Double]("precision") == 1.0)
+    assert(en.getAs[Double]("recall") == 0.5)
+    assert(en.getAs[Double]("f1") == 2.0 / 3.0)
+    // fr: gold 1, predicted 0 → precision NULL, recall 0
+    val fr = rows("fr")
+    assert(fr.getLong(2) == 0L && fr.isNullAt(4) && fr.getAs[Double]("recall") == 0.0)
+    // es: predicted once, never gold → recall NULL, precision 0
+    val es = rows("es")
+    assert(es.getLong(1) == 0L && es.getLong(2) == 1L && es.isNullAt(5))
+    // und: the quarantine row exists with 1 prediction, no gold
+    val und = rows("und")
+    assert(und.getLong(1) == 0L && und.getLong(2) == 1L && und.getLong(3) == 0L)
+  }
+
   test("fingerprint equals the hand-computed rolling hash and is order-sensitive") {
     val fp = TextOps.fingerprints(Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
