@@ -263,6 +263,10 @@ object SparkEntry {
     // interpolated Kneser-Ney bigram LM: continuation-count smoothing
     "text_kn_score" -> ((s, dir) =>
       TextOps.knScore(Tables.table(s, dir, "documents"))),
+    // CCNet perplexity gate: per-language rank-tertile buckets over the
+    // KN LM score; keep = head+middle
+    "text_ppl_buckets" -> ((s, dir) =>
+      TextOps.pplBuckets(Tables.table(s, dir, "documents"))),
     // lexical diversity: per-doc token entropy (grid-snapped plog terms)
     "text_entropy" -> ((s, dir) =>
       TextOps.tokenEntropy(Tables.table(s, dir, "documents"))),
@@ -1214,7 +1218,9 @@ object SparkEntry {
     "text_tok_ids" -> TextOps.tokenizeIdsSql(),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_lm2_score" -> TextOps.lm2ScoreSql(),
-    "text_kn_score" -> TextOps.knScoreSql(),
+    "text_kn_score" -> graft.ops.OracleCtes.materialize(TextOps.knScoreSql()),
+    "text_ppl_buckets" ->
+      graft.ops.OracleCtes.materialize(TextOps.pplBucketsSql()),
     "text_entropy" -> TextOps.tokenEntropySql,
     "text_znorm" -> TextOps.lengthZNormSql,
     "text_winsorize" -> TextOps.winsorizeSql(),

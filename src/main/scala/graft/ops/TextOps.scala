@@ -990,7 +990,12 @@ object TextOps {
           / count(lit(1))).as("avg_logp_kn"))
   }
 
-  def knScoreSql(discount: Double = 0.75): String = {
+  /** The knScore CTE chain through the per-doc mean log-prob (CTE
+    * `knsc`) — shared by [[knScoreSql]] and [[pplBucketsSql]]. The
+    * `big` relation is multi-referenced (4 consumers): register
+    * through `OracleCtes.materialize` so DuckDB doesn't re-inline the
+    * pair scan per consumer at sf1. */
+  private def knCtes(discount: Double): String = {
     import graft.functions.PortableMath.plogSql
     val dl = { // E-notation so DuckDB types the literal DOUBLE
       val s = java.lang.Double.toString(discount)
@@ -1000,7 +1005,7 @@ object TextOps {
       s"(CAST(b.cb AS DOUBLE) - $dl) / CAST(c.cl AS DOUBLE)" +
         s" + (($dl * CAST(c.nl AS DOUBLE)) / CAST(c.cl AS DOUBLE))" +
         s" * (CAST(r.nr AS DOUBLE) / CAST(t.nt AS DOUBLE))"
-    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
        |pairs AS (
        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS tok_l,
        |         unnest(tk[2:len(tk)]) AS tok_r
@@ -1013,14 +1018,68 @@ object TextOps {
        |  SELECT b.tok_l, b.tok_r,
        |    (${plogSql(s"1.0 / ($pExpr)")}) AS nlp
        |  FROM big b JOIN ctx c ON b.tok_l = c.tok_l
-       |  JOIN cont r ON b.tok_r = r.tok_r, ntypes t)
-       |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       |  JOIN cont r ON b.tok_r = r.tok_r, ntypes t),
+       |knsc AS (SELECT p.doc_id, COUNT(*) AS n_bigrams,
        |  0.0 - CAST(CAST(SUM(CAST(ROUND(n.nlp * 1000000000000.0)
        |        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
        |      / 1000000000000.0 / COUNT(*) AS avg_logp_kn
        |FROM pairs p JOIN nlp n USING (tok_l, tok_r)
-       |GROUP BY p.doc_id""".stripMargin
+       |GROUP BY p.doc_id)""".stripMargin
   }
+
+  def knScoreSql(discount: Double = 0.75): String =
+    s"WITH ${knCtes(discount)}\n" +
+      "SELECT doc_id, n_bigrams, avg_logp_kn FROM knsc"
+
+  // -------------------------------------------------------------------
+  // CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+  // High Quality Monolingual Datasets from Web Crawl Data", 2020):
+  // score every doc with the in-corpus KN bigram LM, then split each
+  // LANGUAGE's docs into equal-population buckets by score rank —
+  // head / middle / tail — and keep head+middle, the standard
+  // LM-quality gate for pretraining corpora. Rank-based buckets (not
+  // value thresholds) make the cut exact and engine-portable: bucket =
+  // (rank−1)·B div n_lang, all-integer. Docs too short to score (< 2
+  // tokens → no bigrams) never reach the LM and are quarantined
+  // upstream, as a production gate would.
+  // Scale: the rank window sorts WITHIN each language partition — at
+  // 100 TB you fit the per-language cut points on a sample (CCNet
+  // itself uses fixed per-language thresholds) and apply them as a
+  // broadcast join; the in-plan window here is the exact-fit twin the
+  // oracle can check bit-for-bit.
+  // -------------------------------------------------------------------
+  def pplBuckets(docs: DataFrame, discount: Double = 0.75,
+      nBuckets: Int = 3): DataFrame = {
+    val scored = knScore(docs, discount)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logp_kn").desc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_logp_kn"),
+        expr(s"(rn - 1) * $nBuckets div n_lang").as("bucket"),
+        (expr(s"(rn - 1) * $nBuckets div n_lang") < (nBuckets - 1))
+          .as("keep"))
+  }
+
+  def pplBucketsSql(discount: Double = 0.75, nBuckets: Int = 3): String =
+    s"""WITH ${knCtes(discount)},
+       |scored AS (
+       |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp_kn
+       |  FROM knsc s JOIN documents d USING (doc_id)),
+       |ranked AS (
+       |  SELECT doc_id, lang, n_bigrams, avg_logp_kn,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY avg_logp_kn DESC, doc_id ASC) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM scored)
+       |SELECT doc_id, lang, n_bigrams, avg_logp_kn,
+       |  CAST((rn - 1) * $nBuckets // n_lang AS BIGINT) AS bucket,
+       |  (rn - 1) * $nBuckets // n_lang < ${nBuckets - 1} AS keep
+       |FROM ranked""".stripMargin
 
   // -------------------------------------------------------------------
   // Curriculum ordering: emit a training order that interleaves

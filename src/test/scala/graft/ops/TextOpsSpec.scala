@@ -163,6 +163,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ppl buckets: equal-population per-language tertiles, keep = head+middle") {
+    // 6 en docs with strictly different KN scores + 1 de doc; short
+    // (<2-token) docs never reach the LM and are quarantined upstream
+    val d = Seq(
+      (1L, "a a a a a a", "en"), (2L, "a a a a a b", "en"),
+      (3L, "a a a a b b", "en"), (4L, "a a a b b b", "en"),
+      (5L, "a a b b b c", "en"), (6L, "a b c d e f", "en"),
+      (7L, "x y x y", "de"), (8L, "tiny", "de")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextOps.pplBuckets(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(8L)) // unscoreable: quarantined, not bucketed
+    // en: 6 docs → 2 per bucket; de: 1 doc → bucket 0
+    val enBuckets = rows.values.filter(_.getString(1) == "en")
+      .groupBy(_.getLong(4)).view.mapValues(_.size).toMap
+    assert(enBuckets == Map(0L -> 2, 1L -> 2, 2L -> 2))
+    assert(rows(7L).getLong(4) == 0L && rows(7L).getBoolean(5))
+    // keep drops exactly the tail bucket
+    rows.values.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(4) < 2L))
+    }
+    // ordering: the all-one-bigram doc has the best (highest) score
+    assert(rows(1L).getLong(4) == 0L)
+  }
+
   test("JS divergence: identical distributions -> exactly 0; disjoint vocab -> ln 2") {
     // split membership is hash-determined — discover one train doc and
     // one holdout doc instead of assuming ids
