@@ -506,6 +506,9 @@ object SparkEntry {
     // the k-NN graph semantic clustering / curriculum ordering consume
     "emb_knn_graph" -> ((s, dir) =>
       EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"))),
+    // kNN-distance OOD score (k-th-NN cosine) — curation outlier gate
+    "emb_ood_score" -> ((s, dir) =>
+      EmbeddingOps.oodScores(Tables.table(s, dir, "embeddings"))),
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     // incremental view maintenance: base (6/7 of events) ⊕ delta (1/7)
@@ -1404,6 +1407,8 @@ object SparkEntry {
     "text_nb_conf2" -> TextOps.nbConfusionSql,
     "text_nb_ece2" -> TextOps.nbEceSql,
     "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
+    "emb_ood_score" ->
+      graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.oodScoresSql()),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),

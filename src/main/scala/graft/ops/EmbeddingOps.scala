@@ -517,6 +517,58 @@ object EmbeddingOps {
        |WHERE p.rn = 1""".stripMargin
   }
 
+  /** kNN-distance OOD scoring (Sun et al., "Out-of-Distribution
+    * Detection with Deep Nearest Neighbors", ICML 2022): a vector's
+    * outlier score is its (dis)similarity to its k-th nearest
+    * neighbor — isolated vectors sit far even from their closest
+    * cohort and surface for curation review (mislabeled shards,
+    * encoder drift, junk modalities). Because [[knnGraph]] emits
+    * neighbors in rank order, the k-th-NN cosine is simply
+    * MIN(cosine) over a vector's ≤ k graph edges and the realized
+    * neighbor count is MAX(rank) — one map-side-combinable agg over
+    * the graph, nothing new crosses the wire. Vectors whose LSH
+    * buckets yielded fewer than k candidates score against their
+    * farthest REALIZED neighbor (n_neighbors tells the consumer how
+    * trustworthy the score is); vectors with zero candidates are
+    * themselves extreme-OOD and surface by absence.
+    * Output: (vec_id, n_neighbors, kth_cos, ood_dist = 1 − kth_cos). */
+  def oodScores(
+      embs: DataFrame, k: Int = 3, dim: Int = 64,
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame =
+    knnGraph(embs, k, dim, numBits, numTables, seed)
+      .groupBy("vec_id").agg(
+        max("rank").as("n_neighbors"),
+        min("cosine").as("kth_cos"))
+      .select(col("vec_id"), col("n_neighbors"), col("kth_cos"),
+        (lit(1.0) - col("kth_cos")).as("ood_dist"))
+
+  def oodScoresSql(
+      k: Int = 3, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |knn AS (
+       |  SELECT ida AS vec_id, cosine, rank FROM (
+       |    SELECT p.ida,
+       |      ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
+       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
+       |                 p.idb ASC) AS BIGINT) AS rank
+       |    FROM cpairs p
+       |    JOIN e ea ON p.ida = ea.vec_id
+       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |  WHERE rank <= $k)
+       |SELECT vec_id, MAX(rank) AS n_neighbors, MIN(cosine) AS kth_cos,
+       |  1.0e0 - MIN(cosine) AS ood_dist
+       |FROM knn GROUP BY vec_id""".stripMargin
+  }
+
   /** Nearest-centroid (Rocchio) classification: per-label mean
     * embedding, then assign every vector to the closest centroid —
     * the embedding-space audit twin of [[knnClassify]] (k-NN votes

@@ -190,6 +190,31 @@ class EmbeddingSpec extends SparkSpec {
     assert(got(2L) == ((0, 7, false)))
   }
 
+  test("ood score: isolated vector scores high ood_dist; tight cluster scores near 0") {
+    // three near-identical vectors + one isolated one that still
+    // co-buckets occasionally; the cluster's k-th-NN cosine ≈ 1 while
+    // any realized neighbor of the outlier is nearly orthogonal
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (2L, Array(0.98f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (9L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0.1f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.oodScores(docs, k = 2, dim = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // cluster members: 2 realized neighbors, kth cosine ≈ 1 → low dist
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(got(id)._1 == 2L && got(id)._3 < 0.01, s"$id: ${got(id)}")
+    }
+    // the isolated vector either never co-buckets (absent → extreme
+    // OOD by absence) or scores a near-orthogonal kth neighbor
+    got.get(9L).foreach { case (_, _, dist) => assert(dist > 0.8) }
+    // score identity: ood_dist = 1 - kth_cos, and min-cosine really is
+    // the k-th ranked neighbor's cosine
+    got.values.foreach { case (_, c, d) => assert(d == 1.0 - c) }
+  }
+
   test("centroid classify: grid-exact means, argmin label transfer, outlier corrected") {
     // label 0 clusters at x≈1, label 1 at y≈1; vector 20 claims label 1
     // but sits in the label-0 cluster → predicted 0, correct = false
