@@ -509,6 +509,9 @@ object SparkEntry {
     // kNN-distance OOD score (k-th-NN cosine) — curation outlier gate
     "emb_ood_score" -> ((s, dir) =>
       EmbeddingOps.oodScores(Tables.table(s, dir, "embeddings"))),
+    // Artetxe-Schwenk ratio-margin pair mining (hubness-corrected)
+    "emb_margin_mine" -> ((s, dir) =>
+      EmbeddingOps.marginMine(Tables.table(s, dir, "embeddings"))),
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     // incremental view maintenance: base (6/7 of events) ⊕ delta (1/7)
@@ -1409,6 +1412,8 @@ object SparkEntry {
     "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
     "emb_ood_score" ->
       graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.oodScoresSql()),
+    "emb_margin_mine" ->
+      graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.marginMineSql()),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),

@@ -156,7 +156,7 @@ object PortableMath {
     * the literal DOUBLE at parse time, bit-identical to the JVM
     * constant. (plog's 16-digit coefficients predate this helper and
     * are exact either way — left untouched to keep oracle SQL stable.) */
-  private def dlitE(d: Double): String = {
+  def dlitE(d: Double): String = {
     val s = java.lang.Double.toString(d)
     if (s.contains("E") || s.contains("e")) s else s + "e0"
   }

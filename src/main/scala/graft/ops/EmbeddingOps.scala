@@ -569,6 +569,91 @@ object EmbeddingOps {
        |FROM knn GROUP BY vec_id""".stripMargin
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the LASER/CCMatrix bitext-mining criterion, "ratio"
+    * variant): score a candidate pair not by raw cosine but by how
+    * much it EXCEEDS both endpoints' typical neighborhood similarity,
+    * margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2). A hub vector
+    * that is close to everything earns no margin; a pair that is each
+    * other's stand-out match does — the fix for hubness that makes
+    * mined-pair precision usable at corpus scale. Candidates and
+    * per-node neighborhood means both come from the LSH-blocked
+    * [[knnGraph]] (never all-pairs); the mean is exact cross-engine
+    * via the 1e-12 integer grid (long sums are order-independent, one
+    * division at the end). Cosine is bitwise symmetric (per-element
+    * products commute; the VecDot fold order is positional), so the
+    * undirected collapse is a plain DISTINCT on (least, greatest,
+    * cosine). Output: mined pairs with margin > threshold. */
+  def marginMine(
+      embs: DataFrame, k: Int = 3, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L,
+      threshold: Double = 1.0): DataFrame = {
+    val Grid = 1.0e12
+    val g = knnGraph(embs, k, dim, numBits, numTables, seed).cache()
+    val avgk = g.groupBy("vec_id").agg(
+        sum(round(col("cosine") * Grid).cast("long")).as("sg"),
+        count(lit(1)).as("nk"))
+      .select(col("vec_id"),
+        (col("sg").cast("double") / (col("nk").cast("double") * Grid))
+          .as("avgk"))
+    val upairs = g.select(
+        least(col("vec_id"), col("neighbor")).as("ida"),
+        greatest(col("vec_id"), col("neighbor")).as("idb"),
+        col("cosine"))
+      .distinct()
+    upairs
+      .join(avgk.select(col("vec_id").as("ida"), col("avgk").as("avga")),
+        Seq("ida"))
+      .join(avgk.select(col("vec_id").as("idb"), col("avgk").as("avgb")),
+        Seq("idb"))
+      .select(col("ida"), col("idb"), col("cosine"),
+        (col("cosine") / ((col("avga") + col("avgb")) / lit(2.0)))
+          .as("margin"))
+      .filter(col("margin") > threshold)
+  }
+
+  def marginMineSql(
+      k: Int = 3, dim: Int = 64, numBits: Int = 6, numTables: Int = 8,
+      seed: Long = 42L, threshold: Double = 1.0): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    val thr = graft.functions.PortableMath.dlitE(threshold)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |knn AS (
+       |  SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
+       |    SELECT p.ida, p.idb,
+       |      ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
+       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
+       |                 p.idb ASC) AS BIGINT) AS rank
+       |    FROM cpairs p
+       |    JOIN e ea ON p.ida = ea.vec_id
+       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |  WHERE rank <= $k),
+       |avgk AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(ROUND(cosine * 1000000000000.0) AS BIGINT))
+       |        AS DOUBLE)
+       |      / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0) AS avgk
+       |  FROM knn GROUP BY vec_id),
+       |upairs AS (
+       |  SELECT DISTINCT LEAST(vec_id, neighbor) AS ida,
+       |    GREATEST(vec_id, neighbor) AS idb, cosine
+       |  FROM knn)
+       |SELECT u.ida, u.idb, u.cosine,
+       |  u.cosine / ((a.avgk + b.avgk) / 2e0) AS margin
+       |FROM upairs u
+       |JOIN avgk a ON u.ida = a.vec_id
+       |JOIN avgk b ON u.idb = b.vec_id
+       |WHERE u.cosine / ((a.avgk + b.avgk) / 2e0) > $thr""".stripMargin
+  }
+
   /** Nearest-centroid (Rocchio) classification: per-label mean
     * embedding, then assign every vector to the closest centroid —
     * the embedding-space audit twin of [[knnClassify]] (k-NN votes

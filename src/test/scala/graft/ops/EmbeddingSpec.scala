@@ -215,6 +215,29 @@ class EmbeddingSpec extends SparkSpec {
     got.values.foreach { case (_, c, d) => assert(d == 1.0 - c) }
   }
 
+  test("margin mine: stand-out pair beats its neighborhood; weak pair is not mined") {
+    // 0 and 1 are each other's stand-out match; 5 is a moderate
+    // neighbor of both, which drags their neighborhood averages down
+    // and gives the (0,1) edge its margin. A pair with ONLY each other
+    // as neighbors would score margin exactly 1 (it can't exceed a
+    // neighborhood made of itself) — the ratio criterion by design.
+    val docs = Seq(
+      (0L, Array(1f, 0.2f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0.21f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (5L, Array(1f, -0.5f, 0f, 0f, 0f, 0f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val mined = EmbeddingOps.marginMine(docs, k = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // the stand-out pair is mined with margin > 1
+    assert(mined.contains((0L, 1L)), mined.keys.mkString(","))
+    assert(mined((0L, 1L))._2 > 1.0)
+    // the moderate edges to the hanger-on are NOT mined
+    assert(!mined.contains((0L, 5L)) && !mined.contains((1L, 5L)))
+    // every mined pair satisfies the strict threshold
+    mined.values.foreach { case (_, m) => assert(m > 1.0) }
+  }
+
   test("centroid classify: grid-exact means, argmin label transfer, outlier corrected") {
     // label 0 clusters at x≈1, label 1 at y≈1; vector 20 claims label 1
     // but sits in the label-0 cluster → predicted 0, correct = false
