@@ -418,6 +418,10 @@ object SparkEntry {
     // dedup_simhash_xx, pinned equal-DAG by DedupSpec.
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDupsMd5(Tables.table(s, dir, "documents"))),
+    // b-bit minhash: 64×-compressed signatures, bias-corrected
+    // estimator vs the full-width one on every LSH candidate pair
+    "dedup_bbit" -> ((s, dir) =>
+      Dedup.bbitMinhash(Tables.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupsMd5(Tables.table(s, dir, "documents"))),
     "dedup_groups" -> ((s, dir) =>
@@ -1275,6 +1279,7 @@ object SparkEntry {
       Dedup.thresholdCurveSql()),
     "dedup_prefix_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.prefixJaccardPairsSql()),
     "dedup_minhash" -> graft.ops.OracleCtes.materialize(Dedup.minhashNearDupsMd5Sql()),
+    "dedup_bbit" -> graft.ops.OracleCtes.materialize(Dedup.bbitMinhashSql()),
     "dedup_simhash" -> graft.ops.OracleCtes.materialize(Dedup.simhashNearDupsMd5Sql()),
     "dedup_semantic_pairs" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticNearDupsSql(tau = 0.4)),
     "dedup_semantic" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticDedupSql(tau = 0.4)),

@@ -919,6 +919,96 @@ object Dedup {
        |    THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall
        |FROM ta, fa, ha""".stripMargin
 
+  // -------------------------------------------------------------------
+  // b-bit minhash (Li & König, "b-Bit Minwise Hashing", WWW 2010): keep
+  // only the lowest b bits of each of the numPerm minhash values — the
+  // signature store shrinks 64/b-fold (b=1: 64 perms in 8 BYTES instead
+  // of 512), the at-scale memory story for billion-doc signature
+  // tables. The price is estimator variance, not bias: lowest-b-bit
+  // collisions happen by chance w.p. C ≈ 2^-b even for disjoint sets,
+  // and the corrected estimator Ĵ_b = (P_b − C) / (1 − C) (their Eq. 3
+  // in the large-vocabulary limit) undoes it. This query scores every
+  // LSH candidate pair with BOTH estimators — full-width agreement
+  // (the classic Ĵ = matches/numPerm) and the b-bit correction — so a
+  // pipeline owner can read the precision cost of the 64× compression
+  // on real pairs before flipping the signature store over.
+  // All-integer agreement counts; each estimator is exact binary
+  // arithmetic (numPerm and 2^b are powers of two), so both engines
+  // agree bit-for-bit. Candidate generation is the same banded LSH as
+  // dedup_minhash — never all-pairs; the pair relation carries two
+  // numPerm-long signatures only for candidate docs.
+  // -------------------------------------------------------------------
+  def bbitMinhash(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64,
+      rowsPerBand: Int = 4, b: Int = 1): DataFrame = {
+    require(b >= 1 && b < 31, s"b=$b out of range")
+    val sigs = minhashSignaturesMd5(docs, n, numPerm).cache()
+    val cands = lshCandidatePairsFromSigs(sigs, numPerm, rowsPerBand, Md5BandHash)
+    val modB = lit(1L << b)
+    val c = 1.0 / (1L << b).toDouble
+    def agreeCount(cmp: (Column, Column) => Column) =
+      aggregate(
+        zip_with(col("siga"), col("sigb"),
+          (x, y) => when(cmp(x, y), 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+    cands
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
+      .select(col("da"), col("db"),
+        agreeCount(_ === _).as("agree_full"),
+        agreeCount((x, y) => (x % modB) === (y % modB)).as("agree_b"))
+      .select(col("da"), col("db"), col("agree_full"), col("agree_b"),
+        (col("agree_full").cast("double") / lit(numPerm.toDouble))
+          .as("jhat_full"),
+        ((col("agree_b").cast("double") / lit(numPerm.toDouble) - lit(c))
+          / (lit(1.0) - lit(c))).as("jhat_b"))
+  }
+
+  def bbitMinhashSql(
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      b: Int = 1): String = {
+    val numBands = numPerm / rowsPerBand
+    val mins = affineConsts(numPerm).zipWithIndex
+      .map { case ((a, bb), p) => s"MIN(($a * h + $bb) % $MinhashPrime) AS m$p" }
+      .mkString(",\n    ")
+    val bands = (0 until numBands).map { bd =>
+      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(p => s"CAST(m$p AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $bd AS band, md5($cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val modB = 1L << b
+    val cE = graft.functions.PortableMath.dlitE(1.0 / modB.toDouble)
+    val npE = graft.functions.PortableMath.dlitE(numPerm.toDouble)
+    val agreeFull = (0 until numPerm)
+      .map(p => s"(CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val agreeB = (0 until numPerm)
+      .map(p => s"(CASE WHEN sa.m$p % $modB = sb.m$p % $modB THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh0 AS (${shinglesSql(n)}),
+       |hs AS (SELECT doc_id, ${md5Base30Sql("shingle")} AS h FROM sh0),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM hs GROUP BY doc_id),
+       |buckets AS (
+       |  $bands),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |agr AS (
+       |  SELECT c.da, c.db,
+       |    CAST($agreeFull AS BIGINT) AS agree_full,
+       |    CAST($agreeB AS BIGINT) AS agree_b
+       |  FROM cands c
+       |  JOIN sigs sa ON c.da = sa.doc_id
+       |  JOIN sigs sb ON c.db = sb.doc_id)
+       |SELECT da, db, agree_full, agree_b,
+       |  CAST(agree_full AS DOUBLE) / $npE AS jhat_full,
+       |  (CAST(agree_b AS DOUBLE) / $npE - $cE) / (1e0 - $cE) AS jhat_b
+       |FROM agr""".stripMargin
+  }
+
   /** [[minhashNearDups]] over the md5-affine hash family. */
   def minhashNearDupsMd5(
       docs: DataFrame, n: Int = 3, numPerm: Int = 64,

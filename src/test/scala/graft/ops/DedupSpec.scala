@@ -426,6 +426,29 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") <= 1.0 && r.getAs[Double]("recall") > 0.0)
   }
 
+  test("b-bit minhash: identical docs estimate 1 under both widths; " +
+      "estimators track the signature algebra") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Dedup.bbitMinhash(docs).collect()
+    assert(rows.nonEmpty)
+    val sigs = Dedup.minhashSignaturesMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (sigs(da), sigs(db))
+      val full = sa.zip(sb).count { case (x, y) => x == y }.toLong
+      val bbit = sa.zip(sb).count { case (x, y) => x % 2 == y % 2 }.toLong
+      assert(r.getLong(2) == full && r.getLong(3) == bbit, s"($da,$db)")
+      assert(r.getDouble(4) == full / 64.0)
+      assert(r.getDouble(5) == (bbit / 64.0 - 0.5) / 0.5)
+      // chance collisions only inflate: b-bit agreement >= full-width
+      assert(bbit >= full)
+    }
+    // a pair of byte-identical texts agrees on every position at both
+    // widths (dup docs exist in the corpus — make sure one showed up)
+    assert(rows.exists(r => r.getLong(2) == 64L && r.getDouble(5) == 1.0))
+  }
+
   test("threshold curve: cumulative counts agree with direct filtering") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val curve = Dedup.thresholdCurve(docs).collect()
