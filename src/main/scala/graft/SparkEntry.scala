@@ -1067,6 +1067,24 @@ object SparkEntry {
           graft.streaming.StreamOps.readEventStream(s, dir),
           windowLen = "1 hour", slide = "30 minutes"),
         org.apache.spark.sql.streaming.OutputMode.Complete())),
+    // streaming top-k: the windowed type counts accumulate in the
+    // stream's state store; the top-3-per-window rank happens at READ
+    // time over the sink — the serving pattern for "trending now"
+    // dashboards (rank the materialized state, never rank inside the
+    // stream where retraction would be needed)
+    "stream_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, row_number}
+      val agg = graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.windowedTypeAgg(
+          graft.streaming.StreamOps.readEventStream(s, dir)),
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start")
+        .orderBy(col("n_events").desc, col("event_type").asc)
+      agg.select(col("window_start"), col("event_type"), col("n_events"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+    }),
     // built-in session_window aggregation run as a stream (Complete
     // mode — the engine's session-window state store does the gap
     // merging; the sink is the final merged session set)
@@ -1473,6 +1491,18 @@ object SparkEntry {
         |  FROM events, (SELECT UNNEST([0, 1]) AS k))
         |SELECT window_start, event_type, COUNT(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "stream_topk" ->
+      """WITH hourly AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+        |      AS window_start,
+        |    event_type, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, rnk FROM (
+        |  SELECT window_start, event_type, n_events,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+        |      ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rnk
+        |  FROM hourly) r
+        |WHERE rnk <= 3""".stripMargin,
     "stream_enrich" ->
       """SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value,
         |  e.props, c.c_name, c.c_nationkey, c.c_acctbal
