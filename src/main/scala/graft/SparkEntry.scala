@@ -422,6 +422,10 @@ object SparkEntry {
     // estimator vs the full-width one on every LSH candidate pair
     "dedup_bbit" -> ((s, dir) =>
       Dedup.bbitMinhash(Tables.table(s, dir, "documents"))),
+    // weighted (multiset) Jaccard over LSH candidates — separates
+    // "same content" from "same content, spammed"
+    "dedup_weighted" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(Tables.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupsMd5(Tables.table(s, dir, "documents"))),
     "dedup_groups" -> ((s, dir) =>
@@ -1298,6 +1302,8 @@ object SparkEntry {
     "dedup_prefix_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.prefixJaccardPairsSql()),
     "dedup_minhash" -> graft.ops.OracleCtes.materialize(Dedup.minhashNearDupsMd5Sql()),
     "dedup_bbit" -> graft.ops.OracleCtes.materialize(Dedup.bbitMinhashSql()),
+    "dedup_weighted" ->
+      graft.ops.OracleCtes.materialize(Dedup.weightedJaccardPairsSql()),
     "dedup_simhash" -> graft.ops.OracleCtes.materialize(Dedup.simhashNearDupsMd5Sql()),
     "dedup_semantic_pairs" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticNearDupsSql(tau = 0.4)),
     "dedup_semantic" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticDedupSql(tau = 0.4)),

@@ -1009,6 +1009,124 @@ object Dedup {
        |FROM agr""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Weighted (multiset) Jaccard verification of LSH candidates:
+  // J_w(A,B) = Σ_s min(c_A(s), c_B(s)) / Σ_s max(c_A(s), c_B(s)) over
+  // shingle OCCURRENCE counts — the histogram-intersection similarity.
+  // Set-Jaccard treats a doc that repeats one boilerplate block 50
+  // times as a tiny shingle set (near-dup of the single-copy doc at
+  // J=1); the multiset view weighs the repetition and separates
+  // "same content" from "same content, spammed" — the distinction a
+  // quality-aware dedup keep-policy needs. Σmax folds to
+  // t_A + t_B − Σmin, so one pair-keyed Σmin aggregation plus two
+  // doc-keyed totals is the whole computation; candidates come from
+  // the same banded LSH as dedup_minhash (never all-pairs) and the
+  // count relation is DF-capped exactly like the set-Jaccard verify
+  // (df = docs containing the shingle — multiplicity doesn't change
+  // the quadratic-bomb analysis).
+  // -------------------------------------------------------------------
+
+  /** Multiset shingle relation: one row per (doc_id, shingle) with its
+    * occurrence count — [[shingles]] without the distinct, aggregated. */
+  def shingleCounts(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(
+        col("doc_id"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(0))),
+          i => array_join(slice(col("tk"), i, lit(n)), " "))).as("shingle"))
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("cnt"))
+
+  def weightedJaccardPairs(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val cands = lshCandidatePairsFromSigs(
+      minhashSignaturesMd5(docs, n, numPerm), numPerm, rowsPerBand,
+      Md5BandHash).cache()
+    val candIds = cands.select(col("da").as("doc_id"))
+      .unionAll(cands.select(col("db").as("doc_id"))).distinct()
+    // DF cap on the count relation: one row per (doc, shingle) means
+    // COUNT(*) per shingle IS the document frequency
+    val dfOk = shingleCounts(docs, n)
+    val capped = dfOk.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shingle")))
+      .filter(col("df") <= maxDf).drop("df")
+    val cnts = capped.join(candIds, Seq("doc_id"), "left_semi").cache()
+    val tot = cnts.groupBy("doc_id").agg(sum("cnt").as("tw"))
+    val inter = cnts.select(col("doc_id").as("da"), col("shingle"), col("cnt").as("ca"))
+      .join(cnts.select(col("doc_id").as("db"), col("shingle"), col("cnt").as("cb")),
+        Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .join(cands, Seq("da", "db"), "left_semi")
+      .groupBy("da", "db").agg(sum(least(col("ca"), col("cb"))).as("interw"))
+    inter
+      .join(tot.select(col("doc_id").as("da"), col("tw").as("ta")), Seq("da"))
+      .join(tot.select(col("doc_id").as("db"), col("tw").as("tb")), Seq("db"))
+      .withColumn("wjaccard",
+        col("interw").cast("double") / (col("ta") + col("tb") - col("interw")))
+      .filter(col("wjaccard") >= threshold)
+      .select("da", "db", "wjaccard")
+  }
+
+  def weightedJaccardPairsSql(
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String = {
+    val numBands = numPerm / rowsPerBand
+    val mins = affineConsts(numPerm).zipWithIndex
+      .map { case ((a, bb), p) => s"MIN(($a * h + $bb) % $MinhashPrime) AS m$p" }
+      .mkString(",\n    ")
+    val bands = (0 until numBands).map { bd =>
+      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(p => s"CAST(m$p AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $bd AS band, md5($cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val thr = graft.functions.PortableMath.dlitE(threshold)
+    s"""WITH shm AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS shingle
+       |  FROM (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |    FROM documents) d),
+       |shc AS (SELECT doc_id, shingle, COUNT(*) AS cnt
+       |  FROM shm GROUP BY doc_id, shingle),
+       |hs AS (SELECT doc_id, ${md5Base30Sql("shingle")} AS h
+       |  FROM (SELECT DISTINCT doc_id, shingle FROM shm) s),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM hs GROUP BY doc_id),
+       |buckets AS (
+       |  $bands),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |cids AS (SELECT da AS doc_id FROM cands UNION SELECT db FROM cands),
+       |cnts AS (SELECT doc_id, shingle, cnt FROM shc
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM shc GROUP BY shingle HAVING COUNT(*) <= $maxDf)
+       |  AND doc_id IN (SELECT doc_id FROM cids)),
+       |tot AS (SELECT doc_id, SUM(cnt) AS tw FROM cnts GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    SUM(LEAST(a.cnt, b.cnt)) AS interw
+       |  FROM cnts a JOIN cnts b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE EXISTS (SELECT 1 FROM cands c
+       |                WHERE c.da = a.doc_id AND c.db = b.doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT da, db,
+       |  CAST(interw AS DOUBLE) / (ta.tw + tb.tw - interw) AS wjaccard
+       |FROM inter
+       |JOIN tot ta ON da = ta.doc_id
+       |JOIN tot tb ON db = tb.doc_id
+       |WHERE CAST(interw AS DOUBLE) / (ta.tw + tb.tw - interw) >= $thr"""
+      .stripMargin
+  }
+
   /** [[minhashNearDups]] over the md5-affine hash family. */
   def minhashNearDupsMd5(
       docs: DataFrame, n: Int = 3, numPerm: Int = 64,

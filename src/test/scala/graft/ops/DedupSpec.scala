@@ -449,6 +449,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(2) == 64L && r.getDouble(5) == 1.0))
   }
 
+  test("weighted jaccard: repetition separates docs that set-jaccard conflates") {
+    // doc 1 and doc 2 share the identical shingle SET, but doc 2
+    // repeats the whole block — multiset similarity must drop below 1
+    // while byte-identical docs 1 and 3 stay at exactly 1
+    val base = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, base), (3L, base),
+      (2L, base + " " + base + " " + base + " " + base)
+    ).toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardPairs(d, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 3L)) == 1.0)
+    got.get((1L, 2L)).foreach(w => assert(w < 0.5, s"got $w"))
+    // set-jaccard on the capped shingle sets would call (1,2) a
+    // perfect dup — the whole point of the multiset view
+    val setJ = Dedup.ngramJaccardPairs(d, threshold = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    setJ.get((1L, 2L)).foreach(j => assert(j > got.getOrElse((1L, 2L), 0.0)))
+  }
+
   test("threshold curve: cumulative counts agree with direct filtering") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val curve = Dedup.thresholdCurve(docs).collect()
