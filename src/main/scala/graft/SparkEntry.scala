@@ -891,6 +891,9 @@ object SparkEntry {
     "pipeline_sequences" -> ((s, dir) =>
       graft.ops.PretrainOps.makeSequences(Tables.table(s, dir, "documents"))),
     // Composed curation pipeline + window-function surface
+    // curation yield funnel: docs + tokens surviving each gate
+    "pipeline_funnel" -> ((s, dir) =>
+      graft.ops.CuratePipeline.funnel(Tables.table(s, dir, "documents"))),
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
     // the full pre-training composition: curate -> near-dup removal ->
@@ -1335,6 +1338,8 @@ object SparkEntry {
     "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),
     "pipeline_sequences" -> graft.ops.PretrainOps.makeSequencesSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
+    "pipeline_funnel" ->
+      graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.funnelSql()),
     "pipeline_pretrain" -> graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.pretrainSql()),
     "pipeline_pretrain_seqs" -> graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.pretrainSequencesSql()),
     "pipeline_decontam" -> graft.ops.CuratePipeline.decontaminateSql(),

@@ -150,6 +150,75 @@ object CuratePipeline {
        |JOIN train_sh ON sh.shingle = train_sh.shingle
        |GROUP BY sh.doc_id, split.split""".stripMargin
 
+  /** Curation yield funnel: how many documents (and how many TOKENS —
+    * the unit the training run actually buys) survive each gate of the
+    * [[pretrain]] composition: input → quality gate → exact dedup →
+    * near-dup removal. This is the report a corpus owner reads before
+    * committing a 100 TB run: a stage whose yield collapses (or
+    * doesn't move) is misconfigured, and token-yield ≠ doc-yield when
+    * a gate preferentially drops long docs. Four 1-row aggregates over
+    * the (already scale-shaped) stage pipelines — the funnel adds no
+    * data-sized shuffle of its own. */
+  def funnel(
+      docs: DataFrame,
+      minTokens: Long = 20,
+      maxStopwordRatio: Double = 0.5,
+      nearDupThreshold: Double = 0.8): DataFrame = {
+    val q = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+      .localCheckpoint(true)
+    val keepQ = q.filter(col("n_tokens") >= minTokens &&
+      col("stopword_ratio") <= maxStopwordRatio).localCheckpoint(true)
+    val exactKeep = TextOps.fingerprints(docs)
+      .join(keepQ.select("doc_id"), "doc_id")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .join(keepQ.select("doc_id", "n_tokens"), "doc_id")
+      .localCheckpoint(true)
+    val losers = Dedup.nearDupGroups(docs, threshold = nearDupThreshold)
+      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    val nearKeep = exactKeep.join(losers, Seq("doc_id"), "left_anti")
+    def stage(ord: Int, name: String, rel: DataFrame) =
+      rel.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(0, "input", q)
+      .unionAll(stage(1, "quality_gate", keepQ))
+      .unionAll(stage(2, "exact_dedup", exactKeep))
+      .unionAll(stage(3, "near_dedup", nearKeep))
+  }
+
+  def funnelSql(
+      minTokens: Long = 20, maxStopwordRatio: Double = 0.5,
+      nearDupThreshold: Double = 0.8): String =
+    s"""WITH q AS (${TextOps.qualityScoreSql}),
+       |fp AS (${TextOps.fingerprintsSql}),
+       |keepq AS (SELECT doc_id, n_tokens FROM q
+       |  WHERE n_tokens >= $minTokens
+       |    AND stopword_ratio <= $maxStopwordRatio),
+       |keepers AS (
+       |  SELECT MIN(f.doc_id) AS doc_id
+       |  FROM fp f JOIN keepq k ON f.doc_id = k.doc_id GROUP BY f.fp),
+       |exact_keep AS (
+       |  SELECT k.doc_id, k.n_tokens
+       |  FROM keepers c JOIN keepq k ON c.doc_id = k.doc_id),
+       |losers AS (SELECT doc_id
+       |  FROM (${OracleCtes.materialize(
+              Dedup.nearDupGroupsSql(threshold = nearDupThreshold))}) g
+       |  WHERE doc_id <> group_id),
+       |near_keep AS (
+       |  SELECT doc_id, n_tokens FROM exact_keep
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+       |SELECT CAST(0 AS BIGINT) AS stage_ord, 'input' AS stage,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM q
+       |UNION ALL SELECT CAST(1 AS BIGINT), 'quality_gate',
+       |  COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM keepq
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup',
+       |  COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM exact_keep
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'near_dedup',
+       |  COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM near_keep"""
+      .stripMargin
+
   /** Top-n tokens per corpus language: one token-count aggregate, then
     * a per-lang top-k through the custom TopKPerKey operator (partial
     * heaps → key exchange of ≤ k·partitions rows per lang → final merge

@@ -24,6 +24,23 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 29L)
   }
 
+  test("funnel: stage counts are monotone and agree with the stage pipelines") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val f = CuratePipeline.funnel(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(f.keySet == Set("input", "quality_gate", "exact_dedup", "near_dedup"))
+    // monotone: each gate can only shrink the corpus
+    val order = Seq("input", "quality_gate", "exact_dedup", "near_dedup")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(f(b)._1 <= f(a)._1 && f(b)._2 <= f(a)._2, s"$a -> $b")
+    }
+    assert(f("input")._1 == docs.count())
+    // the final stage equals the pretrain keeper count
+    assert(f("near_dedup")._1 == CuratePipeline.pretrain(docs).count())
+    // something must actually be dropped on the fixture corpus
+    assert(f("near_dedup")._1 < f("input")._1)
+  }
+
   test("pretrain composition: curate gate, near-dup removal, and split assignment agree with the stages") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = CuratePipeline.pretrain(docs).collect()
