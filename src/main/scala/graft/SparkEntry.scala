@@ -148,6 +148,9 @@ object SparkEntry {
     // langid precision/recall/F1 vs the gold lang column (per-language)
     "text_langid_eval" -> ((s, dir) =>
       TextOps.langIdEval(Tables.table(s, dir, "documents"))),
+    // TextRank keywords: PageRank supersteps over token co-occurrence
+    "text_textrank" -> ((s, dir) =>
+      TextOps.textRank(Tables.table(s, dir, "documents"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     // Zipf-law OLS fit over the top-100 token frequencies (plog +
     // integer-grid sufficient statistics — corpus-health stat)
@@ -1207,6 +1210,8 @@ object SparkEntry {
     "text_quality" -> TextOps.qualityScoreSql,
     "text_langid" -> TextOps.langIdSql,
     "text_langid_eval" -> TextOps.langIdEvalSql,
+    "text_textrank" ->
+      graft.ops.OracleCtes.materialize(TextOps.textRankSql()),
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,

@@ -188,6 +188,20 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1L).getLong(4) == 0L)
   }
 
+  test("textrank: the hub token of a star co-occurrence graph ranks first") {
+    // "hub" co-occurs with every spoke; spokes only see the hub (and
+    // their window-2 neighbor spokes) — the hub must dominate the rank
+    val d = Seq(
+      (1L, "hub aa hub bb hub cc hub dd hub ee hub ff")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.textRank(d, topN = 3).collect()
+    assert(rows.head.getString(0) == "hub")
+    // ranks are a probability-mass-like vector: positive, and the hub
+    // strictly beats the runner-up
+    assert(rows.head.getDouble(1) > rows(1).getDouble(1))
+    rows.foreach(r => assert(r.getDouble(1) > 0.0))
+  }
+
   test("JS divergence: identical distributions -> exactly 0; disjoint vocab -> ln 2") {
     // split membership is hash-determined — discover one train doc and
     // one holdout doc instead of assuming ids
