@@ -719,6 +719,11 @@ object SparkEntry {
     "dq_documents" -> ((s, dir) =>
       graft.ops.DataQuality.documentsChecks(
         Tables.table(s, dir, "documents"))),
+    // join-key skew audit: top-key share + HHI per key family
+    "dq_skew" -> ((s, dir) =>
+      graft.ops.DataQuality.keySkewReport(
+        Tables.events(s, dir), Tables.table(s, dir, "lineitem"),
+        Tables.table(s, dir, "orders"), Tables.table(s, dir, "documents"))),
     // blocked entity resolution: suffix+nation blocking join, edit-
     // distance scoring, best-match-per-row via TopKPerKey (k=1)
     "er_match" -> ((s, dir) =>
@@ -1393,6 +1398,8 @@ object SparkEntry {
     "orders_gini" -> graft.ops.Relational.giniRevenueSql,
     "debtor_segments" -> graft.ops.Relational.debtorSegmentsSql(),
     "dq_orders" -> graft.ops.DataQuality.ordersChecksSql(),
+    "dq_skew" ->
+      graft.ops.OracleCtes.materialize(graft.ops.DataQuality.keySkewReportSql),
     "dq_documents" -> graft.ops.DataQuality.documentsChecksSql(),
     "er_match" -> graft.ops.EntityResolution.matchCustomersSql(),
     "events_scd2" -> EventOps.scd2HistorySql,

@@ -165,4 +165,68 @@ object DataQuality {
       |  CAST(CASE WHEN check_name = 'row_count' THEN value > 0
       |    ELSE value = 0 END AS INT) AS pass
       |FROM u""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Join-key skew report — the "will this shuffle melt at 1000
+  // executors" audit, run BEFORE committing a plan, not after a 4-hour
+  // straggler. For every join/groupBy key family the schema actually
+  // uses, one row: distinct keys, total rows, the hottest key's count,
+  // its row share (top_share — a 0.3 here means one reducer gets 30%
+  // of the shuffle), and the Herfindahl concentration index
+  // (hhi = Σ(c_k/N)²; 1/n_keys for uniform keys, →1 as one key
+  // absorbs everything — the scalar you trend per ingest day).
+  // Everything is one count-per-key aggregate per family (map-side
+  // combinable, key-cardinality-sized output) folded to a 1-row
+  // summary; Σc² runs in DECIMAL(38,0)/HUGEINT because squared hot-key
+  // counts pass 2^63 long before a 100 TB table does.
+  // -------------------------------------------------------------------
+  def keySkewReport(
+      events: DataFrame, lineitem: DataFrame, orders: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def family(name: String, keyed: DataFrame): DataFrame =
+      keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          sum(col("cnt").cast(Dec) * col("cnt").cast(Dec)).as("s2"))
+        .select(lit(name).as("family"), col("n_keys"), col("n_rows"),
+          col("max_cnt"),
+          (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+            .as("top_share"),
+          (col("s2").cast("double") /
+            (col("n_rows").cast("double") * col("n_rows").cast("double")))
+            .as("hhi"))
+    family("events.user_id", events.select(col("user_id").as("k")))
+      .unionAll(family("events.event_type",
+        events.select(col("event_type").as("k"))))
+      .unionAll(family("lineitem.l_orderkey",
+        lineitem.select(col("l_orderkey").as("k"))))
+      .unionAll(family("orders.o_custkey",
+        orders.select(col("o_custkey").as("k"))))
+      .unionAll(family("documents.shingle3",
+        Dedup.shingles(docs, 3).select(col("shingle").as("k"))))
+  }
+
+  def keySkewReportSql: String = {
+    def family(name: String, keyedSql: String): String =
+      s"""SELECT '$name' AS family,
+         |  COUNT(*) AS n_keys,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share,
+         |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE)
+         |    / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS hhi
+         |FROM (SELECT k, COUNT(*) AS cnt FROM ($keyedSql) q GROUP BY k) c"""
+        .stripMargin
+    Seq(
+      family("events.user_id", "SELECT user_id AS k FROM events"),
+      family("events.event_type", "SELECT event_type AS k FROM events"),
+      family("lineitem.l_orderkey", "SELECT l_orderkey AS k FROM lineitem"),
+      family("orders.o_custkey", "SELECT o_custkey AS k FROM orders"),
+      family("documents.shingle3",
+        s"SELECT shingle AS k FROM (${Dedup.shinglesSql(3)}) s")
+    ).mkString("\nUNION ALL ")
+  }
 }

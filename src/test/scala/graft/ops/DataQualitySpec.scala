@@ -50,6 +50,29 @@ class DataQualitySpec extends SparkSpec {
     assert(got.size == 9)
   }
 
+  test("skew report: hand-checkable top_share and hhi per key family") {
+    val events = Seq(
+      (1L, "click"), (1L, "click"), (1L, "view"), (2L, "click")
+    ).toDF("user_id", "event_type")
+    val li = Seq(Tuple1(7L), Tuple1(7L), Tuple1(8L)).toDF("l_orderkey")
+    val orders = Seq(Tuple1(5L), Tuple1(6L)).toDF("o_custkey")
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text") // shingles: 2
+    val rows = DataQuality.keySkewReport(events, li, orders, docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    // user_id: {1→3, 2→1}: top_share 3/4, hhi (9+1)/16
+    assert(rows("events.user_id") == ((2L, 4L, 3L, 0.75, 10.0 / 16.0)))
+    // event_type: {click→3, view→1}
+    assert(rows("events.event_type") == ((2L, 4L, 3L, 0.75, 10.0 / 16.0)))
+    // l_orderkey: {7→2, 8→1}: hhi (4+1)/9
+    assert(rows("lineitem.l_orderkey") == ((2L, 3L, 2L, 2.0 / 3.0, 5.0 / 9.0)))
+    // uniform keys: top_share 1/n, hhi 1/n
+    assert(rows("orders.o_custkey") == ((2L, 2L, 1L, 0.5, 0.5)))
+    // "a b c", "b c d" → 2 distinct shingles, 1 doc each
+    assert(rows("documents.shingle3") == ((2L, 2L, 1L, 0.5, 0.5)))
+  }
+
   test("clean table passes every constraint") {
     val orders = Seq((1L, 10L, "O", 100.0, ts("1995-06-01")))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
