@@ -940,6 +940,10 @@ object SparkEntry {
     // convergence=false → exactly 5 Lloyd steps, no data-dependent
     // early exit, so the whole search (build included) is oracle-checked
     // against a chained-CTE DuckDB twin (IvfIndex.ivfTopKSql).
+    // recall@k curve of the IVF probe vs brute-force truth, one row
+    // per nprobe — the tuning eval before trusting the index at scale
+    "emb_ann_recall" -> ((s, dir) =>
+      graft.ops.IvfIndex.annRecall(s, Tables.table(s, dir, "embeddings"))),
     "ivf_topk" -> ((s, dir) => {
       val embs = Tables.table(s, dir, "embeddings")
       val idx = graft.ops.IvfIndex.build(embs, nlist = 16, maxIter = 5,
@@ -1473,6 +1477,8 @@ object SparkEntry {
     // asserted in EventAndMultimodalSpec.
     "events_sketches" -> EventOps.typeSketchesDetSql(),
     "events_qbins" -> EventOps.binnedQuantilesSql(),
+    "emb_ann_recall" ->
+      graft.ops.OracleCtes.materialize(graft.ops.IvfIndex.annRecallSql()),
     // ivf_topk: fixed-iteration (convergence=false) build → the full
     // quantize+probe+rescore pipeline unrolls into DuckDB CTEs.
     "ivf_topk" -> graft.ops.IvfIndex.ivfTopKSql(

@@ -64,7 +64,8 @@ object IvfIndex {
     * the query vector. Ties broken by id ascending. */
   def search(
       spark: SparkSession, index: Index, query: Seq[Double],
-      k: Int = 10, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, nprobe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val q = query.toArray
     val qNorm = math.sqrt(q.map(x => x * x).sum)
@@ -79,12 +80,94 @@ object IvfIndex {
     // interpreted aggregate/zip_with shape, but whole-stage-codegen'd)
     val vd = graft.functions.VecFunctions.vecDot(col("vec"), qCol)
     val vn = sqrt(graft.functions.VecFunctions.vecDot(col("vec"), col("vec")))
-    index.lists
-      .filter(col("list_id").isin(probed: _*))
+    val base = index.lists.filter(col("list_id").isin(probed: _*))
+    excludeId.fold(base)(x => base.filter(col("id") =!= x))
       .withColumn("cosine", vd / (vn * lit(qNorm)))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
       .select("id", "list_id", "cosine")
+  }
+
+  /** Recall@k curve of the IVF probe against exact brute-force truth —
+    * the eval a pipeline owner runs to pick `nprobe` before trusting
+    * the index at scale (the ANN-family analogue of `dedup_eval`'s
+    * banding-loss check). One row per probed width: how many of the
+    * true top-k the nprobe-list search surfaced, and the recall
+    * fraction. The query vector (id 0) is excluded from BOTH sides so
+    * the self-match can't pad recall. The index is built ONCE
+    * (fixed-iteration, oracle-unrollable) and every width probes the
+    * same lists relation; truth is the k-row exact scan the
+    * emb_cosine_topk query already gates. All counts are integers;
+    * recall is one division. */
+  def annRecall(
+      spark: SparkSession, embs: DataFrame, nlist: Int = 16,
+      maxIter: Int = 5, k: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val idx = build(embs, nlist, maxIter, convergence = false)
+    val q = vectors(embs).filter(col("id") === 0L)
+      .collect()(0).getSeq[Double](1)
+    val truth = EmbeddingOps.cosineTopK(embs, 0L, k)
+      .select(col("vec_id").as("id")).localCheckpoint(true)
+    val lists = idx.lists.localCheckpoint(true)
+    nprobes.map { np =>
+      search(spark, Index(lists, idx.centroids), q, k, np,
+          excludeId = Some(0L))
+        .select("id")
+        .join(truth, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  def annRecallSql(nlist: Int = 16, maxIter: Int = 5, k: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): String = {
+    val steps = (1 to maxIter).map { i =>
+      s"a$i AS (${KMeansND.assignSql("ptsnd", s"c${i - 1}")}), " +
+        s"c$i AS (${KMeansND.recomputeSql("ptsnd", s"a$i")})"
+    }.mkString(", ")
+    val fin = s"c$maxIter"
+    val cosExpr =
+      s"""${KMeansND.dotSql("p.vec", "q.vec")} /
+         |    (SQRT(${KMeansND.dotSql("p.vec", "p.vec")}) *
+         |     SQRT(${KMeansND.dotSql("q.vec", "q.vec")}))""".stripMargin
+    val tCos = EmbeddingOps.dotSql("e.embedding", "qe.q_emb") +
+      s" / (SQRT(${EmbeddingOps.dotSql("e.embedding", "e.embedding")})" +
+      s" * qe.q_norm)"
+    val perNp = nprobes.map { np =>
+      s"""probed_$np AS (
+         |  SELECT c.cid FROM $fin c CROSS JOIN q
+         |  ORDER BY ${KMeansND.sqDistSql("c.cvec", "q.vec")}, c.cid
+         |  LIMIT $np),
+         |approx_$np AS (
+         |  SELECT p.id
+         |  FROM ptsnd p JOIN lists l ON p.id = l.id CROSS JOIN q
+         |  WHERE l.cid IN (SELECT cid FROM probed_$np) AND p.id <> 0
+         |  ORDER BY $cosExpr DESC, p.id LIMIT $k)""".stripMargin
+    }.mkString(",\n")
+    val rows = nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  (SELECT COUNT(*) FROM approx_$np a
+         |   WHERE a.id IN (SELECT id FROM truth)) AS n_hit,
+         |  CAST((SELECT COUNT(*) FROM approx_$np a
+         |   WHERE a.id IN (SELECT id FROM truth)) AS DOUBLE)
+         |    / ${graft.functions.PortableMath.dlitE(k.toDouble)} AS recall"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    graft.Tables.withVecsCents(
+      s""", c0 AS (SELECT cid, cvec FROM centsnd), $steps,
+         |q AS (SELECT vec FROM ptsnd WHERE id = 0),
+         |lists AS (${KMeansND.assignSql("ptsnd", fin)}),
+         |qe AS (SELECT embedding AS q_emb,
+         |  SQRT(${EmbeddingOps.dotSql("embedding", "embedding")}) AS q_norm
+         |  FROM embeddings WHERE vec_id = 0),
+         |truth AS (
+         |  SELECT e.vec_id AS id FROM embeddings e CROSS JOIN qe
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY $tCos DESC, e.vec_id LIMIT $k),
+         |$perNp
+         |$rows""".stripMargin,
+      nlist)
   }
 
   /** DuckDB twin of the FULL fixed-iteration IVF search over the

@@ -57,6 +57,19 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("ann recall: monotone in nprobe; full probe width reaches recall 1") {
+    val embs = realEmbs
+    val rows = IvfIndex.annRecall(spark, embs, nlist = 4, maxIter = 2,
+        k = 5, nprobes = Seq(1, 2, 4))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    // widening the probe can only help
+    assert(rows(1L)._1 <= rows(2L)._1 && rows(2L)._1 <= rows(4L)._1)
+    // probing ALL 4 lists IS brute force → perfect recall
+    assert(rows(4L) == ((5L, 1.0)))
+    rows.values.foreach { case (h, r) => assert(r == h / 5.0) }
+  }
+
   test("probing every list equals brute force exactly") {
     val embs = realEmbs
     val idx = IvfIndex.build(embs, nlist = 4, maxIter = 2)
