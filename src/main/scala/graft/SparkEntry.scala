@@ -891,6 +891,9 @@ object SparkEntry {
     // PII scrub (planted-PII twin — the testdata has none by construction)
     "doc_chunks" -> ((s, dir) =>
       graft.ops.PretrainOps.chunkDocs(Tables.table(s, dir, "documents"))),
+    // packing efficiency: bins, utilization, boundary-straddle rate
+    "seq_pack_stats" -> ((s, dir) =>
+      graft.ops.PretrainOps.packStats(Tables.table(s, dir, "documents"))),
     "seq_pack" -> ((s, dir) =>
       graft.ops.PretrainOps.packSequences(Tables.table(s, dir, "documents"))),
     "pii_scrub" -> ((s, dir) =>
@@ -1349,6 +1352,8 @@ object SparkEntry {
     "emb_hard_negatives" -> EmbeddingOps.hardNegativesSql(),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
+    "seq_pack_stats" ->
+      graft.ops.OracleCtes.materialize(graft.ops.PretrainOps.packStatsSql()),
     "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),
     "pipeline_sequences" -> graft.ops.PretrainOps.makeSequencesSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),

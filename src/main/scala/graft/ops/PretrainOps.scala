@@ -117,6 +117,52 @@ object PretrainOps {
        |        FROM documents) t) w""".stripMargin
 
   // -------------------------------------------------------------------
+  // Packing efficiency report: per shard, how many bins the greedy
+  // concat-and-fill layout produced, the token utilization (1 minus
+  // the last bin's tail waste), and the BOUNDARY-STRADDLE rate — the
+  // fraction of documents split across two bins, i.e. the sequences
+  // whose attention either crosses a document boundary or pays a mask
+  // reset. The loader-quality dials a pretraining run tunes capacity
+  // against. One source-keyed agg over the (already windowed) pack
+  // layout; n_bins folds from the token total (the layout is dense by
+  // construction), never from a distinct-count over bins.
+  // -------------------------------------------------------------------
+  def packStats(docs: DataFrame, capacity: Int = 512): DataFrame =
+    packSequences(docs, capacity)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("offset_in_bin") + col("n_tokens") > capacity, 1L)
+          .otherwise(0L)).as("n_straddle"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${capacity - 1}) div $capacity").as("n_bins"),
+        (col("n_tokens").cast("double") /
+          (expr(s"(n_tokens + ${capacity - 1}) div $capacity")
+            .cast("double") * lit(capacity.toDouble))).as("utilization"),
+        col("n_straddle"),
+        (col("n_straddle").cast("double") / col("n_docs").cast("double"))
+          .as("straddle_frac"))
+
+  def packStatsSql(capacity: Int = 512): String = {
+    val capD = graft.functions.PortableMath.dlitE(capacity.toDouble)
+    s"""WITH packed AS (${packSequencesSql(capacity)}),
+       |agg AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN offset_in_bin + n_tokens > $capacity
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+       |  FROM packed GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |  (n_tokens + ${capacity - 1}) // $capacity AS n_bins,
+       |  CAST(n_tokens AS DOUBLE)
+       |    / (CAST((n_tokens + ${capacity - 1}) // $capacity AS DOUBLE)
+       |       * $capD) AS utilization,
+       |  n_straddle,
+       |  CAST(n_straddle AS DOUBLE) / CAST(n_docs AS DOUBLE) AS straddle_frac
+       |FROM agg""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // PII scrub: redact emails, then URLs, then phone-shaped numbers
   // (email first — its local part would otherwise survive inside a
   // URL-ish token). Pure per-row projection, zero shuffle. Patterns

@@ -70,6 +70,20 @@ class PretrainOpsSpec extends SparkSpec {
       Seq((0L, 0L), (0L, 3L), (1L, 2L)))
   }
 
+  test("packStats: bins, utilization, and straddle rate match hand algebra") {
+    // tokens 3, 4, 2 at capacity 5: total 9 → 2 bins, util 9/10;
+    // only doc 2 (offset 3 + 4 > 5) straddles a bin boundary
+    val d = docs(
+      (1L, "a b c", "s"),
+      (2L, "d e f g", "s"),
+      (3L, "h i", "s"))
+    val r = PretrainOps.packStats(d, capacity = 5).collect()(0)
+    assert(r.getString(0) == "s")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 9L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.9)
+    assert(r.getLong(5) == 1L && r.getDouble(6) == 1.0 / 3.0)
+  }
+
   test("packSequences: shards pack independently") {
     val d = docs((1L, "a b", "s1"), (2L, "c d", "s2"), (3L, "e f", "s1"))
     val out = PretrainOps.packSequences(d, capacity = 3)
