@@ -523,6 +523,9 @@ object SparkEntry {
     // Artetxe-Schwenk ratio-margin pair mining (hubness-corrected)
     "emb_margin_mine" -> ((s, dir) =>
       EmbeddingOps.marginMine(Tables.table(s, dir, "embeddings"))),
+    // per-label centroid drift between deterministic corpus halves
+    "emb_drift" -> ((s, dir) =>
+      EmbeddingOps.centroidDrift(Tables.table(s, dir, "embeddings"))),
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     // incremental view maintenance: base (6/7 of events) ⊕ delta (1/7)
@@ -1469,6 +1472,7 @@ object SparkEntry {
       graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.oodScoresSql()),
     "emb_margin_mine" ->
       graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.marginMineSql()),
+    "emb_drift" -> graft.ops.EmbeddingOps.centroidDriftSql,
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),

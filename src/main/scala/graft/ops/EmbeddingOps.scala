@@ -723,6 +723,79 @@ object EmbeddingOps {
        |  clabel = label AS correct
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Per-label embedding drift check — the encoder-regression /
+    * ingest-shift alarm for a vector lake: split the corpus into two
+    * deterministic halves (vec_id parity — in production, yesterday's
+    * shard vs today's), compute each label's mean embedding per half
+    * with the SAME grid-exact recipe as [[centroidClassify]], and
+    * report how far the two half-centroids moved (cosine and squared
+    * L2). A healthy stationary corpus scores cosine ≈ 1 on every
+    * label; a label whose halves diverge names exactly where the
+    * encoder or the upstream data changed. Labels present in only one
+    * half drop out (inner join) — they are a missing-class alarm the
+    * count columns already surface. Scale: two |labels|·dim-sized
+    * aggs + a |labels|-keyed join; nothing data-sized after the scan. */
+  def centroidDrift(embs: DataFrame): DataFrame = {
+    val Grid = 1.0e6
+    val flat = embs.select(col("label").as("clabel"),
+        (col("vec_id") % 2 === 0).as("half_a"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("clabel"), col("half_a"), col("pos"),
+        round(col("v") * Grid).cast("long").as("g"))
+    val comp = flat.groupBy("clabel", "half_a", "pos")
+      .agg(sum("g").as("s"), count(lit(1)).as("n"))
+      .select(col("clabel"), col("half_a"), col("pos"),
+        (col("s").cast("double") /
+          (col("n").cast("double") * Grid)).as("c"))
+    val cents = comp.groupBy("clabel", "half_a").agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val cnt = embs.groupBy(col("label").as("clabel"),
+        (col("vec_id") % 2 === 0).as("half_a"))
+      .agg(count(lit(1)).as("n"))
+    val a = cents.filter(col("half_a")).select(col("clabel"), col("cvec").as("va"))
+      .join(cnt.filter(col("half_a")).select(col("clabel"), col("n").as("n_a")),
+        Seq("clabel"))
+    val b = cents.filter(!col("half_a")).select(col("clabel"), col("cvec").as("vb"))
+      .join(cnt.filter(!col("half_a")).select(col("clabel"), col("n").as("n_b")),
+        Seq("clabel"))
+    a.join(b, Seq("clabel"))
+      .select(col("clabel").as("label"), col("n_a"), col("n_b"),
+        (dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+          .as("cosine"),
+        (dot(col("va"), col("va")) - lit(2.0) * dot(col("va"), col("vb"))
+          + dot(col("vb"), col("vb"))).as("d2"))
+  }
+
+  def centroidDriftSql: String =
+    s"""WITH flat AS (
+       |  SELECT label AS clabel, vec_id % 2 = 0 AS half_a, i AS pos,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS g
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) u(i)),
+       |comp AS (
+       |  SELECT clabel, half_a, pos,
+       |    CAST(SUM(g) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS c
+       |  FROM flat GROUP BY clabel, half_a, pos),
+       |cents AS (
+       |  SELECT clabel, half_a, list(c ORDER BY pos) AS cvec
+       |  FROM comp GROUP BY clabel, half_a),
+       |cnt AS (
+       |  SELECT label AS clabel, vec_id % 2 = 0 AS half_a, COUNT(*) AS n
+       |  FROM embeddings GROUP BY 1, 2)
+       |SELECT a.clabel AS label, ca.n AS n_a, cb.n AS n_b,
+       |  ${dotSql("a.cvec", "b.cvec")}
+       |    / (SQRT(${dotSql("a.cvec", "a.cvec")})
+       |       * SQRT(${dotSql("b.cvec", "b.cvec")})) AS cosine,
+       |  ${dotSql("a.cvec", "a.cvec")}
+       |    - 2.0 * ${dotSql("a.cvec", "b.cvec")}
+       |    + ${dotSql("b.cvec", "b.cvec")} AS d2
+       |FROM cents a
+       |JOIN cents b ON a.clabel = b.clabel AND a.half_a AND NOT b.half_a
+       |JOIN cnt ca ON ca.clabel = a.clabel AND ca.half_a
+       |JOIN cnt cb ON cb.clabel = a.clabel AND NOT cb.half_a""".stripMargin
+
   def cosineNearDupsSql(
       threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {

@@ -238,6 +238,24 @@ class EmbeddingSpec extends SparkSpec {
     mined.values.foreach { case (_, m) => assert(m > 1.0) }
   }
 
+  test("centroid drift: stationary label scores cosine 1; shifted label diverges") {
+    // label 0: both halves centered on x̂ → identical half-centroids.
+    // label 1: even half on ŷ, odd half on ẑ → orthogonal centroids.
+    val docs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 0f, 0f, 0f), 0), (3L, Array(1f, 0f, 0f, 0f), 0),
+      (10L, Array(0f, 1f, 0f, 0f), 1), (12L, Array(0f, 1f, 0f, 0f), 1),
+      (11L, Array(0f, 0f, 1f, 0f), 1), (13L, Array(0f, 0f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.centroidDrift(docs).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0) == ((2L, 2L, 1.0, 0.0)))
+    val (na, nb, cos1, d21) = got(1)
+    assert(na == 2L && nb == 2L)
+    assert(cos1 == 0.0 && d21 == 2.0)
+  }
+
   test("centroid classify: grid-exact means, argmin label transfer, outlier corrected") {
     // label 0 clusters at x≈1, label 1 at y≈1; vector 20 claims label 1
     // but sits in the label-0 cluster → predicted 0, correct = false
