@@ -1062,6 +1062,14 @@ object SparkEntry {
     // visually-near-duplicate image pairs (pigeonhole chunk join)
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.phashNearDups(Tables.table(s, dir, "documents"))),
+    // visual dedup GROUPS: min-label connected components over the
+    // phash pair graph — the media face of dedup_groups (same CC
+    // operator, so transitivity across hamming chains is handled)
+    "mm_phash_groups" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Multimodal.phashNearDups(Tables.table(s, dir, "documents"))
+          .select(org.apache.spark.sql.functions.col("da"),
+            org.apache.spark.sql.functions.col("db")))),
     // frame bytes hex-encoded for the oracle compare (raw BLOBs crash
     // the harness's sort on the oracle side)
     "mm_frames" -> ((s, dir) =>
@@ -1510,6 +1518,19 @@ object SparkEntry {
     "mm_decode_real" -> Multimodal.pngRoundtripSumsSql,
     "mm_phash" -> Multimodal.pngDHashSql,
     "mm_phash_pairs" -> Multimodal.phashNearDupsSql(),
+    // transitive closure of the phash pair graph by recursive CTE —
+    // the nearDupGroupsSql shape over the media pair relation
+    "mm_phash_groups" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT da AS a, db AS b
+         |  FROM (${Multimodal.phashNearDupsSql()}) p),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id
+         |FROM reach GROUP BY a""".stripMargin,
     // streaming queries: the oracle is the batch twin of the transform —
     // complete/update-mode final sink contents equal the batch result
     "stream_hourly_agg" ->
