@@ -151,6 +151,9 @@ object SparkEntry {
     // TextRank keywords: PageRank supersteps over token co-occurrence
     "text_textrank" -> ((s, dir) =>
       TextOps.textRank(Tables.table(s, dir, "documents"))),
+    // Dunning G² collocations — calibrated at low counts where PMI isn't
+    "text_llr" -> ((s, dir) =>
+      TextOps.llrTopK(Tables.table(s, dir, "documents"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     // Zipf-law OLS fit over the top-100 token frequencies (plog +
     // integer-grid sufficient statistics — corpus-health stat)
@@ -1235,6 +1238,7 @@ object SparkEntry {
     "text_langid_eval" -> TextOps.langIdEvalSql,
     "text_textrank" ->
       graft.ops.OracleCtes.materialize(TextOps.textRankSql()),
+    "text_llr" -> graft.ops.OracleCtes.materialize(TextOps.llrTopKSql()),
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,

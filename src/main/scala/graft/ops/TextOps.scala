@@ -1542,6 +1542,107 @@ object TextOps {
        |ORDER BY pmi DESC, p.center ASC, p.context ASC LIMIT $topN""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Log-likelihood-ratio collocations (Dunning, "Accurate Methods for
+  // the Statistics of Surprise and Coincidence", 1993): G² over each
+  // pair's 2×2 contingency table — the collocation statistic that
+  // stays calibrated at LOW counts, where PMI explodes (Dunning's
+  // whole point). G² = 2·Σ_ij O_ij·ln(O_ij·N / (row_i·col_j)), zero
+  // cells contribute 0. Every logarithm is taken of a SINGLE integer
+  // (plog k + plog N − plog row − plog col — the same value tree in
+  // both engines, and no k·N product to overflow 2^53 at corpus
+  // scale), so scores are bit-stable. Same pair/marginal machinery as
+  // [[pmiTopK]]: one pair shuffle, vocab-sized broadcast marginals,
+  // TakeOrdered selection.
+  // -------------------------------------------------------------------
+  def llrTopK(docs: DataFrame, window: Int = 2, minCount: Int = 5,
+      topN: Int = 100): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val tk = tokens(col("text"))
+    val docsTk = docs.select(tk.as("tk")).filter(size(col("tk")) >= 2)
+    val byOffset = (1 to window).map { d =>
+      docsTk
+        .filter(size(col("tk")) > d)
+        .select(explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - d).as("a"),
+          slice(col("tk"), lit(1 + d), size(col("tk")) - d).as("b"))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    }.reduce(_ unionAll _)
+    val pairs = byOffset
+      .select(explode(array(
+        struct(col("a").as("center"), col("b").as("context")),
+        struct(col("b").as("center"), col("a").as("context")))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+    val marg = pairs.groupBy("center").agg(sum("cnt").as("m"))
+    val total = pairs.agg(sum("cnt").as("total"))
+    def term(k: Column, r: Column, c: Column, n: Column): Column =
+      when(k > 0,
+        k.cast("double") * (plog(k.cast("double")) + plog(n.cast("double"))
+          - plog(r.cast("double")) - plog(c.cast("double"))))
+        .otherwise(lit(0.0))
+    val k11 = col("cnt")
+    val k12 = col("ca") - col("cnt")
+    val k21 = col("cb") - col("cnt")
+    val k22 = col("total") - col("ca") - col("cb") + col("cnt")
+    pairs
+      .filter(col("cnt") >= minCount)
+      .join(broadcast(marg.select(col("center"), col("m").as("ca"))), "center")
+      .join(broadcast(marg.select(col("center").as("context"), col("m").as("cb"))),
+        "context")
+      .crossJoin(broadcast(total))
+      .select(col("center"), col("context"), col("cnt"),
+        (lit(2.0) * (
+          term(k11, col("ca"), col("cb"), col("total"))
+            + term(k12, col("ca"), col("total") - col("cb"), col("total"))
+            + term(k21, col("total") - col("ca"), col("cb"), col("total"))
+            + term(k22, col("total") - col("ca"), col("total") - col("cb"),
+                col("total")))).as("llr"))
+      .orderBy(col("llr").desc, col("center").asc, col("context").asc)
+      .limit(topN)
+  }
+
+  def llrTopKSql(window: Int = 2, minCount: Int = 5, topN: Int = 100): String = {
+    import graft.functions.PortableMath.plogSql
+    val offsets = (1 to window).map { d =>
+      s"""SELECT unnest(tk[1:len(tk)-$d]) AS a,
+         |       unnest(tk[${1 + d}:len(tk)]) AS b
+         |  FROM toks WHERE len(tk) > $d""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    def term(k: String, r: String, c: String): String =
+      s"""CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) *
+         |  ((${plogSql(s"CAST($k AS DOUBLE)")})
+         |   + (${plogSql("CAST(t.total AS DOUBLE)")})
+         |   - (${plogSql(s"CAST($r AS DOUBLE)")})
+         |   - (${plogSql(s"CAST($c AS DOUBLE)")}))
+         |  ELSE 0.0 END""".stripMargin
+    val llr =
+      s"""2.0 * ((${term("p.cnt", "ca.m", "cb.m")})
+         | + (${term("ca.m - p.cnt", "ca.m", "t.total - cb.m")})
+         | + (${term("cb.m - p.cnt", "t.total - ca.m", "cb.m")})
+         | + (${term("t.total - ca.m - cb.m + p.cnt",
+              "t.total - ca.m", "t.total - cb.m")}))""".stripMargin
+    s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+       |off AS (
+       |  $offsets),
+       |sym AS (
+       |  SELECT a AS center, b AS context FROM off
+       |  UNION ALL SELECT b, a FROM off),
+       |pairs AS MATERIALIZED (
+       |  SELECT center, context, COUNT(*) AS cnt
+       |  FROM sym GROUP BY 1, 2),
+       |marg AS MATERIALIZED (
+       |  SELECT center, SUM(cnt) AS m FROM pairs GROUP BY center),
+       |tot AS (SELECT SUM(cnt) AS total FROM pairs)
+       |SELECT p.center, p.context, p.cnt, $llr AS llr
+       |FROM pairs p
+       |JOIN marg ca ON p.center = ca.center
+       |JOIN marg cb ON p.context = cb.center
+       |CROSS JOIN tot t
+       |WHERE p.cnt >= $minCount
+       |ORDER BY llr DESC, p.center ASC, p.context ASC LIMIT $topN""".stripMargin
+  }
+
   /** Cross-source contamination matrix: for every source pair, how many
     * distinct word n-gram shingles they share, plus the Jaccard overlap
     * of their shingle sets. The corpus-level twin of doc-level near-dup

