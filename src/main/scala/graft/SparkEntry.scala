@@ -911,6 +911,10 @@ object SparkEntry {
     // curation yield funnel: docs + tokens surviving each gate
     "pipeline_funnel" -> ((s, dir) =>
       graft.ops.CuratePipeline.funnel(Tables.table(s, dir, "documents"))),
+    // per-split contamination summary (any-overlap and heavy tiers)
+    "pipeline_decontam_summary" -> ((s, dir) =>
+      graft.ops.CuratePipeline.decontamSummary(
+        Tables.table(s, dir, "documents"))),
     "pipeline_curate" -> ((s, dir) =>
       graft.ops.CuratePipeline.curate(Tables.table(s, dir, "documents"))),
     // the full pre-training composition: curate -> near-dup removal ->
@@ -1374,6 +1378,8 @@ object SparkEntry {
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
     "pipeline_funnel" ->
       graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.funnelSql()),
+    "pipeline_decontam_summary" -> graft.ops.OracleCtes.materialize(
+      graft.ops.CuratePipeline.decontamSummarySql()),
     "pipeline_pretrain" -> graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.pretrainSql()),
     "pipeline_pretrain_seqs" -> graft.ops.OracleCtes.materialize(graft.ops.CuratePipeline.pretrainSequencesSql()),
     "pipeline_decontam" -> graft.ops.CuratePipeline.decontaminateSql(),

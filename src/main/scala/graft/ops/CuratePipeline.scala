@@ -150,6 +150,51 @@ object CuratePipeline {
        |JOIN train_sh ON sh.shingle = train_sh.shingle
        |GROUP BY sh.doc_id, split.split""".stripMargin
 
+  /** Per-split contamination summary — the eval-integrity number a
+    * release review asks for: of each held-out split, how many docs
+    * share ANY word n-gram with train ([[decontaminate]]'s flag set),
+    * how many share ≥ `heavy` of them (the "effectively leaked" tier
+    * that must be dropped, not just noted), and both as fractions of
+    * the split. Two split-keyed 1-row-per-split aggs joined on the
+    * (≤3-row) split key. */
+  def decontamSummary(
+      docs: DataFrame, n: Int = 3, heavy: Long = 10): DataFrame = {
+    val split = Sampling.splitAssign(docs).select("doc_id", "split")
+      .filter(col("split") =!= "train")
+    val contam = decontaminate(docs, n)
+    val base = split.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    val c = contam.groupBy("split").agg(
+      count(lit(1)).as("n_contaminated"),
+      sum(when(col("n_shared_ngrams") >= heavy, 1L).otherwise(0L))
+        .as("n_heavy"))
+    base.join(c, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_docs").cast("double")).as("contam_frac"),
+        (coalesce(col("n_heavy"), lit(0L)).cast("double")
+          / col("n_docs").cast("double")).as("heavy_frac"))
+  }
+
+  def decontamSummarySql(n: Int = 3, heavy: Long = 10): String =
+    s"""WITH contam AS (${decontaminateSql(n)}),
+       |split AS (SELECT doc_id, split
+       |  FROM (${Sampling.splitAssignSql()}) s WHERE split <> 'train'),
+       |base AS (SELECT split, COUNT(*) AS n_docs FROM split GROUP BY split),
+       |c AS (SELECT split, COUNT(*) AS n_contaminated,
+       |    CAST(SUM(CASE WHEN n_shared_ngrams >= $heavy THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_heavy
+       |  FROM contam GROUP BY split)
+       |SELECT b.split, b.n_docs,
+       |  COALESCE(c.n_contaminated, 0) AS n_contaminated,
+       |  COALESCE(c.n_heavy, 0) AS n_heavy,
+       |  CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE)
+       |    / CAST(b.n_docs AS DOUBLE) AS contam_frac,
+       |  CAST(COALESCE(c.n_heavy, 0) AS DOUBLE)
+       |    / CAST(b.n_docs AS DOUBLE) AS heavy_frac
+       |FROM base b LEFT JOIN c ON b.split = c.split""".stripMargin
+
   /** Curation yield funnel: how many documents (and how many TOKENS —
     * the unit the training run actually buys) survive each gate of the
     * [[pretrain]] composition: input → quality gate → exact dedup →

@@ -78,6 +78,22 @@ class CuratePipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontam summary: fractions agree with the flag relation per split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = CuratePipeline.decontamSummary(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.nonEmpty && !rows.contains("train"))
+    val contam = CuratePipeline.decontaminate(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    rows.foreach { case (split, (nDocs, nCont, nHeavy, frac)) =>
+      val flagged = contam.filter(_._1 == split)
+      assert(nCont == flagged.size, split)
+      assert(nHeavy == flagged.count(_._2 >= 10L), split)
+      assert(nCont <= nDocs && frac == nCont.toDouble / nDocs, split)
+    }
+  }
+
   test("decontamination flags exactly the non-train docs sharing n-grams with train") {
     import org.apache.spark.sql.functions.col
     // enough docs that the 98/1/1 split leaves a non-train remainder;
