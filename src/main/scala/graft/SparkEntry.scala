@@ -1000,6 +1000,9 @@ object SparkEntry {
     // Product quantization ANN: per-subspace fixed-iteration codebooks,
     // asymmetric-distance top-k — train→encode→ADC fully oracle-checked
     // (same unrolling recipe as ivf_topk)
+    // PQ fidelity report: per-subspace + total quantization MSE
+    "pq_distortion" -> ((s, dir) =>
+      graft.ops.PqIndex.pqDistortion(Tables.table(s, dir, "embeddings"))),
     "pq_topk" -> ((s, dir) =>
       graft.ops.PqIndex.pqTopK(Tables.table(s, dir, "embeddings"))),
     // the production PQ shape: codes + codebooks persisted once, the
@@ -1516,6 +1519,8 @@ object SparkEntry {
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
     "emb_sq8_topk_indexed" -> graft.ops.QuantOps.sq8TopKSql(),
     "pq_topk" -> graft.ops.PqIndex.pqTopKSql(),
+    "pq_distortion" ->
+      graft.ops.OracleCtes.materialize(graft.ops.PqIndex.pqDistortionSql()),
     "pq_topk_indexed" -> graft.ops.PqIndex.pqTopKSql(),
     "ivfpq_topk" -> graft.ops.PqIndex.ivfPqTopKSql(),
     "ivfpq_topk_indexed" -> graft.ops.PqIndex.ivfPqTopKSql(),

@@ -404,6 +404,87 @@ object PqIndex {
   /** DuckDB twin: per subspace, the sliced relation, `maxIter` unrolled
     * decimal-exact Lloyd steps, final code assignment; then the ADC join
     * with the identical left-to-right subspace fold. */
+  /** Quantization-distortion report — the PQ fidelity dial read
+    * together with `emb_ann_recall` before flipping a vector store to
+    * codes: per subspace, the mean squared error between sub-vectors
+    * and their assigned codewords, plus the `-1` total row (a vector's
+    * full reconstruction error is the SUM of its per-subspace errors,
+    * so the total MSE is Σ over the same exact grid sums). A hot
+    * subspace (MSE ≫ its peers) tells you where the codebook budget —
+    * more centroids, or an OPQ-style rotation — should go. Grid-exact:
+    * per-row d² snaps to the 1e-12 grid, DECIMAL(38,0)/HUGEINT sums,
+    * one double conversion per output row. */
+  def pqDistortion(embs: DataFrame, m: Int = 4, nlist: Int = 16,
+      maxIter: Int = 3): DataFrame = {
+    val spark = embs.sparkSession
+    val Grid = 1.0e12
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vecs = IvfIndex.vectors(embs)
+    val cb = train(vecs, m, nlist, maxIter)
+    val rows = (0 until cb.m).map { s =>
+      val sub = vecs.select(col("id"), subVec(s, cb.subDim).as("vec"))
+      val book = graft.Tables.centsNDDF(spark, cb.books(s))
+      // assign already carries the winning d² (packed-argmin recovery)
+      KMeansND.assign(sub, book)
+        .select(lit(s.toLong).as("subspace"),
+          round(col("sqdist") * Grid).cast("long").as("g"))
+    }.reduce(_ unionAll _)
+    val per = rows.groupBy("subspace").agg(
+      count(lit(1)).as("n"), sum(col("g").cast(Dec)).as("sg"))
+    val total = per.agg(
+        min("n").as("n"), sum("sg").as("sg"))
+      .select(lit(-1L).as("subspace"), col("n"), col("sg"))
+    per.select(col("subspace"), col("n"), col("sg"))
+      .unionAll(total)
+      .select(col("subspace"), col("n"),
+        (col("sg").cast("double") / (col("n").cast("double") * Grid))
+          .as("mse"))
+  }
+
+  def pqDistortionSql(m: Int = 4, nlist: Int = 16, maxIter: Int = 3,
+      dim: Int = 64): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    val perSub = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = s * subDim + subDim
+      val sub = s"sub$s"
+      val subRel =
+        s"$sub AS (SELECT id, list_slice(vec, $lo, $hi) AS vec FROM ptsnd)"
+      val init =
+        s"""s${s}c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, vec AS cvec FROM
+           |  (SELECT vec, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM $sub) t
+           |  WHERE rn <= $nlist)""".stripMargin
+      val steps = (1 to maxIter).map { i =>
+        s"s${s}a$i AS (${KMeansND.assignSql(sub, s"s${s}c${i - 1}")}), " +
+          s"s${s}c$i AS (${KMeansND.recomputeSql(sub, s"s${s}a$i")})"
+      }.mkString(", ")
+      val dist =
+        s"""dist$s AS (
+           |  SELECT CAST($s AS BIGINT) AS subspace,
+           |    CAST(ROUND(sqdist * 1000000000000.0) AS BIGINT) AS g
+           |  FROM (${KMeansND.assignSql(sub, s"s${s}c$maxIter")}) a)"""
+          .stripMargin
+      s"$subRel, $init, $steps, $dist"
+    }.mkString(", ")
+    val unionAllDist = (0 until m)
+      .map(s => s"SELECT subspace, g FROM dist$s")
+      .mkString("\n  UNION ALL ")
+    graft.Tables.withVecsCents(
+      s""", $perSub,
+         |rows AS (
+         |  $unionAllDist),
+         |per AS (SELECT subspace, COUNT(*) AS n, SUM(g) AS sg
+         |  FROM rows GROUP BY subspace),
+         |tot AS (SELECT CAST(-1 AS BIGINT) AS subspace,
+         |  MIN(n) AS n, SUM(sg) AS sg FROM per)
+         |SELECT subspace, CAST(n AS BIGINT) AS n,
+         |  CAST(sg AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0) AS mse
+         |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot) u"""
+        .stripMargin,
+      nlist)
+  }
+
   def pqTopKSql(m: Int = 4, nlist: Int = 16, maxIter: Int = 3,
       queryId: Long = 0L, k: Int = 10, dim: Int = 64): String = {
     require(dim % m == 0)

@@ -62,6 +62,25 @@ class PqIndexSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("distortion: total row equals the sum of subspace MSEs; budget reduces error") {
+    val embs = clustered
+    val rows = PqIndex.pqDistortion(embs, m = 4, nlist = 16, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set(-1L, 0L, 1L, 2L, 3L))
+    // every subspace covers all 40 vectors
+    (0L to 3L).foreach(s => assert(rows(s)._1 == 40L))
+    assert(rows(-1L)._1 == 40L)
+    // total MSE = Σ subspace MSEs (same exact grid sums, one division)
+    val sumParts = (0L to 3L).map(s => rows(s)._2).sum
+    assert(math.abs(rows(-1L)._2 - sumParts) < 1e-9)
+    // more codebook budget can only reduce the winning distances:
+    // nlist=1 (one codeword = the mean) must be strictly worse here
+    val tight = PqIndex.pqDistortion(embs, m = 4, nlist = 1, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(-1L)._2 < tight(-1L))
+    rows.values.foreach { case (_, mse) => assert(mse >= 0.0) }
+  }
+
   test("persisted-index probe returns exactly the in-plan pqTopK result") {
     val vecs = IvfIndex.vectors(clustered)
     val cb = PqIndex.train(vecs, m = 4, nlist = 8, maxIter = 3)
