@@ -938,6 +938,9 @@ object SparkEntry {
     // per-doc cluster id + centrality score (curation-by-cluster)
     "docs_cluster" -> ((s, dir) =>
       graft.ops.TopicCluster.cluster(Tables.table(s, dir, "documents"))),
+    // chance-corrected agreement of unsupervised topics vs gold langs
+    "docs_cluster_ari" -> ((s, dir) =>
+      graft.ops.TopicCluster.clusterAri(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
     "kmeansnd_assign" -> ((s, dir) => {
       val vecs = graft.ops.IvfIndex.vectors(Tables.table(s, dir, "embeddings"))
@@ -1389,6 +1392,8 @@ object SparkEntry {
     "pipe_quality" -> graft.ops.CuratePipeline.qualityFilterSql(),
     "text_top_tokens" -> graft.ops.CuratePipeline.topTokensPerLangSql(),
     "docs_cluster" -> graft.ops.TopicCluster.clusterSql(),
+    "docs_cluster_ari" ->
+      graft.ops.OracleCtes.materialize(graft.ops.TopicCluster.clusterAriSql()),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(
       s""", assignednd AS (${kmeans.KMeansND.assignSql()})

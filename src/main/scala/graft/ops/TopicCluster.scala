@@ -95,4 +95,77 @@ object TopicCluster {
        |  WHERE rn <= $k)$rounds
        |${KMeansND.assignSql("vecs", centsRel)}""".stripMargin
   }
+
+  /** Adjusted Rand Index (Hubert & Arabie 1985) between the topic
+    * clustering and the gold `lang` labels — the "did the unsupervised
+    * topics rediscover real structure?" external-validation number
+    * (chance-corrected: 0 for a random partition, 1 for a perfect
+    * match, negative for worse-than-chance). Computed entirely on
+    * integers: with S_x = Σ n(n−1) over cells / cluster sizes / label
+    * sizes / the total, ARI = 2·(S_n·S_ij − S_a·S_b) /
+    * (S_n·(S_a+S_b) − 2·S_a·S_b) — one double division at the very
+    * end, NULL on the degenerate zero denominator. Products run in
+    * DECIMAL(38,0)/HUGEINT (exact to ~3e9 docs; past that the 128-bit
+    * headroom, not the algorithm, is the bound). The contingency table
+    * is (k × |langs|)-sized — nothing data-sized past the one
+    * cluster⋈label count agg. */
+  def clusterAri(docs: DataFrame, dim: Int = 64, k: Int = 8,
+      iters: Int = 3, seed: Int = 42): DataFrame =
+    ariOf(
+      cluster(docs, dim, k, iters, seed).select(col("id").as("doc_id"), col("cid")),
+      docs.select(col("doc_id"), col("lang")))
+
+  /** The ARI core over explicit (doc_id, cid) vs (doc_id, lang)
+    * partitions — unit-testable against hand-computed tables. */
+  def ariOf(assign: DataFrame, labels: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def s2(c: Column) = sum(c.cast(Dec) * (c.cast(Dec) - 1))
+    val ct = assign
+      .join(labels, "doc_id")
+      .groupBy("cid", "lang").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val sij = ct.agg(s2(col("nij")).as("sij"))
+    val sa = ct.groupBy("cid").agg(sum("nij").as("a"))
+      .agg(s2(col("a")).as("sa"), count(lit(1)).as("n_clusters"))
+    val sb = ct.groupBy("lang").agg(sum("nij").as("b"))
+      .agg(s2(col("b")).as("sb"), count(lit(1)).as("n_labels"))
+    val nt = ct.agg(sum("nij").as("n"))
+    nt.crossJoin(sij).crossJoin(sa).crossJoin(sb)
+      .select(col("n").as("n_docs"), col("n_clusters"), col("n_labels"),
+        {
+          val sn = col("n").cast(Dec) * (col("n").cast(Dec) - 1)
+          val num = lit(2).cast(Dec) * (sn * col("sij") - col("sa") * col("sb"))
+          val den = sn * (col("sa") + col("sb")) -
+            lit(2).cast(Dec) * col("sa") * col("sb")
+          when(den === 0, lit(null).cast("double"))
+            .otherwise(num.cast("double") / den.cast("double")).as("ari")
+        })
+  }
+
+  def clusterAriSql(dim: Int = 64, k: Int = 8, iters: Int = 3,
+      seed: Int = 42): String =
+    s"""WITH asg AS (
+       |  SELECT id, cid
+       |  FROM (${OracleCtes.materialize(clusterSql(dim, k, iters, seed))}) c),
+       |ct AS (
+       |  SELECT a.cid, d.lang, COUNT(*) AS nij
+       |  FROM asg a JOIN documents d ON a.id = d.doc_id
+       |  GROUP BY a.cid, d.lang),
+       |sij AS (SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS sij FROM ct),
+       |sa AS (SELECT SUM(CAST(a AS HUGEINT) * (a - 1)) AS sa,
+       |    COUNT(*) AS n_clusters
+       |  FROM (SELECT cid, SUM(nij) AS a FROM ct GROUP BY cid) t),
+       |sb AS (SELECT SUM(CAST(b AS HUGEINT) * (b - 1)) AS sb,
+       |    COUNT(*) AS n_labels
+       |  FROM (SELECT lang, SUM(nij) AS b FROM ct GROUP BY lang) t),
+       |nt AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct)
+       |SELECT n AS n_docs, n_clusters, n_labels,
+       |  CASE WHEN CAST(n AS HUGEINT) * (n - 1) * (sa + sb)
+       |      - 2 * sa * sb = 0 THEN NULL
+       |    ELSE CAST(2 * (CAST(n AS HUGEINT) * (n - 1) * sij - sa * sb)
+       |        AS DOUBLE)
+       |      / CAST(CAST(n AS HUGEINT) * (n - 1) * (sa + sb)
+       |        - 2 * sa * sb AS DOUBLE)
+       |  END AS ari
+       |FROM nt, sij, sa, sb""".stripMargin
 }

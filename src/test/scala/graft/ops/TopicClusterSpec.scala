@@ -63,4 +63,27 @@ class TopicClusterSpec extends SparkSpec {
         .agg(sum("sqdist")).collect()(0).getDouble(0)
     assert(obj(3) <= obj(1) + 1e-9)
   }
+
+  test("ARI: 1 on identical partitions, 0 vs the single-cluster partition, " +
+      "hand value on a known table") {
+    import spark.implicits._
+    def part(ps: (Long, Int)*) = ps.toSeq.toDF("doc_id", "cid")
+    def labs(ps: (Long, String)*) = ps.toSeq.toDF("doc_id", "lang")
+    val gold = labs(1L -> "en", 2L -> "en", 3L -> "en",
+      4L -> "de", 5L -> "de", 6L -> "de")
+    def ariVal(a: org.apache.spark.sql.DataFrame) =
+      TopicCluster.ariOf(a, gold).collect()(0)
+    // identical partition → ARI exactly 1
+    val same = ariVal(part(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1))
+    assert(same.getLong(0) == 6L && same.getDouble(3) == 1.0)
+    // everything in one cluster → chance level, ARI exactly 0
+    val one = ariVal(part((1L to 6L).map(_ -> 0): _*))
+    assert(one.getLong(1) == 1L && one.getDouble(3) == 0.0)
+    // hand-computed mixed case: clusters {1,2,4},{3,5,6} vs gold
+    // cells: (0,en)=2,(0,de)=1,(1,en)=1,(1,de)=2 → Sij = 2+0+0+2 = 4
+    // Sa = Sb = 2·(3·2) = 12, Sn = 30
+    // ARI = 2(30·4 − 144)/(30·24 − 288) = 2(−24)/432 = −1/9
+    val mixed = ariVal(part(1L -> 0, 2L -> 0, 4L -> 0, 3L -> 1, 5L -> 1, 6L -> 1))
+    assert(math.abs(mixed.getDouble(3) - (-1.0 / 9.0)) < 1e-15)
+  }
 }
