@@ -941,6 +941,9 @@ object SparkEntry {
     // chance-corrected agreement of unsupervised topics vs gold langs
     "docs_cluster_ari" -> ((s, dir) =>
       graft.ops.TopicCluster.clusterAri(Tables.table(s, dir, "documents"))),
+    // information-theoretic agreement (read WITH the ARI)
+    "docs_cluster_nmi" -> ((s, dir) =>
+      graft.ops.TopicCluster.clusterNmi(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
     "kmeansnd_assign" -> ((s, dir) => {
       val vecs = graft.ops.IvfIndex.vectors(Tables.table(s, dir, "embeddings"))
@@ -1394,6 +1397,8 @@ object SparkEntry {
     "docs_cluster" -> graft.ops.TopicCluster.clusterSql(),
     "docs_cluster_ari" ->
       graft.ops.OracleCtes.materialize(graft.ops.TopicCluster.clusterAriSql()),
+    "docs_cluster_nmi" ->
+      graft.ops.OracleCtes.materialize(graft.ops.TopicCluster.clusterNmiSql()),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(
       s""", assignednd AS (${kmeans.KMeansND.assignSql()})

@@ -142,6 +142,82 @@ object TopicCluster {
         })
   }
 
+  /** Normalized Mutual Information companion to [[clusterAri]] —
+    * NMI = 2·I(C;L)/(H(C)+H(L)), the information-theoretic agreement
+    * score (1 = partitions determine each other, 0 = independent; NOT
+    * chance-corrected, which is why it is read WITH the ARI, never
+    * instead of it). Exactness: n·I = Σ n_ij·(ln n + ln n_ij − ln a_i
+    * − ln b_j) and n·H = Σ a·(ln n − ln a) decompose into portable
+    * logs of SINGLE integers; each cell term snaps to the 1e-12 grid
+    * and sums as exact integers, one double division at the end.
+    * NULL when H(C)+H(L) = 0 (both partitions degenerate). */
+  def clusterNmi(docs: DataFrame, dim: Int = 64, k: Int = 8,
+      iters: Int = 3, seed: Int = 42): DataFrame =
+    nmiOf(
+      cluster(docs, dim, k, iters, seed).select(col("id").as("doc_id"), col("cid")),
+      docs.select(col("doc_id"), col("lang")))
+
+  def nmiOf(assign: DataFrame, labels: DataFrame): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Grid = 1.0e12
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ct = assign.join(labels, "doc_id")
+      .groupBy("cid", "lang").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val arow = ct.groupBy("cid").agg(sum("nij").as("a"))
+    val brow = ct.groupBy("lang").agg(sum("nij").as("b"))
+    val nt = ct.agg(sum("nij").as("n"))
+    def hTerm(c: Column, n: Column) =
+      sum(round(c.cast("double") * (plog(n.cast("double"))
+        - plog(c.cast("double"))) * Grid).cast(Dec))
+    val ha = arow.crossJoin(broadcast(nt)).agg(hTerm(col("a"), col("n")).as("ha"))
+    val hb = brow.crossJoin(broadcast(nt)).agg(hTerm(col("b"), col("n")).as("hb"))
+    val mi = ct
+      .join(broadcast(arow), "cid").join(broadcast(brow), "lang")
+      .crossJoin(broadcast(nt))
+      .agg(sum(round(col("nij").cast("double")
+        * (plog(col("n").cast("double")) + plog(col("nij").cast("double"))
+          - plog(col("a").cast("double")) - plog(col("b").cast("double")))
+        * Grid).cast(Dec)).as("mi"))
+    nt.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+      .select(col("n").as("n_docs"),
+        when(col("ha") + col("hb") === 0, lit(null).cast("double"))
+          .otherwise((lit(2).cast(Dec) * col("mi")).cast("double")
+            / (col("ha") + col("hb")).cast("double")).as("nmi"))
+  }
+
+  def clusterNmiSql(dim: Int = 64, k: Int = 8, iters: Int = 3,
+      seed: Int = 42): String = {
+    import graft.functions.PortableMath.plogSql
+    def pl(x: String) = s"(${plogSql(s"CAST($x AS DOUBLE)")})"
+    s"""WITH asg AS (
+       |  SELECT id, cid
+       |  FROM (${OracleCtes.materialize(clusterSql(dim, k, iters, seed))}) c),
+       |ct AS (
+       |  SELECT a.cid, d.lang, COUNT(*) AS nij
+       |  FROM asg a JOIN documents d ON a.id = d.doc_id
+       |  GROUP BY a.cid, d.lang),
+       |arow AS (SELECT cid, SUM(nij) AS a FROM ct GROUP BY cid),
+       |brow AS (SELECT lang, SUM(nij) AS b FROM ct GROUP BY lang),
+       |nt AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+       |ha AS (SELECT SUM(CAST(ROUND(CAST(a AS DOUBLE)
+       |    * (${pl("n")} - ${pl("a")}) * 1000000000000.0) AS BIGINT)) AS ha
+       |  FROM arow, nt),
+       |hb AS (SELECT SUM(CAST(ROUND(CAST(b AS DOUBLE)
+       |    * (${pl("n")} - ${pl("b")}) * 1000000000000.0) AS BIGINT)) AS hb
+       |  FROM brow, nt),
+       |mi AS (SELECT SUM(CAST(ROUND(CAST(nij AS DOUBLE)
+       |    * (${pl("n")} + ${pl("nij")} - ${pl("a")} - ${pl("b")})
+       |    * 1000000000000.0) AS BIGINT)) AS mi
+       |  FROM ct JOIN arow USING (cid) JOIN brow USING (lang), nt)
+       |SELECT n AS n_docs,
+       |  CASE WHEN ha + hb = 0 THEN NULL
+       |    ELSE CAST(2 * CAST(mi AS HUGEINT) AS DOUBLE)
+       |      / CAST(ha + hb AS DOUBLE)
+       |  END AS nmi
+       |FROM nt, mi, ha, hb""".stripMargin
+  }
+
   def clusterAriSql(dim: Int = 64, k: Int = 8, iters: Int = 3,
       seed: Int = 42): String =
     s"""WITH asg AS (

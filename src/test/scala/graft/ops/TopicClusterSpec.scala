@@ -86,4 +86,21 @@ class TopicClusterSpec extends SparkSpec {
     val mixed = ariVal(part(1L -> 0, 2L -> 0, 4L -> 0, 3L -> 1, 5L -> 1, 6L -> 1))
     assert(math.abs(mixed.getDouble(3) - (-1.0 / 9.0)) < 1e-15)
   }
+
+  test("NMI: exactly 1 on identical partitions, exactly 0 vs one cluster") {
+    import spark.implicits._
+    val gold = Seq(1L -> "en", 2L -> "en", 3L -> "en",
+      4L -> "de", 5L -> "de", 6L -> "de").toDF("doc_id", "lang")
+    def nmiVal(ps: (Long, Int)*) =
+      TopicCluster.nmiOf(ps.toSeq.toDF("doc_id", "cid"), gold)
+        .collect()(0).getDouble(1)
+    // identical partition: I = H on the SAME grid terms → exactly 1
+    assert(nmiVal(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1) == 1.0)
+    // single cluster: every MI cell term is n_ij·ln(n·n_ij/(n·b_j)) = 0
+    assert(nmiVal((1L to 6L).map(_ -> 0): _*) == 0.0)
+    // agreement orders sanely: a partly-wrong partition lands strictly
+    // between the two extremes
+    val partial = nmiVal(1L -> 0, 2L -> 0, 4L -> 0, 3L -> 1, 5L -> 1, 6L -> 1)
+    assert(partial > 0.0 - 1e-12 && partial < 1.0)
+  }
 }
