@@ -154,6 +154,9 @@ object SparkEntry {
     // Dunning G² collocations — calibrated at low counts where PMI isn't
     "text_llr" -> ((s, dir) =>
       TextOps.llrTopK(Tables.table(s, dir, "documents"))),
+    // Church-Gale burstiness: VMR of per-doc counts for the top tokens
+    "text_burstiness" -> ((s, dir) =>
+      TextOps.burstiness(Tables.table(s, dir, "documents"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     // Zipf-law OLS fit over the top-100 token frequencies (plog +
     // integer-grid sufficient statistics — corpus-health stat)
@@ -1252,6 +1255,7 @@ object SparkEntry {
     "text_textrank" ->
       graft.ops.OracleCtes.materialize(TextOps.textRankSql()),
     "text_llr" -> graft.ops.OracleCtes.materialize(TextOps.llrTopKSql()),
+    "text_burstiness" -> TextOps.burstinessSql(),
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,

@@ -1386,6 +1386,56 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Token burstiness (Church & Gale, "Poisson Mixtures", 1995): the
+  // variance-to-mean ratio of a token's per-document count over the
+  // WHOLE corpus (zeros included). A Poisson-scattered token scores
+  // VMR ≈ 1; content words are bursty (VMR ≫ 1 — they cluster in the
+  // few docs that are "about" them) while function words sit near 1 —
+  // the signal that separates topical vocabulary from glue without any
+  // supervision. All-integer identity: with D docs, S1 = Σ_d c_d,
+  // S2 = Σ_d c_d², VMR = Var/Mean = (D·S2 − S1²)/(D·S1) — the zero
+  // docs contribute nothing to either sum, so only the token's own
+  // rows are ever touched; D is one 1-row broadcast. Products run in
+  // DECIMAL(38,0)/HUGEINT. Top-N by corpus count via TakeOrdered.
+  // -------------------------------------------------------------------
+  def burstiness(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perDoc = explodedTokens(docs, "token", col("doc_id"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("token").agg(
+      count(lit(1)).as("df"),
+      sum("c").as("s1"),
+      sum(col("c").cast(Dec) * col("c").cast(Dec)).as("s2"))
+    val d = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(d))
+      .select(col("token"), col("df"), col("s1").as("cnt"),
+        ((col("n_docs").cast(Dec) * col("s2")
+          - col("s1").cast(Dec) * col("s1").cast(Dec)).cast("double")
+          / (col("n_docs").cast(Dec) * col("s1").cast(Dec)).cast("double"))
+          .as("vmr"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topN)
+  }
+
+  def burstinessSql(topN: Int = 100): String =
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, token, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents) t
+       |  GROUP BY doc_id, token),
+       |stats AS (
+       |  SELECT token, COUNT(*) AS df, SUM(c) AS s1,
+       |    SUM(CAST(c AS HUGEINT) * c) AS s2
+       |  FROM perdoc GROUP BY token),
+       |d AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT token, df, CAST(s1 AS BIGINT) AS cnt,
+       |  CAST(CAST(n_docs AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+       |    AS DOUBLE)
+       |  / CAST(CAST(n_docs AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+       |    AS vmr
+       |FROM stats, d
+       |ORDER BY cnt DESC, token ASC LIMIT $topN""".stripMargin
+
+  // -------------------------------------------------------------------
   // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
   // PageRank over the undirected token co-occurrence graph (edge ⇔
   // the two tokens appear within ±window of each other). Composes the

@@ -188,6 +188,23 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1L).getLong(4) == 0L)
   }
 
+  test("burstiness: uniform token scores VMR from the exact identity; bursty token scores higher") {
+    // "uni" once per doc (4 docs): S1=4, S2=4, D=4 → VMR = (16-16)/16 = 0
+    // (population variance of constant counts is 0 — sub-Poisson)
+    // "burst" 4× in one doc: S1=4, S2=16, D=4 → VMR = (64-16)/16 = 3
+    val d = Seq(
+      (1L, "uni burst burst burst burst"),
+      (2L, "uni x"), (3L, "uni y"), (4L, "uni z")
+    ).toDF("doc_id", "text")
+    val m = TextOps.burstiness(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m("uni") == ((4L, 4L, 0.0)))
+    assert(m("burst") == ((1L, 4L, 3.0)))
+    // singletons: S1=S2=1 → VMR = (4-1)/4
+    assert(m("x") == ((1L, 1L, 0.75)))
+  }
+
   test("textrank: the hub token of a star co-occurrence graph ranks first") {
     // "hub" co-occurs with every spoke; spokes only see the hub (and
     // their window-2 neighbor spokes) — the hub must dominate the rank
