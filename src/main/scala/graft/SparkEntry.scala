@@ -157,6 +157,9 @@ object SparkEntry {
     // Church-Gale burstiness: VMR of per-doc counts for the top tokens
     "text_burstiness" -> ((s, dir) =>
       TextOps.burstiness(Tables.table(s, dir, "documents"))),
+    // Heaps-law vocabulary-growth exponent over bounded checkpoints
+    "text_heaps" -> ((s, dir) =>
+      TextOps.heapsFit(Tables.table(s, dir, "documents"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.table(s, dir, "documents"))),
     // Zipf-law OLS fit over the top-100 token frequencies (plog +
     // integer-grid sufficient statistics — corpus-health stat)
@@ -1256,6 +1259,7 @@ object SparkEntry {
       graft.ops.OracleCtes.materialize(TextOps.textRankSql()),
     "text_llr" -> graft.ops.OracleCtes.materialize(TextOps.llrTopKSql()),
     "text_burstiness" -> TextOps.burstinessSql(),
+    "text_heaps" -> graft.ops.OracleCtes.materialize(TextOps.heapsFitSql()),
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_zipf" -> TextOps.zipfSlopeSql(),
     "text_fingerprint" -> TextOps.fingerprintsSql,

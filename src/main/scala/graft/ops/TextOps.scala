@@ -1436,6 +1436,120 @@ object TextOps {
        |ORDER BY cnt DESC, token ASC LIMIT $topN""".stripMargin
 
   // -------------------------------------------------------------------
+  // Heaps'-law fit (Heaps 1978): vocabulary growth V(N) ≈ K·N^β over
+  // the corpus read in doc_id order — the companion corpus-health stat
+  // to the Zipf slope (β far from the ~0.4–0.6 natural-language band
+  // flags synthetic/duplicated/templated text). The growth curve is
+  // sampled at ≤ 256 equal-width doc_id checkpoints: per bucket, the
+  // token mass (Σ doc lengths) and the NEW types (tokens whose
+  // min-doc_id first occurrence lands in the bucket) — both plain
+  // map-side-combinable aggs — then one cumulative window over the
+  // ≤ 256-row bucket relation (bounded at ANY corpus size; the
+  // checkpoint width derives from max(doc_id), so the relation never
+  // grows with the data) and the same 1e-6-grid OLS as zipfSlope on
+  // (ln N, ln V). Output: (n, beta, r2).
+  // -------------------------------------------------------------------
+  def heapsFit(docs: DataFrame, checkpoints: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableMath.plog
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stepDf = docs.agg(
+      (expr(s"max(doc_id) div $checkpoints") + 1).as("step"))
+    val lens = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len"))
+      .crossJoin(broadcast(stepDf))
+      .select(expr("doc_id div step").as("b"), col("len"))
+      .groupBy("b").agg(sum("len").as("tok"))
+    val news = explodedTokens(docs, "token", col("doc_id"))
+      .groupBy("token").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(stepDf))
+      .select(expr("fd div step").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("newt"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = lens.join(news, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("tok"), lit(0L)).as("tok"),
+        coalesce(col("newt"), lit(0L)).as("newt"))
+      .withColumn("nn", sum("tok").over(w))
+      .withColumn("vv", sum("newt").over(w))
+      .filter(col("nn") >= 1 && col("vv") >= 1)
+    val xy = curve.select(
+      round(plog(col("nn").cast("double")) * 1e6).cast("long").as("x"),
+      round(plog(col("vv").cast("double")) * 1e6).cast("long").as("y"))
+    val stats = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(Dec)).as("sx"),
+      sum(col("y").cast(Dec)).as("sy"),
+      sum((col("x") * col("y")).cast(Dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(Dec)).as("syy"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val nd = col("n").cast(Dec)
+    val num = nd * col("sxy") - col("sx") * col("sy")
+    val den = nd * col("sxx") - col("sx") * col("sx")
+    val deny = nd * col("syy") - col("sy") * col("sy")
+    stats.select(
+      col("n"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(dbl(num) / dbl(den)).as("beta"),
+      // a constant-V curve (deny = 0) has no explainable variance
+      when(den === 0 || deny === 0, lit(null).cast("double"))
+        .otherwise(dbl(num) * dbl(num) / (dbl(den) * dbl(deny))).as("r2"))
+  }
+
+  def heapsFitSql(checkpoints: Int = 256): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH stp AS (
+       |  SELECT MAX(doc_id) // $checkpoints + 1 AS step FROM documents),
+       |lens AS (
+       |  SELECT doc_id // step AS b, SUM(len($tokensSql)) AS tok
+       |  FROM documents, stp GROUP BY 1),
+       |news AS (
+       |  SELECT fd // step AS b, COUNT(*) AS newt
+       |  FROM (SELECT token, MIN(doc_id) AS fd
+       |        FROM (SELECT doc_id, unnest($tokensSql) AS token
+       |              FROM documents) t
+       |        GROUP BY token) f, stp
+       |  GROUP BY 1),
+       |curve AS (
+       |  SELECT COALESCE(l.b, n.b) AS b,
+       |    COALESCE(l.tok, 0) AS tok, COALESCE(n.newt, 0) AS newt
+       |  FROM lens l FULL OUTER JOIN news n ON l.b = n.b),
+       |cum AS (
+       |  SELECT b,
+       |    SUM(tok) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+       |    SUM(newt) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+       |  FROM curve),
+       |xy AS (
+       |  SELECT CAST(ROUND((${plogSql("CAST(nn AS DOUBLE)")}) * 1e6)
+       |           AS BIGINT) AS x,
+       |         CAST(ROUND((${plogSql("CAST(vv AS DOUBLE)")}) * 1e6)
+       |           AS BIGINT) AS y
+       |  FROM cum WHERE nn >= 1 AND vv >= 1),
+       |st AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x * y AS HUGEINT)) AS sxy,
+       |    SUM(CAST(x * x AS HUGEINT)) AS sxx,
+       |    SUM(CAST(y * y AS HUGEINT)) AS syy
+       |  FROM xy)
+       |SELECT n,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       |    ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+       |  END AS beta,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       |    ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |      * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |      / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+       |         * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+       |  END AS r2
+       |FROM st""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
   // PageRank over the undirected token co-occurrence graph (edge ⇔
   // the two tokens appear within ±window of each other). Composes the

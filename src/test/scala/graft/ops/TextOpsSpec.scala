@@ -205,6 +205,22 @@ class TextOpsSpec extends SparkSpec {
     assert(m("x") == ((1L, 1L, 0.75)))
   }
 
+  test("heaps fit: all-new-vocab corpus fits beta = 1 exactly; " +
+      "repeated-vocab corpus fits beta near 0") {
+    // every doc introduces only fresh types, 2 tokens each → V = N at
+    // every checkpoint → ln V = ln N → slope exactly 1, r2 exactly 1
+    val fresh = (1L to 40L).map(i => (i, s"w${i}a w${i}b"))
+      .toDF("doc_id", "text")
+    val f = TextOps.heapsFit(fresh, checkpoints = 8).collect()(0)
+    assert(f.getLong(0) >= 4)
+    assert(f.getDouble(1) == 1.0 && f.getDouble(2) == 1.0)
+    // the same two tokens forever: V constant at every checkpoint →
+    // slope exactly 0, and r2 undefined (no y-variance) → NULL
+    val flat = (1L to 40L).map(i => (i, "aa bb")).toDF("doc_id", "text")
+    val g = TextOps.heapsFit(flat, checkpoints = 8).collect()(0)
+    assert(g.getDouble(1) == 0.0 && g.isNullAt(2))
+  }
+
   test("textrank: the hub token of a star co-occurrence graph ranks first") {
     // "hub" co-occurs with every spoke; spokes only see the hub (and
     // their window-2 neighbor spokes) — the hub must dominate the rank
