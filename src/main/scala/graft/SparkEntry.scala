@@ -535,6 +535,9 @@ object SparkEntry {
     // per-label centroid drift between deterministic corpus halves
     "emb_drift" -> ((s, dir) =>
       EmbeddingOps.centroidDrift(Tables.table(s, dir, "embeddings"))),
+    // TwoNN intrinsic dimension — embedding-collapse alarm
+    "emb_intrinsic_dim" -> ((s, dir) =>
+      EmbeddingOps.intrinsicDim(Tables.table(s, dir, "embeddings"))),
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     // incremental view maintenance: base (6/7 of events) ⊕ delta (1/7)
@@ -1512,6 +1515,8 @@ object SparkEntry {
     "emb_margin_mine" ->
       graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.marginMineSql()),
     "emb_drift" -> graft.ops.EmbeddingOps.centroidDriftSql,
+    "emb_intrinsic_dim" -> graft.ops.OracleCtes.materialize(
+      graft.ops.EmbeddingOps.intrinsicDimSql()),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),

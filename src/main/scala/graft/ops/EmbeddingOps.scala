@@ -723,6 +723,88 @@ object EmbeddingOps {
        |  clabel = label AS correct
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** TwoNN intrinsic-dimension estimate (Facco, D'Errico, Rodriguez &
+    * Laio, "Estimating the intrinsic dimension of datasets by a
+    * minimal neighborhood information", Sci. Rep. 2017): d̂ =
+    * n / Σ ln(r₂/r₁) over each point's two nearest neighbors — the
+    * embedding-collapse / anisotropy alarm (a 64-dim table whose
+    * vectors live on a 3-dim manifold scores ≈ 3; a collapsing encoder
+    * drives d̂ toward 1). Distances here are angular (r = 1 − cos), a
+    * metric on the unit sphere — the estimator only consumes the
+    * ratio, and both engines build r₁, r₂ from the identical cosine
+    * trees the knnGraph oracle already pins. Exact-duplicate pairs
+    * (r₁ = 0) carry no dimensional signal and are excluded, as the
+    * paper prescribes discarding zero-distance pairs. Per-point terms
+    * snap to the 1e-12 grid (plog(r₂/r₁) ≥ 0, domain safe since
+    * r₂ ≥ r₁ > 0) and sum exactly; one division at the end.
+    * Candidates come from the LSH-blocked [[knnGraph]] — never
+    * all-pairs; points with fewer than 2 realized neighbors drop out
+    * (n counts the points actually estimated). */
+  def intrinsicDim(
+      embs: DataFrame, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val Grid = 1.0e12
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = knnGraph(embs, 2, dim, numBits, numTables, seed)
+    val two = g.groupBy("vec_id").agg(
+        max(when(col("rank") === 1, col("cosine"))).as("cos1"),
+        max(when(col("rank") === 2, col("cosine"))).as("cos2"),
+        max("rank").as("nr"))
+      .filter(col("nr") === 2)
+      .select(col("vec_id"),
+        (lit(1.0) - col("cos1")).as("r1"), (lit(1.0) - col("cos2")).as("r2"))
+      .filter(col("r1") > 0.0)
+    two.agg(
+        count(lit(1)).as("n"),
+        sum(round(plog(col("r2") / col("r1")) * Grid).cast(Dec)).as("slg"))
+      .select(col("n"),
+        when(col("slg") === 0, lit(null).cast("double"))
+          .otherwise(col("n").cast("double") * lit(Grid)
+            / col("slg").cast("string").cast("double")).as("id_2nn"))
+  }
+
+  def intrinsicDimSql(
+      dim: Int = 64, numBits: Int = 6, numTables: Int = 8,
+      seed: Long = 42L): String = {
+    import graft.functions.PortableMath.plogSql
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""WITH buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |knn AS (
+       |  SELECT ida AS vec_id, cosine, rank FROM (
+       |    SELECT p.ida,
+       |      ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
+       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
+       |                 p.idb ASC) AS BIGINT) AS rank
+       |    FROM cpairs p
+       |    JOIN e ea ON p.ida = ea.vec_id
+       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |  WHERE rank <= 2),
+       |two AS (
+       |  SELECT vec_id,
+       |    1e0 - MAX(CASE WHEN rank = 1 THEN cosine END) AS r1,
+       |    1e0 - MAX(CASE WHEN rank = 2 THEN cosine END) AS r2
+       |  FROM knn GROUP BY vec_id HAVING MAX(rank) = 2),
+       |ok AS (SELECT r1, r2 FROM two WHERE r1 > 0e0),
+       |st AS (SELECT COUNT(*) AS n,
+       |    SUM(CAST(ROUND((${plogSql("r2 / r1")}) * 1000000000000.0)
+       |      AS BIGINT)) AS slg
+       |  FROM ok)
+       |SELECT n,
+       |  CASE WHEN slg = 0 THEN NULL
+       |    ELSE CAST(n AS DOUBLE) * 1000000000000.0
+       |      / CAST(CAST(slg AS VARCHAR) AS DOUBLE)
+       |  END AS id_2nn
+       |FROM st""".stripMargin
+  }
+
   /** Per-label embedding drift check — the encoder-regression /
     * ingest-shift alarm for a vector lake: split the corpus into two
     * deterministic halves (vec_id parity — in production, yesterday's

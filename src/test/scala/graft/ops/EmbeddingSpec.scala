@@ -238,6 +238,38 @@ class EmbeddingSpec extends SparkSpec {
     mined.values.foreach { case (_, m) => assert(m > 1.0) }
   }
 
+  test("intrinsic dim: near-1D ring of vectors estimates low; " +
+      "duplicates are excluded from the estimate") {
+    // vectors along a 1-parameter family (rotations in a 2D plane of
+    // the 8D space) with IRREGULAR golden-ratio spacing — TwoNN
+    // assumes Poisson-like neighbor gaps; on a perfectly regular
+    // lattice r1 = r2 on both sides (μ = 1) and the estimator
+    // legitimately diverges, so the fixture must not be a grid
+    val phi = 0.6180339887498949
+    var t = 0.0
+    val ring = (0 until 24).map { i =>
+      t += 0.05 + 0.2 * ((i * phi) % 1.0)
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(t).toFloat; v(1) = math.sin(t).toFloat
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    // numBits=2 → wide buckets → candidates ≈ exact neighbors; the
+    // curve is 1-dimensional and the estimate lands far below the
+    // ambient 8 (n = 24 keeps it noisy — bounds, not equality)
+    val r = EmbeddingOps.intrinsicDim(ring, dim = 8, numBits = 2).collect()(0)
+    assert(r.getLong(0) > 10)
+    val d = r.getDouble(1)
+    assert(d > 0.2 && d < 3.0, s"got $d")
+    // adding exact duplicates must not poison the estimate (r1 = 0
+    // pairs are dropped, not divided by)
+    val withDup = ring.unionByName(
+      Seq((100L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val r2 = EmbeddingOps.intrinsicDim(withDup, dim = 8, numBits = 2)
+      .collect()(0)
+    assert(!r2.isNullAt(1) && r2.getDouble(1) > 0.0)
+  }
+
   test("centroid drift: stationary label scores cosine 1; shifted label diverges") {
     // label 0: both halves centered on x̂ → identical half-centroids.
     // label 1: even half on ŷ, odd half on ẑ → orthogonal centroids.
