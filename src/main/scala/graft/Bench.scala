@@ -530,6 +530,50 @@ object Bench {
     "ivf_topk_indexed", "pq_topk_indexed", "ivfpq_topk_indexed",
     "emb_sq8_topk_indexed")
 
+  /** Named-set v2 (r13 verdict item 6): `named_total` stays the
+    * frozen-v1 cross-round headline; `named_total_v2` additionally
+    * covers the 23 operators that shipped in round 13, so round 15+
+    * gets a like-for-like total for them too. Frozen as of r14 —
+    * queries newer than r13 ride in the v2 complement only. */
+  private[graft] val NamedSetV2: Set[String] = NamedSet ++ Set(
+    "dedup_bbit", "dedup_weighted", "docs_cluster_ari", "docs_cluster_nmi",
+    "dq_skew", "emb_ann_recall", "emb_drift", "emb_intrinsic_dim",
+    "emb_margin_mine", "emb_ood_score", "mm_phash_groups",
+    "pipeline_decontam_summary", "pipeline_funnel", "pq_distortion",
+    "seq_pack_stats", "stream_topk", "text_burstiness", "text_heaps",
+    "text_kn_score", "text_langid_eval", "text_llr", "text_ppl_buckets",
+    "text_textrank")
+
+  /** The ONLY queries the full-board summary line names (r13 verdict
+    * item 1 / "what's wrong" 1): the r13 line — the 82-name frozen set
+    * at 1-decimal — rendered at 1928 chars, and the driver's 2000-char
+    * tail window also holds sbt's ~76-char "[success]" line, so the
+    * JSON's head fell outside the window and round 13 shipped
+    * parsed:null. The structural fix: the summary line names a fixed
+    * handful of slow cross-family representatives (plus any ERRORED
+    * query); every other per-query number lives exclusively in
+    * BENCH_DETAIL.json ("queries"/"medians"/"runs"), which has no line
+    * budget. Cross-round totals stay in the line via named_total /
+    * named_total_v2 / folded_total. */
+  private[graft] val HeadlineSet: Set[String] = Set(
+    "kmeans_fit10", "kmeans_fit10_obj", "init_kmeansbb", "dedup_minhash",
+    "dedup_editdist", "ivfpq_topk", "emb_knn_graph", "graph_pagerank",
+    "pipeline_pretrain", "stream_attribute")
+
+  /** True median: even-length run lists average the two middle
+    * elements. r13 advice: `s(s.size/2)` is the UPPER middle, which
+    * biased the sub-5 s headline high whenever the interleave/
+    * remeasure machinery produced an even run count. Convention
+    * change lands in r14 for both the summary stat and the detail
+    * "medians" map (noted in BENCH_DETAIL's notes object). */
+  private[graft] def medianOf(ok: Seq[Double]): Double =
+    if (ok.isEmpty) -1.0
+    else {
+      val s = ok.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
   /** Per-query headline statistic (r12 verdict item 6): sub-5 s
     * queries are scheduler-noise-dominated at local[32] (the r12
     * remeasure block showed ~1.7× run-to-run spread), so their
@@ -541,9 +585,8 @@ object Bench {
   private[graft] def statOf(ok: Seq[Double]): Double =
     if (ok.isEmpty) -1.0
     else {
-      val s = ok.sorted
-      val med = s(s.size / 2)
-      if (med < 5.0) med else s.head
+      val med = medianOf(ok)
+      if (med < 5.0) med else ok.min
     }
 
   /** JSON string escape. Control characters matter as much as quotes:
@@ -565,101 +608,87 @@ object Bench {
       .mkString("{", ",", "}")
 
   /** The ONE stdout line the harness parses. The harness keeps only the
-    * LAST ~2000 chars of this process's output and extracts the JSON line
-    * from that window — every prior round's line, carrying the full
-    * per-run arrays at full precision, overflowed the window and landed
-    * as parsed:null. So this stays compact (2-decimal best-of values
-    * only; `BenchFormatSpec` guards the budget) and the per-run spreads
-    * go to BENCH_DETAIL.json via [[detailJson]]. */
-  /** Hard ceiling for the summary line: the harness tail keeps 2000
-    * chars with sbt's ~75-char "[success]" line inside the window
-    * (observed across BENCH_r1..r8), minus safety margin.
-    * BenchFormatSpec asserts the worst case fits. */
-  // the driver captures the LAST 2000 chars of stdout and parses the
-  // summary line out of them (BENCH_r10–r12 "tail" is exactly 2000);
-  // 1950 leaves room for the trailing newline while fitting the frozen
-  // 82-name set + the r13 named/folded totals
-  private[graft] val LineBudget = 1950
+    * LAST 2000 chars of this process's output (BENCH_r10–r13 "tail" is
+    * exactly 2000) and extracts the JSON line from that window — with
+    * sbt's trailing "[success] Total time …" line (76 chars in r13)
+    * INSIDE the same window. r13's 1928-char line + that 76-char
+    * trailer = 2004 > 2000, so the JSON's first 4 chars fell out and
+    * the driver recorded parsed:null. The r14 contract: the line
+    * carries totals + the HeadlineSet + errors only; everything
+    * per-query goes to BENCH_DETAIL.json via [[detailJson]].
+    * 1400 = 2000 − ~90 (sbt trailer, with slack for longer month/time
+    * renderings) − ~500 extra margin; the compact line renders ~600. */
+  private[graft] val LineBudget = 1400
 
   private[graft] def summaryLine(
       all: Seq[QueryResult], load: String,
       fit10m: Option[(Seq[Double], Option[String])], sfDir: String,
       remeasure: Map[String, Double] = Map.empty,
       remeasureError: Option[String] = None): String = {
-    // Auto-degrading rendering: contract safety (the line MUST fit the
-    // harness tail window) is absolute, everything else is best-effort
-    // in priority order: per-query values (the contract) > remeasure
-    // (the anomaly-adjudication evidence) > fit10m > loadavg > 2-decimal
-    // precision. Try 2-decimal values first; as the query count outgrows
-    // the budget, fall back to 1-decimal, then shed the fit10m run
-    // spread, loadavg, the sf dir prefix, and finally fit10m itself —
-    // all of which live at full precision in BENCH_DETAIL.json. The
-    // remeasure object self-trims greedily inside whatever room the
-    // chosen tier leaves, and the tier chooser prefers the first tier
-    // that carries the FULL remeasure map.
-    // fitMode: 0 = sec + run spread + baseline, 1 = sec + baseline,
-    // 2 = sec only (baseline_sec is the 90.8 constant in BASELINE.md),
-    // 3 = omitted (safety valve only — the ladder never chooses it
-    // while a tier with fit10m fits, remeasure trimmed to zero or not).
-    // fold: when > 0, the `fold` FASTEST error-free queries collapse
-    // into one "q_other" aggregate inside the queries map (+ a
-    // top-level "folded" count) — the r9 lesson's endgame: past ~90
-    // registered queries even 1-decimal full-name rendering outgrows
-    // the window, and the informative entries are the SLOW ones; the
-    // full per-query map always lives in BENCH_DETAIL.json.
-    def render(prec: Int, fitMode: Int, fullSf: Boolean = true,
-        withLoad: Boolean = true, fold: Int = 0): (String, Int) = {
-      def fmt(v: Double): String =
-        if (v >= 100) f"$v%.0f"
-        else if (v >= 10 || prec == 1) f"$v%.1f"
-        else f"$v%.2f"
-      // the base split is the FROZEN NamedSet (cross-round
-      // comparability); an ERRORED query stays named regardless — a
-      // failure folded into q_other would be invisible. The ladder's
-      // fold-N only ever folds MORE (fastest named first) as an
-      // overflow safety valve.
-      val (named0, folded0) =
-        all.partition(q => NamedSet(q._1) || q._4.nonEmpty)
-      val (folded, named) =
-        if (fold <= 0) (folded0, named0)
-        else {
-          val f = named0.filter(q => q._4.isEmpty && q._3 >= 0)
-            .sortBy(_._3).take(fold).map(_._1).toSet
-          (folded0 ++ named0.filter(q => f(q._1)),
-            named0.filterNot(q => f(q._1)))
-        }
-      val qs = (named.map { case (k, _, v, _) => s""""$k":${fmt(v)}""" } ++
+    def fmt(v: Double): String =
+      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    // Which queries are NAMED in the line: small boards (isolation
+    // forks — remeasureIsolated parses its own names back out of the
+    // child's "queries" map) name everything; the full board names
+    // ONLY the HeadlineSet plus every ERRORED query (a failure folded
+    // into q_other would be invisible). Everything else folds into one
+    // "q_other" aggregate + a "folded" count.
+    val nameAll = all.size <= 24
+    // Cross-round totals are computed over ALL queries regardless of
+    // what the line names: value = named_total + folded_total along
+    // the FROZEN v1 split (the r11->r12 +36% "regression" was q_other
+    // growth, not code); named_total_v2 adds the r13 operator wave.
+    val total = all.map(_._3).filter(_ >= 0).sum
+    val namedTotal =
+      all.filter(q => NamedSet(q._1)).map(_._3).filter(_ >= 0).sum
+    val namedTotalV2 =
+      all.filter(q => NamedSetV2(q._1)).map(_._3).filter(_ >= 0).sum
+    // errLen/errCap: the only unbounded inputs left are error strings —
+    // the ladder shrinks messages, then the named-error count, and the
+    // remeasure object self-trims inside whatever room remains. The
+    // compact base (~600 chars) cannot overflow on its own.
+    def render(errLen: Int, errCap: Int): (String, Int) = {
+      val errored = all.filter(_._4.nonEmpty)
+      val shownErrs = errored.take(errCap)
+      val shownErrNames = shownErrs.map(_._1).toSet
+      val (named, folded) = all.partition(q =>
+        nameAll || HeadlineSet(q._1) || shownErrNames(q._1))
+      val qs = (named.sortBy(_._1)
+        .map { case (k, _, v, _) => s""""$k":${fmt(v)}""" } ++
         (if (folded.nonEmpty)
           Seq(s""""q_other":${fmt(folded.map(_._3).filter(_ >= 0).sum)}""")
-        else Nil))
-        .mkString("{", ",", "}")
+        else Nil)).mkString("{", ",", "}")
       val foldJson =
         if (folded.nonEmpty) s""","folded":${folded.size}""" else ""
-      val total = all.map(_._3).filter(_ >= 0).sum
-      // like-for-like cross-round totals over the frozen split (the
-      // r11→r12 +36% "regression" was q_other growth, not code)
-      val namedTotal = named0.map(_._3).filter(_ >= 0).sum
-      val foldedTotal = folded0.map(_._3).filter(_ >= 0).sum
       // errors only when present — the empty object is pure budget spend
       val errs =
-        if (all.exists(_._4.nonEmpty)) s""","errors":${errsJson(all)}""" else ""
-      val fit10mJson = fit10m.filter(_ => fitMode < 3).map { case (rs, err) =>
+        if (errored.isEmpty) ""
+        else {
+          val body = shownErrs.map { case (k, _, _, e) =>
+            s""""$k":"${jsonEsc(e.getOrElse("").take(errLen))}""""
+          }.mkString("{", ",", "}")
+          val dropped =
+            if (errored.size > errCap)
+              s""","errors_dropped":${errored.size - errCap}"""
+            else ""
+          s""","errors":$body$dropped"""
+        }
+      val fit10mJson = fit10m.map { case (rs, err) =>
         val v = if (rs.nonEmpty) rs.min else -1.0
         val spr =
-          if (rs.nonEmpty && fitMode == 0)
-            f""","runs":[${rs.min}%.2f,${rs.max}%.2f]"""
+          if (rs.nonEmpty) f""","runs":[${rs.min}%.2f,${rs.max}%.2f]"""
           else ""
-        val base = if (fitMode <= 1) ""","baseline_sec":90.8""" else ""
-        f""","fit10m":{"sec":$v%.2f$spr$base""" +
-          err.map(e => s""","error":"${jsonEsc(e.replace("\"", "'"))}"""").getOrElse("") + "}"
+        f""","fit10m":{"sec":$v%.2f$spr,"baseline_sec":90.8""" +
+          err.map(e => s""","error":"${jsonEsc(e.take(errLen).replace("\"", "'"))}"""")
+            .getOrElse("") + "}"
       }.getOrElse("")
-      val loadJson = if (withLoad) s""","loadavg":$load""" else ""
       val base = f"""{"metric":"total","value":$total%.2f,""" +
-        f""""named_total":$namedTotal%.2f,"folded_total":$foldedTotal%.2f,""" +
-        s""""stat":"med<5s","unit":"sec","queries":$qs""" +
-        s"""$foldJson$errs$loadJson$fit10mJson"""
-      val sf = if (fullSf) sfDir else new java.io.File(sfDir).getName
-      val tail = s""","sf":"$sf"}"""
+        f""""named_total":$namedTotal%.2f,""" +
+        f""""named_total_v2":$namedTotalV2%.2f,""" +
+        f""""folded_total":${total - namedTotal}%.2f,""" +
+        s""""stat":"med<5s","unit":"sec","detail":"BENCH_DETAIL.json",""" +
+        s""""queries":$qs$foldJson$errs,"loadavg":$load$fit10mJson"""
+      val tail = s""","sf":"$sfDir"}"""
       val rmErr = remeasureError.map(e =>
         s""","remeasure_error":"${jsonEsc(e.take(80))}"""").getOrElse("")
       val (rm, keptN) =
@@ -675,31 +704,16 @@ object Bench {
         }
       (base + rm + tail, keptN)
     }
-    // Tiers T1-T4 all carry fit10m (the baseline-comparison headline);
-    // the chooser prefers the first tier that fits with the FULL
-    // remeasure map, else the fitting tier keeping the most remeasure
-    // entries — so remeasure gives way to fit10m, never the reverse.
-    // When every full-name tier overflows (past ~90 queries), the fold
-    // ladder collapses the fastest error-free queries into "q_other"
-    // in steps of 8, keeping fit10m and the slow queries named; T-last
-    // (no fit10m) stays as the safety valve it always was.
-    val tiers = Seq(
-      render(2, 0), render(1, 0), render(1, 1),
-      render(1, 2, fullSf = false, withLoad = false))
+    // Prefer the first tier that fits with the FULL remeasure map, else
+    // the fitting tier keeping the most remeasure entries. The tiers
+    // only differ in how much error text they carry — everything else
+    // is fixed-size (HeadlineSet is a 10-name constant).
+    val tiers = Seq(render(200, 10), render(60, 6), render(40, 3),
+      render(20, 1))
     val fits = tiers.filter(_._1.length <= LineBudget)
     fits.find(_._2 == remeasure.size).map(_._1)
       .orElse(fits.maxByOption(_._2).map(_._1))
-      .getOrElse {
-        (8 to all.size by 8).iterator
-          .map(n => render(1, 2, fullSf = false, withLoad = false, fold = n)._1)
-          .find(_.length <= LineBudget)
-          .getOrElse {
-            val t = render(1, 3, fullSf = false, withLoad = false,
-              fold = all.size)._1
-            if (t.length <= LineBudget) t
-            else render(1, 3, fullSf = false, withLoad = false)._1
-          }
-      }
+      .getOrElse(tiers.last._1)
   }
 
   /** Full-precision companion written next to the repo's round artifacts:
@@ -738,6 +752,7 @@ object Bench {
       """"ivfpq_topk":"IVFADC: coarse + residual-PQ build + probe inside the timed body",""" +
       """"ivfpq_topk_indexed":"partition-pruned codes probe + ADC; index persisted untimed (production path)",""" +
       """"dedup_incr_indexed":"index write memoized per JVM (production: once per ingest) — the first pass pays ingest + probe, later passes probe only, so best-of-N is the production probe path (dedup_incr_near is the same computation unstaged)",""" +
+      """"medians":"true median as of r14: even-length run lists average the two middle elements (r13 and earlier reported the upper middle, biasing even-count medians high by up to half the middle gap)",""" +
       """"recall":"per-index recall@10 vs the exact top-10 under each index's own metric; the sf embeddings fixture is near-uniform 64-dim noise (ANN's degenerate case — see AnnBench.vectors), so small-parameter defaults under-recall here; @-suffixed rows sweep the parameter that buys recall back"}"""
     // machine-readable build-vs-probe split (r10 item 2): which entries
     // pay an index/codebook build inside the timed body, and what the
@@ -783,8 +798,7 @@ object Bench {
     // full per-query medians (the summary's sub-5 s stat source, here
     // for every query so the judge can read median vs min spread)
     val mediansJson = all.map { case (k, rs, _, _) =>
-      val ok = rs.filter(_ >= 0).sorted
-      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      val med = medianOf(rs.filter(_ >= 0))
       f""""$k":$med%.3f"""
     }.mkString("{", ",", "}")
     s"""{"queries":$fullQs,"medians":$mediansJson,""" +

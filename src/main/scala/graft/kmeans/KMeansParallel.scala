@@ -155,6 +155,13 @@ object KMeansParallel {
       val h = md5Hash60Jvm(fseed, cidx.toString)
       0.0 - PortableMath.plogDouble(Two60 / math.max(h, 1L).toDouble)
     }
+    // Degenerate-corpus guard, mirrored in [[finalCentersSql]] (r13
+    // advice): the engine RAISES here (and at the in-loop require
+    // below when every remaining key is -inf); the SQL twin can't
+    // raise, so it returns ZERO rows in exactly the same situations
+    // (each g_j keeps only key > -inf picks, and the final SELECT
+    // yields nothing unless all k rounds picked) — rows_match then
+    // fails loudly instead of hash-diverging on silent -inf picks.
     require(wRows.count(_._4 > 0) >= k,
       s"k-means||: fewer than $k positively-weighted candidates")
     // race 1: sample ∝ w  ⇒ maximize ln(u)/w; w=0 → -inf (never picked)
@@ -276,10 +283,17 @@ object KMeansParallel {
          |      THEN CAST('-infinity' AS DOUBLE)
          |      ELSE f.lnu / (CAST(f.w AS DOUBLE) * $d2) END AS key
          |  FROM fh f, $froms
-         |  ORDER BY key DESC, f.cidx ASC LIMIT 1) t$j)""".stripMargin
+         |  ORDER BY key DESC, f.cidx ASC LIMIT 1) t$j
+         |  WHERE key > CAST('-infinity' AS DOUBLE))""".stripMargin
     }.mkString(",\n")
     val outs = (1 to k).map(j =>
       s"SELECT ${j - 1} AS cid, cidx, x, y FROM g$j").mkString(" UNION ALL ")
+    // Engine-guard mirror (see finalCenters): a -inf key is never a
+    // valid pick (strict > against a -inf initial best on the engine
+    // side; WHERE key > -inf here), and if ANY of the k rounds has no
+    // valid pick the whole result is EMPTY — the loud equivalent of
+    // the engine's require, instead of silently returning zero-weight
+    // or duplicate-coordinate centers.
     s"""WITH ${candChainSql(l, rounds, seed, cap)},
        |fh AS MATERIALIZED (
        |  SELECT cidx, x, y, w, $lnU AS lnu
@@ -288,8 +302,11 @@ object KMeansParallel {
        |  SELECT cidx, x, y,
        |    CASE WHEN w = 0 THEN CAST('-infinity' AS DOUBLE)
        |      ELSE lnu / CAST(w AS DOUBLE) END AS key
-       |  FROM fh ORDER BY key DESC, cidx ASC LIMIT 1) t1),
-       |$rounds2k
-       |SELECT CAST(cid AS INT) AS cid, cidx, x, y FROM ($outs) f""".stripMargin
+       |  FROM fh ORDER BY key DESC, cidx ASC LIMIT 1) t1
+       |  WHERE key > CAST('-infinity' AS DOUBLE)),
+       |$rounds2k,
+       |allg AS MATERIALIZED ($outs)
+       |SELECT CAST(cid AS INT) AS cid, cidx, x, y FROM allg
+       |WHERE (SELECT COUNT(*) FROM allg) = $k""".stripMargin
   }
 }

@@ -42,11 +42,21 @@ object Winnow {
   private val PosBase = 1048576L // 2^20
 
   /** (doc_id, pos, fp): the selected fingerprints, pos = gram start
-    * (1-based), fp = the 30-bit gram hash. */
+    * (1-based), fp = the 30-bit gram hash.
+    *
+    * Docs of ≥ 2²⁰ chars are EXCLUDED (identically in
+    * [[fingerprintsSql]]): past PosBase the packed key's position term
+    * goes negative, silently corrupting both the rightmost-tie
+    * ordering and the unpacked pos/fp (r13 advice). The exclusion is
+    * the same hard-cap convention as `Dedup.editDistancePairs`'s
+    * MaxBlockNames — at 100 TB long docs are chunked first
+    * (`PretrainOps.docChunks`), so the filter is a no-op on shaped
+    * corpora and a loud, observable census gap on unshaped ones. */
   def fingerprints(docs: DataFrame, k: Int = K, w: Int = W): DataFrame = {
     val txt = lower(col("text"))
     val grams = docs
-      .where(length(col("text")) >= lit(k + w - 1))
+      .where(length(col("text")) >= lit(k + w - 1) &&
+        length(col("text")) < lit(PosBase))
       .select(col("doc_id"), txt.as("txt"),
         explode(sequence(lit(1), length(txt) - lit(k - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
@@ -69,7 +79,8 @@ object Winnow {
        |  SELECT d.doc_id, gs.pos,
        |    ${Dedup.md5Base30Sql(s"substr(d.txt, CAST(gs.pos AS INT), $k)")} AS h
        |  FROM (SELECT doc_id, lower(text) AS txt FROM documents
-       |        WHERE length(text) >= ${k + w - 1}) d,
+       |        WHERE length(text) >= ${k + w - 1}
+       |          AND length(text) < $PosBase) d,
        |  LATERAL (SELECT unnest(generate_series(1, length(d.txt) - ${k - 1})) AS pos) gs),
        |sel AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, sel FROM (
@@ -91,7 +102,7 @@ object Winnow {
     val nGrams = (length(txt) - lit(k - 1)).cast("long")
     val fp = fingerprints(docs, k, w)
       .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    docs.where(length(txt) >= lit(k + w - 1))
+    docs.where(length(txt) >= lit(k + w - 1) && length(txt) < lit(PosBase))
       .select(col("doc_id"), nGrams.as("n_grams"))
       .join(fp, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
@@ -106,7 +117,8 @@ object Winnow {
        |FROM documents d
        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id) f
        |  ON d.doc_id = f.doc_id
-       |WHERE length(d.text) >= ${k + w - 1}""".stripMargin
+       |WHERE length(d.text) >= ${k + w - 1}
+       |  AND length(d.text) < $PosBase""".stripMargin
 
   /** Near-dup candidate pairs: docs sharing ≥ `minShared` distinct
     * fingerprint HASHES (position-independent — winnowing's detection

@@ -4,17 +4,20 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the bench-output contract: the harness keeps only the LAST
-  * ~2000 chars of the bench process's output (observed tail_len=2000 in
-  * every BENCH_r*.json) and parses the JSON line out of that window, with
-  * sbt's trailing "[success] Total time ..." line (~80 chars) also inside
-  * it. Rounds 1-6 all landed parsed:null because the line outgrew the
-  * window — this spec fails the build before that can happen again. */
+  * 2000 chars of the bench process's output (observed tail_len=2000 in
+  * every BENCH_r*.json) and parses the JSON line out of that window,
+  * with sbt's trailing "[success] Total time ..." line (76 chars in
+  * r13) also inside it. Rounds 1-6 landed parsed:null because the line
+  * outgrew the window; round 13 landed parsed:null again at 1928 chars
+  * + the 76-char trailer = 2004 > 2000. The r14 contract is structural:
+  * the line names only Bench.HeadlineSet + errored queries, and this
+  * spec fails the build before any regrowth can overflow the window. */
 class BenchFormatSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
 
   /** Worst-case-width fake results for every registered query: 3-digit
-    * integer parts so the 2-decimal rendering is at its widest. */
+    * integer parts so the rendering is at its widest. */
   private def fakeResults(names: Seq[String]): Seq[Bench.QueryResult] =
     names.map(n => (n, Seq(123.456789, 998.7654321, 101.5), 998.7654321, None))
 
@@ -29,55 +32,80 @@ class BenchFormatSpec extends AnyFunSuite {
     root.get("queries").size + folded - (if (folded > 0) 1 else 0)
   }
 
-  test("summary line fits the harness tail window with headroom") {
+  test("full-board summary line fits the window with wide headroom") {
     val line = Bench.summaryLine(fakeResults(allNames), "12.34",
       Some((Seq(123.456, 98.765), None)), "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
     // Bench prints the line AFTER spark.stop() as the process's last
-    // stdout write, so the only thing between it and the end of the
-    // 2000-char tail window is sbt's ~75-char "[success] Total time"
-    // line. The renderer degrades field-by-field down to its floor and
-    // past ~90 queries folds the fastest into "q_other" (full map in
-    // BENCH_DETAIL.json) — so growth in the registry can no longer
-    // overflow the window.
+    // stdout write; LineBudget (1400) leaves ~600 chars of slack under
+    // the 2000-char tail window even with sbt's trailer inside it.
     assert(line.length <= Bench.LineBudget,
       s"summary line is ${line.length} chars — over the ${Bench.LineBudget} " +
         "budget:\n" + line)
     // the fold must account for every registered query exactly once
     val root = mapper.readTree(line)
     assert(coveredQueries(root) == allNames.size)
-    if (root.get("folded") != null)
-      assert(root.get("queries").get("q_other") != null)
+    assert(root.get("queries").get("q_other") != null)
   }
 
-  test("frozen named set stays named; everything else folds into q_other") {
-    // r13 semantics: named-ness is membership in the FROZEN
-    // Bench.NamedSet, not speed — new queries land in q_other by
-    // construction so named_total compares like-for-like across rounds
+  test("full board names exactly HeadlineSet; totals split along the frozen sets") {
+    // distinct values per class so the totals are separable:
+    // v1-named 4.5, v2-only 2.0, everything else 0.25
     val mixed: Seq[Bench.QueryResult] = allNames.map(n =>
       if (Bench.NamedSet(n)) (n, Seq(4.5), 4.5, None)
+      else if (Bench.NamedSetV2(n)) (n, Seq(2.0), 2.0, None)
       else (n, Seq(0.25), 0.25, None))
     val line = Bench.summaryLine(mixed, "7.80",
       Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget)
     val root = mapper.readTree(line)
     assert(coveredQueries(root) == allNames.size)
-    val inSet = allNames.filter(Bench.NamedSet)
-    val outSet = allNames.filterNot(Bench.NamedSet)
-    inSet.foreach(n => assert(root.get("queries").get(n) != null,
-      s"frozen-set query $n must stay named"))
-    outSet.foreach(n => assert(root.get("queries").get(n) == null,
-      s"non-frozen query $n must fold into q_other"))
-    assert(root.get("folded").asInt == outSet.size)
-    val other = root.get("queries").get("q_other").asDouble
-    assert(math.abs(other - 0.25 * outSet.size) < 0.1 + 0.005 * outSet.size)
-    // the cross-round totals split exactly along the frozen set, and
-    // the grand total still covers every query
-    assert(math.abs(root.get("named_total").asDouble - 4.5 * inSet.size) < 0.01)
-    assert(math.abs(root.get("folded_total").asDouble - 0.25 * outSet.size) < 0.01)
+    val headline = allNames.filter(Bench.HeadlineSet)
+    assert(headline.nonEmpty)
+    headline.foreach(n => assert(root.get("queries").get(n) != null,
+      s"headline query $n must be named"))
+    val rest = allNames.filterNot(Bench.HeadlineSet)
+    rest.foreach(n => assert(root.get("queries").get(n) == null,
+      s"non-headline query $n must fold into q_other"))
+    assert(root.get("folded").asInt == rest.size)
+    // cross-round totals: named_total over frozen v1, named_total_v2
+    // over v1+the r13 wave, folded_total = value - named_total
+    val nV1 = allNames.count(Bench.NamedSet)
+    val nV2Only = allNames.count(n => Bench.NamedSetV2(n) && !Bench.NamedSet(n))
+    val nRest = allNames.size - nV1 - nV2Only
+    assert(math.abs(root.get("named_total").asDouble - 4.5 * nV1) < 0.01)
+    assert(math.abs(root.get("named_total_v2").asDouble -
+      (4.5 * nV1 + 2.0 * nV2Only)) < 0.01)
+    assert(math.abs(root.get("folded_total").asDouble -
+      (2.0 * nV2Only + 0.25 * nRest)) < 0.01)
     assert(math.abs(root.get("value").asDouble -
       (root.get("named_total").asDouble + root.get("folded_total").asDouble)) < 0.01)
     assert(root.get("stat").asText == "med<5s")
+    assert(root.get("detail").asText == "BENCH_DETAIL.json")
+  }
+
+  test("named-set v2 is a strict superset of the frozen v1 set") {
+    assert(Bench.NamedSet.subsetOf(Bench.NamedSetV2))
+    assert((Bench.NamedSetV2 -- Bench.NamedSet).size == 23)
+    // every v2 addition is a real registered query
+    val registered = SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet
+    (Bench.NamedSetV2 -- Bench.NamedSet).foreach(n =>
+      assert(registered(n), s"NamedSetV2 entry $n is not a registered query"))
+    Bench.HeadlineSet.foreach(n =>
+      assert(registered(n) || n == "kmeans_fit10",
+        s"HeadlineSet entry $n is not a registered query"))
+  }
+
+  test("small boards (isolation forks) name every query") {
+    // remeasureIsolated parses the child's "queries" map for the exact
+    // names it forked — a folded child line would break adjudication
+    val names = allNames.take(24)
+    val line = Bench.summaryLine(fakeResults(names), "7.80",
+      None, "/root/testdata/sf0.1")
+    val root = mapper.readTree(line)
+    names.foreach(n => assert(root.get("queries").get(n) != null,
+      s"isolation-run query $n must be named"))
+    assert(root.get("folded") == null)
   }
 
   test("summary line is valid JSON with the driver-contract fields") {
@@ -89,7 +117,6 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("value").asDouble > 0)
     assert(coveredQueries(root) == allNames.size)
     // adaptive precision: >=100 s renders as an integer second count
-    // (any named non-fold entry — under fold, membership is by speed)
     val it = root.get("queries").fields()
     var checked = false
     while (it.hasNext && !checked) {
@@ -99,71 +126,77 @@ class BenchFormatSpec extends AnyFunSuite {
       }
     }
     assert(checked)
-    // fit10m is never sacrificed: at minimum its "sec" survives every tier
+    // fit10m always carries sec + run spread + the BASELINE.md constant
     assert(root.get("fit10m").get("sec").asDouble > 0)
+    assert(root.get("fit10m").get("runs").size == 2)
+    assert(root.get("fit10m").get("baseline_sec").asDouble == 90.8)
     // no failures in the fake results → the empty errors object is
     // omitted entirely (budget) — absence IS the no-error signal
     assert(root.get("errors") == null)
     assert(root.get("sf").asText.endsWith("sf0.1"))
+  }
 
-    // with an uncrowded line (few queries) the top tier applies: run
-    // spread + baseline ride along
-    val small = Bench.summaryLine(fakeResults(allNames.take(10)), "7.80",
+  test("errored queries stay named even outside HeadlineSet") {
+    val results: Seq[Bench.QueryResult] = fakeResults(allNames) :+
+      (("q_exotic_failure", Seq(-1.0), -1.0,
+        Some("""IllegalStateException: "x\y" bad""")))
+    val line = Bench.summaryLine(results, "1.0", None, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget)
+    val root = mapper.readTree(line)
+    assert(root.get("queries").get("q_exotic_failure").asDouble == -1.0)
+    assert(root.get("errors").get("q_exotic_failure").asText.contains("bad"))
+    assert(coveredQueries(root) == allNames.size + 1)
+  }
+
+  test("mass failure degrades error text instead of overflowing") {
+    // catastrophe shape: 60 queries all failing with long messages
+    val boom: Seq[Bench.QueryResult] = (1 to 60).map(i =>
+      (f"q_fail_$i%02d", Seq(-1.0), -1.0,
+        Some("ExecutionException: " + ("x" * 180))))
+    val line = Bench.summaryLine(boom ++ fakeResults(allNames), "1.0",
       Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1")
-    val sroot = mapper.readTree(small)
-    assert(sroot.get("fit10m").get("runs").size == 2)
-    assert(sroot.get("fit10m").get("baseline_sec").asDouble == 90.8)
-    assert(sroot.get("sf").asText == "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget,
+      s"mass-failure line is ${line.length} chars")
+    val root = mapper.readTree(line)
+    // at least one error is visible by name, the rest are counted
+    assert(root.get("errors").size >= 1)
+    assert(root.get("errors_dropped").asInt ==
+      60 - root.get("errors").size)
+    assert(root.get("fit10m").get("sec").asDouble > 0)
   }
 
   test("summary line carries the isolated re-measure and stays in budget") {
-    // the r8 shape: fresh-JVM re-measures of the four weak queries
     val rm = Map("assign_join" -> 65.8, "dedup_simhash_xx" -> 15.1,
       "pipeline_pretrain_seqs" -> 9.9, "csv_rt_cents" -> 8.8,
       "events_qbins" -> 7.7, "dedup_ngram_jaccard" -> 6.6)
     val line = Bench.summaryLine(fakeResults(allNames), "12.34",
       Some((Seq(123.456, 98.765), None)), "/root/testdata/sf0.1", rm)
     val root = mapper.readTree(line)
-    // worst case (every query 999 s): remeasure self-trims to the budget,
-    // possibly to nothing — BENCH_DETAIL.json always has the full map
-    assert(root.get("remeasure") == null || root.get("remeasure").size >= 1)
+    // the compact line has room for the whole map
+    assert(root.get("remeasure").size == rm.size)
+    assert(root.get("remeasure").fields().next().getKey == "assign_join",
+      "remeasure renders slowest-first")
     assert(line.length <= Bench.LineBudget,
       s"summary line with remeasure is ${line.length} chars")
 
-    // realistic case (single-digit bests): the line fits, fit10m.sec
-    // survives, and remeasure rides along as budget allows (slowest
-    // first) — with the full map always in BENCH_DETAIL.json
+    // a failed fork surfaces as remeasure_error
     val realistic: Seq[Bench.QueryResult] =
       allNames.map(n => (n, Seq(1.5, 1.2, 1.1), 1.23, None))
-    val line2 = Bench.summaryLine(realistic, "7.80",
-      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1", rm)
-    val root2 = mapper.readTree(line2)
-    assert(root2.get("fit10m").get("sec").asDouble > 0,
-      "fit10m must never be dropped for remeasure")
-    if (root2.get("remeasure") != null)
-      assert(root2.get("remeasure").get("assign_join") != null,
-        "when any remeasure fits, the top anomaly must be first")
-    assert(line2.length <= Bench.LineBudget)
-
-    // an uncrowded line keeps the FULL remeasure map
-    val line2b = Bench.summaryLine(realistic.take(10), "7.80",
-      Some((Seq(5.82, 4.454), None)), "/root/testdata/sf0.1", rm)
-    assert(mapper.readTree(line2b).get("remeasure").size == rm.size)
-
-    // a failed fork surfaces as remeasure_error
     val line3 = Bench.summaryLine(realistic, "7.80", None,
       "/root/testdata/sf0.1", Map.empty, Some("remeasure timeout"))
     assert(mapper.readTree(line3).get("remeasure_error").asText
       .contains("timeout"))
   }
 
-  test("summary line survives error messages with quotes and backslashes") {
-    val bad: Bench.QueryResult =
-      ("q_bad", Seq(-1.0), -1.0, Some("""IllegalStateException: "x\y" bad"""))
-    val line = Bench.summaryLine(Seq(bad), "1.0", None, "/tmp/sf")
-    val root = mapper.readTree(line)
-    assert(root.get("errors").get("q_bad").asText.contains("bad"))
-    assert(root.get("queries").get("q_bad").asDouble == -1.0)
+  test("medianOf: true median — even counts average the two middles") {
+    assert(Bench.medianOf(Nil) == -1.0)
+    assert(Bench.medianOf(Seq(3.0)) == 3.0)
+    assert(Bench.medianOf(Seq(1.0, 2.0)) == 1.5)
+    assert(Bench.medianOf(Seq(4.0, 1.0, 3.0, 2.0)) == 2.5)
+    assert(Bench.medianOf(Seq(5.0, 1.0, 3.0)) == 3.0)
+    // statOf: sub-5s median, >=5s minimum
+    assert(Bench.statOf(Seq(4.0, 1.0)) == 2.5)
+    assert(Bench.statOf(Seq(9.0, 6.0)) == 6.0)
   }
 
   test("detail json is valid and carries every per-run timing") {
@@ -175,6 +208,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("queries").get(allNames.head).asDouble == 998.7654321)
     assert(root.get("fit10m_runs").size == 2)
     assert(root.get("cpus").asText == "32")
+    // r14 median convention is visible in the detail medians map:
+    // runs (123.46, 998.77, 101.5) -> odd count -> middle = 123.457
+    assert(math.abs(root.get("medians").get(allNames.head).asDouble
+      - 123.457) < 0.001)
   }
 
   test("detail json renders the recall object (metric, value, error escape)") {

@@ -100,4 +100,21 @@ class KMeansParallelSpec extends SparkSpec {
       assert(graft.SparkEntry.oracleSql.contains(q))
     }
   }
+
+  test("degenerate corpus: engine raises, SQL twin goes loudly empty") {
+    import spark.implicits._
+    // a 1-point corpus: every candidate after the first pick has d²=0
+    // (duplicate coordinates) and/or weight 0 — fewer than k pickable
+    val one = Seq((0L, 1.0, 2.0)).toDF("pid", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      KMeansParallel.finalCenters(one)
+    }
+    assert(e.getMessage.contains("k-means||"))
+    // the SQL twin mirrors the guard (r13 advice): -inf keys are never
+    // picked and a <k pick count empties the whole result, so the
+    // oracle compare fails on rows_match instead of silently diverging
+    val sql = KMeansParallel.finalCentersSql()
+    assert(sql.contains("WHERE key > CAST('-infinity' AS DOUBLE)"))
+    assert(sql.contains(s"(SELECT COUNT(*) FROM allg) = ${KMeansParallel.K}"))
+  }
 }

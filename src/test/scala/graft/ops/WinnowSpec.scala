@@ -73,6 +73,25 @@ class WinnowSpec extends SparkSpec {
     assert(Winnow.pairs(docs, minShared = 1, dfCap = 1).count() == 0L)
   }
 
+  test("oversized docs (>= 2^20 chars) are excluded, small twins keep working") {
+    // past PosBase the packed (h asc, pos desc) key's position term
+    // goes negative and silently corrupts the argmin (r13 advice) —
+    // fingerprints() must exclude such docs, identically in the SQL
+    // twin (the same `length(text) < 1048576` predicate in both).
+    val big = new String(Array.fill(1 << 20)('a')) + "bcdefgh"
+    val docs = docsOf(Seq(big, "the quick brown fox jumps over the lazy dog"))
+    val fp = Winnow.fingerprints(docs).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(fp == Set(1L), s"oversized doc must be excluded, got $fp")
+    // census excludes it too (not reported as a lying n_fp=0 row)
+    val cen = Winnow.census(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cen == Set(1L))
+    // and the SQL twins carry the identical predicate
+    assert(Winnow.censusSql().contains("length(text) < 1048576") ||
+      Winnow.censusSql().contains("length(d.text) < 1048576"))
+    assert(Winnow.pairsSql().contains("length(text) < 1048576"))
+  }
+
   test("registered query/oracle pairs exist") {
     Seq("text_winnow", "dedup_winnow").foreach { q =>
       assert(graft.SparkEntry.queries.contains(q))
