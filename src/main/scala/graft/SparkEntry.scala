@@ -1382,13 +1382,13 @@ object SparkEntry {
     "emb_hamming_topk" -> graft.ops.QuantOps.hammingTopKSql(),
     "emb_matryoshka_topk" -> graft.ops.QuantOps.matryoshkaTopKSql(),
     "emb_mmr_topk" -> EmbeddingOps.mmrTopKSql(),
-    "emb_lsh_topk" -> EmbeddingOps.lshTopKSql(),
+    "emb_lsh_topk" -> graft.ops.OracleCtes.materialize(EmbeddingOps.lshTopKSql()),
     "emb_rp_topk" -> EmbeddingOps.rpTopKSql(),
-    "emb_near_dups" -> EmbeddingOps.cosineNearDupsSql(),
+    "emb_near_dups" -> graft.ops.OracleCtes.materialize(EmbeddingOps.cosineNearDupsSql()),
     "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(
       id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
-    "emb_knn_graph" -> EmbeddingOps.knnGraphSql(),
-    "emb_hard_negatives" -> EmbeddingOps.hardNegativesSql(),
+    "emb_knn_graph" -> graft.ops.OracleCtes.materialize(EmbeddingOps.knnGraphSql()),
+    "emb_hard_negatives" -> graft.ops.OracleCtes.materialize(EmbeddingOps.hardNegativesSql()),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
     "seq_pack_stats" ->
@@ -1509,7 +1509,8 @@ object SparkEntry {
     "text_nb_calib2" -> TextOps.nbCalibrationSql,
     "text_nb_conf2" -> TextOps.nbConfusionSql,
     "text_nb_ece2" -> TextOps.nbEceSql,
-    "emb_knn_classify" -> graft.ops.EmbeddingOps.knnClassifySql(),
+    "emb_knn_classify" -> graft.ops.OracleCtes.materialize(
+      graft.ops.EmbeddingOps.knnClassifySql()),
     "emb_ood_score" ->
       graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.oodScoresSql()),
     "emb_margin_mine" ->

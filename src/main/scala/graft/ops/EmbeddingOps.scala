@@ -38,6 +38,20 @@ object EmbeddingOps {
        |    i -> CAST($aExpr[i] AS DOUBLE) * CAST($bExpr[i] AS DOUBLE))),
        |  (a, b) -> a + b)""".stripMargin
 
+  /** Statically-unrolled twin of [[dotSql]] for a KNOWN dim: the exact
+    * same left-to-right IEEE fold `((0.0 + a1·b1) + a2·b2) + …` written
+    * as a plain expression tree instead of list_reduce lambdas. DuckDB
+    * interprets the lambda per element (~1 ms per 64-dim dot measured
+    * at sf0.1 — the r13 sf1 replay burned 460-880 s PER heavy oracle,
+    * mostly in the 48-plane LSH bucket CTE); the unrolled form runs
+    * vectorized, >40× faster, and produces bit-identical values. Only
+    * sound when the array length is statically `dim` (the embeddings
+    * fixture is fixed-width; callers pass their own dim parameter). */
+  private[ops] def dotSqlN(aExpr: String, bExpr: String, dim: Int): String =
+    (1 to dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
+      s"($acc + CAST($aExpr[$i] AS DOUBLE) * CAST($bExpr[$i] AS DOUBLE))"
+    }
+
   // -------------------------------------------------------------------
   // Per-vector L2 norms — pure projection, zero shuffle.
   // -------------------------------------------------------------------
@@ -213,14 +227,56 @@ object EmbeddingOps {
     val tables = hyperplanes(dim, numBits, numTables, seed)
     def planeLit(p: Array[Double]): String =
       p.map(_.toString).mkString("[", ", ", "]")
+    // r14: the sign-bit dots are statically unrolled ([[dotSqlN]]
+    // semantics) against plane lists hoisted once into a 1-row
+    // relation. The previous list_reduce-lambda form cost ~1 ms per
+    // 64-dim dot in DuckDB, and with numBits·numTables = 48 dots per
+    // embedding row this CTE dominated the r13 sf1 oracle replays
+    // (460-880 s per heavy query). Identical value tree: the same
+    // list literals, the same per-element CAST AS DOUBLE, the same
+    // left-to-right fold from 0.0 — only lambda interpretation is
+    // replaced by a vectorized expression.
+    def dotPlane(q: String): String =
+      (1 to dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
+        s"($acc + CAST(embedding[$i] AS DOUBLE) * CAST($q[$i] AS DOUBLE))"
+      }
     def bucketSql(planes: Seq[Array[Double]]): String =
-      planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN ${dotSql("embedding", planeLit(p))} >= 0 " +
+      planes.zipWithIndex.map { case (_, i) =>
+        s"(CASE WHEN ${dotPlane(s"pl.q$i")} >= 0 " +
           s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
     tables.zipWithIndex.map { case (planes, t) =>
-      s"SELECT vec_id, $t AS tbl, ${bucketSql(planes)} AS bucket FROM embeddings"
+      val hoist = planes.zipWithIndex
+        .map { case (p, i) => s"${planeLit(p)} AS q$i" }.mkString(", ")
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(planes)} AS bucket " +
+        s"FROM embeddings, (SELECT $hoist) pl"
     }.mkString(" UNION ALL ")
+  }
+
+  /** Shared candidate→scored CTE chain for the LSH-blocked neighbor
+    * oracles ([[knnGraphSql]] / [[oodScoresSql]] / [[marginMineSql]] /
+    * [[intrinsicDimSql]]): buckets → distinct candidate pairs → norms →
+    * each pair's exact cosine computed ONCE in `scored`. The previous
+    * shape repeated the 64-term dot inside the window ORDER BY (DuckDB
+    * does not CSE across SELECT and ORDER BY), so every candidate pair
+    * paid the dot product twice — on top of the lambda overhead. Rank
+    * over the precomputed cosine is value-identical. */
+  private def knnScoredChainSql(
+      dim: Int, numBits: Int, numTables: Int, seed: Long): String = {
+    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    s"""buckets AS ($bucketsUnion),
+       |cpairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |  SQRT(${dotSqlN("embedding", "embedding", dim)}) AS nrm FROM embeddings),
+       |scored AS (
+       |  SELECT p.ida, p.idb,
+       |    ${dotSqlN("ea.embedding", "eb.embedding", dim)} / (ea.nrm * eb.nrm) AS cosine
+       |  FROM cpairs p
+       |  JOIN e ea ON p.ida = ea.vec_id
+       |  JOIN e eb ON p.idb = eb.vec_id)""".stripMargin
   }
 
   def lshTopKSql(
@@ -365,23 +421,12 @@ object EmbeddingOps {
   def knnGraphSql(
       k: Int = 3, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {
-    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
-    s"""WITH buckets AS ($bucketsUnion),
-       |cpairs AS (
-       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |  FROM buckets a JOIN buckets b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, embedding,
-       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)}
        |SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
-       |  SELECT p.ida, p.idb,
-       |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
-       |      ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
-       |               p.idb ASC) AS BIGINT) AS rank
-       |  FROM cpairs p
-       |  JOIN e ea ON p.ida = ea.vec_id
-       |  JOIN e eb ON p.idb = eb.vec_id) s
+       |  SELECT ida, idb, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY ida
+       |      ORDER BY cosine DESC, idb ASC) AS BIGINT) AS rank
+       |  FROM scored) s
        |WHERE rank <= $k""".stripMargin
   }
 
@@ -438,17 +483,19 @@ object EmbeddingOps {
        |  JOIN embeddings lb ON p.idb = lb.vec_id
        |  WHERE la.label <> lb.label),
        |e AS (SELECT vec_id, embedding,
-       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
-       |SELECT ida AS vec_id, idb AS negative, lb AS neg_label, cosine, rank
-       |FROM (
+       |  SQRT(${dotSqlN("embedding", "embedding", dim)}) AS nrm FROM embeddings),
+       |lscored AS (
        |  SELECT p.ida, p.idb, p.lb,
-       |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
-       |      ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
-       |               p.idb ASC) AS BIGINT) AS rank
+       |    ${dotSqlN("ea.embedding", "eb.embedding", dim)} / (ea.nrm * eb.nrm) AS cosine
        |  FROM lpairs p
        |  JOIN e ea ON p.ida = ea.vec_id
-       |  JOIN e eb ON p.idb = eb.vec_id) s
+       |  JOIN e eb ON p.idb = eb.vec_id)
+       |SELECT ida AS vec_id, idb AS negative, lb AS neg_label, cosine, rank
+       |FROM (
+       |  SELECT ida, idb, lb, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY ida
+       |      ORDER BY cosine DESC, idb ASC) AS BIGINT) AS rank
+       |  FROM lscored) s
        |WHERE rank <= $k""".stripMargin
   }
 
@@ -484,23 +531,13 @@ object EmbeddingOps {
   def knnClassifySql(
       k: Int = 5, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {
-    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
-    s"""WITH buckets AS ($bucketsUnion),
-       |cpairs AS (
-       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |  FROM buckets a JOIN buckets b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, embedding,
-       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
        |knn AS (
        |  SELECT ida AS vec_id, idb AS neighbor FROM (
-       |    SELECT p.ida, p.idb,
-       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
-       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
-       |                 p.idb ASC) AS BIGINT) AS rank
-       |    FROM cpairs p
-       |    JOIN e ea ON p.ida = ea.vec_id
-       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |    SELECT ida, idb,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY ida
+       |        ORDER BY cosine DESC, idb ASC) AS BIGINT) AS rank
+       |    FROM scored) s
        |  WHERE rank <= $k),
        |votes AS (
        |  SELECT g.vec_id, l.label AS nlbl, COUNT(*) AS votes
@@ -545,24 +582,13 @@ object EmbeddingOps {
   def oodScoresSql(
       k: Int = 3, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {
-    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
-    s"""WITH buckets AS ($bucketsUnion),
-       |cpairs AS (
-       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |  FROM buckets a JOIN buckets b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, embedding,
-       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
        |knn AS (
        |  SELECT ida AS vec_id, cosine, rank FROM (
-       |    SELECT p.ida,
-       |      ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
-       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
-       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
-       |                 p.idb ASC) AS BIGINT) AS rank
-       |    FROM cpairs p
-       |    JOIN e ea ON p.ida = ea.vec_id
-       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |    SELECT ida, cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY ida
+       |        ORDER BY cosine DESC, idb ASC) AS BIGINT) AS rank
+       |    FROM scored) s
        |  WHERE rank <= $k)
        |SELECT vec_id, MAX(rank) AS n_neighbors, MIN(cosine) AS kth_cos,
        |  1.0e0 - MIN(cosine) AS ood_dist
@@ -616,25 +642,14 @@ object EmbeddingOps {
   def marginMineSql(
       k: Int = 3, dim: Int = 64, numBits: Int = 6, numTables: Int = 8,
       seed: Long = 42L, threshold: Double = 1.0): String = {
-    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
     val thr = graft.functions.PortableMath.dlitE(threshold)
-    s"""WITH buckets AS ($bucketsUnion),
-       |cpairs AS (
-       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |  FROM buckets a JOIN buckets b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, embedding,
-       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
        |knn AS (
        |  SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
-       |    SELECT p.ida, p.idb,
-       |      ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
-       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
-       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
-       |                 p.idb ASC) AS BIGINT) AS rank
-       |    FROM cpairs p
-       |    JOIN e ea ON p.ida = ea.vec_id
-       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |    SELECT ida, idb, cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY ida
+       |        ORDER BY cosine DESC, idb ASC) AS BIGINT) AS rank
+       |    FROM scored) s
        |  WHERE rank <= $k),
        |avgk AS (
        |  SELECT vec_id,
@@ -768,24 +783,13 @@ object EmbeddingOps {
       dim: Int = 64, numBits: Int = 6, numTables: Int = 8,
       seed: Long = 42L): String = {
     import graft.functions.PortableMath.plogSql
-    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
-    s"""WITH buckets AS ($bucketsUnion),
-       |cpairs AS (
-       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |  FROM buckets a JOIN buckets b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, embedding,
-       |  SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
        |knn AS (
        |  SELECT ida AS vec_id, cosine, rank FROM (
-       |    SELECT p.ida,
-       |      ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine,
-       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.ida
-       |        ORDER BY ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) DESC,
-       |                 p.idb ASC) AS BIGINT) AS rank
-       |    FROM cpairs p
-       |    JOIN e ea ON p.ida = ea.vec_id
-       |    JOIN e eb ON p.idb = eb.vec_id) s
+       |    SELECT ida, cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY ida
+       |        ORDER BY cosine DESC, idb ASC) AS BIGINT) AS rank
+       |    FROM scored) s
        |  WHERE rank <= 2),
        |two AS (
        |  SELECT vec_id,

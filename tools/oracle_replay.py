@@ -36,6 +36,57 @@ def canon_hash(con, rel_sql, cols):
     return con.execute(q).fetchone()[0]
 
 
+def py_oracle_mm_phash_groups(con, oracle):
+    """Union-find transitive closure of the pHash near-dup pair graph.
+
+    The registered SQL oracle for mm_phash_groups closes the graph with
+    a recursive CTE (reach(a,b)), which materializes ALL-PAIRS
+    reachability — quadratic in component size. On the sf1 media graph
+    (near-clique) that runs for hours and was declared oracle-infeasible
+    in SF1_R13_DELTA (r13 verdict item 3). The edge semantics stay
+    pinned to SQL: the pair relation is the mm_phash_pairs REGISTERED
+    ORACLE verbatim; only the closure moves to an O(E alpha(E)) Python
+    union-find with union-by-min, whose root invariant (the root of
+    every set is its minimum member) IS the engine's min-label
+    convention: group_id = component min. Returns rows for every vertex
+    of the pair graph, exactly like `SELECT a, LEAST(a, MIN(b)) FROM
+    reach GROUP BY a` (cross-checked hash-identical against the
+    recursive CTE at sf0.01 before landing).
+    """
+    pairs_sql = oracle.get("mm_phash_pairs")
+    if not pairs_sql:
+        raise RuntimeError("mm_phash_pairs oracle missing (edge source)")
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in con.execute(
+            f"SELECT da, db FROM ({pairs_sql})").fetchall():
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(v, find(v)) for v in parent]
+    con.execute("CREATE OR REPLACE TEMP TABLE __py_rows "
+                "(doc_id BIGINT, group_id BIGINT)")
+    con.executemany("INSERT INTO __py_rows VALUES (?, ?)", rows)
+    con.execute("CREATE OR REPLACE VIEW __o AS "
+                "SELECT doc_id, group_id FROM __py_rows")
+
+
+# Oracles whose registered SQL is correct but at-scale-infeasible in
+# DuckDB; each entry builds the __o view Python-side from the SAME
+# registered relations. Disable with REPLAY_PY_ORACLES=0 to force the
+# raw SQL (the cross-check mode used at small SFs).
+PY_ORACLES = {"mm_phash_groups": py_oracle_mm_phash_groups}
+
+
 def parse_args():
     ap = argparse.ArgumentParser(
         description="DuckDB oracle replay over a graft.Verify dump")
@@ -104,7 +155,12 @@ def main():
                 print(f"[replay] {name}: no_oracle", flush=True)
                 dump_report()
                 continue
-            con.execute(f"CREATE OR REPLACE VIEW __o AS {oracle[name]}")
+            if (name in PY_ORACLES
+                    and os.environ.get("REPLAY_PY_ORACLES", "1") != "0"):
+                PY_ORACLES[name](con, oracle)
+                row["oracle"] = "python"
+            else:
+                con.execute(f"CREATE OR REPLACE VIEW __o AS {oracle[name]}")
             odesc = con.execute("DESCRIBE __o").fetchall()
             ocols = [r[0] for r in odesc]
             row["oracle_rows"] = con.execute(
