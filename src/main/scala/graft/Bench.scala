@@ -435,6 +435,10 @@ object Bench {
     * isolated re-run that simply confirms the number. */
   private val ExpectedSec = Map(
     "pq_topk" -> 4.0, "kmeans_fit10" -> 3.5,
+    // k-means|| sweep: 8-9 s steady at sf0.1 after the r14 incremental-
+    // d2 rewrite (driver loop of 2R+2 jobs — scheduling-heavy, not an
+    // anomaly until ~12 s)
+    "init_kmeansbb" -> 4.0, "init_kmeansbb_final" -> 6.0,
     // full 10-iteration Lloyd loop — 3-6.5 s at sf0.1 is steady state,
     // not an anomaly (the r9 run flagged 6.5 s under the default 6 s
     // floor and burned a fork confirming nothing)

@@ -76,7 +76,21 @@ object KMeansParallel {
   /** The R-round oversampling sweep. Returns the candidate list in
     * enumeration order (round 0 = the uniform first pick, then each
     * round's acceptances ordered (pid, x, y)). Driver memory is
-    * bounded by 1 + rounds·cap rows. */
+    * bounded by 1 + rounds·cap rows.
+    *
+    * d²(p, C) is maintained INCREMENTALLY (r13 verdict item 4): round
+    * r materializes `d2 = least(d2_prev, d² to round r−1's NEW
+    * centers)` — min is associative and comparison-only, so the value
+    * is bit-identical to the flat least over the full center set, but
+    * the per-round scan evaluates only ≤ 1+cap new distance terms
+    * instead of the cumulative 1+r·cap (the flat form re-paid every
+    * prior round's terms in BOTH the φ-agg and the acceptance filter,
+    * where the duplicated giant least() also fell out of efficient
+    * codegen — measured 1.5 s + 8 s per round at sf0.1 vs ~1 s total
+    * for the incremental shape). The φ-agg and acceptance scans then
+    * read the materialized column: per-point work per round is O(cap),
+    * not O(r·cap), which is the shape that survives R or cap growing
+    * at 100 TB. */
   def sweep(points: DataFrame, l: Int = L, rounds: Int = Rounds,
             seed: Int = Seed, cap: Int = Cap): Seq[Cand] = {
     val hashCols = (0 to rounds).map { r =>
@@ -86,28 +100,48 @@ object KMeansParallel {
     // dominate per-pass cost — same lesson as kmeansPlusPlus)
     val hashed = points
       .select(col("pid") +: col("x") +: col("y") +: hashCols: _*)
-      .localCheckpoint(true)
+      // LAZY checkpoint: the first-pick TakeOrdered below touches every
+      // partition, so it materializes the blocks as a side effect —
+      // eager=true would spend a whole extra pass doing the same thing
+      // first (r13 verdict item 4).
+      .localCheckpoint(false)
     val first = hashed
       .orderBy(col("h0").asc, col("pid").asc, col("x").asc, col("y").asc)
       .limit(1).select("pid", "x", "y").collect()(0)
     var cands = Vector((0, first.getLong(0), first.getDouble(1), first.getDouble(2)))
+    // centers not yet folded into the materialized d2 column
+    var fresh = cands
+    var cur = hashed
+    var hasD2 = false
     for (r <- 1 to rounds) {
-      val cs = cands.map { case (_, p, cx, cy) => (p, cx, cy) }
-      val d2 = minD2(cs)
+      val newTerms = fresh.map { case (_, _, cx, cy) => sqDistTo(cx, cy) }
+      val d2Upd =
+        if (!hasD2) minD2(fresh.map { case (_, p, cx, cy) => (p, cx, cy) })
+        else if (newTerms.isEmpty) col("d2") // a zero-acceptance round
+        else least(col("d2") +: newTerms: _*)
+      cur = cur
+        .select(col("pid") +: col("x") +: col("y") +:
+          (r to rounds).map(j => col(s"h$j")) :+ d2Upd.as("d2"): _*)
+        // lazy again: the phi-agg right below is the materializing
+        // action (it reads every partition), so the d2 update costs no
+        // standalone pass
+        .localCheckpoint(false)
+      hasD2 = true
       // φ(C): exact decimal sum of the 1e-6-snapped d² grid, back to
       // double through the shared string cast — order-independent
-      val cost = hashed
-        .select((sum(round(d2 * lit(1e6)).cast(Dec38)).cast("string")
+      val cost = cur
+        .select((sum(round(col("d2") * lit(1e6)).cast(Dec38)).cast("string")
           .cast("double") / 1e6).as("v"))
         .collect()(0).getDouble(0)
       val u = col(s"h$r").cast("double") / lit(Two60)
-      val accepted = hashed
-        .where(d2 > 0.0 && u * lit(cost) < lit(l.toDouble) * d2)
+      val accepted = cur
+        .where(col("d2") > 0.0 && u * lit(cost) < lit(l.toDouble) * col("d2"))
         .orderBy(col("pid").asc, col("x").asc, col("y").asc)
         .limit(cap)
         .select("pid", "x", "y").collect()
-      cands = cands ++ accepted.map(row =>
-        (r, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+      fresh = accepted.map(row =>
+        (r, row.getLong(0), row.getDouble(1), row.getDouble(2))).toVector
+      cands = cands ++ fresh
     }
     cands.zipWithIndex.map { case ((r, p, x, y), i) => Cand(i, r, p, x, y) }
   }
@@ -120,9 +154,41 @@ object KMeansParallel {
   def weighted(points: DataFrame, cands: Seq[Cand]): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val cents = cands.map(c => Cent(c.cidx, c.x, c.y))
-    val w = KMeansOps.assignLabel(points, cents)
-      .groupBy(col("cid").as("cidx")).agg(count(lit(1)).as("w"))
+    // Flat PRIMITIVE argmin, not least(struct(sq, cid)…): the
+    // candidate set here is 1+R·cap ≈ 50-100 entries, past the size
+    // where a least() over struct terms stays efficient (struct
+    // comparisons leave whole-stage codegen's primitive path —
+    // measured 11 s at sf0.1; the packed-DECIMAL crossJoin twin was no
+    // better at 12 s from 31M per-row Decimal allocations). This shape
+    // is three chained projections of doubles only: (1) each sq once,
+    // (2) m = least(sq…) — comparisons, no allocation, (3) cidx =
+    // first candidate (ascending) with sq = m. Identical semantics to
+    // the lexicographic (sq, cidx) min: m is bit-for-bit one of the sq
+    // values, sq is never -0.0 (products of same sign), and the CASE
+    // scans cidx ascending so ties keep the lowest cidx — the oracle's
+    // `ORDER BY d2, cidx LIMIT 1`. ~0.85 s at sf0.1 (13× faster),
+    // zero-shuffle until the |cands|-group count agg.
+    val sqCols = cands.map(c => KMeansOps.sqDist(
+      col("x"), col("y"), lit(c.x), lit(c.y)).as(s"sq${c.cidx}"))
+    val byIdx = cands.sortBy(_.cidx)
+    val m =
+      if (byIdx.size == 1) col(s"sq${byIdx.head.cidx}")
+      else least(byIdx.map(c => col(s"sq${c.cidx}")): _*)
+    // The .otherwise(-1) is UNREACHABLE (m = least(sq…) is bit-for-bit
+    // one of the sq values, so some branch always fires — and the spec
+    // pins Σw = n, which a -1 leak would break) but load-bearing for
+    // the PLAN: without it the CASE is nullable, the left join infers
+    // `isNotNull(cidx)`, and InferFiltersFromConstraints pushes that
+    // predicate below the projections with m INLINED into all |cands|
+    // branches — a 41k-node Filter re-evaluating ~|cands|² distance
+    // terms per row (measured 5 s of the 6 s total at sf0.1).
+    val cidx = byIdx.tail.foldLeft(
+      when(col(s"sq${byIdx.head.cidx}") === col("m"), lit(byIdx.head.cidx))) {
+      (acc, c) => acc.when(col(s"sq${c.cidx}") === col("m"), lit(c.cidx))
+    }.otherwise(lit(-1))
+    val w = points.select(sqCols: _*).withColumn("m", m)
+      .select(cidx.as("cidx"))
+      .groupBy("cidx").agg(count(lit(1)).as("w"))
     cands.toDF("cidx", "rnd", "pid", "x", "y")
       .join(w, Seq("cidx"), "left")
       .select(col("cidx"), col("rnd"), col("pid"), col("x"), col("y"),
