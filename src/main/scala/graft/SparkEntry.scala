@@ -461,6 +461,19 @@ object SparkEntry {
     // Deterministic hash-bucket splits + weighted source mixing
     "sample_split" -> ((s, dir) =>
       graft.ops.Sampling.splitAssign(Tables.table(s, dir, "documents"))),
+    // near-dup pairs straddling the train/valid/test boundary — the
+    // eval-contamination audit a doc-id-keyed split needs (r14). A
+    // balanced 50/25/25 split: the audit's pessimistic case, and the
+    // fixture's ~25 near-dup pairs then yield a populated report (the
+    // default 98/1/1 split leaves ~0 straddles at gate SFs — an empty
+    // relation gates nothing)
+    "split_leakage" -> ((s, dir) =>
+      graft.ops.Sampling.splitLeakage(Tables.table(s, dir, "documents"),
+        trainBp = 5000, validBp = 2500, threshold = 0.5)),
+    // snapshot-to-snapshot diff census (added/removed/changed/unchanged
+    // by lang) — the dataset-versioning primitive (r14)
+    "corpus_diff" -> ((s, dir) =>
+      graft.ops.SnapshotDiff.diff(Tables.table(s, dir, "documents"))),
     "corpus_mix" -> ((s, dir) =>
       graft.ops.Sampling.weightedMix(
         Tables.table(s, dir, "documents"), mixWeights)),
@@ -1367,6 +1380,9 @@ object SparkEntry {
     "dedup_semantic_pairs" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticNearDupsSql(tau = 0.4)),
     "dedup_semantic" -> graft.ops.OracleCtes.materialize(graft.ops.SemDedup.semanticDedupSql(tau = 0.4)),
     "sample_split" -> graft.ops.Sampling.splitAssignSql(),
+    "split_leakage" -> graft.ops.Sampling.splitLeakageSql(
+      trainBp = 5000, validBp = 2500, threshold = 0.5),
+    "corpus_diff" -> graft.ops.SnapshotDiff.diffSql(),
     "corpus_mix" -> graft.ops.Sampling.weightedMixSql(mixWeights),
     "sample_stratified" -> graft.ops.Sampling.stratifiedSampleSql(stratRates),
     "sample_cap_stratum" -> graft.ops.Sampling.capPerStratumSql(n = 40),

@@ -67,6 +67,58 @@ object Sampling {
        |      FROM documents) b""".stripMargin
 
   // -------------------------------------------------------------------
+  // Split-leakage audit: near-duplicate pairs that STRADDLE the
+  // train/valid/test boundary. A doc-id-keyed split is only sound when
+  // near-duplicates don't exist; when they do, a test doc with a train
+  // near-twin is silent eval contamination (the measurement behind Lee
+  // et al. 2022 §6.2's "deduplicate before you split"; splitAssign's
+  // `key` knob — split by URL/source instead — is the fix this audit
+  // motivates). Composes the DF-capped n-gram Jaccard pair relation
+  // with the deterministic bucket split; output is one row per
+  // straddling split combination with the pair count and the worst
+  // (highest-Jaccard) leak. Scale shape: the pair relation is the
+  // blocked, capped dedup join (never n²); the split columns are
+  // zero-shuffle projections joined on the pair's two doc ids; the
+  // final agg is ≤ |splits|² rows.
+  // -------------------------------------------------------------------
+  def splitLeakage(
+      docs: DataFrame, trainBp: Int = 9800, validBp: Int = 100,
+      seed: Int = 42, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = Dedup.DefaultMaxDf): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, n, threshold, maxDf)
+    val s = splitAssign(docs, trainBp, validBp, seed)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(s.select(col("doc_id").as("da"), col("split").as("split_a")),
+        Seq("da"))
+      .join(s.select(col("doc_id").as("db"), col("split").as("split_b")),
+        Seq("db"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), max("jaccard").as("max_jaccard"))
+  }
+
+  /** DuckDB twin. The pair SQL is pre-materialized BEFORE embedding
+    * (the OracleCtes depth-0 rule), and max(jaccard) is a comparison —
+    * no cross-engine arithmetic beyond the pair relation's own pinned
+    * division. */
+  def splitLeakageSql(
+      trainBp: Int = 9800, validBp: Int = 100, seed: Int = 42,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = Dedup.DefaultMaxDf): String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    ${OracleCtes.materialize(Dedup.ngramJaccardPairsSql(n, threshold, maxDf))}) q),
+       |sp AS MATERIALIZED (${splitAssignSql(trainBp, validBp, seed)})
+       |SELECT sa.split AS split_a, sb.split AS split_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(p.jaccard) AS max_jaccard
+       |FROM pairs p
+       |JOIN sp sa ON p.da = sa.doc_id
+       |JOIN sp sb ON p.db = sb.doc_id
+       |WHERE sa.split <> sb.split
+       |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // Weighted corpus mixing: per-source sampling weights, including
   // upsampling (weight > 1 repeats documents — the "epochs per source"
   // knob of LLM data recipes). A doc from a source with weight w is

@@ -230,6 +230,28 @@ class SamplingSpec extends SparkSpec {
       .collect().toSeq == rows.toSeq)
   }
 
+  test("split leakage: straddling near-dup pairs only, consistent with the parts") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val (trainBp, validBp, thr) = (5000, 2500, 0.5)
+    val leak = Sampling.splitLeakage(docs, trainBp, validBp,
+        threshold = thr).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // recompute from the parts: every pair joined to its two splits
+    val s = Sampling.splitAssign(docs, trainBp, validBp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (a, b) => (s(a), s(b)) }
+      .filter { case (x, y) => x != y }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(leak == expect)
+    // no same-split rows ever appear
+    assert(leak.keys.forall { case (a, b) => a != b })
+    // registered query/oracle pair exists
+    assert(graft.SparkEntry.queries.contains("split_leakage"))
+    assert(graft.SparkEntry.oracleSql.contains("split_leakage"))
+  }
+
   test("bootstrap weights: Poisson(1) shape, deterministic, seed-sensitive") {
     import spark.implicits._
     val docs = (1L to 4000L).toDF("doc_id")
