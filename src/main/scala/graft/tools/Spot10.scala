@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf10 spot board (r13 verdict item 8): time the heaviest operator
+  * families at 10× sf1 to catch the next scale cliff before it is
+  * load-bearing. One timed noop pass per entry (the Probe convention),
+  * JSON to SPARK_GRAFT_SPOT_OUT (rewritten incrementally).
+  *
+  * The board also QUANTIFIES the known LSH-blocking cliff instead of
+  * walking into it: the knn family's candidate-pair volume is
+  * Σ_buckets c·(c−1)/2 per table, computable from the bucket HISTOGRAM
+  * without running the join. With the registered numBits=6 the bucket
+  * count is fixed at 64, so candidates grow quadratically with corpus
+  * size (fine at the oracle-gate SFs, ~5e9 pairs at sf10); the scale
+  * path is numBits ≈ log2(n / target_bucket), exactly what the knobs
+  * allow. The board records the candidate curve for bits ∈ {6,8,10,12}
+  * and TIMES the graph at the scaled settings — the 6-bit run is
+  * predicted by the curve, not executed (that's the cliff).
+  *
+  *   runMain graft.tools.Spot10 [sfDir]
+  */
+object Spot10 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SPOT_OUT", "SF10_SPOT.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var rows = Vector.empty[(String, Double, Option[String])]
+    var extra = Vector.empty[String]
+    def dump(): Unit = {
+      val qs = rows.map { case (k, v, _) => f""""$k":$v%.2f""" }
+        .mkString("{", ",", "}")
+      val errs = rows.collect { case (k, _, Some(e)) =>
+        s""""$k":"${e.replace("\"", "'").take(160)}""""
+      }.mkString("{", ",", "}")
+      val j = s"""{"sf_dir":"$sfDir","tool":"graft.tools.Spot10 (noop sink, local[$cpus], AQE on, one timed pass)","queries":$qs,"errors":$errs${extra.map("," + _).mkString}}"""
+      val w = new java.io.PrintWriter(out)
+      try w.println(j) finally w.close()
+    }
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      val r =
+        try { body; ((System.nanoTime() - t0) / 1e9, None) }
+        catch { case e: Throwable =>
+          (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(140)}"))
+        }
+      println(f"SPOT $name ${r._1}%.2f s" + r._2.map(" ERR " + _).getOrElse(""))
+      rows :+= ((name, r._1, r._2)); dump()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = graft.Tables.table(spark, sfDir, "documents")
+    val embs = graft.Tables.table(spark, sfDir, "embeddings")
+    val pts = graft.Tables.points(spark, sfDir)
+
+    // ---- the LSH candidate-volume curve (histogram algebra, no join)
+    val curve = Seq(6, 8, 10, 12).map { bits =>
+      val c = graft.ops.EmbeddingOps.lshBuckets(
+          embs, numBits = bits, numTables = 8)
+        .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).as("pairs"))
+        .collect()(0).getLong(0)
+      println(s"SPOT lsh_candidates bits=$bits pairs=$c")
+      s""""$bits":$c"""
+    }
+    extra :+= s""""lsh_candidate_curve":${curve.mkString("{", ",", "}")}"""
+    extra :+= """"lsh_note":"numBits=6 (the oracle-gate setting) is PREDICTED by the curve and not executed at sf10 — fixed 64 buckets make candidates quadratic in corpus size; the scale path is numBits ~ log2(n/target_bucket), timed below at 10 and 12 bits""""
+    dump()
+
+    timed("emb_knn_graph_b10")(noop(
+      graft.ops.EmbeddingOps.knnGraph(embs, k = 3, numBits = 10)))
+    timed("emb_knn_graph_b12")(noop(
+      graft.ops.EmbeddingOps.knnGraph(embs, k = 3, numBits = 12)))
+    timed("dedup_minhash")(noop(graft.ops.Dedup.minhashNearDups(docs)))
+    timed("dedup_ngram_jaccard")(noop(graft.ops.Dedup.ngramJaccardPairs(docs)))
+    timed("dedup_groups")(noop(graft.ops.Dedup.nearDupGroups(docs)))
+    timed("dedup_spans")(noop(graft.ops.SpanDedup.dupSpans(docs)))
+    timed("mm_phash_pairs")(noop(
+      graft.ops.Multimodal.phashNearDups(docs)))
+    timed("init_kmeansbb") {
+      val cands = graft.kmeans.KMeansParallel.sweep(pts)
+      noop(graft.kmeans.KMeansParallel.weighted(pts, cands))
+    }
+    timed("kmeans_fit10") {
+      val init = graft.Tables.initCentroids(spark, sfDir, 8)
+      val res = graft.kmeans.KMeansFit.fit(pts, init,
+        graft.kmeans.KMeansConfig(k = 8, maxIter = 10, convergence = false),
+        exact = false)
+      require(res.centroids.nonEmpty)
+    }
+    dump()
+    spark.stop()
+  }
+}
