@@ -375,9 +375,23 @@ object Bench {
       // overwrote the 132-query sf0.1 baseline). Same sf+cpus → merge
       // the per-query maps into the existing detail; different config →
       // write a side file and leave the baseline untouched.
+      // A FULL-board run replaces the snapshot only at the SAME
+      // sf+cpus; at a different config it diverts to the PARTIAL side
+      // file too (r14: an sf0.001 format-validation full board
+      // clobbered the committed sf0.1 baseline through this branch).
       val (path, content) =
-        if (only.isEmpty) ("BENCH_DETAIL.json", fresh)
-        else mergeDetail(fresh)
+        if (only.isEmpty) {
+          val existing = new java.io.File("BENCH_DETAIL.json")
+          val sameConfig = !existing.exists() || (try {
+            import org.json4s._
+            import org.json4s.jackson.JsonMethods
+            val oldJ = JsonMethods.parse(new String(
+              java.nio.file.Files.readAllBytes(existing.toPath), "UTF-8"))
+            oldJ \ "sf" == JString(sfDir) && oldJ \ "cpus" == JString(cpus)
+          } catch { case _: Throwable => true })
+          if (sameConfig) ("BENCH_DETAIL.json", fresh)
+          else ("BENCH_DETAIL_PARTIAL.json", fresh)
+        } else mergeDetail(fresh)
       val w = new java.io.PrintWriter(path)
       try w.println(content)
       finally w.close()
