@@ -264,16 +264,34 @@ object EmbeddingOps {
   private def knnScoredChainSql(
       dim: Int, numBits: Int, numTables: Int, seed: Long): String = {
     val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+    // The `e` CTE hoists every vector component into its own DOUBLE
+    // column: at sf1 the scored CTE evaluates ~50M candidate pairs,
+    // and per-element LIST extraction (64 per row per side) dominated
+    // even the unrolled dot (~250 s/oracle); against materialized
+    // plain columns the same fold runs vectorized. Values unchanged —
+    // c_i IS `CAST(embedding[i] AS DOUBLE)` and the sum tree is the
+    // identical left-to-right `((0.0 + c1·c1') + c2·c2') + …`.
+    val comps = (1 to dim)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE) AS c$i").mkString(", ")
+    def colDot(a: String, b: String): String =
+      (1 to dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
+        s"($acc + $a.c$i * $b.c$i)"
+      }
+    val selfDot = (1 to dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
+      s"($acc + c$i * c$i)"
+    }
     s"""buckets AS ($bucketsUnion),
        |cpairs AS (
        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |  FROM buckets a JOIN buckets b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, embedding,
-       |  SQRT(${dotSqlN("embedding", "embedding", dim)}) AS nrm FROM embeddings),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, ${(1 to dim).map("c" + _).mkString(", ")},
+       |    SQRT($selfDot) AS nrm
+       |  FROM (SELECT vec_id, $comps FROM embeddings) e0),
        |scored AS (
        |  SELECT p.ida, p.idb,
-       |    ${dotSqlN("ea.embedding", "eb.embedding", dim)} / (ea.nrm * eb.nrm) AS cosine
+       |    ${colDot("ea", "eb")} / (ea.nrm * eb.nrm) AS cosine
        |  FROM cpairs p
        |  JOIN e ea ON p.ida = ea.vec_id
        |  JOIN e eb ON p.idb = eb.vec_id)""".stripMargin
@@ -1149,18 +1167,30 @@ object EmbeddingOps {
       val mean = Array.ofDim[Double](D)
       meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / ng)
       // d²-cell second moments: the pair explode stays inside the scan
-      // stage; the partial agg collapses it to ≤ d² rows per partition
+      // stage; the partial agg collapses it to ≤ cells per partition.
+      // Only the UPPER TRIANGLE (j ≥ i) is computed — the gram matrix
+      // is exactly symmetric even on the grid (ROUND(xi·xj·G) ≡
+      // ROUND(xj·xi·G), IEEE multiplication commutes), so the lower
+      // triangle is mirrored driver-side: same cov values bit-for-bit
+      // (the DuckDB twin keeps its full-square form — it compares the
+      // derived PC, not these cells), at 2080 instead of 4096 exploded
+      // rows per vector (measured 109 s → ~55 s at sf1; this pass IS
+      // the pca fit cost, shared by both registered pca queries).
       val gramRows = vecs
         .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-        .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-        .groupBy("i", "j")
+        .select(col("i"), col("xi"),
+          posexplode(slice(col("v"), col("i") + 1, lit(D) - col("i")))
+            .as(Seq("jj", "xj")))
+        .groupBy("i", "jj")
         .agg(sum(round(col("xi") * col("xj") * PcaGrid).cast(DecimalType38))
           .cast("string").cast("double").as("s"))
         .collect()
       val cov = Array.ofDim[Double](D, D)
       gramRows.foreach { r =>
-        val i = r.getInt(0); val j = r.getInt(1)
-        cov(i)(j) = r.getDouble(2) / ng - mean(i) * mean(j)
+        val i = r.getInt(0); val j = i + r.getInt(1)
+        val c = r.getDouble(2) / ng - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
       }
       // power iteration from the uniform unit vector (1/√64 = 0.125, an
       // exact binary literal — a basis-vector start lands in C's null
