@@ -36,6 +36,98 @@ def canon_hash(con, rel_sql, cols):
     return con.execute(q).fetchone()[0]
 
 
+import re as _re
+
+
+def split_ctes(sql):
+    """Split a non-recursive `WITH name AS [MATERIALIZED] (body), ...
+    <final select>` into ([(name, body), ...], final_select), or None
+    when the SQL is not that shape (no WITH / WITH RECURSIVE / parse
+    surprise). Paren balancing skips single-quoted strings (with ''
+    escapes) and `--` line comments, both of which may contain parens.
+    """
+    s = sql.strip()
+    if not _re.match(r"WITH\b", s, _re.IGNORECASE):
+        return None
+    if _re.match(r"WITH\s+RECURSIVE\b", s, _re.IGNORECASE):
+        return None
+    i, n, ctes = 4, len(s), []
+    while True:
+        m = _re.match(
+            r'\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?:MATERIALIZED\s+)?\(',
+            s[i:], _re.IGNORECASE)
+        if not m:
+            return None
+        name = m.group(1)
+        j = i + m.end()
+        depth, k = 1, j
+        while k < n and depth > 0:
+            c = s[k]
+            if c == "'":
+                k += 1
+                while k < n:
+                    if s[k] == "'":
+                        if k + 1 < n and s[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+            elif c == "-" and k + 1 < n and s[k + 1] == "-":
+                while k < n and s[k] != "\n":
+                    k += 1
+                continue
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth != 0:
+            return None
+        ctes.append((name, s[j:k - 1]))
+        m2 = _re.match(r"\s*,", s[k:])
+        if m2:
+            i = k + m2.end()
+        else:
+            return ctes, s[k:].strip()
+
+
+def run_oracle_staged(con, sql):
+    """Execute an oracle by materializing each depth-0 CTE into a TEMP
+    TABLE in declaration order, then the final SELECT into __o_t, and
+    expose the result as view __o. Semantically identical to running
+    the WITH query whole (non-recursive CTEs are just named
+    subqueries; each body sees the previously created names exactly as
+    WITH scoping provides), but sidesteps DuckDB's CTE consumption
+    pathology: a materialized-CTE scan carries no statistics, so the
+    optimizer built hash tables on 50M-row candidate relations instead
+    of the 20k-row vector side — emb_knn_graph ran 339 s as one WITH
+    query vs 15 s staged (sf1, r14). Returns the list of temp names to
+    drop (so a CTE named after a base view stops shadowing it for the
+    NEXT oracle)."""
+    parts = split_ctes(sql)
+    created = []
+    if parts is None:
+        con.execute(f"CREATE OR REPLACE VIEW __o AS {sql}")
+        return created
+    ctes, final = parts
+    try:
+        for name, body in ctes:
+            con.execute(f'CREATE OR REPLACE TEMP TABLE "{name}" AS {body}')
+            created.append(name)
+        con.execute(f"CREATE OR REPLACE TEMP TABLE __o_t AS {final}")
+    finally:
+        # drop the CTE temps immediately: __o only needs __o_t, memory
+        # frees early, and a CTE named after a base view stops
+        # shadowing it for the next oracle
+        for name in created:
+            try:
+                con.execute(f'DROP TABLE IF EXISTS "{name}"')
+            except Exception:  # noqa: BLE001
+                pass
+    con.execute("CREATE OR REPLACE VIEW __o AS SELECT * FROM __o_t")
+    return ["__o_t"]
+
+
 def py_oracle_mm_phash_groups(con, oracle):
     """Union-find transitive closure of the pHash near-dup pair graph.
 
@@ -155,10 +247,15 @@ def main():
                 print(f"[replay] {name}: no_oracle", flush=True)
                 dump_report()
                 continue
+            staged_tables = []
             if (name in PY_ORACLES
                     and os.environ.get("REPLAY_PY_ORACLES", "1") != "0"):
                 PY_ORACLES[name](con, oracle)
                 row["oracle"] = "python"
+            elif os.environ.get("REPLAY_STAGED", "1") != "0":
+                staged_tables = run_oracle_staged(con, oracle[name])
+                if staged_tables:
+                    row["oracle"] = "staged"
             else:
                 con.execute(f"CREATE OR REPLACE VIEW __o AS {oracle[name]}")
             odesc = con.execute("DESCRIBE __o").fetchall()
