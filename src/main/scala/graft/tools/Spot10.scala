@@ -72,8 +72,8 @@ object Spot10 {
       val c = graft.ops.EmbeddingOps.lshBuckets(
           embs, numBits = bits, numTables = 8)
         .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1) / 2).as("pairs"))
-        .collect()(0).getLong(0)
+        .agg(sum(col("c") * (col("c") - 1)).as("pairs2"))
+        .collect()(0).getLong(0) / 2
       println(s"SPOT lsh_candidates bits=$bits pairs=$c")
       s""""$bits":$c"""
     }
