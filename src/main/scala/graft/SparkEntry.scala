@@ -144,6 +144,8 @@ object SparkEntry {
     // Text analysis over `documents`
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(Tables.table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.table(s, dir, "documents"))),
+    // Flesch reading-ease + FK grade (vowel-group syllable heuristic)
+    "text_readability" -> ((s, dir) => TextOps.readability(Tables.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.table(s, dir, "documents"))),
     // langid precision/recall/F1 vs the gold lang column (per-language)
     "text_langid_eval" -> ((s, dir) =>
@@ -407,6 +409,10 @@ object SparkEntry {
       graft.ops.SpanDedup.dupSpans(Tables.table(s, dir, "documents"))),
     "dedup_span_stats" -> ((s, dir) =>
       graft.ops.SpanDedup.spanStats(Tables.table(s, dir, "documents"))),
+    // content-defined chunking census (LBFS-style boundaries at token
+    // granularity): chunks shared across >= 2 docs, insertion-robust
+    "dedup_cdc" -> ((s, dir) =>
+      Dedup.cdcChunkCensus(Tables.table(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
     // asymmetric containment |A∩B|/|A| — the quote/subset detector
@@ -539,6 +545,14 @@ object SparkEntry {
     // the k-NN graph semantic clustering / curriculum ordering consume
     "emb_knn_graph" -> ((s, dir) =>
       EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"))),
+    // the SAME knn graph at the SCALE LSH setting (numBits=10 → 1024
+    // buckets): numBits=6 fixes 64 buckets and makes candidate pairs
+    // quadratic in corpus size (SF10_SPOT quantifies 2.84e9 pairs at
+    // sf10 vs 2.9e8 at 10 bits); this gates the numBits ~
+    // log2(n/target_bucket) production setting end-to-end against the
+    // oracle so the cliff fix is hash-verified, not just timed
+    "emb_knn_graph_b10" -> ((s, dir) =>
+      EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"), numBits = 10)),
     // kNN-distance OOD score (k-th-NN cosine) — curation outlier gate
     "emb_ood_score" -> ((s, dir) =>
       EmbeddingOps.oodScores(Tables.table(s, dir, "embeddings"))),
@@ -1269,6 +1283,7 @@ object SparkEntry {
     // ----- LLM-data-pipeline twins -----
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_quality" -> TextOps.qualityScoreSql,
+    "text_readability" -> TextOps.readabilitySql,
     "text_langid" -> TextOps.langIdSql,
     "text_langid_eval" -> TextOps.langIdEvalSql,
     "text_textrank" ->
@@ -1365,6 +1380,7 @@ object SparkEntry {
     "dedup_fingerprint" -> Dedup.exactByFingerprintSql,
     "dedup_digest" -> Dedup.exactByDigestSql,
     "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),
+    "dedup_cdc" -> Dedup.cdcChunkCensusSql(),
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
@@ -1404,6 +1420,8 @@ object SparkEntry {
     "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(
       id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
     "emb_knn_graph" -> graft.ops.OracleCtes.materialize(EmbeddingOps.knnGraphSql()),
+    "emb_knn_graph_b10" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.knnGraphSql(numBits = 10)),
     "emb_hard_negatives" -> graft.ops.OracleCtes.materialize(EmbeddingOps.hardNegativesSql()),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),

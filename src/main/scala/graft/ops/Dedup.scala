@@ -1371,4 +1371,62 @@ object Dedup {
        |SELECT blk, COUNT(*) AS n_names,
        |  COUNT(*) > $maxBlock AS truncated
        |FROM names GROUP BY blk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Content-defined chunking (CDC) dedup census — the storage-dedup
+  // classic (Muthitacharoen et al., LBFS SOSP 2001) at token
+  // granularity: a token closes a chunk iff its content hash ≡ 0
+  // (mod `div`), so chunk boundaries move WITH the content — an
+  // insertion near the top of a doc re-aligns at the next boundary
+  // instead of shifting every downstream chunk the way fixed-size
+  // chunking does. The census reports every chunk appearing in ≥
+  // `minDocs` distinct docs: the shared-boilerplate/dedupable-bytes
+  // inventory at sub-document granularity (complements span dedup's
+  // positional n-gram view with insertion-robust variable chunks).
+  //
+  // Boundary hash = the cross-engine md5Base30 (same family as the
+  // MinHash base), so both engines cut identically. Chunk assembly is
+  // a PER-ROW projection: boundary tokens get a sentinel U+0001
+  // appended, the array joins on ' ', and one split on "\u0001 "
+  // yields the chunk list — zero shuffle until the census aggregate,
+  // which shuffles only (md5, n_tokens, doc_id) fixed-width rows.
+  // 100 TB posture: all per-doc state is row-local (no doc-keyed
+  // window/shuffle); the census agg is map-side-combined on the chunk
+  // hash; duplicate-heavy corpora collapse on the map side.
+  // -------------------------------------------------------------------
+  def cdcChunkCensus(
+      docs: DataFrame, div: Long = 8L, minDocs: Long = 2L): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val marked = transform(tk, t =>
+      when(md5Base30(t) % lit(div) === lit(0L), concat(t, lit("\u0001")))
+        .otherwise(t))
+    docs.select(col("doc_id"),
+        explode(split(rtrim(array_join(marked, " "), "\u0001"), "\u0001 "))
+          .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("chunk_md5"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+      .groupBy("chunk_md5", "n_tokens")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  def cdcChunkCensusSql(div: Long = 8L, minDocs: Long = 2L): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    array_to_string(list_transform(tk, t ->
+       |      CASE WHEN (${md5Base30Sql("t")} % $div) = 0
+       |           THEN t || chr(1) ELSE t END), ' ') AS s
+       |  FROM d),
+       |c AS (SELECT doc_id,
+       |    unnest(string_split(rtrim(s, chr(1)), chr(1) || ' ')) AS chunk
+       |  FROM m),
+       |h AS (SELECT doc_id, md5(chunk) AS chunk_md5,
+       |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+       |  FROM c)
+       |SELECT chunk_md5, n_tokens,
+       |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occs
+       |FROM h GROUP BY 1, 2
+       |HAVING COUNT(DISTINCT doc_id) >= $minDocs""".stripMargin
 }

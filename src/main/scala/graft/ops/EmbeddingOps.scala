@@ -458,16 +458,21 @@ object EmbeddingOps {
   def hardNegatives(
       embs: DataFrame, k: Int = 3, dim: Int = 64,
       numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val buckets = lshBuckets(embs, dim, numBits, numTables, seed).cache()
+    // labels ride the bucket relation (one int per bucket row) so the
+    // label-mismatch filter lands BEFORE the pair distinct: same-label
+    // pairs never reach the distinct's shuffle, and the pair-sized
+    // label joins of the naive shape disappear entirely. (lb is
+    // functionally determined by idb, so distinct over (ida,idb,lb)
+    // has exactly the cardinality of distinct over (ida,idb).)
     val lab = embs.select(col("vec_id"), col("label"))
-    val pairs = buckets.select(col("vec_id").as("ida"), col("table"), col("bucket"))
-      .join(buckets.select(col("vec_id").as("idb"), col("table"), col("bucket")),
-        Seq("table", "bucket"))
-      .filter(col("ida") =!= col("idb"))
-      .select("ida", "idb").distinct()
-      .join(lab.select(col("vec_id").as("ida"), col("label").as("la")), Seq("ida"))
-      .join(lab.select(col("vec_id").as("idb"), col("label").as("lb")), Seq("idb"))
-      .filter(col("la") =!= col("lb"))
+    val buckets = lshBuckets(embs, dim, numBits, numTables, seed)
+      .join(lab, Seq("vec_id")).cache()
+    val pairs = buckets.select(col("vec_id").as("ida"), col("table"),
+        col("bucket"), col("label").as("la"))
+      .join(buckets.select(col("vec_id").as("idb"), col("table"),
+        col("bucket"), col("label").as("lb")), Seq("table", "bucket"))
+      .filter(col("ida") =!= col("idb") && col("la") =!= col("lb"))
+      .select("ida", "idb", "lb").distinct()
     val e = embs.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     val scored = pairs
@@ -477,10 +482,12 @@ object EmbeddingOps {
         col("nrm").as("nb")), Seq("idb"))
       .select(col("ida"), col("idb"), col("lb"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("ida").orderBy(col("cosine").desc, col("idb").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // bounded-heap per-key top-k (no Window: candidate lists never
+    // materialize sorted) — same (cosine desc, idb asc) total order as
+    // the row_number formulation, so the output is value-identical.
+    org.apache.spark.sql.graft.TopKPerKey(
+        scored, Seq("ida"), Seq(("cosine", false), ("idb", true)), k,
+        rankCol = Some("rank"))
       .select(col("ida").as("vec_id"), col("idb").as("negative"),
         col("lb").as("neg_label"), col("cosine"), col("rank"))
   }

@@ -325,7 +325,13 @@ object RetrievalOps {
   // the shingle-partitioned df window, the doc-keyed norm agg, and the
   // inverted-index pair join feeding a map-side-combined (a,b) sum.
   // State per stage is postings-sized or pair-output-sized; nothing is
-  // driver-side.
+  // driver-side. (A Bayardo prefix-filter variant — candidates from a
+  // bounded index prefix, pair-bounded verify — was built and measured
+  // in r14: value-identical, but STRICTLY SLOWER on near-dup-heavy
+  // corpora like this fixture, where the qualifying pair set itself is
+  // ~replica² and the verify join pays |pairs|·|postings-per-doc|
+  // intermediates. On such corpora the direct inverted-index sum IS
+  // the right plan; prefix filtering only wins when few pairs qualify.)
   // -------------------------------------------------------------------
   def cosinePairs(
       docs: DataFrame, n: Int = 3, maxDf: Long = 1000,

@@ -89,6 +89,50 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Readability scoring (Flesch reading-ease + Flesch-Kincaid grade,
+  // Kincaid et al. 1975): the classic quality-filter feature a curation
+  // pipeline bins documents by (too-hard and too-easy tails are both
+  // suspect for pretraining). Syllables use the standard vowel-group
+  // heuristic (runs of [aeiouy] in the lower-cased text — word
+  // boundaries split groups, so the corpus-level regexp count equals
+  // the per-word sum); sentences count [.!?]+ runs, floored at 1.
+  // Pure projection — three regexp counts per row, zero shuffle; the
+  // two scores are IEEE chains over exact integer counts, written as
+  // the same expression tree in both engines (no libm).
+  // -------------------------------------------------------------------
+  def readability(docs: DataFrame): DataFrame = {
+    val w = size(tokens(col("text"))).cast("long")
+    val s = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+    val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206.835) - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
+          .as("reading_ease"),
+        (lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          - lit(15.59)).as("fk_grade"))
+  }
+
+  val readabilitySql: String = {
+    import graft.functions.PortableMath.dlitE
+    s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${dlitE(206.835)} - ${dlitE(1.015)} * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    - ${dlitE(84.6)} * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS reading_ease,
+       |  ${dlitE(0.39)} * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    + ${dlitE(11.8)} * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       |    - ${dlitE(15.59)} AS fk_grade
+       |FROM (SELECT doc_id,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_words,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+       |  FROM documents) d
+       |WHERE n_words > 0""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Gopher-style quality gate (Rae et al. 2021 §A1.1, thresholds
   // re-fit to this corpus's scale): docs survive only if token count,
   // mean token length, stopword presence, and lexical diversity
