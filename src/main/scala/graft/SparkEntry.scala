@@ -413,6 +413,12 @@ object SparkEntry {
     // granularity): chunks shared across >= 2 docs, insertion-robust
     "dedup_cdc" -> ((s, dir) =>
       Dedup.cdcChunkCensus(Tables.table(s, dir, "documents"))),
+    // CCNet-style line dedup at sentence granularity
+    "dedup_sentences" -> ((s, dir) =>
+      Dedup.sentenceCensus(Tables.table(s, dir, "documents"))),
+    // strict token-prefix pairs (crawl truncation artifacts)
+    "dedup_trunc" -> ((s, dir) =>
+      Dedup.truncationPairs(Tables.table(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
     // asymmetric containment |A∩B|/|A| — the quote/subset detector
@@ -562,6 +568,10 @@ object SparkEntry {
     // per-label centroid drift between deterministic corpus halves
     "emb_drift" -> ((s, dir) =>
       EmbeddingOps.centroidDrift(Tables.table(s, dir, "embeddings"))),
+    // diversity-preserving density prune: per-label centroid-distance
+    // rank, alternating keeps — the observable 2x redundancy cut
+    "emb_diversity_prune" -> ((s, dir) =>
+      EmbeddingOps.diversityPrune(Tables.table(s, dir, "embeddings"))),
     // TwoNN intrinsic dimension — embedding-collapse alarm
     "emb_intrinsic_dim" -> ((s, dir) =>
       EmbeddingOps.intrinsicDim(Tables.table(s, dir, "embeddings"))),
@@ -1381,6 +1391,8 @@ object SparkEntry {
     "dedup_digest" -> Dedup.exactByDigestSql,
     "dedup_spans" -> graft.ops.SpanDedup.dupSpansSql(),
     "dedup_cdc" -> Dedup.cdcChunkCensusSql(),
+    "dedup_sentences" -> Dedup.sentenceCensusSql(),
+    "dedup_trunc" -> Dedup.truncationPairsSql(),
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
@@ -1550,6 +1562,7 @@ object SparkEntry {
     "emb_margin_mine" ->
       graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.marginMineSql()),
     "emb_drift" -> graft.ops.EmbeddingOps.centroidDriftSql,
+    "emb_diversity_prune" -> graft.ops.EmbeddingOps.diversityPruneSql(),
     "emb_intrinsic_dim" -> graft.ops.OracleCtes.materialize(
       graft.ops.EmbeddingOps.intrinsicDimSql()),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,

@@ -1410,6 +1410,85 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  // -------------------------------------------------------------------
+  // Sentence-level duplication census — CCNet's line-level dedup
+  // (Wenzek et al. 2020) at the linguistic unit this corpus has:
+  // sentences split on [.!?]+ runs, trimmed, lower-cased. The unit
+  // complements the positional n-gram view (span dedup) and the
+  // hash-boundary view (CDC): repeated SENTENCES are the
+  // boilerplate/citation signal quality pipelines actually delete by.
+  // Zero shuffle until the census aggregate on (md5, doc_id)
+  // fixed-width rows, map-side-combined; at 100 TB the dedup pass
+  // keyed on sentence hash is exactly CCNet's shard-parallel shape.
+  // -------------------------------------------------------------------
+  def sentenceCensus(docs: DataFrame, minDocs: Long = 2L): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[.!?]+")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("sent"))
+      .filter(col("sent") =!= "")
+      .select(col("doc_id"), md5(col("sent").cast("binary")).as("sent_md5"),
+        length(col("sent")).cast("long").as("n_chars"))
+      .groupBy("sent_md5", "n_chars")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occs"))
+      .filter(col("n_docs") >= minDocs)
+
+  def sentenceCensusSql(minDocs: Long = 2L): String =
+    s"""WITH s AS (SELECT doc_id,
+       |    trim(unnest(regexp_split_to_array(lower(text), '[.!?]+'))) AS sent
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(sent) AS sent_md5,
+       |    CAST(length(sent) AS BIGINT) AS n_chars
+       |  FROM s WHERE sent <> '')
+       |SELECT sent_md5, n_chars,
+       |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occs
+       |FROM h GROUP BY 1, 2
+       |HAVING COUNT(DISTINCT doc_id) >= $minDocs""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Truncation-pair detection: doc pairs where one doc's token stream
+  // is a STRICT PREFIX of another's — the crawl-truncation /
+  // re-scrape artifact exact dedup misses (hashes differ) and Jaccard
+  // under-scores (containment ≠ resemblance). Blocking: both sides of
+  // a qualifying pair share their first-`k`-token hash, so the join
+  // space is the k-prefix hash index, never doc×doc; the contract
+  // floor (the shorter side must have ≥ k tokens) is explicit.
+  // Verify compares md5(first-lenA-tokens of B) to md5(A) — only B's
+  // token array rides the join; A contributes fixed-width (md5, len).
+  // -------------------------------------------------------------------
+  def truncationPairs(docs: DataFrame, k: Int = 16): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("len"),
+        md5(array_join(slice(col("tk"), 1, k), " ").cast("binary")).as("pk"))
+    val a = base.select(col("doc_id").as("trunc_doc"), col("pk"),
+      col("len").as("trunc_tokens"),
+      md5(array_join(col("tk"), " ").cast("binary")).as("amd5"))
+    val b = base.select(col("doc_id").as("full_doc"), col("pk"),
+      col("len").as("full_tokens"), col("tk").as("btk"))
+    a.join(b, Seq("pk"))
+      .filter(col("full_tokens") > col("trunc_tokens"))
+      .filter(md5(array_join(
+        slice(col("btk"), lit(1), col("trunc_tokens").cast("int")), " ")
+        .cast("binary")) === col("amd5"))
+      .select(col("trunc_doc"), col("full_doc"),
+        col("trunc_tokens"), col("full_tokens"))
+  }
+
+  def truncationPairsSql(k: Int = 16): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS len,
+       |    md5(array_to_string(list_slice(tk, 1, $k), ' ')) AS pk
+       |  FROM (SELECT doc_id,
+       |      list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |    FROM documents) d
+       |  WHERE len(tk) >= $k)
+       |SELECT a.doc_id AS trunc_doc, b.doc_id AS full_doc,
+       |  a.len AS trunc_tokens, b.len AS full_tokens
+       |FROM base a JOIN base b ON a.pk = b.pk AND b.len > a.len
+       |WHERE md5(array_to_string(list_slice(b.tk, 1, CAST(a.len AS INT)), ' '))
+       |    = md5(array_to_string(a.tk, ' '))""".stripMargin
+
   def cdcChunkCensusSql(div: Long = 8L, minDocs: Long = 2L): String =
     s"""WITH d AS (SELECT doc_id,
        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk

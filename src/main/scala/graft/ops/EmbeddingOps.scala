@@ -907,6 +907,70 @@ object EmbeddingOps {
        |JOIN cnt ca ON ca.clabel = a.clabel AND ca.half_a
        |JOIN cnt cb ON cb.clabel = a.clabel AND NOT cb.half_a""".stripMargin
 
+  /** Diversity-preserving density prune (the SemDeDup/DataComp-style
+    * redundancy cut): rank each vector within its label by distance to
+    * the label centroid (grid-exact mean, same recipe as
+    * [[centroidClassify]]) and keep alternating ranks — a deterministic
+    * 2× downsample that preserves the full radial distribution (both
+    * the diverse rim and the dense core stay represented, unlike a
+    * plain nearest-half cut which deletes the mode). Emits the census
+    * (every vector with rank and kept flag), so the prune is
+    * observable, not a silent drop.
+    *
+    * Scale: the centroid is a |labels|·dim sufficient statistic
+    * (broadcast); d2 is a zero-shuffle scan projection; the only
+    * data-sized shuffle is the per-label rank window (keyed on label —
+    * salt or pre-bucket by label at extreme skew). */
+  def diversityPrune(embs: DataFrame): DataFrame = {
+    val Grid = 1.0e6
+    val flat = embs.select(col("label").as("clabel"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("clabel"), col("pos"),
+        round(col("v") * Grid).cast("long").as("g"))
+    val comp = flat.groupBy("clabel", "pos")
+      .agg(sum("g").as("s"), count(lit(1)).as("n"))
+      .select(col("clabel"), col("pos"),
+        (col("s").cast("double") /
+          (col("n").cast("double") * Grid)).as("c"))
+    val cents = comp.groupBy("clabel").agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("d2").desc, col("vec_id").asc)
+    embs.join(broadcast(cents), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), col("embedding"))
+          - lit(2.0) * dot(col("embedding"), col("cvec"))
+          + dot(col("cvec"), col("cvec"))).as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rank") % 2 === 1)
+  }
+
+  def diversityPruneSql(dim: Int = 64): String =
+    s"""WITH flat AS (
+       |  SELECT label AS clabel, i AS pos,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS g
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) u(i)),
+       |comp AS (
+       |  SELECT clabel, pos,
+       |    CAST(SUM(g) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS c
+       |  FROM flat GROUP BY clabel, pos),
+       |cents AS (
+       |  SELECT clabel, list(c ORDER BY pos) AS cvec
+       |  FROM comp GROUP BY clabel),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    ${dotSqlN("e.embedding", "e.embedding", dim)}
+       |      - 2.0 * ${dotSqlN("e.embedding", "c.cvec", dim)}
+       |      + ${dotSqlN("c.cvec", "c.cvec", dim)} AS d2
+       |  FROM embeddings e JOIN cents c ON e.label = c.clabel),
+       |r AS (SELECT vec_id, label, d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY d2 DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT vec_id, label, d2, rank, (rank % 2) = 1 AS kept FROM r""".stripMargin
+
   def cosineNearDupsSql(
       threshold: Double = 0.4, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L): String = {
