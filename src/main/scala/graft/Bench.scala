@@ -562,6 +562,14 @@ object Bench {
     "text_kn_score", "text_langid_eval", "text_llr", "text_ppl_buckets",
     "text_textrank")
 
+  /** Named-set v3: v2 + the round-14 operator wave, so round 15+ gets
+    * a like-for-like cross-round total for them too. Frozen as of the
+    * end of r14. */
+  private[graft] val NamedSetV3: Set[String] = NamedSetV2 ++ Set(
+    "corpus_diff", "dedup_cdc", "dedup_sentences", "dedup_trunc",
+    "emb_diversity_prune", "emb_knn_graph_b10", "pii_kanon",
+    "split_leakage", "text_readability")
+
   /** The ONLY queries the full-board summary line names (r13 verdict
     * item 1 / "what's wrong" 1): the r13 line — the 82-name frozen set
     * at 1-decimal — rendered at 1928 chars, and the driver's 2000-char
@@ -661,6 +669,8 @@ object Bench {
       all.filter(q => NamedSet(q._1)).map(_._3).filter(_ >= 0).sum
     val namedTotalV2 =
       all.filter(q => NamedSetV2(q._1)).map(_._3).filter(_ >= 0).sum
+    val namedTotalV3 =
+      all.filter(q => NamedSetV3(q._1)).map(_._3).filter(_ >= 0).sum
     // errLen/errCap: the only unbounded inputs left are error strings —
     // the ladder shrinks messages, then the named-error count, and the
     // remeasure object self-trims inside whatever room remains. The
@@ -703,6 +713,7 @@ object Bench {
       val base = f"""{"metric":"total","value":$total%.2f,""" +
         f""""named_total":$namedTotal%.2f,""" +
         f""""named_total_v2":$namedTotalV2%.2f,""" +
+        f""""named_total_v3":$namedTotalV3%.2f,""" +
         f""""folded_total":${total - namedTotal}%.2f,""" +
         s""""stat":"med<5s","unit":"sec","detail":"BENCH_DETAIL.json",""" +
         s""""queries":$qs$foldJson$errs,"loadavg":$load$fit10mJson"""

@@ -559,6 +559,10 @@ object SparkEntry {
     // oracle so the cliff fix is hash-verified, not just timed
     "emb_knn_graph_b10" -> ((s, dir) =>
       EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"), numBits = 10)),
+    // recall@k across the LSH bit ladder vs exact truth on a 1% anchor
+    // sample — the accuracy dial for the numBits scale knob
+    "emb_lsh_recall_bits" -> ((s, dir) =>
+      EmbeddingOps.lshRecallCurve(Tables.table(s, dir, "embeddings"))),
     // kNN-distance OOD score (k-th-NN cosine) — curation outlier gate
     "emb_ood_score" -> ((s, dir) =>
       EmbeddingOps.oodScores(Tables.table(s, dir, "embeddings"))),
@@ -950,6 +954,10 @@ object SparkEntry {
       graft.ops.PretrainOps.packSequences(Tables.table(s, dir, "documents"))),
     "pii_scrub" -> ((s, dir) =>
       graft.ops.PretrainOps.scrubPlanted(Tables.table(s, dir, "documents"))),
+    // k-anonymity equivalence-class census over (lang, source, length
+    // bucket) — the residual quasi-identifier risk audit next to scrub
+    "pii_kanon" -> ((s, dir) =>
+      graft.ops.PretrainOps.kAnonymityCensus(Tables.table(s, dir, "documents"))),
     // the full shaping composition: scrub -> chunk -> pack in one plan
     "pipeline_sequences" -> ((s, dir) =>
       graft.ops.PretrainOps.makeSequences(Tables.table(s, dir, "documents"))),
@@ -1434,12 +1442,15 @@ object SparkEntry {
     "emb_knn_graph" -> graft.ops.OracleCtes.materialize(EmbeddingOps.knnGraphSql()),
     "emb_knn_graph_b10" -> graft.ops.OracleCtes.materialize(
       EmbeddingOps.knnGraphSql(numBits = 10)),
+    "emb_lsh_recall_bits" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.lshRecallCurveSql()),
     "emb_hard_negatives" -> graft.ops.OracleCtes.materialize(EmbeddingOps.hardNegativesSql()),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
     "seq_pack_stats" ->
       graft.ops.OracleCtes.materialize(graft.ops.PretrainOps.packStatsSql()),
     "pii_scrub" -> graft.ops.PretrainOps.scrubPlantedSql(),
+    "pii_kanon" -> graft.ops.PretrainOps.kAnonymityCensusSql(),
     "pipeline_sequences" -> graft.ops.PretrainOps.makeSequencesSql(),
     "pipeline_curate" -> graft.ops.CuratePipeline.curateSql(),
     "pipeline_funnel" ->

@@ -907,6 +907,118 @@ object EmbeddingOps {
        |JOIN cnt ca ON ca.clabel = a.clabel AND ca.half_a
        |JOIN cnt cb ON cb.clabel = a.clabel AND NOT cb.half_a""".stripMargin
 
+  /** Recall@k across the LSH bit ladder — the ACCURACY side of the
+    * numBits scale knob this round gates (SF10_SPOT quantifies the
+    * candidate-count side): for a deterministic ~1% anchor sample
+    * (vec_id ≡ 0 mod `anchorMod`), exact top-k truth over the whole
+    * corpus vs the LSH-blocked top-k at each `bitsLadder` setting.
+    * Output (num_bits, n_anchors, n_hit, recall) is the curve an
+    * operator reads to pick bits for a target recall at a target
+    * candidate budget.
+    *
+    * Determinism: top-k sets are tie-broken (cosine desc, idb asc) in
+    * both engines; recall is one IEEE division of exact integers.
+    * Scale: truth is |anchors|·n dots (anchors broadcast, sample-rate
+    * bounded — cap the sample absolutely at real scale); each ladder
+    * step reuses the knnGraph candidate machinery with the anchor
+    * filter applied BEFORE the bucket join. */
+  def lshRecallCurve(
+      embs: DataFrame, bitsLadder: Seq[Int] = Seq(6, 8, 10), k: Int = 3,
+      dim: Int = 64, numTables: Int = 8, seed: Long = 42L,
+      anchorMod: Long = 97L): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm")).cache()
+    val anchors = e.filter(col("vec_id") % anchorMod === 0)
+    val truthScored = e.select(col("vec_id").as("idb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(anchors.select(col("vec_id").as("ida"),
+        col("embedding").as("ea"), col("nrm").as("na"))))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+    val truth = org.apache.spark.sql.graft.TopKPerKey(
+        truthScored, Seq("ida"), Seq(("cosine", false), ("idb", true)), k)
+      .select("ida", "idb").localCheckpoint(true)
+    val nA = anchors.count()
+    bitsLadder.map { bits =>
+      val buckets = lshBuckets(embs, dim, bits, numTables, seed)
+      val cand = buckets.select(col("vec_id").as("ida"), col("table"),
+          col("bucket"))
+        .filter(col("ida") % anchorMod === 0)
+        .join(buckets.select(col("vec_id").as("idb"), col("table"),
+          col("bucket")), Seq("table", "bucket"))
+        .filter(col("ida") =!= col("idb"))
+        .select("ida", "idb").distinct()
+      val scored = cand
+        .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+          col("nrm").as("na")), Seq("ida"))
+        .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+          col("nrm").as("nb")), Seq("idb"))
+        .select(col("ida"), col("idb"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      val approx = org.apache.spark.sql.graft.TopKPerKey(
+          scored, Seq("ida"), Seq(("cosine", false), ("idb", true)), k)
+        .select("ida", "idb")
+      approx.join(truth, Seq("ida", "idb"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(bits.toLong).as("num_bits"), lit(nA).as("n_anchors"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / lit((k * nA).toDouble)).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  def lshRecallCurveSql(
+      bitsLadder: Seq[Int] = Seq(6, 8, 10), k: Int = 3, dim: Int = 64,
+      numTables: Int = 8, seed: Long = 42L, anchorMod: Long = 97L): String = {
+    val perBits = bitsLadder.map { bits =>
+      val bu = bucketsUnionSql(dim, bits, numTables, seed)
+      s"""buckets$bits AS ($bu),
+         |cand$bits AS (
+         |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM buckets$bits a JOIN buckets$bits b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % $anchorMod = 0),
+         |scored$bits AS (
+         |  SELECT p.ida, p.idb,
+         |    ${dotSqlN("ea.embedding", "eb.embedding", dim)}
+         |      / (ea.nrm * eb.nrm) AS cosine
+         |  FROM cand$bits p
+         |  JOIN e ea ON p.ida = ea.vec_id
+         |  JOIN e eb ON p.idb = eb.vec_id),
+         |approx$bits AS (
+         |  SELECT ida, idb FROM (
+         |    SELECT ida, idb, ROW_NUMBER() OVER (PARTITION BY ida
+         |      ORDER BY cosine DESC, idb ASC) AS rn
+         |    FROM scored$bits) s WHERE rn <= $k),
+         |hit$bits AS (
+         |  SELECT COUNT(*) AS n_hit
+         |  FROM approx$bits a JOIN truth t ON a.ida = t.ida AND a.idb = t.idb)""".stripMargin
+    }.mkString(",\n")
+    val union = bitsLadder.map { bits =>
+      s"""SELECT CAST($bits AS BIGINT) AS num_bits, na.n_anchors,
+         |  h.n_hit, CAST(h.n_hit AS DOUBLE)
+         |    / CAST($k * na.n_anchors AS DOUBLE) AS recall
+         |FROM hit$bits h CROSS JOIN na""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    SQRT(${dotSqlN("embedding", "embedding", dim)}) AS nrm
+       |  FROM embeddings),
+       |anch AS (SELECT * FROM e WHERE vec_id % $anchorMod = 0),
+       |na AS (SELECT COUNT(*) AS n_anchors FROM anch),
+       |tscored AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    ${dotSqlN("a.embedding", "b.embedding", dim)}
+       |      / (a.nrm * b.nrm) AS cosine
+       |  FROM anch a JOIN e b ON a.vec_id <> b.vec_id),
+       |truth AS (
+       |  SELECT ida, idb FROM (
+       |    SELECT ida, idb, ROW_NUMBER() OVER (PARTITION BY ida
+       |      ORDER BY cosine DESC, idb ASC) AS rn
+       |    FROM tscored) s WHERE rn <= $k),
+       |$perBits
+       |$union""".stripMargin
+  }
+
   /** Diversity-preserving density prune (the SemDeDup/DataComp-style
     * redundancy cut): rank each vector within its label by distance to
     * the label centroid (grid-exact mean, same recipe as

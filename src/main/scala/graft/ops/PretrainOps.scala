@@ -270,4 +270,30 @@ object PretrainOps {
        |    PARTITION BY source ORDER BY doc_id, chunk_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM chunks) p""".stripMargin
+
+  // -------------------------------------------------------------------
+  // k-anonymity census (Sweeney 2002) over the quasi-identifier tuple
+  // a released corpus actually leaks — (lang, source, length bucket):
+  // every equivalence class with its size and an at_risk flag for
+  // classes smaller than k, i.e. the rows a linkage attacker can
+  // narrow below k candidates. The census (not a silent drop) is the
+  // auditable artifact privacy review wants NEXT TO pii_scrub: scrub
+  // removes direct identifiers, this measures the residual
+  // quasi-identifier risk. One partial/final agg on a low-cardinality
+  // composite key — class count is |langs|·|sources|·|buckets|,
+  // independent of corpus size.
+  // -------------------------------------------------------------------
+  def kAnonymityCensus(
+      docs: DataFrame, k: Long = 5L, bucket: Long = 100L): DataFrame =
+    docs.select(col("lang"), col("source"),
+        (col("n_chars") - (col("n_chars") % bucket)).as("chars_bucket"))
+      .groupBy("lang", "source", "chars_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < k)
+
+  def kAnonymityCensusSql(k: Long = 5L, bucket: Long = 100L): String =
+    s"""SELECT lang, source, n_chars - (n_chars % $bucket) AS chars_bucket,
+       |  COUNT(*) AS n_docs, COUNT(*) < $k AS at_risk
+       |FROM documents
+       |GROUP BY 1, 2, 3""".stripMargin
 }
