@@ -387,7 +387,17 @@ object Bench {
             import org.json4s.jackson.JsonMethods
             val oldJ = JsonMethods.parse(new String(
               java.nio.file.Files.readAllBytes(existing.toPath), "UTF-8"))
-            oldJ \ "sf" == JString(sfDir) && oldJ \ "cpus" == JString(cpus)
+            // type-normalized compare: "cpus" round-trips as a JSON
+            // NUMBER (the r14 full sf0.1 board diverted to PARTIAL
+            // because JInt(32) != JString("32") — the guard meant to
+            // catch config drift rejected every same-config run)
+            def str(v: JValue): String = v match {
+              case JString(x) => x
+              case JInt(x) => x.toString
+              case JDouble(x) => x.toString
+              case _ => ""
+            }
+            str(oldJ \ "sf") == sfDir && str(oldJ \ "cpus") == cpus
           } catch { case _: Throwable => true })
           if (sameConfig) ("BENCH_DETAIL.json", fresh)
           else ("BENCH_DETAIL_PARTIAL.json", fresh)
@@ -423,8 +433,8 @@ object Bench {
     if ((oldJ \ "sf") != (newJ \ "sf") || (oldJ \ "cpus") != (newJ \ "cpus"))
       return ("BENCH_DETAIL_PARTIAL.json", fresh)
     val perQuery =
-      Set("queries", "runs", "errors", "load_after", "remeasure",
-        "build_sec", "streaming", "recall", "skew_stress")
+      Set("queries", "medians", "runs", "errors", "load_after", "remeasure",
+        "build_sec", "build_inside", "streaming", "recall", "skew_stress")
     val oldFields = oldJ match { case JObject(o) => o; case _ => Nil }
     val newFields = newJ match { case JObject(n) => n; case _ => Nil }
     val keys = (oldFields.map(_._1) ++ newFields.map(_._1)).distinct
