@@ -577,8 +577,8 @@ object Bench {
     * end of r14. */
   private[graft] val NamedSetV3: Set[String] = NamedSetV2 ++ Set(
     "corpus_diff", "dedup_cdc", "dedup_sentences", "dedup_trunc",
-    "emb_diversity_prune", "emb_knn_graph_b10", "pii_kanon",
-    "split_leakage", "text_readability")
+    "emb_diversity_prune", "emb_knn_graph_b10", "emb_lsh_recall_bits",
+    "pii_kanon", "split_leakage", "text_lang_mix", "text_readability")
 
   /** The ONLY queries the full-board summary line names (r13 verdict
     * item 1 / "what's wrong" 1): the r13 line — the 82-name frozen set

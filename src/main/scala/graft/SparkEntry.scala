@@ -146,6 +146,8 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.table(s, dir, "documents"))),
     // Flesch reading-ease + FK grade (vowel-group syllable heuristic)
     "text_readability" -> ((s, dir) => TextOps.readability(Tables.table(s, dir, "documents"))),
+    // per-sentence langid + per-doc mixing census (code-switch alarm)
+    "text_lang_mix" -> ((s, dir) => TextOps.langMix(Tables.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.table(s, dir, "documents"))),
     // langid precision/recall/F1 vs the gold lang column (per-language)
     "text_langid_eval" -> ((s, dir) =>
@@ -1302,6 +1304,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_quality" -> TextOps.qualityScoreSql,
     "text_readability" -> TextOps.readabilitySql,
+    "text_lang_mix" -> TextOps.langMixSql,
     "text_langid" -> TextOps.langIdSql,
     "text_langid_eval" -> TextOps.langIdEvalSql,
     "text_textrank" ->

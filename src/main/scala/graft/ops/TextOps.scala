@@ -338,6 +338,106 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Mixed-language (code-switching) detection: the doc-level langid
+  // call is wrong for documents that interleave languages, and
+  // pretraining pipelines quarantine those separately (CCNet et al.
+  // run langid per PARAGRAPH for exactly this reason). Here: the same
+  // marker-lexicon argmax applied per [.!?]+ sentence, then a per-doc
+  // census — sentence count, distinct predicted languages, the
+  // majority language and its share, and a `mixed` flag (≥2 languages
+  // and majority share ≤ 0.8). Sentences with no marker hit predict
+  // 'und' (the langIdEval quarantine convention).
+  //
+  // Shapes: sentence explode + broadcast marker join (codegen),
+  // argmax over ~|langs| rows per sentence, then two doc-keyed aggs —
+  // everything after the token join is sentence- or doc-sized. The
+  // mixed flag compares an int-ratio against a literal: deterministic
+  // in both engines.
+  // -------------------------------------------------------------------
+  def langMix(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = langMarkers
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("cand_lang", "marker")
+    val sents = docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[.!?]+")).as(Seq("sidx", "raw")))
+      .select(col("doc_id"), col("sidx"), trim(col("raw")).as("sent"))
+      .filter(col("sent") =!= "")
+    val stok = sents.select(col("doc_id"), col("sidx"),
+      explode(split(col("sent"), " ")).as("token"))
+    val scores = stok.join(broadcast(markers), stok("token") === markers("marker"))
+      .groupBy("doc_id", "sidx", "cand_lang").agg(count(lit(1)).as("score"))
+    val wArg = Window.partitionBy("doc_id", "sidx")
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    val pred = scores.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("sidx"), col("cand_lang").as("pl"))
+    val perLang = sents.select("doc_id", "sidx")
+      .join(pred, Seq("doc_id", "sidx"), "left")
+      .select(col("doc_id"), coalesce(col("pl"), lit("und")).as("pred_lang"))
+      .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("cnt"))
+    val wTop = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("pred_lang").asc)
+    perLang
+      .withColumn("n_sents", sum("cnt").over(Window.partitionBy("doc_id")))
+      .withColumn("n_langs", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_sents").cast("long").as("n_sents"),
+        col("n_langs").cast("long").as("n_langs"),
+        col("pred_lang").as("top_lang"),
+        (col("cnt").cast("double") / col("n_sents").cast("double")).as("top_share"),
+        (col("n_langs") >= 2 &&
+          (col("cnt").cast("double") / col("n_sents").cast("double")) <= lit(0.8))
+          .as("mixed"))
+  }
+
+  val langMixSql: String = {
+    val rows = langMarkers
+      .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+    s"""WITH markers(cand_lang, marker) AS (VALUES $rows),
+       |sents AS (
+       |  SELECT doc_id, sidx, trim(raw) AS sent FROM (
+       |    SELECT doc_id,
+       |      unnest(generate_series(1, len(parts))) AS sidx,
+       |      unnest(parts) AS raw
+       |    FROM (SELECT doc_id,
+       |        regexp_split_to_array(lower(text), '[.!?]+') AS parts
+       |      FROM documents) p) q
+       |  WHERE trim(raw) <> ''),
+       |stok AS (SELECT doc_id, sidx, unnest(string_split(sent, ' ')) AS token
+       |  FROM sents),
+       |scores AS (
+       |  SELECT t.doc_id, t.sidx, m.cand_lang, COUNT(*) AS score
+       |  FROM stok t JOIN markers m ON t.token = m.marker
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, sidx, cand_lang AS pl FROM (
+       |    SELECT doc_id, sidx, cand_lang,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id, sidx
+       |        ORDER BY score DESC, cand_lang ASC) AS rn
+       |    FROM scores) s WHERE rn = 1),
+       |perlang AS (
+       |  SELECT s.doc_id, COALESCE(p.pl, 'und') AS pred_lang, COUNT(*) AS cnt
+       |  FROM sents s LEFT JOIN pred p
+       |    ON s.doc_id = p.doc_id AND s.sidx = p.sidx
+       |  GROUP BY 1, 2),
+       |doc AS (
+       |  SELECT doc_id, pred_lang, cnt,
+       |    SUM(cnt) OVER (PARTITION BY doc_id) AS n_sents,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_langs,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, pred_lang ASC) AS rn
+       |  FROM perlang)
+       |SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+       |  CAST(n_langs AS BIGINT) AS n_langs, pred_lang AS top_lang,
+       |  CAST(cnt AS DOUBLE) / CAST(n_sents AS DOUBLE) AS top_share,
+       |  n_langs >= 2 AND
+       |    CAST(cnt AS DOUBLE) / CAST(n_sents AS DOUBLE) <= 0.8e0 AS mixed
+       |FROM doc WHERE rn = 1""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Language-ID evaluation against the gold `lang` column: per-language
   // support / prediction counts / hits and the derived precision,
   // recall, F1 (NULL on degenerate denominators, the nbConfusion

@@ -26,6 +26,24 @@ class ScoringOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 1L)
   }
 
+  test("lang mix flags a planted code-switching doc and not monolingual ones") {
+    val docs = Seq(
+      // 2 en + 2 de sentences -> top_share 0.5, mixed
+      (1L, "The cat is in the house. Der Hund ist nicht hier! " +
+        "It is a good day for the park. Die Katze ist mit der Maus."),
+      // pure en
+      (2L, "The dog is in the garden. It is a fine day for a walk."),
+      // no markers at all -> single 'und' language
+      (3L, "zzz qqq. xxx yyy www!")
+    ).toDF("doc_id", "text")
+    val m = TextOps.langMix(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(m(1L)._2 == 2L && m(1L)._4 == 0.5 && m(1L)._5) // mixed en/de
+    assert(m(2L) == ((2L, 1L, "en", 1.0, false)))
+    assert(m(3L) == ((2L, 1L, "und", 1.0, false)))
+  }
+
   test("diversity prune ranks by centroid distance desc and keeps odd ranks") {
     // label 0: four points on a line; centroid at 2.5 (dim0), rest 0
     def v(x: Double) = Array.tabulate(4)(i => if (i == 0) x.toFloat else 0f)
