@@ -429,6 +429,13 @@ object SparkEntry {
     // banding-loss eval: LSH near-dups vs exact-Jaccard truth
     "dedup_eval" -> ((s, dir) =>
       Dedup.minhashEval(Tables.table(s, dir, "documents"))),
+    // ingestion-order duplication growth: per doc_id decile, how many
+    // docs exactly duplicate ANY earlier doc (the crawl-saturation dial)
+    "dedup_novelty" -> ((s, dir) =>
+      Dedup.noveltyCurve(Tables.table(s, dir, "documents"))),
+    // which sources copy which: near-dup pairs by unordered source pair
+    "dedup_source_matrix" -> ((s, dir) =>
+      Dedup.sourceMatrix(Tables.table(s, dir, "documents"))),
     // threshold operating curve: pairs at-or-above each 5% Jaccard step
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurve(Tables.table(s, dir, "documents"))),
@@ -1000,6 +1007,10 @@ object SparkEntry {
     // information-theoretic agreement (read WITH the ARI)
     "docs_cluster_nmi" -> ((s, dir) =>
       graft.ops.TopicCluster.clusterNmi(Tables.table(s, dir, "documents"))),
+    // c-TF-IDF keywords per topic cluster (BERTopic-style labels) via
+    // the bounded-heap TopKPerKey operator
+    "docs_cluster_terms" -> ((s, dir) =>
+      graft.ops.TopicCluster.clusterTerms(Tables.table(s, dir, "documents"))),
     // N-dimensional k-means over embeddings (declarative oracle path)
     "kmeansnd_assign" -> ((s, dir) => {
       val vecs = graft.ops.IvfIndex.vectors(Tables.table(s, dir, "embeddings"))
@@ -1408,6 +1419,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
     "dedup_eval" -> graft.ops.OracleCtes.materialize(Dedup.minhashEvalSql()),
+    "dedup_novelty" -> Dedup.noveltyCurveSql(),
+    "dedup_source_matrix" -> graft.ops.OracleCtes.materialize(
+      Dedup.sourceMatrixSql()),
     "dedup_threshold_curve" -> graft.ops.OracleCtes.materialize(
       Dedup.thresholdCurveSql()),
     "dedup_prefix_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.prefixJaccardPairsSql()),
@@ -1470,6 +1484,8 @@ object SparkEntry {
       graft.ops.OracleCtes.materialize(graft.ops.TopicCluster.clusterAriSql()),
     "docs_cluster_nmi" ->
       graft.ops.OracleCtes.materialize(graft.ops.TopicCluster.clusterNmiSql()),
+    "docs_cluster_terms" ->
+      graft.ops.OracleCtes.materialize(graft.ops.TopicCluster.clusterTermsSql()),
     "kmeansnd_assign" -> Tables.withVecsCents(kmeans.KMeansND.assignSql()),
     "kmeansnd_step" -> Tables.withVecsCents(
       s""", assignednd AS (${kmeans.KMeansND.assignSql()})

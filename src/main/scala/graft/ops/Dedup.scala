@@ -59,6 +59,54 @@ object Dedup {
       |       MIN(doc_id) AS keeper
       |FROM documents GROUP BY md5(text)""".stripMargin
 
+  /** Duplication-growth (novelty) curve over ingestion order: split the
+    * doc_id range into `buckets` equal slices and report, per slice, how
+    * many docs are exact copies of a doc from ANY earlier position —
+    * the "is my nth crawl still adding new content?" census a corpus
+    * owner reads before paying for the next crawl (duplication grows
+    * superlinearly as a source saturates; cf. the dedup curves in Lee
+    * et al. 2022 §5). A doc is a dup iff its doc_id is not the minimum
+    * doc_id of its 128-bit digest group, so "earlier" is exact, not
+    * per-bucket-approximate.
+    *
+    * Shape: one digest-keyed aggregate (16-byte keys, never text) + a
+    * digest-keyed join back + a `buckets`-group aggregate. Bucketing is
+    * floor((doc_id·buckets)/n) in double space — exact IEEE in both
+    * engines (products < 2^53, correctly-rounded division, floor). */
+  def noveltyCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("digest"))
+    val first = fp.groupBy("digest").agg(min("doc_id").as("first_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    fp.join(first, "digest")
+      .crossJoin(broadcast(n))
+      .select(
+        floor(col("doc_id").cast("double") * buckets
+          / col("n").cast("double")).cast("long").as("bucket"),
+        (col("doc_id") > col("first_id")).as("is_dup"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("bucket"), col("n_docs"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_frac"))
+  }
+
+  def noveltyCurveSql(buckets: Int = 10): String =
+    s"""WITH fp AS (SELECT doc_id, md5(text) AS digest FROM documents),
+       |first AS (SELECT digest, MIN(doc_id) AS first_id
+       |          FROM fp GROUP BY digest),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |tagged AS (
+       |  SELECT CAST(FLOOR(CAST(f.doc_id AS DOUBLE) * $buckets
+       |    / CAST(n.n AS DOUBLE)) AS BIGINT) AS bucket,
+       |    f.doc_id > fi.first_id AS is_dup
+       |  FROM fp f JOIN first fi ON f.digest = fi.digest, n)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS dup_frac
+       |FROM tagged GROUP BY bucket""".stripMargin
+
   // -------------------------------------------------------------------
   // Incremental (batch-vs-corpus) dedup — the production shape: a new
   // crawl/batch arrives and must be deduped AGAINST the accumulated
@@ -340,6 +388,43 @@ object Dedup {
        |JOIN sizes sb ON db = sb.doc_id
        |WHERE GREATEST(CAST(inter AS DOUBLE) / sa.sz,
        |               CAST(inter AS DOUBLE) / sb.sz) >= $threshold""".stripMargin
+
+  /** Cross-source near-dup matrix — which sources copy which: the
+    * verified n-gram Jaccard pair relation aggregated by unordered
+    * source pair. The diagonal (source_a = source_b) is within-source
+    * boilerplate; heavy off-diagonal cells are syndication/mirroring
+    * between feeds — the corpus-forensics census that decides whether
+    * to dedup within or across source partitions, and which feed to
+    * drop when paying for overlap twice. Pair generation is the same
+    * DF-capped inverted-index blocking as [[ngramJaccardPairs]]; this
+    * adds two doc_id-keyed joins shipping only (doc_id, source) and a
+    * |sources|²-group aggregate. */
+  def sourceMatrix(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, n, threshold, maxDf)
+      .select("da", "db")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def sourceMatrixSql(n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): String =
+    s"""WITH pp AS (SELECT da, db
+       |  FROM (${OracleCtes.materialize(
+            ngramJaccardPairsSql(n, threshold, maxDf))}) q)
+       |SELECT LEAST(sa.source, sb.source) AS source_a,
+       |  GREATEST(sa.source, sb.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM pp
+       |JOIN documents sa ON pp.da = sa.doc_id
+       |JOIN documents sb ON pp.db = sb.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
   // Prefix-filtering similarity self-join (SSJoin/All-Pairs/PPJoin

@@ -218,6 +218,81 @@ object TopicCluster {
        |FROM nt, mi, ha, hb""".stripMargin
   }
 
+  /** c-TF-IDF cluster keywords (Grootendorst 2022, "BERTopic", §2.3 —
+    * the class-based TF-IDF that names a topic cluster): treat each
+    * cluster as ONE concatenated document, score term t in cluster c as
+    *
+    *   tf(t,c) · ln(1 + A / f(t)),   A = total tokens / #clusters,
+    *
+    * and keep the top-`topK` terms per cluster — the human-readable
+    * label for every topic the curation pipeline stratifies on (read
+    * next to `docs_cluster_ari`/`_nmi`: those say the clusters are
+    * real, this says what they ARE).
+    *
+    * Exactness: tf, f(t) and the token total are exact integers;
+    * A/f(t) → 1+ → portable ln → ·tf is the identical IEEE op sequence
+    * in both engines (PortableMath.plog, arg ≥ 1 by construction).
+    * Ranking ties break on the term string, so order is total.
+    *
+    * Shape: the (cid, term) count is ONE token-keyed aggregate over the
+    * exploded tokens (map-side partials collapse repeats), the term
+    * totals reuse that same relation, and the per-cluster top-k is the
+    * bounded-heap TopKPerKey operator — never a global sort. At 100 TB
+    * the (cid, term) space is k·vocab-sized, already far below the
+    * corpus. */
+  def clusterTerms(docs: DataFrame, dim: Int = 64, k: Int = 8,
+      iters: Int = 3, seed: Int = 42, topK: Int = 10): DataFrame = {
+    import graft.functions.PortableMath.plog
+    val asg = cluster(docs, dim, k, iters, seed)
+      .select(col("id").as("doc_id"), col("cid"))
+    val ct = TextOps.explodedTokens(docs, "term", col("doc_id"))
+      .join(asg, "doc_id")
+      .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // read 3× below: per-term totals, the token
+                             // total, and the scored relation itself
+    val ft = ct.groupBy("term").agg(sum("tf").as("ft"))
+    val tot = ct.agg(sum("tf").as("total"),
+      countDistinct("cid").as("ncls"))
+    val scored = ct.join(ft, "term").crossJoin(broadcast(tot))
+      .select(col("cid"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          plog(lit(1.0) + col("total").cast("double") / col("ncls")
+            / col("ft"))).as("score"))
+    org.apache.spark.sql.graft.TopKPerKey(
+        scored, Seq("cid"), Seq(("score", false), ("term", true)), topK,
+        rankCol = Some("rank"))
+      .select(col("cid"), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
+  def clusterTermsSql(dim: Int = 64, k: Int = 8, iters: Int = 3,
+      seed: Int = 42, topK: Int = 10): String = {
+    import graft.functions.PortableMath.plogSql
+    s"""WITH asg AS (
+       |  SELECT id AS doc_id, cid
+       |  FROM (${OracleCtes.materialize(clusterSql(dim, k, iters, seed))}) c),
+       |toks AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS term
+       |  FROM documents),
+       |ct AS (
+       |  SELECT a.cid, t.term, COUNT(*) AS tf
+       |  FROM toks t JOIN asg a ON t.doc_id = a.doc_id
+       |  GROUP BY a.cid, t.term),
+       |ft AS (SELECT term, SUM(tf) AS ft FROM ct GROUP BY term),
+       |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total,
+       |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS ncls FROM ct),
+       |scored AS (
+       |  SELECT ct.cid, ct.term, CAST(ct.tf AS BIGINT) AS tf,
+       |    CAST(ct.tf AS DOUBLE) * (${plogSql(
+              "1.0e0 + CAST(total AS DOUBLE) / ncls / ft")}) AS score
+       |  FROM ct JOIN ft ON ct.term = ft.term, tot)
+       |SELECT cid, rank, term, tf, score FROM (
+       |  SELECT cid, term, tf, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   def clusterAriSql(dim: Int = 64, k: Int = 8, iters: Int = 3,
       seed: Int = 42): String =
     s"""WITH asg AS (

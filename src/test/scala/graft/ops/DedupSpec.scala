@@ -484,4 +484,36 @@ class DedupSpec extends SparkSpec {
     val sorted = curve.toSeq.sortBy(_._1).map(_._2)
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
   }
+
+  test("novelty curve: dup iff an EARLIER doc had the same text, bucketed by id") {
+    import spark.implicits._
+    // ids 0-4 land in bucket 0, 5-9 in bucket 1 (buckets = 2).
+    // 3 copies 2 (same-bucket dup); 5 and 6 copy 0 (cross-bucket dups);
+    // the copy SOURCES (0, 2) are novel — first occurrence wins.
+    val planted = Seq(
+      0L -> "alpha beta gamma", 1L -> "uniq one", 2L -> "delta epsilon",
+      3L -> "delta epsilon", 4L -> "uniq two",
+      5L -> "alpha beta gamma", 6L -> "alpha beta gamma",
+      7L -> "uniq three", 8L -> "uniq four", 9L -> "uniq five"
+    ).toDF("doc_id", "text")
+    val rows = Dedup.noveltyCurve(planted, buckets = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(0L) == ((5L, 1L, 0.2)))
+    assert(rows(1L) == ((5L, 2L, 0.4)))
+  }
+
+  test("source matrix counts near-dup pairs by unordered source pair") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "parquet bloom filters and columnar page compression schemes"
+    val planted = Seq(
+      (0L, a, "web"), (1L, a, "wiki"),     // cross-source pair
+      (2L, b, "web"), (3L, b, "web"),      // within-source pair
+      (4L, "totally unrelated text about catalyst rules", "forum")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceMatrix(planted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("web", "wiki") -> 1L, ("web", "web") -> 1L))
+  }
 }

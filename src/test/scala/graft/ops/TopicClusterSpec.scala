@@ -103,4 +103,43 @@ class TopicClusterSpec extends SparkSpec {
     val partial = nmiVal(1L -> 0, 2L -> 0, 4L -> 0, 3L -> 1, 5L -> 1, 6L -> 1)
     assert(partial > 0.0 - 1e-12 && partial < 1.0)
   }
+
+  test("c-TF-IDF terms: scores match a driver-side recomputation, ranks are dense") {
+    import graft.functions.PortableMath.plogDouble
+    val out = TopicCluster.clusterTerms(docs, dim = 32, k = 4, iters = 2,
+      topK = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    // ranks are 1..≤topK and dense per cluster; scores non-increasing
+    // along the rank (ties broken by term, so strictly ordered overall)
+    out.groupBy(_._1).foreach { case (cid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq, s"cid $cid")
+      byRank.sliding(2).foreach {
+        case Array((_, _, ta, _, sa), (_, _, tb, _, sb)) =>
+          assert(sa > sb || (sa == sb && ta < tb), s"cid $cid order")
+        case _ =>
+      }
+    }
+    // independent recomputation of every reported score from the raw
+    // assignment + token counts: tf·plog(1 + (total/ncls)/ft), the
+    // identical correctly-rounded op sequence → exact equality
+    val asg = TopicCluster.cluster(docs, dim = 32, k = 4, iters = 2)
+      .select("id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val toks = docs.select("doc_id", "text").collect().flatMap { r =>
+      r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        .map(t => (asg(r.getLong(0)), t))
+    }
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ft = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = toks.length.toDouble
+    val ncls = tf.keys.map(_._1).toSet.size.toLong
+    out.foreach { case (cid, _, term, n, score) =>
+      assert(n == tf((cid, term)), s"tf of ($cid, $term)")
+      val want = n.toDouble * plogDouble(1.0 + total / ncls / ft(term))
+      assert(score == want, s"score of ($cid, $term)")
+    }
+  }
 }
