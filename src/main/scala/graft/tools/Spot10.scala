@@ -102,6 +102,14 @@ object Spot10 {
         exact = false)
       require(res.centroids.nonEmpty)
     }
+    // r14 third wave: the two linear-expectation census ops. The third
+    // (dedup_source_matrix) rides the ngram-Jaccard pair relation timed
+    // above and inherits its documented output-quadratic-by-replication
+    // contract on this fixture — a separate row would time the same
+    // pair join twice.
+    timed("docs_cluster_terms")(noop(
+      graft.ops.TopicCluster.clusterTerms(docs)))
+    timed("dedup_novelty")(noop(graft.ops.Dedup.noveltyCurve(docs)))
     dump()
     spark.stop()
   }
