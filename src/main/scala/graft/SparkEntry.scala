@@ -331,6 +331,11 @@ object SparkEntry {
     "dsir_select" -> ((s, dir) =>
       graft.ops.Dsir.select(
         Tables.table(s, dir, "documents"), "src0", 100)),
+    // ESS + weight-concentration diagnostics over the DSIR weights —
+    // the "is this weighted resample statistically real?" dial
+    "dsir_ess" -> ((s, dir) =>
+      graft.ops.Dsir.essReport(
+        Tables.table(s, dir, "documents"), "src0")),
     // variance-optimal weighted sample: zero-shuffle priorities + TopK
     // A-ES weighted reservoir (exact PPS-WOR): ln(u)/w keys via plog,
     // TakeOrdered top-k — prioritySample's sampling-law sibling
@@ -1385,6 +1390,7 @@ object SparkEntry {
     "corpus_jsd" -> TextOps.corpusJsDivergenceSql,
     "dsir_weights" -> graft.ops.Dsir.importanceWeightsSql("src0"),
     "dsir_select" -> graft.ops.Dsir.selectSql("src0", 100),
+    "dsir_ess" -> graft.ops.Dsir.essReportSql("src0"),
     "sample_ares" -> graft.ops.Sampling.aresSampleSql(256),
     "sample_ares_grouped" -> graft.ops.Sampling.aresSamplePerSourceSql(64),
     "sample_priority" -> graft.ops.Sampling.prioritySampleSql(100),

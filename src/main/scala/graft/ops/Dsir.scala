@@ -79,6 +79,61 @@ object Dsir {
       .orderBy(col("logw").desc, col("doc_id"))
       .limit(k)
 
+  /** Effective-sample-size diagnostics for the importance weights
+    * (Kong 1992; Owen, Monte Carlo §9.3) — the number a pipeline owner
+    * reads BEFORE trusting any weighted resample: ESS = (Σw)²/Σw² is
+    * the equivalent count of equally-weighted docs, ess_frac = ESS/n
+    * is the fraction of the pool doing any work, and top_share =
+    * max(w)/Σw exposes one-doc domination (the failure mode where the
+    * "resampled corpus" is a single document repeated). Weights are
+    * max-normalized in log space (w'_i = pexp(logw_i − max logw) ∈
+    * (0,1], ESS is scale-invariant) — exactness then follows the house
+    * recipe: each w' snaps to the 1e-12 grid, sums are exact
+    * DECIMAL(38,0), doubles only at the final divisions. Deltas below
+    * −30 are clamped BEFORE pexp — value-identical (e⁻³⁰·10¹² < 0.5
+    * rounds to 0 with or without the clamp) while keeping the
+    * portable-exp argument inside its |k| < 2048 range at any scale.
+    * One extra 1-row max + one 4-column aggregate over the existing
+    * weights relation. */
+  def essReport(docs: DataFrame, targetSource: String): DataFrame = {
+    import graft.functions.PortableMath.pexp
+    val w = importanceWeights(docs, targetSource)
+    val mx = w.agg(max("logw").as("mx"))
+    val g = w.crossJoin(broadcast(mx))
+      .select(round(pexp(greatest(col("logw") - col("mx"),
+        lit(-30.0))) * lit(Grid)).cast(DecInt).as("g"))
+    def d(c: Column) = c.cast("string").cast("double")
+    g.agg(count(lit(1)).as("n_docs"), sum("g").as("sg"),
+        sum(col("g") * col("g")).as("sg2"), max("g").as("gmax"))
+      .select(col("n_docs"),
+        (d(col("sg")) * d(col("sg")) / d(col("sg2"))).as("ess"),
+        (d(col("sg")) * d(col("sg")) / d(col("sg2"))
+          / col("n_docs").cast("double")).as("ess_frac"),
+        (d(col("gmax")) / d(col("sg"))).as("top_share"))
+  }
+
+  def essReportSql(targetSource: String): String = {
+    import graft.functions.PortableMath.pexpSql
+    s"""WITH ${weightsCte(targetSource)},
+       |mx AS (SELECT MAX(logw) AS mx FROM docw),
+       |gr0 AS (SELECT GREATEST(logw - mx, CAST(-30.0 AS DOUBLE)) AS dlt
+       |  FROM docw, mx),
+       |gr AS (SELECT CAST(ROUND((${pexpSql("dlt")})
+       |    * 1000000000000.0) AS DECIMAL(38,0)) AS g
+       |  FROM gr0),
+       |agg AS (SELECT COUNT(*) AS n_docs, SUM(g) AS sg,
+       |    SUM(g * g) AS sg2, MAX(g) AS gmax FROM gr)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(CAST(sg AS VARCHAR) AS DOUBLE) * CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(sg2 AS VARCHAR) AS DOUBLE) AS ess,
+       |  CAST(CAST(sg AS VARCHAR) AS DOUBLE) * CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(sg2 AS VARCHAR) AS DOUBLE)
+       |    / CAST(n_docs AS DOUBLE) AS ess_frac,
+       |  CAST(CAST(gmax AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(sg AS VARCHAR) AS DOUBLE) AS top_share
+       |FROM agg""".stripMargin
+  }
+
   private def weightsCte(targetSource: String): String = {
     import graft.functions.PortableMath.plogSql
     val aB = Alpha * Buckets
