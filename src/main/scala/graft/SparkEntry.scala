@@ -1283,6 +1283,25 @@ object SparkEntry {
         .select(col("user_id"), col("m.ts").as("ts"),
           col("m.event_id").as("event_id"), col("m.value").as("value"))
     }),
+    // transformWithState (the Spark 4 stateful API): per-user running
+    // sequence numbers, replayed AvailableNow — equal to the batch
+    // ROW_NUMBER twin. The API requires the RocksDB state store
+    // provider; set for this query, restored after (other streaming
+    // registrations keep the default HDFS-backed store).
+    "stream_seqnum" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.seqNumStream(
+          graft.streaming.StreamOps.readEventStream(s, dir)).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1719,6 +1738,11 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    "stream_seqnum" ->
+      """SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS seq
+        |FROM events""".stripMargin,
     "stream_attribute" ->
       """SELECT c.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
         |  c.event_id AS click_id, c.ts AS click_ts

@@ -308,6 +308,59 @@ object StreamOps {
       .select("digest", "text")
 
   // -------------------------------------------------------------------
+  // transformWithState (Spark 4.x arbitrary stateful API): per-user
+  // running event sequence numbers. The NEW stateful primitive —
+  // typed ValueState handles with per-state TTL, timers, and the
+  // RocksDB-backed store it requires — replacing the monolithic
+  // GroupState blob of flatMapGroupsWithState. The processor keeps ONE
+  // long per user (the count so far) and stamps each arriving event
+  // with its per-user arrival index; within a batch, rows are ordered
+  // by (ts, event_id) so the replay is deterministic and equal to the
+  // batch ROW_NUMBER twin. State is 8 bytes per user — bounded by the
+  // key space, evictable via TTLConfig where keys churn.
+  // -------------------------------------------------------------------
+
+  case class EvId(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SeqOut(user_id: Long, event_id: Long, seq: Long)
+
+  private class SeqNumProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvId, SeqOut] {
+    @transient private var cnt:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvId],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SeqOut] = {
+      // batch-internal order is not defined by the engine; pin it to
+      // event time (ties by id) so the replay is reproducible
+      val sorted = rows.toIndexedSeq
+        .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+      var c = if (cnt.exists()) cnt.get() else 0L
+      val out = sorted.map { r => c += 1; SeqOut(key, r.event_id, c) }
+      cnt.update(c)
+      out.iterator
+    }
+  }
+
+  /** Per-user running sequence number via transformWithState. The
+    * caller must run this under the RocksDB state store provider (the
+    * API requires it); see the registration for the set/restore. */
+  def seqNumStream(events: DataFrame): Dataset[SeqOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id")).as[EvId]
+      .groupByKey(_.user_id)
+      .transformWithState(new SeqNumProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  // -------------------------------------------------------------------
   // Streaming sequence packer: the stateful twin of
   // PretrainOps.packBy. Per-shard cumulative token totals live in
   // GroupState, so documents arriving across micro-batches keep

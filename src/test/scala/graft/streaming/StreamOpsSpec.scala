@@ -410,4 +410,38 @@ class StreamOpsSpec extends SparkSpec {
     // itself must have consumed the file without error
     assert(spark.table("file_stream_agg").schema.fieldNames.contains("n_events"))
   }
+
+  test("transformWithState seq numbers continue across micro-batches per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Timestamp, Long)]
+      val events = in.toDF().toDF("user_id", "ts", "event_id")
+      val q = seqNumStream(events).toDF()
+        .writeStream.format("memory").queryName("seqnum")
+        .outputMode("append").start()
+      // batch 1: user 1 gets two events (out of ts order in the batch),
+      // user 2 one
+      in.addData((1L, ts("2024-01-01 10:30:00"), 11L),
+        (1L, ts("2024-01-01 10:00:00"), 10L),
+        (2L, ts("2024-01-01 10:00:00"), 20L))
+      q.processAllAvailable()
+      // batch 2: user 1's counter must CONTINUE from ValueState (seq 3),
+      // not restart
+      in.addData((1L, ts("2024-01-01 11:00:00"), 12L))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("seqnum").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == Map(
+        (1L, 10L) -> 1L, (1L, 11L) -> 2L, (1L, 12L) -> 3L,
+        (2L, 20L) -> 1L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
