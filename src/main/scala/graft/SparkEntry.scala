@@ -1302,6 +1302,25 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // transformWithState session labeling: per-event 1-based session
+    // index under a 30-min inactivity gap — append-per-event output,
+    // so the replay sink is batch-complete (unlike watermark-closed
+    // session EMISSION); the 16-byte cursor state continues the index
+    // across micro-batches
+    "stream_sessions_tws" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.sessionTagStream(
+          graft.streaming.StreamOps.readEventStream(s, dir)).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1743,6 +1762,18 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) AS BIGINT) AS seq
         |FROM events""".stripMargin,
+    "stream_sessions_tws" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS sid
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) s""".stripMargin,
     "stream_attribute" ->
       """SELECT c.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
         |  c.event_id AS click_id, c.ts AS click_ts

@@ -360,6 +360,66 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Full-precision event-time in microseconds (Timestamp.getTime
+    * truncates to millis; a session boundary exactly at the gap would
+    * be misjudged against the oracle's microsecond interval compare). */
+  private def epochMicros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos.toLong / 1000L
+
+  case class SessTag(user_id: Long, event_id: Long, sid: Long)
+  private case class SessCursor(lastMicros: Long, sid: Long)
+
+  private class SessionTagProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvId, SessTag] {
+    @transient private var cur:
+        org.apache.spark.sql.streaming.ValueState[SessCursor] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cur = getHandle.getValueState[SessCursor]("cursor",
+        org.apache.spark.sql.Encoders.product[SessCursor],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvId],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessTag] = {
+      val sorted = rows.toIndexedSeq
+        .sortBy(r => (epochMicros(r.ts), r.event_id))
+      var c = if (cur.exists()) cur.get() else SessCursor(Long.MinValue, 0L)
+      val out = sorted.map { r =>
+        val t = epochMicros(r.ts)
+        // new session iff first-ever event or gap ≥ the threshold —
+        // the oracle's `LAG IS NULL OR ts - LAG(ts) >= INTERVAL ...`
+        val sid =
+          if (c.lastMicros == Long.MinValue || t - c.lastMicros >= gapMicros)
+            c.sid + 1
+          else c.sid
+        c = SessCursor(t, sid)
+        SessTag(key, r.event_id, sid)
+      }
+      cur.update(c)
+      out.iterator
+    }
+  }
+
+  /** Per-event session labels via transformWithState: each event gets
+    * its user's 1-based session index under a `gapMinutes` inactivity
+    * rule. Output is append-per-event (no watermark wait), so the
+    * AvailableNow replay sink is batch-complete and equals the classic
+    * LAG/running-SUM window twin; across micro-batches the 16-byte
+    * cursor state keeps indices continuing, which is the streaming
+    * contract the batch window can't express. */
+  def sessionTagStream(events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessTag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id")).as[EvId]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTagProcessor(gapMinutes.toLong * 60L * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   // -------------------------------------------------------------------
   // Streaming sequence packer: the stateful twin of
   // PretrainOps.packBy. Per-shard cumulative token totals live in

@@ -444,4 +444,37 @@ class StreamOpsSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("transformWithState session labels: gap starts a new session, index survives batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Timestamp, Long)]
+      val events = in.toDF().toDF("user_id", "ts", "event_id")
+      val q = sessionTagStream(events, gapMinutes = 30).toDF()
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      // batch 1: two events 10 min apart (one session), then a 30-min
+      // gap EXACTLY at the threshold — new session (oracle uses >=)
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1L),
+        (1L, ts("2024-01-01 10:10:00"), 2L),
+        (1L, ts("2024-01-01 10:40:00"), 3L))
+      q.processAllAvailable()
+      // batch 2: 5 min after the last event — session 2 CONTINUES from
+      // the cursor state; then a big gap — session 3
+      in.addData((1L, ts("2024-01-01 10:45:00"), 4L),
+        (1L, ts("2024-01-01 23:00:00"), 5L))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("sess_tws").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
