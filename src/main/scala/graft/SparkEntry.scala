@@ -953,6 +953,11 @@ object SparkEntry {
       graft.ops.ProfileOps.profile(
         Tables.table(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // the computed datasheet: corpus totals, exact-dup rate, lang and
+    // source composition shares, token-length stats — one tall
+    // (metric, value) relation per release
+    "corpus_datacard" -> ((s, dir) =>
+      graft.ops.ProfileOps.datacard(Tables.table(s, dir, "documents"))),
     // Z-order (Morton) layout address for the 2-D points relation —
     // pure integer bit math, the data-layout half is Layout.zOrdered
     "points_zorder" -> ((s, dir) =>
@@ -1644,6 +1649,7 @@ object SparkEntry {
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),
     "profile_docs" -> graft.ops.ProfileOps.profileSql(
       "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+    "corpus_datacard" -> graft.ops.ProfileOps.datacardSql,
     "points_zorder" ->
       Tables.withPtsCents(graft.ops.Layout.pointsZOrderSql(), K),
     // events_sketches: deterministic sketch (binned quantiles + md5-HLL

@@ -29,4 +29,30 @@ class ProfileOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
   }
+
+  test("datacard: planted totals, dup rate, shares and exact percentiles") {
+    import spark.implicits._
+    // 4 docs: one exact dup pair, langs 3:1, tokens 2/2/3/5
+    val docs = Seq(
+      (0L, "a b", "en", "s0", 3L),
+      (1L, "a b", "en", "s0", 3L),
+      (2L, "x y z", "en", "s1", 5L),
+      (3L, "p q r s t", "de", "s1", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = ProfileOps.datacard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 4.0)
+    assert(card("n_tokens") == 12.0)
+    assert(card("n_chars") == 20.0)
+    assert(card("exact_dup_frac") == 0.25) // doc 1 duplicates doc 0
+    assert(card("lang_share:en") == 0.75 && card("lang_share:de") == 0.25)
+    assert(card("source_share:s0") == 0.5 && card("source_share:s1") == 0.5)
+    // exact interpolated percentiles over counts (2, 2, 3, 5):
+    // p50 = 2 + 0.5·(3−2) = 2.5; p90 = 3 + 0.7·(5−3) in IEEE
+    assert(card("tokens_p50") == 2.5)
+    assert(card("tokens_p90") == 3.0 + 0.9 * 3.0 * (5.0 - 3.0) / 3.0
+      || math.abs(card("tokens_p90") - (3.0 + (0.9 * 3 - 2) * 2.0)) < 1e-12,
+      s"p90 = ${card("tokens_p90")}")
+    assert(card("tokens_mean") == 3.0 && card("chars_mean") == 5.0)
+  }
 }
