@@ -367,7 +367,10 @@ object StreamOps {
     (t.getTime / 1000L) * 1000000L + t.getNanos.toLong / 1000L
 
   case class SessTag(user_id: Long, event_id: Long, sid: Long)
-  private case class SessCursor(lastMicros: Long, sid: Long)
+  // NOT private: the ValueState encoder's generated code constructs it
+  // from outside this object (a private ctor makes janino fail and the
+  // encoder silently fall back to the interpreted path)
+  case class SessCursor(lastMicros: Long, sid: Long)
 
   private class SessionTagProcessor(gapMicros: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
