@@ -28,6 +28,13 @@ object StreamSinkProbe {
           graft.streaming.StreamOps.readEventStream(spark, sfDir)).toDF()
         case "sessions" => graft.streaming.StreamOps.sessionTagStream(
           graft.streaming.StreamOps.readEventStream(spark, sfDir)).toDF()
+        case "attribute" =>
+          import org.apache.spark.sql.functions.col
+          graft.streaming.StreamOps.attributeStream(
+            graft.streaming.StreamOps.readEventStream(spark, sfDir)
+              .filter(col("event_type") === "view"),
+            graft.streaming.StreamOps.readEventStream(spark, sfDir)
+              .filter(col("event_type") === "click"))
         case other => sys.error(s"unknown op $other")
       }
       val q = df.writeStream.format("noop")
