@@ -132,6 +132,48 @@ object Bench {
       }
     }
 
+    // ---- r15: load-controlled boards (r14 verdict item 2) ----
+    // A fixed in-JVM CONTROL job — data-independent, constant size, all
+    // CPU — timed around every interleaved pass. The r14 frozen set
+    // read +11% vs r13 with the drift diffuse across UNTOUCHED queries
+    // and nothing in the artifact to separate host noise from real
+    // regression; with the control alongside, "untouched queries drift
+    // AND the control drifts" reads as contention, "queries drift while
+    // the control holds" reads as a real regression.
+    def controlOnce(): Double = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, col, pmod, lit}
+      val t0 = System.nanoTime()
+      // pmod bounds the summand so the 40M-row sum stays far under
+      // 2^63 (ANSI overflow would otherwise throw)
+      val r = spark.range(0L, 40000000L, 1L, 32)
+        .select(fsum(pmod(xxhash64(col("id")), lit(1000000L))))
+        .head().getLong(0)
+      require(r != 0L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    try controlOnce() catch { case _: Throwable => } // codegen warm, untimed
+    var controls = Vector.empty[Double]
+    def control(phase: String): Unit = {
+      controls :+= (try controlOnce() catch { case _: Throwable => -1.0 })
+      loads += s"control_$phase" -> loadNow()
+    }
+    // Loadavg gate for the COLD start only: if the host is already busy
+    // before the first timed pass, wait (bounded) for it to drain and
+    // record the wait — between passes the 1-min load reflects this
+    // JVM's own bursts, so mid-board adjudication is the control's job,
+    // not the gate's. SPARK_GRAFT_LOAD_GATE=-1 disables.
+    val gateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
+    var gateWaited = 0
+    val gateLoad0 = loadNow()
+    if (gateMax > 0 && only.isEmpty) {
+      def load1(): Double =
+        try loadNow().toDouble catch { case _: Throwable => -1.0 }
+      while (load1() > gateMax && gateWaited < 300) {
+        Thread.sleep(15000); gateWaited += 15
+      }
+    }
+    val gateLoad1 = loadNow()
+
     // Three INTERLEAVED full passes over the query set instead of three
     // consecutive runs per query: host-level stall windows here last
     // minutes (r8's official session measured assign_join at 66-87s in
@@ -144,6 +186,7 @@ object Bench {
     val ordered = selected.toSeq.sortBy(_._1)
     val runsAcc = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]
     (1 to 3).foreach { pass =>
+      control(s"pre$pass")
       ordered.foreach { case (name, fn) =>
         val prior = runsAcc.getOrElse(name, Vector.empty)
         // an errored query stays errored — don't burn two more passes on it
@@ -159,6 +202,7 @@ object Bench {
         if (pass == 3) loads += name -> loadNow()
       }
     }
+    control("post3")
     val results = ordered.map { case (name, _) =>
       val rs = runsAcc(name)
       val ok = rs.filter(_._2.isEmpty)
@@ -367,9 +411,17 @@ object Bench {
         s""","remeasure":$qs"""
       case Left(err) => s""","remeasure_error":"${jsonEsc(err.take(120))}""""
     }
+    // control + gate evidence for BOTH artifacts: per-phase control
+    // seconds (pre1..pre3, post3) and the cold-start gate record
+    val controlJson =
+      if (controls.isEmpty) ""
+      else s""","control_sec":${controls.map(v => f"$v%.2f").mkString("[", ",", "]")}""" +
+        s""","load_gate":{"max":$gateMax,"load_before":$gateLoad0,""" +
+        s""""waited_sec":$gateWaited,"load_after_wait":$gateLoad1}"""
+    val controlMed = medianOf(controls.filter(_ >= 0))
     try {
       val fresh = detailJson(all, load, cpus, fit10m, sfDir, loads,
-        remeasureJson, buildSecs.toMap, streaming, recall, skew)
+        remeasureJson + controlJson, buildSecs.toMap, streaming, recall, skew)
       // A SPARK_GRAFT_ONLY subset run must never REPLACE the committed
       // full-suite snapshot (the r9 lesson: a 5-query sf0.01 re-run
       // overwrote the 132-query sf0.1 baseline). Same sf+cpus → merge
@@ -407,7 +459,7 @@ object Bench {
       finally w.close()
     } catch { case _: Throwable => () }
     val summary = summaryLine(all, load, fit10m, sfDir,
-      remeasure.getOrElse(Map.empty), remeasure.left.toOption)
+      remeasure.getOrElse(Map.empty), remeasure.left.toOption, controlMed)
     // Emit the driver-contract line AFTER spark.stop(): executor/
     // BlockManager shutdown logging otherwise lands after the JSON in
     // the captured tail and has left the driver's "parsed" field null
@@ -580,6 +632,12 @@ object Bench {
     "emb_diversity_prune", "emb_knn_graph_b10", "emb_lsh_recall_bits",
     "pii_kanon", "split_leakage", "text_lang_mix", "text_readability")
 
+  /** Named-set v4: v3 + the round-15 wave (auto-width LSH gates, the
+    * trunc/winnow cap censuses). Frozen as of the end of r15. */
+  private[graft] val NamedSetV4: Set[String] = NamedSetV3 ++ Set(
+    "emb_auto_bits", "emb_auto_recall", "dedup_trunc_blocks",
+    "dedup_winnow_excluded")
+
   /** The ONLY queries the full-board summary line names (r13 verdict
     * item 1 / "what's wrong" 1): the r13 line — the 82-name frozen set
     * at 1-decimal — rendered at 1928 chars, and the driver's 2000-char
@@ -660,7 +718,8 @@ object Bench {
       all: Seq[QueryResult], load: String,
       fit10m: Option[(Seq[Double], Option[String])], sfDir: String,
       remeasure: Map[String, Double] = Map.empty,
-      remeasureError: Option[String] = None): String = {
+      remeasureError: Option[String] = None,
+      controlSec: Double = -1.0): String = {
     def fmt(v: Double): String =
       if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
     // Which queries are NAMED in the line: small boards (isolation
@@ -681,6 +740,8 @@ object Bench {
       all.filter(q => NamedSetV2(q._1)).map(_._3).filter(_ >= 0).sum
     val namedTotalV3 =
       all.filter(q => NamedSetV3(q._1)).map(_._3).filter(_ >= 0).sum
+    val namedTotalV4 =
+      all.filter(q => NamedSetV4(q._1)).map(_._3).filter(_ >= 0).sum
     // errLen/errCap: the only unbounded inputs left are error strings —
     // the ladder shrinks messages, then the named-error count, and the
     // remeasure object self-trims inside whatever room remains. The
@@ -724,9 +785,12 @@ object Bench {
         f""""named_total":$namedTotal%.2f,""" +
         f""""named_total_v2":$namedTotalV2%.2f,""" +
         f""""named_total_v3":$namedTotalV3%.2f,""" +
+        f""""named_total_v4":$namedTotalV4%.2f,""" +
         f""""folded_total":${total - namedTotal}%.2f,""" +
         s""""stat":"med<5s","unit":"sec","detail":"BENCH_DETAIL.json",""" +
-        s""""queries":$qs$foldJson$errs,"loadavg":$load$fit10mJson"""
+        s""""queries":$qs$foldJson$errs,"loadavg":$load""" +
+        (if (controlSec >= 0) f""","control_sec":$controlSec%.2f""" else "") +
+        fit10mJson
       val tail = s""","sf":"$sfDir"}"""
       val rmErr = remeasureError.map(e =>
         s""","remeasure_error":"${jsonEsc(e.take(80))}"""").getOrElse("")

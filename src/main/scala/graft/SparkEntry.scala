@@ -196,6 +196,10 @@ object SparkEntry {
     // near-dup candidates sharing winnowed fingerprints (DF-capped)
     "dedup_winnow" -> ((s, dir) =>
       graft.ops.Winnow.pairs(Tables.table(s, dir, "documents"))),
+    // the winnow size gates made observable: docs the fingerprint
+    // relation omits (too short to winnow / over the 2^20 packed bound)
+    "dedup_winnow_excluded" -> ((s, dir) =>
+      graft.ops.Winnow.excluded(Tables.table(s, dir, "documents"))),
     // exact heavy hitters via bounded-state Misra-Gries + verify pass
     "text_heavy_hitters" -> ((s, dir) =>
       graft.ops.HeavyHitters.heavyHitters(Tables.table(s, dir, "documents"))),
@@ -423,9 +427,14 @@ object SparkEntry {
     // CCNet-style line dedup at sentence granularity
     "dedup_sentences" -> ((s, dir) =>
       Dedup.sentenceCensus(Tables.table(s, dir, "documents"))),
-    // strict token-prefix pairs (crawl truncation artifacts)
+    // strict token-prefix pairs (crawl truncation artifacts); r15:
+    // per-(prefix, length) participant cap — replica fan-out was
+    // output-quadratic (SF10_SPOT 3.7→109.8 s for 10× data)
     "dedup_trunc" -> ((s, dir) =>
       Dedup.truncationPairs(Tables.table(s, dir, "documents"))),
+    // the cap's observability half: group sizes + truncated flag
+    "dedup_trunc_blocks" -> ((s, dir) =>
+      Dedup.truncationGroupStats(Tables.table(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"))),
     // asymmetric containment |A∩B|/|A| — the quote/subset detector
@@ -552,7 +561,7 @@ object SparkEntry {
     // hard-negative mining: per anchor, top-k most-similar with a
     // DIFFERENT label (LSH-blocked candidates, label filter pre-rescore)
     "emb_hard_negatives" -> ((s, dir) =>
-      EmbeddingOps.hardNegatives(Tables.table(s, dir, "embeddings"))),
+      EmbeddingOps.hardNegativesAuto(Tables.table(s, dir, "embeddings"))),
     // semantic member of the incremental family: batch vectors with no
     // history vector over the cosine threshold (cross-side LSH only)
     "emb_incr" -> ((s, dir) => {
@@ -562,27 +571,37 @@ object SparkEntry {
         e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0))
     }),
     // every vector's top-k neighbors among its LSH-bucket candidates —
-    // the k-NN graph semantic clustering / curriculum ordering consume
+    // the k-NN graph semantic clustering / curriculum ordering consume.
+    // r15: the registered default derives the LSH width from corpus
+    // size (bits = clamp(ceil(log2(n/16)), 6, 16), pure-integer
+    // staircase in both engines) so the candidate join stays LINEAR in
+    // n — the fixed-6-bit setting the r14 audit flagged made candidates
+    // quadratic (SF10_SPOT: 2.84e9 pairs at sf10 vs 1.4e8 at 12 bits)
     "emb_knn_graph" -> ((s, dir) =>
-      EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"))),
-    // the SAME knn graph at the SCALE LSH setting (numBits=10 → 1024
-    // buckets): numBits=6 fixes 64 buckets and makes candidate pairs
-    // quadratic in corpus size (SF10_SPOT quantifies 2.84e9 pairs at
-    // sf10 vs 2.9e8 at 10 bits); this gates the numBits ~
-    // log2(n/target_bucket) production setting end-to-end against the
-    // oracle so the cliff fix is hash-verified, not just timed
+      EmbeddingOps.knnGraphAuto(Tables.table(s, dir, "embeddings"))),
+    // the same knn graph at a FIXED 10-bit setting — the curve point
+    // that originally priced the scale path (sf1: 6.7 s vs ~53 s at 6
+    // bits); kept fixed so the ladder stays comparable across SFs
     "emb_knn_graph_b10" -> ((s, dir) =>
       EmbeddingOps.knnGraph(Tables.table(s, dir, "embeddings"), numBits = 10)),
     // recall@k across the LSH bit ladder vs exact truth on a 1% anchor
     // sample — the accuracy dial for the numBits scale knob
     "emb_lsh_recall_bits" -> ((s, dir) =>
       EmbeddingOps.lshRecallCurve(Tables.table(s, dir, "embeddings"))),
+    // (n_vectors, num_bits): pins the auto-width integer staircase
+    // against the oracle's COUNT(*)-derived staircase at every SF
+    "emb_auto_bits" -> ((s, dir) =>
+      EmbeddingOps.autoBitsReport(Tables.table(s, dir, "embeddings"))),
+    // recall@k of the AUTO-width graph vs exact truth — the accuracy
+    // pin for the registered default as n moves the derived bits
+    "emb_auto_recall" -> ((s, dir) =>
+      EmbeddingOps.autoRecall(Tables.table(s, dir, "embeddings"))),
     // kNN-distance OOD score (k-th-NN cosine) — curation outlier gate
     "emb_ood_score" -> ((s, dir) =>
-      EmbeddingOps.oodScores(Tables.table(s, dir, "embeddings"))),
+      EmbeddingOps.oodScoresAuto(Tables.table(s, dir, "embeddings"))),
     // Artetxe-Schwenk ratio-margin pair mining (hubness-corrected)
     "emb_margin_mine" -> ((s, dir) =>
-      EmbeddingOps.marginMine(Tables.table(s, dir, "embeddings"))),
+      EmbeddingOps.marginMineAuto(Tables.table(s, dir, "embeddings"))),
     // per-label centroid drift between deterministic corpus halves
     "emb_drift" -> ((s, dir) =>
       EmbeddingOps.centroidDrift(Tables.table(s, dir, "embeddings"))),
@@ -592,7 +611,7 @@ object SparkEntry {
       EmbeddingOps.diversityPrune(Tables.table(s, dir, "embeddings"))),
     // TwoNN intrinsic dimension — embedding-collapse alarm
     "emb_intrinsic_dim" -> ((s, dir) =>
-      EmbeddingOps.intrinsicDim(Tables.table(s, dir, "embeddings"))),
+      EmbeddingOps.intrinsicDimAuto(Tables.table(s, dir, "embeddings"))),
     // Events: windowed agg + sessionization
     "events_hourly_agg" -> ((s, dir) => EventOps.hourlyTypeAgg(Tables.events(s, dir))),
     // incremental view maintenance: base (6/7 of events) ⊕ delta (1/7)
@@ -934,7 +953,7 @@ object SparkEntry {
     // both the per-source top-k and the vote argmax run through the
     // custom TopKPerKey physical operator (no Window, no per-group sort)
     "emb_knn_classify" -> ((s, dir) =>
-      graft.ops.EmbeddingOps.knnClassify(
+      graft.ops.EmbeddingOps.knnClassifyAuto(
         Tables.table(s, dir, "embeddings"))),
     // nearest-centroid (Rocchio) classification: grid-exact per-label
     // mean embeddings broadcast, zero-shuffle distance scoring
@@ -1291,40 +1310,36 @@ object SparkEntry {
     // transformWithState (the Spark 4 stateful API): per-user running
     // sequence numbers, replayed AvailableNow — equal to the batch
     // ROW_NUMBER twin. The API requires the RocksDB state store
-    // provider; set for this query, restored after (other streaming
-    // registrations keep the default HDFS-backed store).
+    // provider; set on a CLONED session (shared SparkContext, private
+    // SQLConf) so a streaming query started concurrently in the parent
+    // session never sees the provider swap (r14 advice — the previous
+    // set/restore on the shared conf was safe only because the gate
+    // driver runs queries sequentially).
     "stream_seqnum" -> ((s, dir) => {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try graft.streaming.StreamOps.runAvailableNow(
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      graft.streaming.StreamOps.runAvailableNow(
         graft.streaming.StreamOps.seqNumStream(
-          graft.streaming.StreamOps.readEventStream(s, dir)).toDF(),
+          graft.streaming.StreamOps.readEventStream(s2, dir)).toDF(),
         org.apache.spark.sql.streaming.OutputMode.Append())
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
     }),
     // transformWithState session labeling: per-event 1-based session
     // index under a 30-min inactivity gap — append-per-event output,
     // so the replay sink is batch-complete (unlike watermark-closed
     // session EMISSION); the 16-byte cursor state continues the index
-    // across micro-batches
+    // across micro-batches. RocksDB provider scoped to a cloned
+    // session, as above.
     "stream_sessions_tws" -> ((s, dir) => {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try graft.streaming.StreamOps.runAvailableNow(
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      graft.streaming.StreamOps.runAvailableNow(
         graft.streaming.StreamOps.sessionTagStream(
-          graft.streaming.StreamOps.readEventStream(s, dir)).toDF(),
+          graft.streaming.StreamOps.readEventStream(s2, dir)).toDF(),
         org.apache.spark.sql.streaming.OutputMode.Append())
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
     }),
   )
 
@@ -1386,6 +1401,7 @@ object SparkEntry {
     "text_heavy_hitters" -> graft.ops.HeavyHitters.heavyHittersSql(),
     "text_winnow" -> graft.ops.Winnow.censusSql(),
     "dedup_winnow" -> graft.ops.Winnow.pairsSql(),
+    "dedup_winnow_excluded" -> graft.ops.Winnow.excludedSql(),
     "init_kmeansbb" -> graft.kmeans.KMeansParallel.candidatesSql(),
     "init_kmeansbb_final" -> graft.kmeans.KMeansParallel.finalCentersSql(),
     "graph_cc" -> graft.ops.GraphOps.coOrderComponentsSql(),
@@ -1464,6 +1480,7 @@ object SparkEntry {
     "dedup_cdc" -> Dedup.cdcChunkCensusSql(),
     "dedup_sentences" -> Dedup.sentenceCensusSql(),
     "dedup_trunc" -> Dedup.truncationPairsSql(),
+    "dedup_trunc_blocks" -> Dedup.truncationGroupStatsSql(),
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
@@ -1505,12 +1522,17 @@ object SparkEntry {
     "emb_near_dups" -> graft.ops.OracleCtes.materialize(EmbeddingOps.cosineNearDupsSql()),
     "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(
       id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
-    "emb_knn_graph" -> graft.ops.OracleCtes.materialize(EmbeddingOps.knnGraphSql()),
+    "emb_knn_graph" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.knnGraphAutoSql()),
     "emb_knn_graph_b10" -> graft.ops.OracleCtes.materialize(
       EmbeddingOps.knnGraphSql(numBits = 10)),
     "emb_lsh_recall_bits" -> graft.ops.OracleCtes.materialize(
       EmbeddingOps.lshRecallCurveSql()),
-    "emb_hard_negatives" -> graft.ops.OracleCtes.materialize(EmbeddingOps.hardNegativesSql()),
+    "emb_auto_bits" -> EmbeddingOps.autoBitsReportSql,
+    "emb_auto_recall" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.autoRecallSql()),
+    "emb_hard_negatives" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.hardNegativesAutoSql()),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
     "seq_pack" -> graft.ops.PretrainOps.packSequencesSql(),
     "seq_pack_stats" ->
@@ -1635,15 +1657,15 @@ object SparkEntry {
     "text_nb_conf2" -> TextOps.nbConfusionSql,
     "text_nb_ece2" -> TextOps.nbEceSql,
     "emb_knn_classify" -> graft.ops.OracleCtes.materialize(
-      graft.ops.EmbeddingOps.knnClassifySql()),
-    "emb_ood_score" ->
-      graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.oodScoresSql()),
-    "emb_margin_mine" ->
-      graft.ops.OracleCtes.materialize(graft.ops.EmbeddingOps.marginMineSql()),
+      graft.ops.EmbeddingOps.knnClassifyAutoSql()),
+    "emb_ood_score" -> graft.ops.OracleCtes.materialize(
+      graft.ops.EmbeddingOps.oodScoresAutoSql()),
+    "emb_margin_mine" -> graft.ops.OracleCtes.materialize(
+      graft.ops.EmbeddingOps.marginMineAutoSql()),
     "emb_drift" -> graft.ops.EmbeddingOps.centroidDriftSql,
     "emb_diversity_prune" -> graft.ops.EmbeddingOps.diversityPruneSql(),
     "emb_intrinsic_dim" -> graft.ops.OracleCtes.materialize(
-      graft.ops.EmbeddingOps.intrinsicDimSql()),
+      graft.ops.EmbeddingOps.intrinsicDimAutoSql()),
     "emb_centroid_classify" -> graft.ops.EmbeddingOps.centroidClassifySql,
     "points_skyline" ->
       graft.ops.Relational.skylineSql(Tables.pointsSqlBody),

@@ -71,18 +71,24 @@ object Dedup {
     *
     * Shape: one digest-keyed aggregate (16-byte keys, never text) + a
     * digest-keyed join back + a `buckets`-group aggregate. Bucketing is
-    * floor((doc_id·buckets)/n) in double space — exact IEEE in both
-    * engines (products < 2^53, correctly-rounded division, floor). */
+    * floor((doc_id − min_id)·buckets / (max_id − min_id + 1)) in double
+    * space — exact IEEE in both engines (products < 2^53 for id spans
+    * ≤ ~9e14 at buckets=10, correctly-rounded division, floor) and, by
+    * anchoring at min_id and dividing by the span + 1, always lands in
+    * [0, buckets) for 1-based or gapped ids too (r14 advice: the n-based
+    * form put the max doc of a non-dense-0-based corpus in an
+    * out-of-range bucket == buckets). */
   def noveltyCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
     val fp = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("digest"))
     val first = fp.groupBy("digest").agg(min("doc_id").as("first_id"))
-    val n = docs.agg(count(lit(1)).as("n"))
+    val ids = docs.agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     fp.join(first, "digest")
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(ids))
       .select(
-        floor(col("doc_id").cast("double") * buckets
-          / col("n").cast("double")).cast("long").as("bucket"),
+        floor((col("doc_id") - col("min_id")).cast("double") * buckets
+          / (col("max_id") - col("min_id") + lit(1L)).cast("double"))
+          .cast("long").as("bucket"),
         (col("doc_id") > col("first_id")).as("is_dup"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -95,12 +101,13 @@ object Dedup {
     s"""WITH fp AS (SELECT doc_id, md5(text) AS digest FROM documents),
        |first AS (SELECT digest, MIN(doc_id) AS first_id
        |          FROM fp GROUP BY digest),
-       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |ids AS (SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |        FROM documents),
        |tagged AS (
-       |  SELECT CAST(FLOOR(CAST(f.doc_id AS DOUBLE) * $buckets
-       |    / CAST(n.n AS DOUBLE)) AS BIGINT) AS bucket,
+       |  SELECT CAST(FLOOR(CAST(f.doc_id - ids.min_id AS DOUBLE) * $buckets
+       |    / CAST(ids.max_id - ids.min_id + 1 AS DOUBLE)) AS BIGINT) AS bucket,
        |    f.doc_id > fi.first_id AS is_dup
-       |  FROM fp f JOIN first fi ON f.digest = fi.digest, n)
+       |  FROM fp f JOIN first fi ON f.digest = fi.digest, ids)
        |SELECT bucket, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1544,16 +1551,46 @@ object Dedup {
   // Verify compares md5(first-lenA-tokens of B) to md5(A) — only B's
   // token array rides the join; A contributes fixed-width (md5, len).
   // -------------------------------------------------------------------
-  def truncationPairs(docs: DataFrame, k: Int = 16): DataFrame = {
+  /** Hard per-(prefix, length) participant ceiling for the truncation
+    * join — the r14 audit's output-cap gap: a corpus with heavy exact
+    * replication shares BOTH the k-token prefix and the total length
+    * across every replica, so qualifying pairs grow ~replicas² per
+    * natural (trunc, full) relation with no bits/blocking knob to turn
+    * (SF10_SPOT: 3.7 s → 109.8 s for 10× data). Same-length docs can
+    * never pair (the contract is STRICT full_tokens > trunc_tokens),
+    * so capping each (pk, len) group to its first `MaxTruncGroup`
+    * doc_ids — a total, engine-independent order — collapses replica
+    * fan-out to ≤ C² output pairs per relation while every
+    * cross-length relation keeps representatives on both sides. The
+    * cap self-disarms at the gate SFs (max group size ≤ 4) and fires
+    * only under replication-class skew, where both engines drop the
+    * IDENTICAL tail (the twin carries the same QUALIFY). Truncation is
+    * observable, not silent: [[truncationGroupStats]] reports group
+    * sizes with a `truncated` flag as its own gated query. */
+  val MaxTruncGroup = 8
+
+  private def truncationBase(docs: DataFrame, k: Int, maxGroup: Int) = {
     val tk = TextOps.tokens(col("text"))
-    val base = docs.select(col("doc_id"), tk.as("tk"))
+    docs.select(col("doc_id"), tk.as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("len"),
         md5(array_join(slice(col("tk"), 1, k), " ").cast("binary")).as("pk"))
-    val a = base.select(col("doc_id").as("trunc_doc"), col("pk"),
+  }
+
+  def truncationPairs(
+      docs: DataFrame, k: Int = 16,
+      maxGroup: Int = MaxTruncGroup): DataFrame = {
+    // bounded-heap per-(pk, len) keep-first: the custom TopKPerKey
+    // operator (partial per-partition heaps, ≤ maxGroup·partitions
+    // rows per key on the wire) — no Window, no per-group sort of the
+    // token arrays
+    val capped = org.apache.spark.sql.graft.TopKPerKey(
+      truncationBase(docs, k, maxGroup), Seq("pk", "len"),
+      Seq(("doc_id", true)), maxGroup)
+    val a = capped.select(col("doc_id").as("trunc_doc"), col("pk"),
       col("len").as("trunc_tokens"),
       md5(array_join(col("tk"), " ").cast("binary")).as("amd5"))
-    val b = base.select(col("doc_id").as("full_doc"), col("pk"),
+    val b = capped.select(col("doc_id").as("full_doc"), col("pk"),
       col("len").as("full_tokens"), col("tk").as("btk"))
     a.join(b, Seq("pk"))
       .filter(col("full_tokens") > col("trunc_tokens"))
@@ -1564,19 +1601,49 @@ object Dedup {
         col("trunc_tokens"), col("full_tokens"))
   }
 
-  def truncationPairsSql(k: Int = 16): String =
+  def truncationPairsSql(
+      k: Int = 16, maxGroup: Int = MaxTruncGroup): String =
     s"""WITH base AS (
        |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS len,
        |    md5(array_to_string(list_slice(tk, 1, $k), ' ')) AS pk
        |  FROM (SELECT doc_id,
        |      list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
        |    FROM documents) d
-       |  WHERE len(tk) >= $k)
+       |  WHERE len(tk) >= $k
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk, len(tk)
+       |    ORDER BY doc_id) <= $maxGroup)
        |SELECT a.doc_id AS trunc_doc, b.doc_id AS full_doc,
        |  a.len AS trunc_tokens, b.len AS full_tokens
        |FROM base a JOIN base b ON a.pk = b.pk AND b.len > a.len
        |WHERE md5(array_to_string(list_slice(b.tk, 1, CAST(a.len AS INT)), ' '))
        |    = md5(array_to_string(a.tk, ' '))""".stripMargin
+
+  /** Per-(prefix, length) group census for the truncation-pair cap:
+    * `truncated` marks groups whose doc count exceeds
+    * [[MaxTruncGroup]], i.e. exactly where [[truncationPairs]] dropped
+    * participants — the observability half of the cap (the
+    * [[editDistanceBlockStats]] pattern). Group-key-sized relation:
+    * only (pk, len, count) crosses the wire, never the token arrays. */
+  def truncationGroupStats(
+      docs: DataFrame, k: Int = 16,
+      maxGroup: Int = MaxTruncGroup): DataFrame =
+    truncationBase(docs, k, maxGroup)
+      .groupBy(col("pk"), col("len").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("truncated", col("n_docs") > maxGroup)
+
+  def truncationGroupStatsSql(
+      k: Int = 16, maxGroup: Int = MaxTruncGroup): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS len,
+       |    md5(array_to_string(list_slice(tk, 1, $k), ' ')) AS pk
+       |  FROM (SELECT doc_id,
+       |      list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |    FROM documents) d
+       |  WHERE len(tk) >= $k)
+       |SELECT pk, len AS n_tokens, COUNT(*) AS n_docs,
+       |  COUNT(*) > $maxGroup AS truncated
+       |FROM base GROUP BY pk, len""".stripMargin
 
   def cdcChunkCensusSql(div: Long = 8L, minDocs: Long = 2L): String =
     s"""WITH d AS (SELECT doc_id,

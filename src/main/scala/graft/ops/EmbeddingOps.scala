@@ -107,6 +107,56 @@ object EmbeddingOps {
     Seq.fill(numTables)(Seq.fill(numBits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  // -------------------------------------------------------------------
+  // Data-dependent LSH width. A fixed numBits makes the bucket count a
+  // CONSTANT, so expected candidate pairs grow QUADRATICALLY in corpus
+  // size (SF10_SPOT: 2.84e9 candidate pairs at sf10 with 6 bits vs
+  // 1.4e8 at 12). The production setting derives bits from one cheap
+  // count so expected bucket occupancy stays ~AutoTargetBucket and
+  // candidates grow LINEARLY (~n·bucket·tables):
+  //
+  //   bits(n) = minBits + |{ i ∈ [minBits, maxBits) : n > target·2^i }|
+  //           = clamp(ceil(log2(n / target)), minBits, maxBits)
+  //
+  // computed as a pure-integer staircase (no FP log2 — exact at every
+  // n, including powers of two, in both engines). Planes are ALWAYS
+  // generated at AutoMaxBits width and prefix-sliced, so one fixed
+  // plane-constant set serves every corpus size and the DuckDB twin can
+  // inline it once and mask bits ≥ nb.bits dynamically from COUNT(*).
+  // -------------------------------------------------------------------
+  val AutoMinBits = 6
+  val AutoMaxBits = 16
+  val AutoTargetBucket = 16L
+
+  def autoBits(n: Long): Int =
+    AutoMinBits +
+      (AutoMinBits until AutoMaxBits).count(i => n > (AutoTargetBucket << i))
+
+  /** `nb` CTE — the same integer staircase as [[autoBits]], evaluated
+    * by the oracle from its own COUNT(*) so both engines derive the
+    * width from the data, not from a baked-in constant. */
+  private[ops] def autoBitsCteSql(table: String = "embeddings"): String = {
+    val steps = (AutoMinBits until AutoMaxBits).map(i =>
+      s"(CASE WHEN COUNT(*) > ${AutoTargetBucket << i} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"nb AS (SELECT CAST($AutoMinBits + $steps AS INT) AS bits FROM $table)"
+  }
+
+  /** [[lshBuckets]] at the data-dependent width: one count, then the
+    * first autoBits(n) of the AutoMaxBits-wide seeded planes. */
+  def lshBucketsAuto(
+      embs: DataFrame, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val bits = autoBits(embs.count())
+    val tables = hyperplanes(dim, AutoMaxBits, numTables, seed)
+      .map(_.take(bits))
+    embs.select(
+        col("vec_id"),
+        posexplode(array(tables.map(planes =>
+          bucketExpr(col("embedding"), planes)): _*)))
+      .toDF("vec_id", "table", "bucket")
+  }
+
   private def bucketExpr(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val lits = array(p.toIndexedSeq.map(lit): _*)
@@ -222,27 +272,29 @@ object EmbeddingOps {
   /** SQL for the (vec_id, tbl, bucket) LSH index relation — the seeded
     * hyperplanes inlined as array literals, one UNION ALL branch per
     * table, same sign-bit fold as `bucketExpr`. */
+  private def planeLit(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  // r14: the sign-bit dots are statically unrolled ([[dotSqlN]]
+  // semantics) against plane lists hoisted once into a 1-row
+  // relation. The previous list_reduce-lambda form cost ~1 ms per
+  // 64-dim dot in DuckDB, and with numBits·numTables = 48 dots per
+  // embedding row this CTE dominated the r13 sf1 oracle replays
+  // (460-880 s per heavy query). Identical value tree: the same
+  // list literals, the same per-element CAST AS DOUBLE, the same
+  // left-to-right fold from 0.0 — only lambda interpretation is
+  // replaced by a vectorized expression.
+  private def dotPlaneSql(q: String, dim: Int): String =
+    (1 to dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
+      s"($acc + CAST(embedding[$i] AS DOUBLE) * CAST($q[$i] AS DOUBLE))"
+    }
+
   private def bucketsUnionSql(
       dim: Int, numBits: Int, numTables: Int, seed: Long): String = {
     val tables = hyperplanes(dim, numBits, numTables, seed)
-    def planeLit(p: Array[Double]): String =
-      p.map(_.toString).mkString("[", ", ", "]")
-    // r14: the sign-bit dots are statically unrolled ([[dotSqlN]]
-    // semantics) against plane lists hoisted once into a 1-row
-    // relation. The previous list_reduce-lambda form cost ~1 ms per
-    // 64-dim dot in DuckDB, and with numBits·numTables = 48 dots per
-    // embedding row this CTE dominated the r13 sf1 oracle replays
-    // (460-880 s per heavy query). Identical value tree: the same
-    // list literals, the same per-element CAST AS DOUBLE, the same
-    // left-to-right fold from 0.0 — only lambda interpretation is
-    // replaced by a vectorized expression.
-    def dotPlane(q: String): String =
-      (1 to dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
-        s"($acc + CAST(embedding[$i] AS DOUBLE) * CAST($q[$i] AS DOUBLE))"
-      }
     def bucketSql(planes: Seq[Array[Double]]): String =
       planes.zipWithIndex.map { case (_, i) =>
-        s"(CASE WHEN ${dotPlane(s"pl.q$i")} >= 0 " +
+        s"(CASE WHEN ${dotPlaneSql(s"pl.q$i", dim)} >= 0 " +
           s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
     tables.zipWithIndex.map { case (planes, t) =>
@@ -250,6 +302,29 @@ object EmbeddingOps {
         .map { case (p, i) => s"${planeLit(p)} AS q$i" }.mkString(", ")
       s"SELECT vec_id, $t AS tbl, ${bucketSql(planes)} AS bucket " +
         s"FROM embeddings, (SELECT $hoist) pl"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** Auto-width twin of [[bucketsUnionSql]]: all AutoMaxBits planes are
+    * inlined as constants; a plane at index i ≥ AutoMinBits contributes
+    * its bit only when `i < nb.bits` (the first AutoMinBits planes are
+    * unconditional — bits ≥ AutoMinBits always). Value-identical to the
+    * Spark side's prefix slice: a masked-out plane's dot is discarded,
+    * never summed, so the bucket ids agree bit-for-bit at any n. */
+  private def bucketsUnionAutoSql(
+      dim: Int, numTables: Int, seed: Long): String = {
+    val tables = hyperplanes(dim, AutoMaxBits, numTables, seed)
+    def bucketSql(planes: Seq[Array[Double]]): String =
+      planes.indices.map { i =>
+        val guard = if (i < AutoMinBits) "" else s"$i < nb.bits AND "
+        s"(CASE WHEN $guard${dotPlaneSql(s"pl.q$i", dim)} >= 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    tables.zipWithIndex.map { case (planes, t) =>
+      val hoist = planes.zipWithIndex
+        .map { case (p, i) => s"${planeLit(p)} AS q$i" }.mkString(", ")
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(planes)} AS bucket " +
+        s"FROM embeddings, (SELECT $hoist) pl, nb"
     }.mkString(" UNION ALL ")
   }
 
@@ -262,8 +337,17 @@ object EmbeddingOps {
     * paid the dot product twice — on top of the lambda overhead. Rank
     * over the precomputed cosine is value-identical. */
   private def knnScoredChainSql(
-      dim: Int, numBits: Int, numTables: Int, seed: Long): String = {
-    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
+      dim: Int, numBits: Int, numTables: Int, seed: Long): String =
+    scoredChainFromBuckets(bucketsUnionSql(dim, numBits, numTables, seed), dim)
+
+  /** [[knnScoredChainSql]] at the data-dependent width: the `nb` CTE
+    * leads the chain and the bucket union masks planes ≥ nb.bits. */
+  private def knnScoredChainAutoSql(
+      dim: Int = 64, numTables: Int = 8, seed: Long = 42L): String =
+    s"${autoBitsCteSql()},\n" +
+      scoredChainFromBuckets(bucketsUnionAutoSql(dim, numTables, seed), dim)
+
+  private def scoredChainFromBuckets(bucketsUnion: String, dim: Int): String = {
     // The `e` CTE hoists every vector component into its own DOUBLE
     // column: at sf1 the scored CTE evaluates ~50M candidate pairs,
     // and per-element LIST extraction (64 per row per side) dominated
@@ -413,8 +497,21 @@ object EmbeddingOps {
   // -------------------------------------------------------------------
   def knnGraph(
       embs: DataFrame, k: Int = 3, dim: Int = 64,
-      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val buckets = lshBuckets(embs, dim, numBits, numTables, seed).cache()
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame =
+    knnGraphFrom(lshBuckets(embs, dim, numBits, numTables, seed), embs, k)
+
+  /** [[knnGraph]] at the data-dependent LSH width — the registered
+    * default since r15: bits = autoBits(count), so the candidate join
+    * stays linear in corpus size instead of quadratic (fixed bits =
+    * fixed bucket count). [[autoRecall]] pins its accuracy per SF. */
+  def knnGraphAuto(
+      embs: DataFrame, k: Int = 3, dim: Int = 64,
+      numTables: Int = 8, seed: Long = 42L): DataFrame =
+    knnGraphFrom(lshBucketsAuto(embs, dim, numTables, seed), embs, k)
+
+  private def knnGraphFrom(
+      rawBuckets: DataFrame, embs: DataFrame, k: Int): DataFrame = {
+    val buckets = rawBuckets.cache()
     val pairs = buckets.select(col("vec_id").as("ida"), col("table"), col("bucket"))
       .join(buckets.select(col("vec_id").as("idb"), col("table"), col("bucket")),
         Seq("table", "bucket"))
@@ -436,17 +533,25 @@ object EmbeddingOps {
         col("cosine"), col("rank"))
   }
 
-  def knnGraphSql(
-      k: Int = 3, dim: Int = 64, numBits: Int = 6,
-      numTables: Int = 8, seed: Long = 42L): String = {
-    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)}
-       |SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
+  private def knnGraphTailSql(k: Int): String =
+    s"""SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
        |  SELECT ida, idb, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY ida
        |      ORDER BY cosine DESC, idb ASC) AS BIGINT) AS rank
        |  FROM scored) s
        |WHERE rank <= $k""".stripMargin
-  }
+
+  def knnGraphSql(
+      k: Int = 3, dim: Int = 64, numBits: Int = 6,
+      numTables: Int = 8, seed: Long = 42L): String =
+    s"WITH ${knnScoredChainSql(dim, numBits, numTables, seed)}\n" +
+      knnGraphTailSql(k)
+
+  def knnGraphAutoSql(
+      k: Int = 3, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L): String =
+    s"WITH ${knnScoredChainAutoSql(dim, numTables, seed)}\n" +
+      knnGraphTailSql(k)
 
   /** Hard-negative mining for contrastive training: per anchor, the
     * top-k most-similar vectors with a DIFFERENT label — the pairs a
@@ -457,7 +562,19 @@ object EmbeddingOps {
     * candidates never pay the dot product. */
   def hardNegatives(
       embs: DataFrame, k: Int = 3, dim: Int = 64,
-      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame =
+    hardNegativesFrom(
+      lshBuckets(embs, dim, numBits, numTables, seed), embs, k)
+
+  /** [[hardNegatives]] at the data-dependent LSH width (see
+    * [[knnGraphAuto]]) — the registered default since r15. */
+  def hardNegativesAuto(
+      embs: DataFrame, k: Int = 3, dim: Int = 64,
+      numTables: Int = 8, seed: Long = 42L): DataFrame =
+    hardNegativesFrom(lshBucketsAuto(embs, dim, numTables, seed), embs, k)
+
+  private def hardNegativesFrom(
+      rawBuckets: DataFrame, embs: DataFrame, k: Int): DataFrame = {
     // labels ride the bucket relation (one int per bucket row) so the
     // label-mismatch filter lands BEFORE the pair distinct: same-label
     // pairs never reach the distinct's shuffle, and the pair-sized
@@ -465,8 +582,7 @@ object EmbeddingOps {
     // functionally determined by idb, so distinct over (ida,idb,lb)
     // has exactly the cardinality of distinct over (ida,idb).)
     val lab = embs.select(col("vec_id"), col("label"))
-    val buckets = lshBuckets(embs, dim, numBits, numTables, seed)
-      .join(lab, Seq("vec_id")).cache()
+    val buckets = rawBuckets.join(lab, Seq("vec_id")).cache()
     val pairs = buckets.select(col("vec_id").as("ida"), col("table"),
         col("bucket"), col("label").as("la"))
       .join(buckets.select(col("vec_id").as("idb"), col("table"),
@@ -494,9 +610,19 @@ object EmbeddingOps {
 
   def hardNegativesSql(
       k: Int = 3, dim: Int = 64, numBits: Int = 6,
-      numTables: Int = 8, seed: Long = 42L): String = {
-    val bucketsUnion = bucketsUnionSql(dim, numBits, numTables, seed)
-    s"""WITH buckets AS ($bucketsUnion),
+      numTables: Int = 8, seed: Long = 42L): String =
+    hardNegativesBodySql(
+      bucketsUnionSql(dim, numBits, numTables, seed), "", k, dim)
+
+  def hardNegativesAutoSql(
+      k: Int = 3, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L): String =
+    hardNegativesBodySql(bucketsUnionAutoSql(dim, numTables, seed),
+      s"${autoBitsCteSql()},\n", k, dim)
+
+  private def hardNegativesBodySql(
+      bucketsUnion: String, lead: String, k: Int, dim: Int): String = {
+    s"""WITH ${lead}buckets AS ($bucketsUnion),
        |cpairs AS (
        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |  FROM buckets a JOIN buckets b
@@ -540,9 +666,19 @@ object EmbeddingOps {
     * vector and the argmax bounds shuffle bytes by partitions·keys. */
   def knnClassify(
       embs: DataFrame, k: Int = 5, dim: Int = 64,
-      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+      numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame =
+    knnClassifyFrom(knnGraph(embs, k, dim, numBits, numTables, seed), embs)
+
+  /** [[knnClassify]] at the data-dependent LSH width (see
+    * [[knnGraphAuto]]) — the registered default since r15. */
+  def knnClassifyAuto(
+      embs: DataFrame, k: Int = 5, dim: Int = 64,
+      numTables: Int = 8, seed: Long = 42L): DataFrame =
+    knnClassifyFrom(knnGraphAuto(embs, k, dim, numTables, seed), embs)
+
+  private def knnClassifyFrom(g: DataFrame, embs: DataFrame): DataFrame = {
     val lab = embs.select(col("vec_id"), col("label"))
-    val votes = knnGraph(embs, k, dim, numBits, numTables, seed)
+    val votes = g
       .join(lab.select(col("vec_id").as("neighbor"),
         col("label").as("nlbl")), Seq("neighbor"))
       .groupBy("vec_id", "nlbl").agg(count(lit(1)).as("votes"))
@@ -555,8 +691,16 @@ object EmbeddingOps {
 
   def knnClassifySql(
       k: Int = 5, dim: Int = 64, numBits: Int = 6,
-      numTables: Int = 8, seed: Long = 42L): String = {
-    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
+      numTables: Int = 8, seed: Long = 42L): String =
+    knnClassifyBodySql(knnScoredChainSql(dim, numBits, numTables, seed), k)
+
+  def knnClassifyAutoSql(
+      k: Int = 5, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L): String =
+    knnClassifyBodySql(knnScoredChainAutoSql(dim, numTables, seed), k)
+
+  private def knnClassifyBodySql(chain: String, k: Int): String = {
+    s"""WITH $chain,
        |knn AS (
        |  SELECT ida AS vec_id, idb AS neighbor FROM (
        |    SELECT ida, idb,
@@ -597,8 +741,17 @@ object EmbeddingOps {
   def oodScores(
       embs: DataFrame, k: Int = 3, dim: Int = 64,
       numBits: Int = 6, numTables: Int = 8, seed: Long = 42L): DataFrame =
-    knnGraph(embs, k, dim, numBits, numTables, seed)
-      .groupBy("vec_id").agg(
+    oodScoresFrom(knnGraph(embs, k, dim, numBits, numTables, seed))
+
+  /** [[oodScores]] at the data-dependent LSH width (see
+    * [[knnGraphAuto]]) — the registered default since r15. */
+  def oodScoresAuto(
+      embs: DataFrame, k: Int = 3, dim: Int = 64,
+      numTables: Int = 8, seed: Long = 42L): DataFrame =
+    oodScoresFrom(knnGraphAuto(embs, k, dim, numTables, seed))
+
+  private def oodScoresFrom(g: DataFrame): DataFrame =
+    g.groupBy("vec_id").agg(
         max("rank").as("n_neighbors"),
         min("cosine").as("kth_cos"))
       .select(col("vec_id"), col("n_neighbors"), col("kth_cos"),
@@ -606,8 +759,16 @@ object EmbeddingOps {
 
   def oodScoresSql(
       k: Int = 3, dim: Int = 64, numBits: Int = 6,
-      numTables: Int = 8, seed: Long = 42L): String = {
-    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
+      numTables: Int = 8, seed: Long = 42L): String =
+    oodScoresBodySql(knnScoredChainSql(dim, numBits, numTables, seed), k)
+
+  def oodScoresAutoSql(
+      k: Int = 3, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L): String =
+    oodScoresBodySql(knnScoredChainAutoSql(dim, numTables, seed), k)
+
+  private def oodScoresBodySql(chain: String, k: Int): String = {
+    s"""WITH $chain,
        |knn AS (
        |  SELECT ida AS vec_id, cosine, rank FROM (
        |    SELECT ida, cosine,
@@ -639,9 +800,21 @@ object EmbeddingOps {
   def marginMine(
       embs: DataFrame, k: Int = 3, dim: Int = 64, numBits: Int = 6,
       numTables: Int = 8, seed: Long = 42L,
-      threshold: Double = 1.0): DataFrame = {
+      threshold: Double = 1.0): DataFrame =
+    marginMineFrom(knnGraph(embs, k, dim, numBits, numTables, seed),
+      threshold)
+
+  /** [[marginMine]] at the data-dependent LSH width (see
+    * [[knnGraphAuto]]) — the registered default since r15. */
+  def marginMineAuto(
+      embs: DataFrame, k: Int = 3, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L, threshold: Double = 1.0): DataFrame =
+    marginMineFrom(knnGraphAuto(embs, k, dim, numTables, seed), threshold)
+
+  private def marginMineFrom(
+      graph: DataFrame, threshold: Double): DataFrame = {
     val Grid = 1.0e12
-    val g = knnGraph(embs, k, dim, numBits, numTables, seed).cache()
+    val g = graph.cache()
     val avgk = g.groupBy("vec_id").agg(
         sum(round(col("cosine") * Grid).cast("long")).as("sg"),
         count(lit(1)).as("nk"))
@@ -666,9 +839,20 @@ object EmbeddingOps {
 
   def marginMineSql(
       k: Int = 3, dim: Int = 64, numBits: Int = 6, numTables: Int = 8,
-      seed: Long = 42L, threshold: Double = 1.0): String = {
+      seed: Long = 42L, threshold: Double = 1.0): String =
+    marginMineBodySql(knnScoredChainSql(dim, numBits, numTables, seed),
+      k, threshold)
+
+  def marginMineAutoSql(
+      k: Int = 3, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L, threshold: Double = 1.0): String =
+    marginMineBodySql(knnScoredChainAutoSql(dim, numTables, seed),
+      k, threshold)
+
+  private def marginMineBodySql(
+      chain: String, k: Int, threshold: Double): String = {
     val thr = graft.functions.PortableMath.dlitE(threshold)
-    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
+    s"""WITH $chain,
        |knn AS (
        |  SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
        |    SELECT ida, idb, cosine,
@@ -782,11 +966,20 @@ object EmbeddingOps {
     * (n counts the points actually estimated). */
   def intrinsicDim(
       embs: DataFrame, dim: Int = 64, numBits: Int = 6,
-      numTables: Int = 8, seed: Long = 42L): DataFrame = {
+      numTables: Int = 8, seed: Long = 42L): DataFrame =
+    intrinsicDimFrom(knnGraph(embs, 2, dim, numBits, numTables, seed))
+
+  /** [[intrinsicDim]] at the data-dependent LSH width (see
+    * [[knnGraphAuto]]) — the registered default since r15. */
+  def intrinsicDimAuto(
+      embs: DataFrame, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L): DataFrame =
+    intrinsicDimFrom(knnGraphAuto(embs, 2, dim, numTables, seed))
+
+  private def intrinsicDimFrom(g: DataFrame): DataFrame = {
     import graft.functions.PortableMath.plog
     val Grid = 1.0e12
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val g = knnGraph(embs, 2, dim, numBits, numTables, seed)
     val two = g.groupBy("vec_id").agg(
         max(when(col("rank") === 1, col("cosine"))).as("cos1"),
         max(when(col("rank") === 2, col("cosine"))).as("cos2"),
@@ -806,9 +999,16 @@ object EmbeddingOps {
 
   def intrinsicDimSql(
       dim: Int = 64, numBits: Int = 6, numTables: Int = 8,
-      seed: Long = 42L): String = {
+      seed: Long = 42L): String =
+    intrinsicDimBodySql(knnScoredChainSql(dim, numBits, numTables, seed))
+
+  def intrinsicDimAutoSql(
+      dim: Int = 64, numTables: Int = 8, seed: Long = 42L): String =
+    intrinsicDimBodySql(knnScoredChainAutoSql(dim, numTables, seed))
+
+  private def intrinsicDimBodySql(chain: String): String = {
     import graft.functions.PortableMath.plogSql
-    s"""WITH ${knnScoredChainSql(dim, numBits, numTables, seed)},
+    s"""WITH $chain,
        |knn AS (
        |  SELECT ida AS vec_id, cosine, rank FROM (
        |    SELECT ida, cosine,
@@ -1017,6 +1217,121 @@ object EmbeddingOps {
        |    FROM tscored) s WHERE rn <= $k),
        |$perBits
        |$union""".stripMargin
+  }
+
+  /** The auto-width census: (n_vectors, num_bits) — a 1-row gate that
+    * pins the [[autoBits]] integer staircase against the oracle's own
+    * COUNT(*)-derived staircase, so a formula drift between the engines
+    * surfaces as a hash mismatch at EVERY SF, not just where the knn
+    * results happen to differ. */
+  def autoBitsReport(embs: DataFrame): DataFrame = {
+    val n = embs.count()
+    embs.sparkSession.range(1).select(
+      lit(n).as("n_vectors"), lit(autoBits(n).toLong).as("num_bits"))
+  }
+
+  def autoBitsReportSql: String = {
+    val steps = (AutoMinBits until AutoMaxBits).map(i =>
+      s"(CASE WHEN COUNT(*) > ${AutoTargetBucket << i} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, " +
+      s"CAST($AutoMinBits + $steps AS BIGINT) AS num_bits FROM embeddings"
+  }
+
+  /** Recall@k of the AUTO-width knn graph vs exact truth on the ~1%
+    * anchor sample — the accuracy pin for the registered default
+    * ([[knnGraphAuto]] and family): as corpus size moves the derived
+    * bits, this row shows what the narrower buckets cost in recall.
+    * Same determinism recipe as [[lshRecallCurve]] (tie-broken top-k
+    * sets, integer hit count, one final IEEE division). */
+  def autoRecall(
+      embs: DataFrame, k: Int = 3, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L, anchorMod: Long = 97L): DataFrame = {
+    val bits = autoBits(embs.count())
+    val e = embs.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm")).cache()
+    val anchors = e.filter(col("vec_id") % anchorMod === 0)
+    val truthScored = e.select(col("vec_id").as("idb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(anchors.select(col("vec_id").as("ida"),
+        col("embedding").as("ea"), col("nrm").as("na"))))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+    val truth = org.apache.spark.sql.graft.TopKPerKey(
+        truthScored, Seq("ida"), Seq(("cosine", false), ("idb", true)), k)
+      .select("ida", "idb")
+    val nA = anchors.count()
+    val buckets = lshBucketsAuto(embs, dim, numTables, seed)
+    val cand = buckets.select(col("vec_id").as("ida"), col("table"),
+        col("bucket"))
+      .filter(col("ida") % anchorMod === 0)
+      .join(buckets.select(col("vec_id").as("idb"), col("table"),
+        col("bucket")), Seq("table", "bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select("ida", "idb").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+    val approx = org.apache.spark.sql.graft.TopKPerKey(
+        scored, Seq("ida"), Seq(("cosine", false), ("idb", true)), k)
+      .select("ida", "idb")
+    approx.join(truth, Seq("ida", "idb"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(bits.toLong).as("num_bits"), lit(nA).as("n_anchors"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / lit((k * nA).toDouble)).as("recall"))
+  }
+
+  def autoRecallSql(
+      k: Int = 3, dim: Int = 64, numTables: Int = 8, seed: Long = 42L,
+      anchorMod: Long = 97L): String = {
+    val bu = bucketsUnionAutoSql(dim, numTables, seed)
+    s"""WITH ${autoBitsCteSql()},
+       |e AS (SELECT vec_id, embedding,
+       |    SQRT(${dotSqlN("embedding", "embedding", dim)}) AS nrm
+       |  FROM embeddings),
+       |anch AS (SELECT * FROM e WHERE vec_id % $anchorMod = 0),
+       |na AS (SELECT COUNT(*) AS n_anchors FROM anch),
+       |tscored AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    ${dotSqlN("a.embedding", "b.embedding", dim)}
+       |      / (a.nrm * b.nrm) AS cosine
+       |  FROM anch a JOIN e b ON a.vec_id <> b.vec_id),
+       |truth AS (
+       |  SELECT ida, idb FROM (
+       |    SELECT ida, idb, ROW_NUMBER() OVER (PARTITION BY ida
+       |      ORDER BY cosine DESC, idb ASC) AS rn
+       |    FROM tscored) s WHERE rn <= $k),
+       |buckets AS ($bu),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $anchorMod = 0),
+       |scored AS (
+       |  SELECT p.ida, p.idb,
+       |    ${dotSqlN("ea.embedding", "eb.embedding", dim)}
+       |      / (ea.nrm * eb.nrm) AS cosine
+       |  FROM cand p
+       |  JOIN e ea ON p.ida = ea.vec_id
+       |  JOIN e eb ON p.idb = eb.vec_id),
+       |approx AS (
+       |  SELECT ida, idb FROM (
+       |    SELECT ida, idb, ROW_NUMBER() OVER (PARTITION BY ida
+       |      ORDER BY cosine DESC, idb ASC) AS rn
+       |    FROM scored) s WHERE rn <= $k),
+       |hit AS (
+       |  SELECT COUNT(*) AS n_hit
+       |  FROM approx a JOIN truth t ON a.ida = t.ida AND a.idb = t.idb)
+       |SELECT CAST(nb.bits AS BIGINT) AS num_bits, na.n_anchors, h.n_hit,
+       |  CAST(h.n_hit AS DOUBLE)
+       |    / CAST($k * na.n_anchors AS DOUBLE) AS recall
+       |FROM hit h CROSS JOIN na CROSS JOIN nb""".stripMargin
   }
 
   /** Diversity-preserving density prune (the SemDeDup/DataComp-style

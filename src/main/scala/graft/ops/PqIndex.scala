@@ -49,12 +49,26 @@ object PqIndex {
     val subDim = dim / m
     val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    // sibling fits run under one job group so a failed subspace CANCELS
+    // the others' in-flight Spark jobs before Await rethrows — a
+    // graceful shutdown() alone would leave orphaned jobs burning
+    // cluster slots behind the exception (r14 advice)
+    val sc = vecs.sparkSession.sparkContext
+    val group = s"pq-train-${System.identityHashCode(this)}-${m}x$nlist"
     val books =
       try Await.result(Future.sequence((0 until m).map { s => Future {
-        val sub = vecs.select(col("id"), subVec(s, subDim).as("vec"))
-        val init = KMeansND.initFromLowestIds(sub, nlist)
-        KMeansND.fit(sub, init, maxIter, tol = 0.0, convergence = false)._1
+        sc.setJobGroup(group, "pq subspace fits", interruptOnCancel = true)
+        try {
+          val sub = vecs.select(col("id"), subVec(s, subDim).as("vec"))
+          val init = KMeansND.initFromLowestIds(sub, nlist)
+          KMeansND.fit(sub, init, maxIter, tol = 0.0, convergence = false)._1
+        } finally sc.clearJobGroup()
       }}), Duration.Inf)
+      catch { case e: Throwable =>
+        sc.cancelJobGroup(group)
+        pool.shutdownNow()
+        throw e
+      }
       finally pool.shutdown()
     Codebooks(m, subDim, books)
   }

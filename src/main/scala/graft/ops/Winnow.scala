@@ -120,6 +120,30 @@ object Winnow {
        |WHERE length(d.text) >= ${k + w - 1}
        |  AND length(d.text) < $PosBase""".stripMargin
 
+  /** The exclusion census for [[fingerprints]]'s hard size gates —
+    * the docs the fingerprint relation OMITS (r14 verdict: the
+    * exclusion was identical in both engines but silent): shorter than
+    * one full window (k + w − 1 chars, nothing to winnow) or ≥ 2²⁰
+    * chars (the packed-key position bound). On a shaped corpus the
+    * long side is empty (`PretrainOps.docChunks` first); any row here
+    * names a doc the winnow-based dedup cannot see.
+    * `dedup_winnow_excluded`. */
+  def excluded(docs: DataFrame, k: Int = K, w: Int = W): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      .where(col("n_chars") < lit((k + w - 1).toLong) ||
+        col("n_chars") >= lit(PosBase))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") < lit((k + w - 1).toLong), lit("too_short"))
+          .otherwise(lit("too_long")).as("reason"))
+
+  def excludedSql(k: Int = K, w: Int = W): String =
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |  CASE WHEN length(text) < ${k + w - 1} THEN 'too_short'
+       |       ELSE 'too_long' END AS reason
+       |FROM documents
+       |WHERE length(text) < ${k + w - 1} OR length(text) >= $PosBase""".stripMargin
+
   /** Near-dup candidate pairs: docs sharing ≥ `minShared` distinct
     * fingerprint HASHES (position-independent — winnowing's detection
     * contract is content overlap wherever it moved). Fingerprints in

@@ -337,7 +337,13 @@ object StreamOps {
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SeqOut] = {
       // batch-internal order is not defined by the engine; pin it to
-      // event time (ties by id) so the replay is reproducible
+      // event time (ties by id) so the replay is reproducible.
+      // MEMORY BOUND: this buffers ONE KEY's rows of ONE MICRO-BATCH in
+      // the task heap — O(events/user/batch), fine under steady
+      // micro-batching; a single-batch AvailableNow replay of a heavily
+      // skewed user holds that user's full history here (r14 advice).
+      // At that shape, trigger with maxOffsetsPerTrigger-style batch
+      // bounds or pre-sort within partitions so the processor streams.
       val sorted = rows.toIndexedSeq
         .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
       var c = if (cnt.exists()) cnt.get() else 0L
@@ -349,7 +355,8 @@ object StreamOps {
 
   /** Per-user running sequence number via transformWithState. The
     * caller must run this under the RocksDB state store provider (the
-    * API requires it); see the registration for the set/restore. */
+    * API requires it); the registration scopes that conf to a cloned
+    * session so concurrent streams keep the default provider. */
   def seqNumStream(events: DataFrame): Dataset[SeqOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -385,6 +392,7 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[EvId],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessTag] = {
+      // same per-(key, micro-batch) buffering bound as SeqNumProcessor
       val sorted = rows.toIndexedSeq
         .sortBy(r => (epochMicros(r.ts), r.event_id))
       var c = if (cur.exists()) cur.get() else SessCursor(Long.MinValue, 0L)

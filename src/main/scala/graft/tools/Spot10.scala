@@ -47,7 +47,13 @@ object Spot10 {
       val w = new java.io.PrintWriter(out)
       try w.println(j) finally w.close()
     }
+    // SPARK_GRAFT_SPOT_ONLY=a,b runs a row subset (installments merge
+    // into the committed SF10_SPOT.json via tools/merge_replay.py —
+    // re-running the full r14 tier costs ~1.5 h for numbers we have)
+    val onlySpot = sys.env.get("SPARK_GRAFT_SPOT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timed(name: String)(body: => Unit): Unit = {
+      if (onlySpot.exists(!_.contains(name))) return
       val t0 = System.nanoTime()
       val r =
         try { body; ((System.nanoTime() - t0) / 1e9, None) }
@@ -68,18 +74,20 @@ object Spot10 {
     val pts = graft.Tables.points(spark, sfDir)
 
     // ---- the LSH candidate-volume curve (histogram algebra, no join)
-    val curve = Seq(6, 8, 10, 12).map { bits =>
-      val c = graft.ops.EmbeddingOps.lshBuckets(
-          embs, numBits = bits, numTables = 8)
-        .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1)).as("pairs2"))
-        .collect()(0).getLong(0) / 2
-      println(s"SPOT lsh_candidates bits=$bits pairs=$c")
-      s""""$bits":$c"""
+    if (onlySpot.isEmpty) {
+      val curve = Seq(6, 8, 10, 12).map { bits =>
+        val c = graft.ops.EmbeddingOps.lshBuckets(
+            embs, numBits = bits, numTables = 8)
+          .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).as("pairs2"))
+          .collect()(0).getLong(0) / 2
+        println(s"SPOT lsh_candidates bits=$bits pairs=$c")
+        s""""$bits":$c"""
+      }
+      extra :+= s""""lsh_candidate_curve":${curve.mkString("{", ",", "}")}"""
+      extra :+= """"lsh_note":"numBits=6 (the former oracle-gate setting) is PREDICTED by the curve and not executed at sf10 — fixed 64 buckets make candidates quadratic in corpus size; since r15 the registered knn-family default derives bits from corpus size (lsh_auto below)""""
+      dump()
     }
-    extra :+= s""""lsh_candidate_curve":${curve.mkString("{", ",", "}")}"""
-    extra :+= """"lsh_note":"numBits=6 (the oracle-gate setting) is PREDICTED by the curve and not executed at sf10 — fixed 64 buckets make candidates quadratic in corpus size; the scale path is numBits ~ log2(n/target_bucket), timed below at 10 and 12 bits""""
-    dump()
 
     timed("emb_knn_graph_b10")(noop(
       graft.ops.EmbeddingOps.knnGraph(embs, k = 3, numBits = 10)))
@@ -110,6 +118,48 @@ object Spot10 {
     timed("docs_cluster_terms")(noop(
       graft.ops.TopicCluster.clusterTerms(docs)))
     timed("dedup_novelty")(noop(graft.ops.Dedup.noveltyCurve(docs)))
+    dump()
+
+    // ---- r15 second installment (r14 verdict item 7): the next cost
+    // tier, so the next cliff is quantified before it's load-bearing.
+
+    // The auto-width knn family (the r15 registered default): derived
+    // bits + its candidate volume join the curve, and the family's
+    // heaviest members are timed at the setting users actually get.
+    if (onlySpot.forall(_.contains("lsh_auto"))) {
+      val n = embs.count()
+      val autoBits = graft.ops.EmbeddingOps.autoBits(n)
+      val c = graft.ops.EmbeddingOps.lshBucketsAuto(embs, numTables = 8)
+        .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1)).as("pairs2"))
+        .collect()(0).getLong(0) / 2
+      extra :+= s""""lsh_auto":{"n":$n,"bits":$autoBits,"candidates":$c}"""
+      println(s"SPOT lsh_auto bits=$autoBits pairs=$c")
+      dump()
+    }
+    timed("emb_knn_graph_auto")(noop(
+      graft.ops.EmbeddingOps.knnGraphAuto(embs, k = 3)))
+    timed("emb_knn_classify_auto")(noop(
+      graft.ops.EmbeddingOps.knnClassifyAuto(embs)))
+    timed("emb_hard_negatives_auto")(noop(
+      graft.ops.EmbeddingOps.hardNegativesAuto(embs)))
+
+    // the r15-capped truncation pair join + its census
+    timed("dedup_trunc")(noop(graft.ops.Dedup.truncationPairs(docs)))
+    timed("dedup_trunc_blocks")(noop(
+      graft.ops.Dedup.truncationGroupStats(docs)))
+
+    // minhash quality eval (band-count sweep over the pair relation)
+    timed("dedup_eval")(noop(graft.ops.Dedup.minhashEval(docs)))
+
+    // graph family over the co-order / supplier-part graphs at 10×
+    // sf1's edge count — per-round-checkpointed supersteps; the claim
+    // to test is ~linear in |E|
+    val li = graft.Tables.table(spark, sfDir, "lineitem")
+    timed("graph_pagerank")(noop(graft.ops.GraphOps.supplierPartRank(li)))
+    timed("graph_cc")(noop(graft.ops.GraphOps.coOrderComponents(li)))
+    timed("graph_triangles")(noop(graft.ops.GraphOps.coOrderTriangles(li)))
+    timed("graph_kcore")(noop(graft.ops.GraphOps.supplierPartKCore(li)))
     dump()
     spark.stop()
   }

@@ -119,7 +119,38 @@ object StreamBench {
         Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
     }
 
-    Seq(pack, win, attrib)
+    // --- transformWithState twins at a DISTRIBUTED sink (r14 verdict
+    // item 5): the memory-sink registrations are what the oracle
+    // replay needs, but 80-93% of their gate-shape cost at 10M events
+    // is the driver collecting the sink (StreamSinkProbe A/B). These
+    // rows price the OPERATOR the way production runs it — same state
+    // machinery, RocksDB provider (scoped to a cloned session), file
+    // source replayed AvailableNow, noop streaming sink.
+    def tws(name: String,
+        mk: SparkSession => org.apache.spark.sql.DataFrame): Res =
+      try {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val n = graft.Tables.events(s2, sfDir).count()
+        val t0 = System.nanoTime()
+        val q = mk(s2).writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(); q.stop()
+        Res(name, (System.nanoTime() - t0) / 1e9, n, None)
+      } catch { case e: Throwable =>
+        Res(name, -1.0, 0L,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
+      }
+    val seqn = tws("stream_seqnum_noop", s2 =>
+      StreamOps.seqNumStream(StreamOps.readEventStream(s2, sfDir)).toDF())
+    val sess = tws("stream_sessions_noop", s2 =>
+      StreamOps.sessionTagStream(StreamOps.readEventStream(s2, sfDir)).toDF())
+
+    Seq(pack, win, attrib, seqn, sess)
   }
 
   def main(args: Array[String]): Unit = {

@@ -378,4 +378,49 @@ class EmbeddingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((exact intersect full).size >= 4)
   }
+
+  test("autoBits: pure-integer staircase, exact at power-of-two edges") {
+    import EmbeddingOps.autoBits
+    // bits = clamp(ceil(log2(n / 16)), 6, 16); boundary is STRICT >
+    assert(autoBits(0L) == 6)
+    assert(autoBits(1024L) == 6)   // 16·2^6 exactly → still 6
+    assert(autoBits(1025L) == 7)
+    assert(autoBits(2048L) == 7)
+    assert(autoBits(2049L) == 8)
+    assert(autoBits(20000L) == 11) // the sf1 fixture → the b10-class setting
+    assert(autoBits(200000L) == 14)
+    assert(autoBits(Long.MaxValue / 2) == 16) // capped at AutoMaxBits
+    // staircase == clamp(ceil(log2(n/target)), min, max) at every step
+    for (n <- Seq(1L, 100L, 1024L, 4096L, 65536L, 1000000L, 100000000L)) {
+      val exact = math.ceil(math.log(n.toDouble / 16.0) / math.log(2.0)).toInt
+      assert(autoBits(n) == math.min(16, math.max(6, exact)), s"n=$n")
+    }
+  }
+
+  test("auto-width buckets are the prefix slice of the AutoMaxBits planes") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bits = EmbeddingOps.autoBits(embs.count())
+    // every bucket id uses only the low `bits` bits
+    val buckets = EmbeddingOps.lshBucketsAuto(embs).collect()
+    assert(buckets.nonEmpty)
+    assert(buckets.forall { r =>
+      val b = r.getLong(2); b >= 0 && b < (1L << bits)
+    })
+    // the graph at the auto width: ≤ k deterministic rows per vector
+    val g = EmbeddingOps.knnGraphAuto(embs, k = 3).collect()
+    val byVec = g.groupBy(_.getLong(0))
+    assert(byVec.values.forall(_.length <= 3))
+    assert(g.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+    val g2 = EmbeddingOps.knnGraphAuto(embs, k = 3).collect()
+    assert(g.map(_.toString).sorted.toSeq == g2.map(_.toString).sorted.toSeq)
+  }
+
+  test("autoRecall reports the derived width and a recall in [0,1]") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = EmbeddingOps.autoRecall(embs).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == EmbeddingOps.autoBits(embs.count()).toLong)
+    val recall = r(0).getDouble(3)
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
 }

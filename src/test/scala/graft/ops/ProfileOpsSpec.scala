@@ -47,11 +47,12 @@ class ProfileOpsSpec extends SparkSpec {
     assert(card("exact_dup_frac") == 0.25) // doc 1 duplicates doc 0
     assert(card("lang_share:en") == 0.75 && card("lang_share:de") == 0.25)
     assert(card("source_share:s0") == 0.5 && card("source_share:s1") == 0.5)
-    // exact interpolated percentiles over counts (2, 2, 3, 5):
-    // p50 = 2 + 0.5·(3−2) = 2.5; p90 = 3 + 0.7·(5−3) in IEEE
+    // exact interpolated percentiles over counts (2, 2, 3, 5) with the
+    // (n−1)·p rank both engines use: (4−1)·0.9 = 2.7 → idx 2, frac 0.7
+    // → p90 = 3 + 0.7·(5−3) = 4.4 (single pinned value — r14 advice:
+    // an OR'd 4.8 alternative could mask a wrong interpolation)
     assert(card("tokens_p50") == 2.5)
-    assert(card("tokens_p90") == 3.0 + 0.9 * 3.0 * (5.0 - 3.0) / 3.0
-      || math.abs(card("tokens_p90") - (3.0 + (0.9 * 3 - 2) * 2.0)) < 1e-12,
+    assert(math.abs(card("tokens_p90") - (3.0 + (0.9 * 3 - 2) * 2.0)) < 1e-12,
       s"p90 = ${card("tokens_p90")}")
     assert(card("tokens_mean") == 3.0 && card("chars_mean") == 5.0)
   }
