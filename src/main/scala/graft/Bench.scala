@@ -636,7 +636,7 @@ object Bench {
     * trunc/winnow cap censuses). Frozen as of the end of r15. */
   private[graft] val NamedSetV4: Set[String] = NamedSetV3 ++ Set(
     "emb_auto_bits", "emb_auto_recall", "dedup_trunc_blocks",
-    "dedup_winnow_excluded")
+    "dedup_winnow_excluded", "dedup_eval_sampled")
 
   /** The ONLY queries the full-board summary line names (r13 verdict
     * item 1 / "what's wrong" 1): the r13 line — the 82-name frozen set

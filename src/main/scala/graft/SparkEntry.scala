@@ -443,6 +443,10 @@ object SparkEntry {
     // banding-loss eval: LSH near-dups vs exact-Jaccard truth
     "dedup_eval" -> ((s, dir) =>
       Dedup.minhashEval(Tables.table(s, dir, "documents"))),
+    // the at-scale eval path: same P/R estimator on the deterministic
+    // 1-in-4 doc sample — both quadratic pair relations shrink 16×
+    "dedup_eval_sampled" -> ((s, dir) =>
+      Dedup.minhashEvalSampled(Tables.table(s, dir, "documents"))),
     // ingestion-order duplication growth: per doc_id decile, how many
     // docs exactly duplicate ANY earlier doc (the crawl-saturation dial)
     "dedup_novelty" -> ((s, dir) =>
@@ -1485,6 +1489,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
     "dedup_eval" -> graft.ops.OracleCtes.materialize(Dedup.minhashEvalSql()),
+    "dedup_eval_sampled" -> graft.ops.OracleCtes.materialize(
+      Dedup.minhashEvalSampledSql()),
     "dedup_novelty" -> Dedup.noveltyCurveSql(),
     "dedup_source_matrix" -> graft.ops.OracleCtes.materialize(
       Dedup.sourceMatrixSql()),

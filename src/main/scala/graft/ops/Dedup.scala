@@ -988,6 +988,37 @@ object Dedup {
         col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** Sampled dedup-quality eval — the at-scale path for [[minhashEval]]
+    * (SF10_SPOT r15: the full eval rides TWO output-quadratic pair
+    * relations, 2885 s and ~48 GB of heap at sf10): estimate the same
+    * precision/recall on the deterministic `doc_id % mod == 0`
+    * subcorpus, so both pair relations scale with (n/mod)² of the
+    * full-eval cost. Sampling DOCS (not pairs) keeps truth and found
+    * consistent — a pair survives iff both endpoints survive — so
+    * within-sample precision/recall are the exact eval of the sampled
+    * corpus, and an unbiased estimator of pair-level quality under the
+    * fixture's id-independent content. The DF cap re-derives on the
+    * sample in BOTH engines. */
+  def minhashEvalSampled(
+      docs: DataFrame, mod: Long = 4L, n: Int = 3, numPerm: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame =
+    minhashEval(docs.filter(col("doc_id") % mod === 0),
+      n, numPerm, rowsPerBand, threshold, maxDf)
+
+  /** Twin of [[minhashEvalSampled]]: a leading CTE shadows `documents`
+    * with the sampled subcorpus (the base table stays reachable as
+    * `main.documents`), so the full eval SQL is reused verbatim. */
+  def minhashEvalSampledSql(
+      mod: Long = 4L, n: Int = 3, numPerm: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): String = {
+    val inner = minhashEvalSql(n, numPerm, rowsPerBand, threshold, maxDf)
+    require(inner.startsWith("WITH "), "inner eval SQL must be a WITH chain")
+    s"WITH documents AS (SELECT * FROM main.documents WHERE doc_id % $mod = 0),\n" +
+      inner.stripPrefix("WITH ")
+  }
+
   def minhashEvalSql(
       n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
       threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String =
