@@ -184,9 +184,10 @@ object SparkEntry {
       graft.ops.Preference.bradleyTerry(Tables.table(s, dir, "documents"))),
     // KMV sketch set algebra: pairwise user-overlap estimates + exact
     "events_kmv_overlap" -> ((s, dir) => EventOps.kmvOverlap(Tables.events(s, dir))),
-    // local clustering coefficient from the shared triangle machinery
+    // local clustering coefficient from the shared triangle machinery;
+    // r15: duplication-calibrated support threshold (see graph_triangles)
     "graph_clustering" -> ((s, dir) =>
-      graft.ops.GraphOps.coOrderClustering(Tables.table(s, dir, "lineitem"))),
+      graft.ops.GraphOps.coOrderClusteringAuto(Tables.table(s, dir, "lineitem"))),
     // deterministic k-means++ (exponential-race D^2 sampling)
     "init_kmeanspp" -> ((s, dir) =>
       KMeansOps.kmeansPlusPlus(Tables.points(s, dir))),
@@ -758,9 +759,13 @@ object SparkEntry {
     "graph_ppr" -> ((s, dir) =>
       graft.ops.GraphOps.supplierPartPPR(Tables.table(s, dir, "lineitem"))),
     // per-node triangle counts over the support-filtered co-order part
-    // graph (degree-oriented node-iterator — wedge fan-out capped √|E|)
+    // graph (degree-oriented node-iterator — wedge fan-out capped √|E|).
+    // r15: the support threshold scales with the corpus's pair
+    // duplication factor (integer staircase, both engines derive it
+    // from their own counts) — fixed support 2 stopped pruning at sf10
+    // and the wedge join went |E|^1.5 (6.2→192.5 s for 10× data)
     "graph_triangles" -> ((s, dir) =>
-      graft.ops.GraphOps.coOrderTriangles(Tables.table(s, dir, "lineitem"))),
+      graft.ops.GraphOps.coOrderTrianglesAuto(Tables.table(s, dir, "lineitem"))),
     // multi-source BFS hop distances (Bellman-Ford unit-weight
     // relaxation) — integer-exact supersteps, frontier-sized state
     "graph_bfs" -> ((s, dir) =>
@@ -1400,7 +1405,7 @@ object SparkEntry {
     "source_bt" -> graft.ops.Preference.bradleyTerrySql,
     "events_kmv_overlap" -> EventOps.kmvOverlapSql(),
     "graph_clustering" -> graft.ops.OracleCtes.materialize(
-      graft.ops.GraphOps.coOrderClusteringSql()),
+      graft.ops.GraphOps.coOrderClusteringAutoSql()),
     "init_kmeanspp" -> KMeansOps.kmeansPlusPlusSql(),
     "text_heavy_hitters" -> graft.ops.HeavyHitters.heavyHittersSql(),
     "text_winnow" -> graft.ops.Winnow.censusSql(),
@@ -1615,7 +1620,8 @@ object SparkEntry {
     "dedup_editdist_blocks" -> Dedup.editDistanceBlockStatsSql(),
     "graph_pagerank" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartRankSql()),
     "graph_ppr" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartPPRSql()),
-    "graph_triangles" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.coOrderTrianglesSql()),
+    "graph_triangles" -> graft.ops.OracleCtes.materialize(
+      graft.ops.GraphOps.coOrderTrianglesAutoSql()),
     "graph_bfs" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartBfsSql()),
     "graph_kcore" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartKCoreSql()),
     "graph_labelprop" -> graft.ops.OracleCtes.materialize(graft.ops.GraphOps.supplierPartLabelPropSql()),

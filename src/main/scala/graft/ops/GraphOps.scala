@@ -327,12 +327,69 @@ object GraphOps {
   def coOrderTriangles(lineitem: DataFrame, minSupport: Int = 2): DataFrame =
     triangleCounts(coOrderEdges(lineitem, minSupport))
 
-  def coOrderTrianglesSql(minSupport: Int = 2): String =
-    s"""WITH e AS (
+  /** Data-dependent support threshold for the co-order graph — the
+    * auto-width-LSH pattern applied to market-basket support.
+    * minSupport=2 is calibrated to a corpus where a pair recurring AT
+    * ALL is signal; under replication/densification every pair recurs
+    * `dup` times by construction and the fixed threshold stops pruning
+    * (SF10_SPOT r15: 38.5k edges at sf1 → 12.0M at sf10 under support
+    * 2, and the wedge join downstream is |E|^1.5 — graph_triangles
+    * 6.2→192.5 s). The duplication factor is the round-half-up mean
+    * pair multiplicity, computed in PURE INTEGERS ((2S + C) ÷ 2C,
+    * floor division) from the same pair aggregate the edge relation
+    * already materializes — both engines derive it from their own
+    * counts, so the threshold is data-dependent AND hash-exact. dup=1
+    * on the gate fixtures and at sf1 (threshold stays baseSupport,
+    * results unchanged); dup=10 at sf10, where threshold 20 recovers
+    * exactly the sf1-equivalent 38.5k-edge graph. */
+  def coOrderEdgesAuto(
+      lineitem: DataFrame, baseSupport: Int = 2): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+    // fixed-width (a, b, supp) relation, checkpointed once: it feeds
+    // the 1-row duplication statistic AND the threshold filter
+    val pairs = a.join(b, "ok").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+      .localCheckpoint(true)
+    val st = pairs.agg(sum("supp").as("s"), count(lit(1)).as("c")).head()
+    val dup =
+      if (st.isNullAt(0) || st.getLong(1) == 0L) 1L
+      else math.max(1L, (2L * st.getLong(0) + st.getLong(1)) /
+        (2L * st.getLong(1)))
+    pairs.filter(col("supp") >= lit(baseSupport * dup)).select("a", "b")
+  }
+
+  /** The duplication-calibrated `p/st/e` CTE chain — the SQL twin of
+    * [[coOrderEdgesAuto]] (DuckDB `//` is integer floor division; the
+    * whole staircase is integer arithmetic, so both engines agree at
+    * every corpus size). */
+  private def coOrderEdgesAutoCteSql(baseSupport: Int): String =
+    s"""p AS MATERIALIZED (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS supp
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |st AS (SELECT GREATEST(1, (2 * COALESCE(SUM(supp), 0) + COUNT(*))
+       |    // GREATEST(1, 2 * COUNT(*))) AS dup FROM p),
+       |e AS (SELECT a, b FROM p, st WHERE supp >= $baseSupport * st.dup)""".stripMargin
+
+  def coOrderTrianglesAuto(
+      lineitem: DataFrame, baseSupport: Int = 2): DataFrame =
+    triangleCounts(coOrderEdgesAuto(lineitem, baseSupport))
+
+  def coOrderTrianglesAutoSql(baseSupport: Int = 2): String =
+    trianglesBodySql(coOrderEdgesAutoCteSql(baseSupport))
+
+  /** The fixed-threshold `e` CTE shared by the non-auto twins. */
+  private def coOrderEdgesCteSql(minSupport: Int): String =
+    s"""e AS (
        |  SELECT x.l_partkey AS a, y.l_partkey AS b
        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
        |    AND x.l_partkey < y.l_partkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)""".stripMargin
+
+  private def trianglesBodySql(eChain: String): String =
+    s"""WITH $eChain,
        |deg AS (SELECT n, COUNT(*) AS d FROM (
        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) q GROUP BY n),
        |o AS (SELECT
@@ -348,6 +405,9 @@ object GraphOps {
        |  UNION ALL SELECT y FROM t
        |  UNION ALL SELECT z FROM t) q
        |GROUP BY node""".stripMargin
+
+  def coOrderTrianglesSql(minSupport: Int = 2): String =
+    trianglesBodySql(coOrderEdgesCteSql(minSupport))
 
   /** Local clustering coefficient per node: cc(v) = 2·T_v / (d_v·(d_v−1))
     * — "how close is v's neighborhood to a clique", the standard local
@@ -375,12 +435,22 @@ object GraphOps {
   def coOrderClustering(lineitem: DataFrame, minSupport: Int = 2): DataFrame =
     clusteringCoefficient(coOrderEdges(lineitem, minSupport))
 
+  /** [[coOrderClustering]] over the duplication-calibrated edge set
+    * (see [[coOrderEdgesAuto]]) — clustering shares the triangle
+    * machinery's wedge join, so it walks the same |E|^1.5 cliff under
+    * a saturated fixed threshold. */
+  def coOrderClusteringAuto(
+      lineitem: DataFrame, baseSupport: Int = 2): DataFrame =
+    clusteringCoefficient(coOrderEdgesAuto(lineitem, baseSupport))
+
+  def coOrderClusteringAutoSql(baseSupport: Int = 2): String =
+    clusteringBodySql(coOrderEdgesAutoCteSql(baseSupport))
+
   def coOrderClusteringSql(minSupport: Int = 2): String =
-    s"""WITH e AS (
-       |  SELECT x.l_partkey AS a, y.l_partkey AS b
-       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-       |    AND x.l_partkey < y.l_partkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+    clusteringBodySql(coOrderEdgesCteSql(minSupport))
+
+  private def clusteringBodySql(eChain: String): String =
+    s"""WITH $eChain,
        |deg AS (SELECT n, COUNT(*) AS d FROM (
        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) q GROUP BY n),
        |o AS (SELECT

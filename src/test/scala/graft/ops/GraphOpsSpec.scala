@@ -276,4 +276,38 @@ class GraphOpsSpec extends SparkSpec {
     val c = GraphOps.assortativity(cyc).collect()(0)
     assert(c.isNullAt(c.fieldIndex("assortativity")))
   }
+
+  test("auto support: replicated corpus recovers the base co-order graph") {
+    // base: order 1 = {10,11,12}, order 2 = {10,11} (so (10,11) has
+    // supp 2), plus six single-pair orders diluting the mean toward 1
+    // — the duplication estimator assumes the TYPICAL pair is unique
+    // (true of the fixtures: mean support 1.00-1.03), and rounds the
+    // corpus-wide mean to the replication factor
+    val base = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 20L), (3L, 21L), (4L, 22L), (4L, 23L), (5L, 24L), (5L, 25L),
+      (6L, 26L), (6L, 27L), (7L, 28L), (7L, 29L), (8L, 30L), (8L, 31L)
+    ).toDF("l_orderkey", "l_partkey")
+    val fixedEdges = GraphOps.coOrderEdges(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixedEdges == Set((10L, 11L)))
+    val autoBase = GraphOps.coOrderEdgesAuto(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoBase == fixedEdges)
+    // replicate 3x under fresh order keys: every pair's support
+    // triples, dup = 3 exactly, threshold 6 — the auto edge set is the
+    // base edge set (supp s survives iff 3s >= 6 iff s >= 2), where
+    // fixed support 2 would admit EVERY pair
+    import org.apache.spark.sql.functions.{col, lit}
+    val rep = (0 until 3).map(i =>
+      base.select((col("l_orderkey") + lit(i * 100L)).as("l_orderkey"),
+        col("l_partkey"))).reduce(_ unionAll _)
+    val autoRep = GraphOps.coOrderEdgesAuto(rep).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoRep == fixedEdges, s"auto=$autoRep")
+    val fixedRep = GraphOps.coOrderEdges(rep).collect()
+    assert(fixedRep.length == 9) // the saturation the auto threshold fixes:
+    // fixed support 2 admits EVERY replicated pair (9) vs the real 1
+  }
 }
