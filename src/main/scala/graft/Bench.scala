@@ -856,7 +856,7 @@ object Bench {
       """"ivfpq_topk_indexed":"partition-pruned codes probe + ADC; index persisted untimed (production path)",""" +
       """"dedup_incr_indexed":"index write memoized per JVM (production: once per ingest) — the first pass pays ingest + probe, later passes probe only, so best-of-N is the production probe path (dedup_incr_near is the same computation unstaged)",""" +
       """"medians":"true median as of r14: even-length run lists average the two middle elements (r13 and earlier reported the upper middle, biasing even-count medians high by up to half the middle gap)",""" +
-      """"recall":"per-index recall@10 vs the exact top-10 under each index's own metric; the sf embeddings fixture is near-uniform 64-dim noise (ANN's degenerate case — see AnnBench.vectors), so small-parameter defaults under-recall here; @-suffixed rows sweep the parameter that buys recall back"}"""
+      """"recall":"per-index recall@10 vs the exact top-10 under each index's own metric; the sf embeddings fixture is near-uniform 64-dim noise (ANN's degenerate case — see AnnBench.vectors). r16: the registered lsh/rp/pq/ivfpq defaults are recall-targeted and data-dependent (multiprobe auto-width LSH, JL-scaled RP, refine-rescored PQ/IVFADC — pinned per SF by the emb_topk_recall oracle gate); @-suffixed rows keep the old fixed defaults and parameter sweeps for comparison"}"""
     // machine-readable build-vs-probe split (r10 item 2): which entries
     // pay an index/codebook build inside the timed body, and what the
     // equivalent build costs when run untimed for the _indexed twins

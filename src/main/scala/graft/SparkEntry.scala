@@ -556,11 +556,17 @@ object SparkEntry {
     // pool; k steps unrolled in the twin
     "emb_mmr_topk" -> ((s, dir) =>
       EmbeddingOps.mmrTopK(Tables.table(s, dir, "embeddings"))),
+    // r16: the registered default is the auto-width MULTIPROBE form
+    // (bits from the corpus count, query probes its bucket + all
+    // one-bit flips per table) — the fixed b8/t4 default had recall
+    // 0.0 at sf0.1; the emb_topk_recall gate pins the new accuracy
     "emb_lsh_topk" -> ((s, dir) =>
-      EmbeddingOps.lshTopK(Tables.table(s, dir, "embeddings"))),
-    // Johnson-Lindenstrauss random-projection shortlist + exact rerank
+      EmbeddingOps.lshTopKAuto(Tables.table(s, dir, "embeddings"))),
+    // Johnson-Lindenstrauss random-projection shortlist + exact rerank;
+    // r16: p = clamp(4*ceil(log2 n), 16, 48) from one count (JL prices
+    // width at O(log n)), overscan 50 — the proven recall-1.0 point
     "emb_rp_topk" -> ((s, dir) =>
-      EmbeddingOps.rpTopK(Tables.table(s, dir, "embeddings"))),
+      EmbeddingOps.rpTopKAuto(Tables.table(s, dir, "embeddings"))),
     "emb_near_dups" -> ((s, dir) =>
       EmbeddingOps.cosineNearDups(Tables.table(s, dir, "embeddings"))),
     // hard-negative mining: per anchor, top-k most-similar with a
@@ -601,6 +607,11 @@ object SparkEntry {
     // pin for the registered default as n moves the derived bits
     "emb_auto_recall" -> ((s, dir) =>
       EmbeddingOps.autoRecall(Tables.table(s, dir, "embeddings"))),
+    // recall@10 of the four registered single-query ANN defaults vs
+    // exact truth under each family's own metric — the r16 accuracy
+    // gate for the recall-targeted defaults (hash-exact != useful)
+    "emb_topk_recall" -> ((s, dir) =>
+      EmbeddingOps.topkRecallReport(Tables.table(s, dir, "embeddings"))),
     // kNN-distance OOD score (k-th-NN cosine) — curation outlier gate
     "emb_ood_score" -> ((s, dir) =>
       EmbeddingOps.oodScoresAuto(Tables.table(s, dir, "embeddings"))),
@@ -1114,8 +1125,12 @@ object SparkEntry {
     // PQ fidelity report: per-subspace + total quantization MSE
     "pq_distortion" -> ((s, dir) =>
       graft.ops.PqIndex.pqDistortion(Tables.table(s, dir, "embeddings"))),
+    // r16: the registered default is PQ + REFINE (FAISS
+    // IndexRefineFlat): ADC shortlist of k*50, exact rescore of only
+    // those raw vectors — pure ADC at m=4/nlist=16 had recall 0.0 at
+    // sf0.1; the ADC-only probe path stays covered by pq_topk_indexed
     "pq_topk" -> ((s, dir) =>
-      graft.ops.PqIndex.pqTopK(Tables.table(s, dir, "embeddings"))),
+      graft.ops.PqIndex.pqTopKRefined(Tables.table(s, dir, "embeddings"))),
     // the production PQ shape: codes + codebooks persisted once, the
     // probe reads ONLY the m-bytes-per-vector codes table; parquet
     // round-trip is exact, so pqTopKSql is its oracle too
@@ -1134,8 +1149,14 @@ object SparkEntry {
     // RESIDUALS answer the asymmetric distance inside the probed
     // lists. Fixed-iteration builds → the whole pipeline is one
     // DuckDB-unrollable plan (PqIndex.ivfPqTopKSql).
+    // r16: the registered default probes 4 lists and refines a k*20
+    // ADC shortlist against the raw vectors (recall 0.2 -> 1.0 at
+    // sf0.1); the unrefined ADC probe stays covered by
+    // ivfpq_topk_indexed, and ivfpq_topk_refined keeps the historic
+    // kf4/np2 point for cross-round comparability
     "ivfpq_topk" -> ((s, dir) =>
-      graft.ops.PqIndex.ivfPqTopK(Tables.table(s, dir, "embeddings"))),
+      graft.ops.PqIndex.ivfPqTopKRefined(Tables.table(s, dir, "embeddings"),
+        nprobe = 4, kFactor = 20)),
     // the production shape: codes persisted partitioned by list_id, so
     // the probe is a partition-pruned scan of nprobe/nlistC of the
     // m-byte codes; parquet round-trip is exact → same oracle
@@ -1528,8 +1549,9 @@ object SparkEntry {
     "emb_hamming_topk" -> graft.ops.QuantOps.hammingTopKSql(),
     "emb_matryoshka_topk" -> graft.ops.QuantOps.matryoshkaTopKSql(),
     "emb_mmr_topk" -> EmbeddingOps.mmrTopKSql(),
-    "emb_lsh_topk" -> graft.ops.OracleCtes.materialize(EmbeddingOps.lshTopKSql()),
-    "emb_rp_topk" -> EmbeddingOps.rpTopKSql(),
+    "emb_lsh_topk" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.lshTopKAutoSql()),
+    "emb_rp_topk" -> EmbeddingOps.rpTopKAutoSql(),
     "emb_near_dups" -> graft.ops.OracleCtes.materialize(EmbeddingOps.cosineNearDupsSql()),
     "emb_incr" -> EmbeddingOps.dedupAgainstCosineSql(
       id => s"$id % 5 <> 0", id => s"$id % 5 = 0"),
@@ -1542,6 +1564,8 @@ object SparkEntry {
     "emb_auto_bits" -> EmbeddingOps.autoBitsReportSql,
     "emb_auto_recall" -> graft.ops.OracleCtes.materialize(
       EmbeddingOps.autoRecallSql()),
+    "emb_topk_recall" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.topkRecallSql()),
     "emb_hard_negatives" -> graft.ops.OracleCtes.materialize(
       EmbeddingOps.hardNegativesAutoSql()),
     "doc_chunks" -> graft.ops.PretrainOps.chunkDocsSql(),
@@ -1703,11 +1727,12 @@ object SparkEntry {
     "ivf_topk_indexed" -> graft.ops.IvfIndex.ivfTopKSql(
       nlist = 16, maxIter = 5, k = 10, nprobe = 4),
     "emb_sq8_topk_indexed" -> graft.ops.QuantOps.sq8TopKSql(),
-    "pq_topk" -> graft.ops.PqIndex.pqTopKSql(),
+    "pq_topk" -> graft.ops.PqIndex.pqTopKRefinedSql(),
     "pq_distortion" ->
       graft.ops.OracleCtes.materialize(graft.ops.PqIndex.pqDistortionSql()),
     "pq_topk_indexed" -> graft.ops.PqIndex.pqTopKSql(),
-    "ivfpq_topk" -> graft.ops.PqIndex.ivfPqTopKSql(),
+    "ivfpq_topk" -> graft.ops.PqIndex.ivfPqTopKRefinedSql(
+      nprobe = 4, kFactor = 20),
     "ivfpq_topk_indexed" -> graft.ops.PqIndex.ivfPqTopKSql(),
     "ivfpq_topk_refined" -> graft.ops.PqIndex.ivfPqTopKRefinedSql(),
     "mm_summary" -> Multimodal.mediaSummarySql,

@@ -132,6 +132,19 @@ object EmbeddingOps {
     AutoMinBits +
       (AutoMinBits until AutoMaxBits).count(i => n > (AutoTargetBucket << i))
 
+  /** ceil(log2 n) for n ≥ 1 as a pure-integer staircase (no FP log —
+    * exact at every n including powers of two, in both engines):
+    * 1 + |{ i ∈ [1, 62) : n > 2^i }|. */
+  def ceilLog2(n: Long): Int =
+    1 + (1 until 62).count(i => n > (1L << i))
+
+  private[ops] def ceilLog2Sql(countExpr: String): String = {
+    val steps = (1 until 62).map(i =>
+      s"(CASE WHEN $countExpr > ${1L << i} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"(1 + $steps)"
+  }
+
   /** `nb` CTE — the same integer staircase as [[autoBits]], evaluated
     * by the oracle from its own COUNT(*) so both engines derive the
     * width from the data, not from a baked-in constant. */
@@ -246,6 +259,52 @@ object EmbeddingOps {
         (dot(col("embedding"), qCol)
           / (l2Norm(col("embedding")) * lit(qNorm))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc).limit(k)
+  }
+
+  // -------------------------------------------------------------------
+  // Recall-targeted single-query LSH top-k (r16, VERDICT r15 item 1):
+  // the fixed numBits=8 / numTables=4 default retrieved 0/10 of the
+  // true top-10 at sf0.1 (bench recall panel) — the query's true
+  // neighbors simply never co-bucket at that width. Two data-dependent
+  // dials make the registered default both scalable AND useful:
+  //  - bits = [[autoBits]](n): bucket occupancy pinned at
+  //    ~AutoTargetBucket, so per-probe candidate cost is a constant at
+  //    any corpus size (the same staircase the knn family uses).
+  //  - query-side MULTIPROBE (Lv et al., "Multi-Probe LSH", VLDB
+  //    2007): besides its own bucket, the query probes the `bits`
+  //    buckets at Hamming distance 1 (one sign bit flipped) in every
+  //    table — the standard recall recovery that costs PROBES
+  //    (driver-side bucket ids), not extra index copies. Only the
+  //    query side fans out; every database vector still lands in
+  //    exactly numTables buckets.
+  // Candidates ≈ numTables·(bits+1)·AutoTargetBucket — O(log n) per
+  // query — then exact cosine + top-k over that set. Recall at the
+  // bench fixture (near-uniform 64-dim noise, ANN's hard case) is
+  // pinned per SF by the registered `emb_topk_recall` gate.
+  // -------------------------------------------------------------------
+  def lshTopKAuto(
+      embs: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      numTables: Int = 16, seed: Long = 42L): DataFrame = {
+    val bits = autoBits(embs.count())
+    val tables = hyperplanes(dim, AutoMaxBits, numTables, seed)
+      .map(_.take(bits))
+    val buckets = embs.select(
+        col("vec_id"),
+        posexplode(array(tables.map(planes =>
+          bucketExpr(col("embedding"), planes)): _*)))
+      .toDF("vec_id", "table", "bucket").cache()
+    val qb = buckets.filter(col("vec_id") === queryId)
+    // probe set per table: the query's bucket + its `bits` one-bit
+    // flips (all distinct by construction — no dedup needed)
+    val probes = qb.select(col("table"), explode(array(
+        (col("bucket") +: (0 until bits).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+    val candIds = buckets.join(broadcast(probes), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id").distinct()
+    cosineTopK(embs.join(candIds.unionAll(
+        embs.filter(col("vec_id") === queryId).select("vec_id")),
+      Seq("vec_id"), "left_semi"), queryId, k)
   }
 
   /** ANN top-k via LSH: score only same-bucket candidates, then exact
@@ -406,6 +465,43 @@ object EmbeddingOps {
        |  FROM scored) s WHERE rn <= $k""".stripMargin
   }
 
+  /** DuckDB twin of [[lshTopKAuto]]: the auto-masked bucket union (same
+    * `nb` staircase from COUNT(*)), the query's probe set = its bucket
+    * per table UNION ALL one flip per plane index `i < nb.bits`
+    * (integer XOR — bit-exact in both engines), then the identical
+    * candidate semi-join + exact-cosine rerank tail. */
+  def lshTopKAutoSql(
+      queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      numTables: Int = 16, seed: Long = 42L): String = {
+    val bucketsUnion = bucketsUnionAutoSql(dim, numTables, seed)
+    val flips = (0 until AutoMaxBits).map(i =>
+      s"SELECT tbl, xor(bucket, CAST(${1L << i} AS BIGINT)) AS bucket " +
+        s"FROM qb, nb WHERE $i < nb.bits").mkString("\n  UNION ALL ")
+    s"""WITH ${autoBitsCteSql()},
+       |buckets AS ($bucketsUnion),
+       |qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = $queryId),
+       |probes AS (
+       |  SELECT tbl, bucket FROM qb
+       |  UNION ALL $flips),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM buckets b
+       |  JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.bucket
+       |  WHERE b.vec_id <> $queryId),
+       |q AS (SELECT embedding AS q_emb,
+       |  SQRT(${dotSqlN("embedding", "embedding", dim)}) AS q_norm
+       |  FROM embeddings WHERE vec_id = $queryId),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    ${dotSqlN("e.embedding", "q.q_emb", dim)}
+       |      / (SQRT(${dotSqlN("e.embedding", "e.embedding", dim)}) * q.q_norm) AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id IN (SELECT vec_id FROM cand))
+       |SELECT vec_id, cosine FROM (
+       |  SELECT vec_id, cosine,
+       |    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scored) s WHERE rn <= $k""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Johnson–Lindenstrauss random-projection ANN: project every vector
   // to p ≪ d seeded Gaussian directions (distances are preserved within
@@ -473,6 +569,78 @@ object EmbeddingOps {
        |  SELECT e.vec_id,
        |    ${dotSql("e.embedding", "q.q_emb")}
        |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * q.q_norm) AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id IN (SELECT vec_id FROM cand))
+       |SELECT vec_id, cosine FROM (
+       |  SELECT vec_id, cosine,
+       |    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scored) s WHERE rn <= $k""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Data-dependent RP defaults (r16, VERDICT r15 item 1): the fixed
+  // p=16/overscan=4 default retrieved 0/10 of the true top-10 at sf0.1
+  // while the p=48/overscan=50 sweep point retrieved 10/10 (bench
+  // recall panel). The JL lemma prices the projection width at
+  // O(log n / ε²), so the registered default derives
+  //   p = clamp(4·ceil(log2 n), 16, RpMaxP)
+  // from one cheap count via the same pure-integer staircase recipe as
+  // [[autoBits]] — and the planes are ALWAYS generated at RpMaxP width
+  // and prefix-sliced, so one fixed plane-constant set serves every
+  // corpus size and the twin can mask components ≥ np.p dynamically
+  // from COUNT(*). Overscan is fixed at RpOverscan: the shortlist the
+  // exact rerank pays is k·RpOverscan rows regardless of corpus size
+  // (TakeOrderedAndProject — never a global sort).
+  // -------------------------------------------------------------------
+  val RpMaxP = 48
+  val RpOverscan = 50
+
+  def rpAutoP(n: Long): Int =
+    math.min(RpMaxP, math.max(16, 4 * ceilLog2(math.max(n, 1L))))
+
+  /** [[rpTopK]] at the data-dependent projection width — the registered
+    * default since r16. Prefix property: `hyperplanes(dim, p, 1, seed)`
+    * equals the first p planes of the RpMaxP-wide generation (the
+    * seeded stream is consumed plane-by-plane), so delegating to
+    * [[rpTopK]] with the derived p IS the masked-twin semantics. */
+  def rpTopKAuto(
+      embs: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      seed: Long = 77L): DataFrame =
+    rpTopK(embs, queryId, k, dim, rpAutoP(embs.count()), RpOverscan, seed)
+
+  /** DuckDB twin of [[rpTopKAuto]]: all RpMaxP projections are computed
+    * against the inlined plane constants; the squared-distance chain
+    * guards each component with `j < np.p` (masked terms add +0.0 to a
+    * non-negative partial sum — IEEE-identical to the Spark side's
+    * prefix slice), with np.p derived from COUNT(*) by the same
+    * staircase. */
+  def rpTopKAutoSql(
+      queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+      seed: Long = 77L): String = {
+    val planes = hyperplanes(dim, RpMaxP, 1, seed).head
+    val projCols = planes.zipWithIndex.map { case (pl, j) =>
+      s"${dotSqlN("embedding", planeLit(pl), dim)} AS p$j" }
+      .mkString(",\n    ")
+    val distChain = (0 until RpMaxP).map(j =>
+      s"(CASE WHEN $j < np.p THEN (pr.p$j - qp.p$j) * (pr.p$j - qp.p$j) " +
+        s"ELSE 0e0 END)").mkString(" + ")
+    s"""WITH np AS (SELECT LEAST($RpMaxP, GREATEST(16,
+       |    4 * ${ceilLog2Sql("COUNT(*)")})) AS p FROM embeddings),
+       |pr AS MATERIALIZED (SELECT vec_id,
+       |    $projCols
+       |  FROM embeddings),
+       |qp AS (SELECT * FROM pr WHERE vec_id = $queryId),
+       |cand AS (SELECT vec_id FROM (
+       |  SELECT pr.vec_id, $distChain AS pd2
+       |  FROM pr, qp, np WHERE pr.vec_id <> $queryId
+       |  ORDER BY pd2 ASC, pr.vec_id ASC LIMIT ${k * RpOverscan}) c),
+       |q AS (SELECT embedding AS q_emb,
+       |  SQRT(${dotSqlN("embedding", "embedding", dim)}) AS q_norm
+       |  FROM embeddings WHERE vec_id = $queryId),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    ${dotSqlN("e.embedding", "q.q_emb", dim)}
+       |      / (SQRT(${dotSqlN("e.embedding", "e.embedding", dim)}) * q.q_norm) AS cosine
        |  FROM embeddings e CROSS JOIN q
        |  WHERE e.vec_id IN (SELECT vec_id FROM cand))
        |SELECT vec_id, cosine FROM (
@@ -1332,6 +1500,85 @@ object EmbeddingOps {
        |  CAST(h.n_hit AS DOUBLE)
        |    / CAST($k * na.n_anchors AS DOUBLE) AS recall
        |FROM hit h CROSS JOIN na CROSS JOIN nb""".stripMargin
+  }
+
+  /** Recall@k of the four REGISTERED single-query ANN defaults vs exact
+    * truth under each family's own metric — the accuracy gate for the
+    * r16 recall-targeted defaults (VERDICT r15 item 1: the previous
+    * fixed-parameter defaults sat at recall 0.0–0.2 while their tuned
+    * variants hit 0.7–1.0; hash-exact agreement alone measures
+    * determinism, not usefulness). One row per family:
+    * (family, k, n_hit, recall), truth excluding the query vector —
+    * the LSH/RP families never return the query (their candidate
+    * streams drop it), the PQ families always rank it first (dist 0),
+    * so those fetch k+1 and drop it, leaving exactly the top-k
+    * non-self candidates. Pinned per SF: as corpus size moves the
+    * derived widths, a recall regression surfaces as a hash mismatch. */
+  def topkRecallReport(embs: DataFrame, k: Int = 10): DataFrame = {
+    import graft.kmeans.KMeansND
+    val kd = k.toDouble
+    val cosTruth = cosineTopK(embs, 0L, k).select("vec_id")
+    val vecs = IvfIndex.vectors(embs)
+    val qv = vecs.filter(col("id") === 0L).select(col("vec").as("qvec"))
+    val l2Truth = vecs.filter(col("id") =!= 0L).crossJoin(broadcast(qv))
+      .select(col("id").as("vec_id"),
+        KMeansND.sqDistND(col("vec"), col("qvec")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(k)
+      .select("vec_id")
+    def row(name: String, approx: DataFrame, truth: DataFrame): DataFrame =
+      approx.join(truth, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(name).as("family"), lit(k.toLong).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(kd)).as("recall"))
+    row("lsh_auto", lshTopKAuto(embs, 0L, k).select("vec_id"), cosTruth)
+      .unionAll(row("rp_auto",
+        rpTopKAuto(embs, 0L, k).select("vec_id"), cosTruth))
+      .unionAll(row("pq_refined",
+        PqIndex.pqTopKRefined(embs, k = k + 1)
+          .filter(col("id") =!= 0L).select(col("id").as("vec_id")), l2Truth))
+      .unionAll(row("ivfpq_refined",
+        PqIndex.ivfPqTopKRefined(embs, k = k + 1, nprobe = 4, kFactor = 20)
+          .filter(col("id") =!= 0L).select(col("id").as("vec_id")), l2Truth))
+  }
+
+  /** DuckDB twin of [[topkRecallReport]]: each family's full twin SQL
+    * nested as a self-contained subquery, the same two truth relations,
+    * integer hit counts, one IEEE division per row. Each nested family
+    * SQL is pre-materialized (its own depth-0 CTEs marked) — the
+    * registration-time materialize only rewrites THIS query's depth-0
+    * names, and un-hinted inner chains re-evaluate per reference
+    * (lshTopKAuto's qb feeds 16 flip branches: the un-hinted form
+    * re-ran the whole bucket union 17×, 114 s → ~15 s at sf0.01). */
+  def topkRecallSql(k: Int = 10, dim: Int = 64): String = {
+    import graft.kmeans.KMeansND
+    def mat(sql: String): String = OracleCtes.materialize(sql)
+    def hit(rel: String, truth: String): String =
+      s"(SELECT COUNT(*) FROM $rel r JOIN $truth t ON r.vec_id = t.vec_id)"
+    def outRow(name: String, rel: String, truth: String): String =
+      s"SELECT '$name' AS family, CAST($k AS BIGINT) AS k, " +
+        s"CAST(${hit(rel, truth)} AS BIGINT) AS n_hit, " +
+        s"CAST(${hit(rel, truth)} AS DOUBLE) / CAST($k AS DOUBLE) AS recall"
+    s"""WITH cos_truth AS (SELECT vec_id FROM (${cosineTopKSql(0L, k)}) x),
+       |l2q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qvec
+       |  FROM embeddings WHERE vec_id = 0),
+       |l2_truth AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id,
+       |      ${KMeansND.sqDistSql("list_transform(e.embedding, v -> CAST(v AS DOUBLE))", "q.qvec")} AS d
+       |    FROM embeddings e CROSS JOIN l2q q WHERE e.vec_id <> 0
+       |    ORDER BY d ASC, e.vec_id ASC LIMIT $k) t),
+       |lsh AS (SELECT vec_id FROM (${mat(lshTopKAutoSql(0L, k, dim))}) x),
+       |rp AS (SELECT vec_id FROM (${mat(rpTopKAutoSql(0L, k, dim))}) x),
+       |pq AS (SELECT id AS vec_id FROM
+       |  (${mat(PqIndex.pqTopKRefinedSql(k = k + 1, dim = dim))}) x
+       |  WHERE id <> 0),
+       |ivfpq AS (SELECT id AS vec_id FROM
+       |  (${mat(PqIndex.ivfPqTopKRefinedSql(k = k + 1, nprobe = 4,
+            kFactor = 20, dim = dim))}) x WHERE id <> 0)
+       |${outRow("lsh_auto", "lsh", "cos_truth")}
+       |UNION ALL ${outRow("rp_auto", "rp", "cos_truth")}
+       |UNION ALL ${outRow("pq_refined", "pq", "l2_truth")}
+       |UNION ALL ${outRow("ivfpq_refined", "ivfpq", "l2_truth")}""".stripMargin
   }
 
   /** Diversity-preserving density prune (the SemDeDup/DataComp-style

@@ -109,6 +109,48 @@ object PqIndex {
       .limit(k)
   }
 
+  /** PQ + REFINE (r16, VERDICT r15 item 1 — the registered `pq_topk`
+    * was pure ADC at m=4/nlist=16 and retrieved 0/10 of the true L2
+    * top-10 at sf0.1): the ADC shortlist of k·kFactor candidates is
+    * exact-rescored against the RAW vectors before the final top-k —
+    * the same FAISS IndexRefineFlat pattern that took the IVFADC twin
+    * from 0.2 to 1.0 recall. The refine reads only the shortlist's raw
+    * vectors (a k·kFactor-id pushed-filter lookup, not a corpus pass),
+    * so the at-scale cost story is unchanged: ADC over m-byte codes +
+    * a constant-size exact rescore. */
+  def pqTopKRefined(embs: DataFrame, m: Int = 4, nlist: Int = 16,
+      maxIter: Int = 3, queryId: Long = 0L, k: Int = 10,
+      kFactor: Int = 50): DataFrame = {
+    val vecs = IvfIndex.vectors(embs)
+    val short = pqTopK(embs, m, nlist, maxIter, queryId, k * kFactor)
+      .select("id")
+    val q = vecs.filter(col("id") === queryId).select(col("vec").as("qvec"))
+    vecs.join(short, "id").crossJoin(broadcast(q))
+      .select(col("id"), KMeansND.sqDistND(col("vec"), col("qvec")).as("dist"))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[pqTopKRefined]]: the full [[pqTopKSql]] train→
+    * encode→ADC pipeline at k·kFactor as the shortlist CTE, then the
+    * identical exact-L2 rescore + (dist, id) top-k tail as
+    * [[ivfPqTopKRefinedSql]]. */
+  def pqTopKRefinedSql(m: Int = 4, nlist: Int = 16, maxIter: Int = 3,
+      queryId: Long = 0L, k: Int = 10, kFactor: Int = 50,
+      dim: Int = 64): String = {
+    val short = pqTopKSql(m, nlist, maxIter, queryId, k * kFactor, dim)
+    s"""WITH short AS MATERIALIZED ($short)
+       |SELECT p.id,
+       |  ${KMeansND.sqDistSql("p.vec", "q.vec")} AS dist
+       |FROM (WITH ptsnd AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |    FROM embeddings) SELECT * FROM ptsnd) p
+       |JOIN short s ON p.id = s.id
+       |CROSS JOIN (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings WHERE vec_id = $queryId) q
+       |ORDER BY dist ASC, p.id ASC LIMIT $k""".stripMargin
+  }
+
   /** Persist the PQ index: the m-byte-per-vector codes table (the only
     * thing a query rescore ever reads — the raw vectors stay cold) and
     * the driver-sized codebooks beside it. At 100 TB the codes table is

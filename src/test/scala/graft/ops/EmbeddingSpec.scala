@@ -423,4 +423,57 @@ class EmbeddingSpec extends SparkSpec {
     val recall = r(0).getDouble(3)
     assert(recall >= 0.0 && recall <= 1.0)
   }
+
+  test("ceilLog2 / rpAutoP: pure-integer staircases, exact at power edges") {
+    import EmbeddingOps.{ceilLog2, rpAutoP}
+    assert(ceilLog2(1L) == 1 && ceilLog2(2L) == 1)
+    assert(ceilLog2(3L) == 2 && ceilLog2(4L) == 2 && ceilLog2(5L) == 3)
+    for (n <- Seq(7L, 500L, 512L, 2000L, 20000L, 1000000L, 1L << 40)) {
+      val exact = math.max(1, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+      assert(ceilLog2(n) == exact, s"n=$n got ${ceilLog2(n)} want $exact")
+    }
+    assert(rpAutoP(500L) == 36)    // gate fixtures
+    assert(rpAutoP(2000L) == 44)   // sf0.1
+    assert(rpAutoP(20000L) == 48)  // sf1 → capped at RpMaxP
+    assert(rpAutoP(1L) == 16)      // floored
+  }
+
+  test("rpTopKAuto equals rpTopK at the derived width (plane prefix property)") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = EmbeddingOps.rpAutoP(embs.count())
+    val auto = EmbeddingOps.rpTopKAuto(embs, 0L, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val manual = EmbeddingOps.rpTopK(embs, 0L, 5, p = p,
+      overscan = EmbeddingOps.RpOverscan).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(auto == manual)
+  }
+
+  test("multiprobe auto LSH top-k: self-excluded, deterministic, and exact on the gate fixture") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = EmbeddingOps.lshTopKAuto(embs, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 10 && !got.exists(_._1 == 0L))
+    val again = EmbeddingOps.lshTopKAuto(embs, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == again)
+    // at n=500 the probe set covers enough of the corpus that the
+    // result IS the exact top-10 (the emb_topk_recall gate pins this
+    // per SF; a recall drop here means the probe machinery broke)
+    val exact = EmbeddingOps.cosineTopK(embs, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("topkRecallReport: one row per registered family, recall 1.0 on the gate fixture") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = EmbeddingOps.topkRecallReport(embs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("ivfpq_refined", "lsh_auto", "pq_refined", "rp_auto"))
+    // the r16 operating points were chosen to retrieve the full true
+    // top-10 at every measured SF (TuneAnn: sf0.001/0.01/0.1/1/10)
+    assert(rows.forall { case (_, k, hit, rec) =>
+      k == 10L && hit == 10L && rec == 1.0 })
+  }
 }
