@@ -441,9 +441,13 @@ object SparkEntry {
     // asymmetric containment |A∩B|/|A| — the quote/subset detector
     "dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(Tables.table(s, dir, "documents"))),
-    // banding-loss eval: LSH near-dups vs exact-Jaccard truth
+    // banding-loss eval: LSH near-dups vs exact-Jaccard truth. r16:
+    // auto-samples above 100k docs (mod escalates 4x per 16x corpus,
+    // derived integer-exactly in both engines) — the full eval is
+    // output-quadratic (2885 s / ~48 GB at sf10); at every gate SF and
+    // sf1 the modulus is 1, i.e. the full eval, hashes unchanged
     "dedup_eval" -> ((s, dir) =>
-      Dedup.minhashEval(Tables.table(s, dir, "documents"))),
+      Dedup.minhashEvalAuto(Tables.table(s, dir, "documents"))),
     // the at-scale eval path: same P/R estimator on the deterministic
     // 1-in-4 doc sample — both quadratic pair relations shrink 16×
     "dedup_eval_sampled" -> ((s, dir) =>
@@ -1514,7 +1518,8 @@ object SparkEntry {
     "dedup_span_stats" -> graft.ops.SpanDedup.spanStatsSql(),
     "dedup_ngram_jaccard" -> graft.ops.OracleCtes.materialize(Dedup.ngramJaccardPairsSql()),
     "dedup_containment" -> graft.ops.OracleCtes.materialize(Dedup.ngramContainmentPairsSql()),
-    "dedup_eval" -> graft.ops.OracleCtes.materialize(Dedup.minhashEvalSql()),
+    "dedup_eval" -> graft.ops.OracleCtes.materialize(
+      Dedup.minhashEvalAutoSql()),
     "dedup_eval_sampled" -> graft.ops.OracleCtes.materialize(
       Dedup.minhashEvalSampledSql()),
     "dedup_novelty" -> Dedup.noveltyCurveSql(),

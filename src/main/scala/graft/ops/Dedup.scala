@@ -1006,6 +1006,51 @@ object Dedup {
     minhashEval(docs.filter(col("doc_id") % mod === 0),
       n, numPerm, rowsPerBand, threshold, maxDf)
 
+  /** Corpus-size-derived sample modulus for the registered `dedup_eval`
+    * (r16, VERDICT r15 item 2): the FULL eval rides two
+    * output-quadratic pair relations (2885 s / ~48 GB at sf10), so
+    * above 100k docs the eval auto-samples, escalating 4× per 16× of
+    * corpus so the pair relations stay ~constant-cost (pairs shrink
+    * mod² per step). ≤ 100k docs (every gate SF and sf1) the modulus
+    * is 1 — the full eval, hash-identical to the r15 registration. */
+  def evalAutoMod(nDocs: Long): Long =
+    if (nDocs > 25600000L) 64L
+    else if (nDocs > 1600000L) 16L
+    else if (nDocs > 100000L) 4L
+    else 1L
+
+  /** [[minhashEval]] at the data-dependent sample modulus — the
+    * registered `dedup_eval` since r16. mod = 1 keeps every doc (the
+    * `% 1 === 0` filter is the identity), so the full form still runs
+    * wherever it is affordable. */
+  def minhashEvalAuto(
+      docs: DataFrame, n: Int = 3, numPerm: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val mod = evalAutoMod(docs.count())
+    minhashEval(docs.filter(col("doc_id") % mod === 0),
+      n, numPerm, rowsPerBand, threshold, maxDf)
+  }
+
+  /** Twin of [[minhashEvalAuto]]: the shadowing `documents` CTE derives
+    * the SAME modulus staircase from its own COUNT(*) (pure-integer
+    * CASE — exact at every n in both engines), so the full eval SQL is
+    * reused verbatim below it. */
+  def minhashEvalAutoSql(
+      n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxDf: Int = DefaultMaxDf): String = {
+    val inner = minhashEvalSql(n, numPerm, rowsPerBand, threshold, maxDf)
+    require(inner.startsWith("WITH "), "inner eval SQL must be a WITH chain")
+    s"""WITH nmod AS (SELECT CAST(CASE
+       |    WHEN COUNT(*) > 25600000 THEN 64
+       |    WHEN COUNT(*) > 1600000 THEN 16
+       |    WHEN COUNT(*) > 100000 THEN 4
+       |    ELSE 1 END AS BIGINT) AS md FROM main.documents),
+       |documents AS (SELECT * FROM main.documents
+       |  WHERE doc_id % (SELECT md FROM nmod) = 0),
+       |""".stripMargin + inner.stripPrefix("WITH ")
+  }
+
   /** Twin of [[minhashEvalSampled]]: a leading CTE shadows `documents`
     * with the sampled subcorpus (the base table stays reachable as
     * `main.documents`), so the full eval SQL is reused verbatim. */

@@ -426,6 +426,19 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") <= 1.0 && r.getAs[Double]("recall") > 0.0)
   }
 
+  test("auto-sampled eval: mod staircase, and mod=1 is the identity") {
+    import Dedup.evalAutoMod
+    assert(evalAutoMod(500L) == 1L && evalAutoMod(100000L) == 1L)
+    assert(evalAutoMod(100001L) == 4L && evalAutoMod(1600000L) == 4L)
+    assert(evalAutoMod(1600001L) == 16L)
+    assert(evalAutoMod(25600001L) == 64L)
+    // below the threshold the registered auto form IS the full eval
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val auto = Dedup.minhashEvalAuto(docs).collect()(0)
+    val full = Dedup.minhashEval(docs).collect()(0)
+    assert(auto.toSeq == full.toSeq)
+  }
+
   test("b-bit minhash: identical docs estimate 1 under both widths; " +
       "estimators track the signature algebra") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
