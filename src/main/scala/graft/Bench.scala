@@ -49,6 +49,28 @@ object Bench {
     // their gated same-DAG twins.
     val board = SparkEntry.queries ++ SparkEntry.benchOnly
 
+    // Loadavg gate for the COLD start only: if the host is already busy
+    // before the first timed pass, wait (bounded) for it to drain and
+    // record the wait — between passes the 1-min load reflects this
+    // JVM's own bursts, so mid-board adjudication is the control's job,
+    // not the gate's. Sampled and waited BEFORE every warmup pass (r15
+    // advice: the sf0.001 board warm, the fit warmup and the control's
+    // codegen warm are all-CPU bursts, so gating after them measured
+    // the JVM's own warm-up as "host busy" and could burn up to 300 s
+    // of pointless sleep). SPARK_GRAFT_LOAD_GATE=-1 disables.
+    val gateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
+    var gateWaited = 0
+    val gateLoad0 = loadNow()
+    if (gateMax > 0 && only.isEmpty) {
+      def load1(): Double =
+        try loadNow().toDouble catch { case _: Throwable => -1.0 }
+      while (load1() > gateMax && gateWaited < 300) {
+        Thread.sleep(15000); gateWaited += 15
+      }
+    }
+    val gateLoad1 = loadNow()
+
+
     // Warm the JVM/codegen paths so per-query numbers measure steady-
     // state operator cost, not first-call compilation: run every
     // selected query once at the smallest SF — plan structure is
@@ -119,6 +141,7 @@ object Bench {
       "emb_sq8_topk_indexed"
 
     var loads = Map.empty[String, String]
+
     // Untimed TARGET-SF warmup for the fit-family entries before any
     // timed pass (r10: kmeans_fit10_obj measured 8.5 s cold vs 4.0 s
     // warm purely from suite position — the sf0.001 warmup pass does
@@ -157,22 +180,6 @@ object Bench {
       controls :+= (try controlOnce() catch { case _: Throwable => -1.0 })
       loads += s"control_$phase" -> loadNow()
     }
-    // Loadavg gate for the COLD start only: if the host is already busy
-    // before the first timed pass, wait (bounded) for it to drain and
-    // record the wait — between passes the 1-min load reflects this
-    // JVM's own bursts, so mid-board adjudication is the control's job,
-    // not the gate's. SPARK_GRAFT_LOAD_GATE=-1 disables.
-    val gateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
-    var gateWaited = 0
-    val gateLoad0 = loadNow()
-    if (gateMax > 0 && only.isEmpty) {
-      def load1(): Double =
-        try loadNow().toDouble catch { case _: Throwable => -1.0 }
-      while (load1() > gateMax && gateWaited < 300) {
-        Thread.sleep(15000); gateWaited += 15
-      }
-    }
-    val gateLoad1 = loadNow()
 
     // Three INTERLEAVED full passes over the query set instead of three
     // consecutive runs per query: host-level stall windows here last
@@ -638,6 +645,19 @@ object Bench {
     "emb_auto_bits", "emb_auto_recall", "dedup_trunc_blocks",
     "dedup_winnow_excluded", "dedup_eval_sampled")
 
+  /** Named-set v5: v4 + the round-16 wave (the ANN recall gate and the
+    * dedup-first knn composition). Frozen as of the end of r16. */
+  private[graft] val NamedSetV5: Set[String] = NamedSetV4 ++ Set(
+    "emb_topk_recall", "emb_knn_graph_deduped")
+
+  /** Quiet-host reference for the in-JVM control job: 0.16 s measured
+    * on an idle host (BENCH_r15's pre-drift value; r16 local runs
+    * reproduce 0.14-0.16). named_total_ctrlnorm scales the frozen-set
+    * total by ControlRefSec / control_median, so cross-round totals
+    * adjudicate host contention from the artifact alone instead of
+    * needing prose (VERDICT r15 item 3). */
+  private[graft] val ControlRefSec = 0.16
+
   /** The ONLY queries the full-board summary line names (r13 verdict
     * item 1 / "what's wrong" 1): the r13 line — the 82-name frozen set
     * at 1-decimal — rendered at 1928 chars, and the driver's 2000-char
@@ -742,6 +762,10 @@ object Bench {
       all.filter(q => NamedSetV3(q._1)).map(_._3).filter(_ >= 0).sum
     val namedTotalV4 =
       all.filter(q => NamedSetV4(q._1)).map(_._3).filter(_ >= 0).sum
+    val namedTotalV5 =
+      all.filter(q => NamedSetV5(q._1)).map(_._3).filter(_ >= 0).sum
+    val ctrlNorm =
+      if (controlSec > 0) namedTotal * (ControlRefSec / controlSec) else -1.0
     // errLen/errCap: the only unbounded inputs left are error strings —
     // the ladder shrinks messages, then the named-error count, and the
     // remeasure object self-trims inside whatever room remains. The
@@ -786,6 +810,8 @@ object Bench {
         f""""named_total_v2":$namedTotalV2%.2f,""" +
         f""""named_total_v3":$namedTotalV3%.2f,""" +
         f""""named_total_v4":$namedTotalV4%.2f,""" +
+        f""""named_total_v5":$namedTotalV5%.2f,""" +
+        f""""named_total_ctrlnorm":$ctrlNorm%.2f,""" +
         f""""folded_total":${total - namedTotal}%.2f,""" +
         s""""stat":"med<5s","unit":"sec","detail":"BENCH_DETAIL.json",""" +
         s""""queries":$qs$foldJson$errs,"loadavg":$load""" +
@@ -840,6 +866,13 @@ object Bench {
     val loadsJson = all.flatMap { case (k, _, _, _) =>
       loads.get(k).map(l => s""""$k":$l""")
     }.mkString("{", ",", "}")
+    // per-control-phase loadavg samples (control_pre1..post3) — keyed
+    // by phase, not query name, so the query-keyed map above skipped
+    // them and the stated adjudication evidence was silently dropped
+    // (r15 advice)
+    val controlLoadsJson = loads.toSeq
+      .filter(_._1.startsWith("control_")).sortBy(_._1)
+      .map { case (k, l) => s""""$k":$l""" }.mkString("{", ",", "}")
     val f10 = fit10m.map { case (rs, _) =>
       s""","fit10m_runs":${rs.mkString("[", ",", "]")}"""
     }.getOrElse("")
@@ -906,7 +939,8 @@ object Bench {
     }.mkString("{", ",", "}")
     s"""{"queries":$fullQs,"medians":$mediansJson,""" +
       s""""runs":$runsJson,"errors":${errsJson(all)},""" +
-      s""""load_after":$loadsJson,"loadavg":$load,"cpus":$cpus$f10""" +
+      s""""load_after":$loadsJson,"control_loads":$controlLoadsJson,""" +
+      s""""loadavg":$load,"cpus":$cpus$f10""" +
       s"""$remeasureJson,$notes,$buildInside$buildJson$streamJson$recallJson$skewJson$fit100mJson,"sf":"$sfDir"}"""
   }
 

@@ -594,6 +594,13 @@ object SparkEntry {
     // quadratic (SF10_SPOT: 2.84e9 pairs at sf10 vs 1.4e8 at 12 bits)
     "emb_knn_graph" -> ((s, dir) =>
       EmbeddingOps.knnGraphAuto(Tables.table(s, dir, "embeddings"))),
+    // the dedup-first composition: exact vector dedup (min-id per
+    // distinct embedding) -> auto-width knn graph over the DISTINCT
+    // corpus — replicas co-bucket under any hash, so this is the order
+    // a real pipeline runs; at sf10 it recovers the true 2000-vector
+    // graph from the x100-replicated fixture (r16, VERDICT r15 item 5)
+    "emb_knn_graph_deduped" -> ((s, dir) =>
+      EmbeddingOps.knnGraphDeduped(Tables.table(s, dir, "embeddings"))),
     // the same knn graph at a FIXED 10-bit setting — the curve point
     // that originally priced the scale path (sf1: 6.7 s vs ~53 s at 6
     // bits); kept fixed so the ladder stays comparable across SFs
@@ -1567,6 +1574,8 @@ object SparkEntry {
     "emb_lsh_recall_bits" -> graft.ops.OracleCtes.materialize(
       EmbeddingOps.lshRecallCurveSql()),
     "emb_auto_bits" -> EmbeddingOps.autoBitsReportSql,
+    "emb_knn_graph_deduped" -> graft.ops.OracleCtes.materialize(
+      EmbeddingOps.knnGraphDedupedSql()),
     "emb_auto_recall" -> graft.ops.OracleCtes.materialize(
       EmbeddingOps.autoRecallSql()),
     "emb_topk_recall" -> graft.ops.OracleCtes.materialize(

@@ -701,6 +701,44 @@ object EmbeddingOps {
         col("cosine"), col("rank"))
   }
 
+  /** Exact vector dedup: one row per distinct embedding, keeping the
+    * lowest vec_id — the pass a real corpus runs BEFORE any
+    * neighbor-graph work (identical vectors co-bucket under ANY hash,
+    * so exact replicas inflate LSH candidate counts quadratically; the
+    * sf10 fixture's ×100 replication is the measured case). One
+    * embedding-keyed agg; only (embedding, vec_id) shuffles. */
+  def dedupedVectors(embs: DataFrame): DataFrame =
+    embs.groupBy("embedding").agg(min("vec_id").as("vec_id"))
+      .select("vec_id", "embedding")
+
+  /** [[knnGraphAuto]] over [[dedupedVectors]] — the registered
+    * composition that turns the r15 "real corpora dedup first" scale
+    * attribution into a measurement (VERDICT r15 item 5): the auto
+    * width derives from the DEDUPED count, so the graph over a
+    * replica-inflated corpus prices like the distinct corpus it
+    * really is. On a replica-free corpus this is exactly
+    * [[knnGraphAuto]]. */
+  def knnGraphDeduped(
+      embs: DataFrame, k: Int = 3, dim: Int = 64,
+      numTables: Int = 8, seed: Long = 42L): DataFrame =
+    knnGraphAuto(dedupedVectors(embs), k, dim, numTables, seed)
+
+  /** Twin of [[knnGraphDeduped]]: a shadowing `embeddings` CTE holds
+    * the deduped relation (list-typed GROUP BY + MIN — both engines
+    * group float arrays by exact value; the fixtures carry no ±0.0 or
+    * NaN components), then the auto-width graph SQL is reused
+    * verbatim — its `nb` staircase reads the DEDUPED count. */
+  def knnGraphDedupedSql(
+      k: Int = 3, dim: Int = 64, numTables: Int = 8,
+      seed: Long = 42L): String = {
+    val inner = knnGraphAutoSql(k, dim, numTables, seed)
+    require(inner.startsWith("WITH "))
+    s"""WITH embeddings AS (
+       |  SELECT MIN(vec_id) AS vec_id, embedding
+       |  FROM main.embeddings GROUP BY embedding),
+       |""".stripMargin + inner.stripPrefix("WITH ")
+  }
+
   private def knnGraphTailSql(k: Int): String =
     s"""SELECT ida AS vec_id, idb AS neighbor, cosine, rank FROM (
        |  SELECT ida, idb, cosine,

@@ -25,6 +25,8 @@ import graft.kmeans.KMeansND.CentND
   */
 object PqIndex {
 
+  private val TrainSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   case class Codebooks(m: Int, subDim: Int, books: Seq[Seq[CentND]])
 
   private def subVec(s: Int, subDim: Int) =
@@ -54,7 +56,10 @@ object PqIndex {
     // graceful shutdown() alone would leave orphaned jobs burning
     // cluster slots behind the exception (r14 advice)
     val sc = vecs.sparkSession.sparkContext
-    val group = s"pq-train-${System.identityHashCode(this)}-${m}x$nlist"
+    // per-invocation token: identityHashCode(this) is the SINGLETON's
+    // hash, so two concurrent same-shape train() calls shared a group
+    // name and a failure in one cancelled the other's jobs (r15 advice)
+    val group = s"pq-train-${TrainSeq.incrementAndGet()}-${m}x$nlist"
     val books =
       try Await.result(Future.sequence((0 until m).map { s => Future {
         sc.setJobGroup(group, "pq subspace fits", interruptOnCancel = true)

@@ -35,6 +35,13 @@ object Spot10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SPOT_ONLY=a,b runs a row subset; its rows MERGE into
+    // the existing JSON at `out` in code (r15 advice: the old behavior
+    // overwrote the committed full board with the subset unless the
+    // operator remembered an external merge step — the same overwrite
+    // class Bench guards against since r9)
+    val onlySpot = sys.env.get("SPARK_GRAFT_SPOT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var rows = Vector.empty[(String, Double, Option[String])]
     var extra = Vector.empty[String]
     def dump(): Unit = {
@@ -43,15 +50,39 @@ object Spot10 {
       val errs = rows.collect { case (k, _, Some(e)) =>
         s""""$k":"${e.replace("\"", "'").take(160)}""""
       }.mkString("{", ",", "}")
-      val j = s"""{"sf_dir":"$sfDir","tool":"graft.tools.Spot10 (noop sink, local[$cpus], AQE on, one timed pass)","queries":$qs,"errors":$errs${extra.map("," + _).mkString}}"""
-      val w = new java.io.PrintWriter(out)
-      try w.println(j) finally w.close()
+      val fresh = s"""{"sf_dir":"$sfDir","tool":"graft.tools.Spot10 (noop sink, local[$cpus], AQE on, one timed pass)","queries":$qs,"errors":$errs${extra.map("," + _).mkString}}"""
+      val existing = new java.io.File(out)
+      val (path, content) =
+        if (onlySpot.isEmpty || !existing.exists()) (out, fresh)
+        else try {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val oldJ = JsonMethods.parse(new String(
+            java.nio.file.Files.readAllBytes(existing.toPath), "UTF-8"))
+          val newJ = JsonMethods.parse(fresh)
+          if ((oldJ \ "sf_dir") != (newJ \ "sf_dir"))
+            (out + ".partial", fresh) // different scale: never merge
+          else {
+            val oldFields = oldJ match { case JObject(o) => o; case _ => Nil }
+            val newFields = newJ match { case JObject(n) => n; case _ => Nil }
+            val keys = (oldFields.map(_._1) ++ newFields.map(_._1)).distinct
+            val merged = JObject(keys.flatMap { k =>
+              val o = oldJ \ k; val n = newJ \ k
+              val v = (o, n) match {
+                case (JObject(of), JObject(nf))
+                    if k == "queries" || k == "errors" =>
+                  JObject((of.toMap ++ nf.toMap).toList.sortBy(_._1))
+                case (_, JNothing) => o
+                case _ => n
+              }
+              if (v == JNothing) None else Some(k -> v)
+            })
+            (out, JsonMethods.compact(JsonMethods.render(merged)))
+          }
+        } catch { case _: Throwable => (out + ".partial", fresh) }
+      val w = new java.io.PrintWriter(path)
+      try w.println(content) finally w.close()
     }
-    // SPARK_GRAFT_SPOT_ONLY=a,b runs a row subset (installments merge
-    // into the committed SF10_SPOT.json via tools/merge_replay.py —
-    // re-running the full r14 tier costs ~1.5 h for numbers we have)
-    val onlySpot = sys.env.get("SPARK_GRAFT_SPOT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timed(name: String)(body: => Unit): Unit = {
       if (onlySpot.exists(!_.contains(name))) return
       val t0 = System.nanoTime()

@@ -424,6 +424,23 @@ class EmbeddingSpec extends SparkSpec {
     assert(recall >= 0.0 && recall <= 1.0)
   }
 
+  test("knnGraphDeduped: replicas collapse to min-id, replica-free corpus is identity") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // replicate every vector under shifted ids: the deduped graph over
+    // the inflated corpus must equal the auto graph over the original
+    val inflated = real.unionAll(real
+      .withColumn("vec_id", $"vec_id" + 1000000L))
+    val deduped = EmbeddingOps.knnGraphDeduped(inflated).collect()
+      .map(_.toString).sorted.toSeq
+    val base = EmbeddingOps.knnGraphAuto(real).collect()
+      .map(_.toString).sorted.toSeq
+    assert(deduped == base)
+    // and with no replicas the composition is exactly knnGraphAuto
+    val ident = EmbeddingOps.knnGraphDeduped(real).collect()
+      .map(_.toString).sorted.toSeq
+    assert(ident == base)
+  }
+
   test("ceilLog2 / rpAutoP: pure-integer staircases, exact at power edges") {
     import EmbeddingOps.{ceilLog2, rpAutoP}
     assert(ceilLog2(1L) == 1 && ceilLog2(2L) == 1)
