@@ -297,7 +297,7 @@ object Multimodal {
   def pngRoundtripSums(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    codecParallel(docs.select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (w, h) = dims(id)
         val (dw, dh, rs, gs, bs) = decodeChannelSums(encodePng(id, w, h))
@@ -305,6 +305,18 @@ object Multimodal {
       })
       .toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
   }
+
+  /** Spread a CPU-bound codec pass across the cluster regardless of
+    * input file layout. Scan parallelism follows input SPLITS, and a
+    * codec pass is the "tiny input, heavy compute" shape where that
+    * fails: the 500k-doc scale fixture is one 12 MB row group → ONE
+    * task → 1/32 of the machine doing PNG work (observed at sf10:
+    * single-core for minutes). The repartition shuffles only the
+    * 8-byte ids — payload bytes still never shuffle (they are
+    * synthesized/decoded inside the task) — and decode cost dominates
+    * the shuffle by orders of magnitude at any corpus size. */
+  private def codecParallel(ids: Dataset[Long]): Dataset[Long] =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
 
   /** DuckDB twin of [[pngRoundtripSums]]: the closed-form pixel sums,
     * no codec involved — lossless round-trip means the real-codec path
@@ -343,7 +355,7 @@ object Multimodal {
   def pngDHash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    codecParallel(docs.select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (w, h) = dims(id)
         val img = javax.imageio.ImageIO.read(
