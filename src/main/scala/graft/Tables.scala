@@ -54,15 +54,20 @@ object Tables {
   // pid is a radix-packed key over the unique lineitem natural key
   // (l_orderkey, l_linenumber, l_partkey, l_suppkey) — (orderkey,
   // linenumber) alone is NOT unique in this synthetic data. The packing is
-  // overflow-safe in int64 up to ~sf10 and computes identically in Spark
-  // and DuckDB (pure int64 arithmetic).
+  // overflow-safe in int64 to ~sf10000 and computes identically in Spark
+  // and DuckDB (pure int64 arithmetic). (orderkey, linenumber) is already
+  // the lineitem natural key, so one partkey term is diversity, not
+  // uniqueness. r16: the previous packing carried a second ·1e5·suppkey
+  // term whose product exceeded 2^63 at sf10's 15M orderkeys — every
+  // points-family query threw ARITHMETIC_OVERFLOW there (the
+  // "overflow-safe up to ~sf10" claim was wrong at exactly sf10).
   // ---------------------------------------------------------------------
   val pidExpr: Column =
-    ((col("l_orderkey") * 10L + col("l_linenumber")) * 1000000L
-      + col("l_partkey")) * 100000L + col("l_suppkey")
+    (col("l_orderkey") * 10L + col("l_linenumber")) * 1000000L +
+      col("l_partkey")
 
   val pointsSqlBody: String =
-    "SELECT ((l_orderkey*10 + l_linenumber)*1000000 + l_partkey)*100000 + l_suppkey AS pid, " +
+    "SELECT (l_orderkey*10 + l_linenumber)*1000000 + l_partkey AS pid, " +
       "l_extendedprice AS x, l_quantity AS y FROM lineitem"
 
   /** The shared 2-D points relation: (pid: long, x: double, y: double). */
