@@ -1009,13 +1009,19 @@ object Dedup {
   /** Corpus-size-derived sample modulus for the registered `dedup_eval`
     * (r16, VERDICT r15 item 2): the FULL eval rides two
     * output-quadratic pair relations (2885 s / ~48 GB at sf10), so
-    * above 100k docs the eval auto-samples, escalating 4× per 16× of
-    * corpus so the pair relations stay ~constant-cost (pairs shrink
-    * mod² per step). ≤ 100k docs (every gate SF and sf1) the modulus
-    * is 1 — the full eval, hash-identical to the r15 registration. */
+    * above 100k docs the eval auto-samples. The modulus is the
+    * smallest power of 4 that brings the SAMPLED subcorpus back under
+    * the 100k-doc affordability threshold (capped at 64) — the eval's
+    * cost is then bounded by the cost of a full eval at 100k docs
+    * regardless of corpus size. (A first cut escalated only 4× per
+    * 16× of corpus; at the 500k-doc scale fixture that still sampled
+    * 125k docs and measured ~900 s — the threshold form samples 31k
+    * there and keeps the row seconds-scale.) ≤ 100k docs (every gate
+    * SF and sf1) the modulus is 1 — the full eval, hash-identical to
+    * the r15 registration. */
   def evalAutoMod(nDocs: Long): Long =
-    if (nDocs > 25600000L) 64L
-    else if (nDocs > 1600000L) 16L
+    if (nDocs > 1600000L) 64L
+    else if (nDocs > 400000L) 16L
     else if (nDocs > 100000L) 4L
     else 1L
 
@@ -1042,8 +1048,8 @@ object Dedup {
     val inner = minhashEvalSql(n, numPerm, rowsPerBand, threshold, maxDf)
     require(inner.startsWith("WITH "), "inner eval SQL must be a WITH chain")
     s"""WITH nmod AS (SELECT CAST(CASE
-       |    WHEN COUNT(*) > 25600000 THEN 64
-       |    WHEN COUNT(*) > 1600000 THEN 16
+       |    WHEN COUNT(*) > 1600000 THEN 64
+       |    WHEN COUNT(*) > 400000 THEN 16
        |    WHEN COUNT(*) > 100000 THEN 4
        |    ELSE 1 END AS BIGINT) AS md FROM main.documents),
        |documents AS (SELECT * FROM main.documents

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * counts, and key ranges all grow 10×, exactly the class (r6 decimal
   * break, r7 HUGEINT break) the replay is hunting.
   *
-  * Key-width safety: strides are per-table max+1, so after 10 replicas
-  * l_partkey < 10·(max+1) stays far below the 1e6 radix field and
-  * l_suppkey below the 1e5 field in Tables.pidExpr (overflow-safe to
-  * ~sf10 per its contract).
+  * Key-width safety: strides are per-table max+1; l_partkey stays
+  * below Tables.pidExpr's 1e6 radix field at every produced scale
+  * (observed max 199999 at sf10 — partkey does NOT stride with the
+  * replica count), and since r16 the packing itself is int64-safe to
+  * ~sf10000 (the old suppkey field overflowed at sf10's 15M
+  * orderkeys).
   *
   * Document text gets a per-replica suffix (k>0) so near-dedup queries
   * see realistic near-duplicates instead of pathological 10-way

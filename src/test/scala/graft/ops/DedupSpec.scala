@@ -429,9 +429,13 @@ class DedupSpec extends SparkSpec {
   test("auto-sampled eval: mod staircase, and mod=1 is the identity") {
     import Dedup.evalAutoMod
     assert(evalAutoMod(500L) == 1L && evalAutoMod(100000L) == 1L)
-    assert(evalAutoMod(100001L) == 4L && evalAutoMod(1600000L) == 4L)
-    assert(evalAutoMod(1600001L) == 16L)
-    assert(evalAutoMod(25600001L) == 64L)
+    assert(evalAutoMod(100001L) == 4L && evalAutoMod(400000L) == 4L)
+    assert(evalAutoMod(400001L) == 16L && evalAutoMod(1600000L) == 16L)
+    assert(evalAutoMod(1600001L) == 64L)
+    // the sampled subcorpus never exceeds the full-eval threshold
+    // (until the 64 cap at >6.4M docs)
+    for (n <- Seq(100001L, 399999L, 500000L, 1599999L, 6400000L))
+      assert(n / evalAutoMod(n) <= 100000L, s"n=$n")
     // below the threshold the registered auto form IS the full eval
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val auto = Dedup.minhashEvalAuto(docs).collect()(0)
