@@ -191,6 +191,37 @@ object Spot10 {
     timed("graph_cc")(noop(graft.ops.GraphOps.coOrderComponents(li)))
     timed("graph_triangles")(noop(graft.ops.GraphOps.coOrderTriangles(li)))
     timed("graph_kcore")(noop(graft.ops.GraphOps.supplierPartKCore(li)))
+
+    // ---- r16 third installment (VERDICT r15 item 6): the untimed
+    // cost tiers — multimodal, sampling, quality-eval — plus the r16
+    // registrations (auto-sampled eval, recall-targeted ANN defaults,
+    // dedup-first knn composition)
+    timed("mm_phash_groups")(noop(graft.ops.Dedup.connectedComponents(
+      graft.ops.Multimodal.phashNearDups(docs)
+        .select(col("da"), col("db")))))
+    timed("mm_decode_real")(noop(
+      graft.ops.Multimodal.pngRoundtripSums(docs)))
+    timed("sample_coreset")(noop(graft.ops.Sampling.coresetSample(
+      pts, graft.Tables.initCentroids(spark, sfDir, 8))))
+    timed("quality_auc")(noop(graft.ops.StatsOps.aucExact(
+      docs, col("n_chars"), col("lang") === "en")))
+    timed("quality_pr_curve")(noop(graft.ops.StatsOps.prCurve(
+      graft.ops.TextOps.nbScore(docs), col("margin"), col("is_en"))))
+    // the REGISTERED eval at this scale auto-samples (mod=4 at 500k
+    // docs) — the full-eval 2885 s r15 row stays on the board as
+    // dedup_eval; this row is what a user actually pays now
+    timed("dedup_eval_auto")(noop(graft.ops.Dedup.minhashEvalAuto(docs)))
+    // the r16 recall-targeted single-query ANN defaults
+    timed("emb_lsh_topk_auto")(noop(
+      graft.ops.EmbeddingOps.lshTopKAuto(embs)))
+    timed("emb_rp_topk_auto")(noop(graft.ops.EmbeddingOps.rpTopKAuto(embs)))
+    timed("pq_topk_refined")(noop(graft.ops.PqIndex.pqTopKRefined(embs)))
+    timed("ivfpq_topk_kf20np4")(noop(graft.ops.PqIndex.ivfPqTopKRefined(
+      embs, nprobe = 4, kFactor = 20)))
+    // dedup-first composition: recovers the distinct-vector graph from
+    // the x100-replicated fixture
+    timed("emb_knn_graph_deduped")(noop(
+      graft.ops.EmbeddingOps.knnGraphDeduped(embs)))
     dump()
     spark.stop()
   }
