@@ -229,8 +229,22 @@ object KMeansND {
       convergence: Boolean = true): (Seq[CentND], Int) = {
     val spark = points.sparkSession
     val defPar = spark.sparkContext.defaultParallelism
+    // Size-aware rebalance (r16): the unconditional repartition-to-
+    // defaultParallelism turned every iteration of a ~3 MB subspace fit
+    // into 32-task stages — pure scheduling weight for the many small
+    // ANN codebook fits that run 3-iteration chains back to back
+    // (measured: the pq/ivfpq family spends most of its time in these
+    // tiny stages, not in compute). Target ~4 MB of input per task from
+    // the optimizer's size estimate, clamped to [1, defaultParallelism]
+    // — a 100 TB-scale input still fans out to the full cluster, a
+    // 20k-row slice stays a 1-task kernel. Result-identical under any
+    // partitioning: assignment is per-row, means are DECIMAL-exact.
+    val curParts = points.rdd.getNumPartitions
+    val estBytes = points.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = ((estBytes / (4L << 20)).max(BigInt(0)) + 1)
+      .min(BigInt(defPar)).toInt
     val balanced =
-      if (points.rdd.getNumPartitions < defPar) points.repartition(defPar)
+      if (curParts < target) points.repartition(target)
       else points
     val cached = balanced.persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -238,10 +252,21 @@ object KMeansND {
       var iter = 0
       var go = maxIter > 0
       while (go) {
-        val next = recomputeDirect(assignKernelVec(cached, cents))
+        // One shuffle per iteration, k·dim flat rows collected, vectors
+        // assembled driver-side (r16): the previous recomputeDirect +
+        // collect ran a SECOND shuffle (groupBy(cid) + collect_list)
+        // whose only purpose was array assembly the driver can do on
+        // ≤ k·dim rows. Same (cid, pos) decimal-exact means, same
+        // pos-ascending order as the array_sort(struct(pos, m)) it
+        // replaces (pos is unique per cid), empty clusters still drop.
+        val flat = assignKernelVec(cached, cents)
+          .select(col("cid"), posexplode(col("vec")))
+          .groupBy("cid", "pos")
+          .agg((sum(col("col").cast(Dec)).cast("double") / count(lit(1))).as("m"))
           .collect()
-          .map(r => CentND(r.getInt(0), r.getSeq[Double](1)))
-          .toSeq.sortBy(_.cid)
+        val next = flat.groupBy(_.getInt(0)).map { case (cid, rows) =>
+          CentND(cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+        }.toSeq.sortBy(_.cid)
         iter += 1
         go = iter < maxIter && (!convergence || moved(next, cents, tol))
         cents = next

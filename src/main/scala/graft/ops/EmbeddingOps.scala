@@ -1568,15 +1568,40 @@ object EmbeddingOps {
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(name).as("family"), lit(k.toLong).as("k"), col("n_hit"),
           (col("n_hit").cast("double") / lit(kd)).as("recall"))
-    row("lsh_auto", lshTopKAuto(embs, 0L, k).select("vec_id"), cosTruth)
-      .unionAll(row("rp_auto",
-        rpTopKAuto(embs, 0L, k).select("vec_id"), cosTruth))
-      .unionAll(row("pq_refined",
-        PqIndex.pqTopKRefined(embs, k = k + 1)
-          .filter(col("id") =!= 0L).select(col("id").as("vec_id")), l2Truth))
-      .unionAll(row("ivfpq_refined",
-        PqIndex.ivfPqTopKRefined(embs, k = k + 1, nprobe = 4, kFactor = 20)
-          .filter(col("id") =!= 0L).select(col("id").as("vec_id")), l2Truth))
+    // The four family pipelines run driver-side work at CONSTRUCTION
+    // time (the PQ/IVFADC codebook-training collects, the auto-width
+    // count jobs) and are fully independent until the final union, so
+    // they are constructed CONCURRENTLY from four driver threads — the
+    // PqIndex.train pattern one level up. Each branch's arithmetic is
+    // untouched (train() already isolates concurrent invocations under
+    // per-invocation job groups), so the report is bit-identical to the
+    // sequential construction; only the scheduler interleaving changes.
+    // Measured r16 (isolated fresh-JVM bench, sf0.1): 12.4 s → see
+    // OPTIMIZATION_r16.md — the two training stacks alone serialize
+    // ~8.5 s of small underutilizing jobs otherwise.
+    val branches = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(Seq(
+        Future(row("lsh_auto",
+          lshTopKAuto(embs, 0L, k).select("vec_id"), cosTruth)),
+        Future(row("rp_auto",
+          rpTopKAuto(embs, 0L, k).select("vec_id"), cosTruth)),
+        Future(row("pq_refined",
+          PqIndex.pqTopKRefined(embs, k = k + 1)
+            .filter(col("id") =!= 0L).select(col("id").as("vec_id")),
+          l2Truth)),
+        Future(row("ivfpq_refined",
+          PqIndex.ivfPqTopKRefined(embs, k = k + 1, nprobe = 4,
+              kFactor = 20)
+            .filter(col("id") =!= 0L).select(col("id").as("vec_id")),
+          l2Truth)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+    branches.reduceLeft(_ unionAll _)
   }
 
   /** DuckDB twin of [[topkRecallReport]]: each family's full twin SQL

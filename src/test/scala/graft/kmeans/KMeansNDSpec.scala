@@ -63,6 +63,33 @@ class KMeansNDSpec extends SparkSpec {
     assert(r2.centroids.map(c => Seq(c.x, c.y)) == rn.map(_.vec))
   }
 
+  test("fit's one-shuffle driver-side recompute matches the declarative " +
+      "recompute and still drops empty clusters (r16 internals change)") {
+    val cents0 = Seq(CentND(0, Seq(0.0, 0.5, 0.0)),
+      CentND(1, Seq(9.0, 0.0, 0.0)), CentND(2, Seq(1e6, 1e6, 1e6)))
+    val expected = KMeansND.recompute(pts, KMeansND.assignKernel(pts, cents0))
+      .collect().map(r => CentND(r.getInt(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_.cid)
+    for (p <- Seq(1, 8)) {
+      val (got, _) = KMeansND.fit(pts.repartition(p), cents0, maxIter = 1,
+        tol = 0.0, convergence = false)
+      assert(got == expected, s"partitions=$p")
+      assert(got.map(_.cid) == Seq(0, 1), s"empty cluster kept at p=$p")
+    }
+  }
+
+  test("fit centroids are partitioning-invariant on the real 64-dim fixture " +
+      "(r16 size-aware rebalance)") {
+    val vecs = graft.ops.IvfIndex.vectors(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val init = KMeansND.initFromLowestIds(vecs, 4)
+    val (a, _) = KMeansND.fit(vecs.repartition(1), init, maxIter = 3,
+      tol = 0.0, convergence = false)
+    val (b, _) = KMeansND.fit(vecs.repartition(13), init, maxIter = 3,
+      tol = 0.0, convergence = false)
+    assert(a == b)
+  }
+
   test("fit on the real 64-dim embeddings reduces the objective") {
     val vecs = graft.ops.IvfIndex.vectors(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
