@@ -226,25 +226,34 @@ object KMeansND {
     * 2-D `KMeansFit.fit` (strict >tol displacement, empty-cluster drop,
     * points cached once). */
   def fit(points: DataFrame, init: Seq[CentND], maxIter: Int, tol: Double = 0.0,
-      convergence: Boolean = true): (Seq[CentND], Int) = {
+      convergence: Boolean = true, numRows: Long = -1L): (Seq[CentND], Int) = {
     val spark = points.sparkSession
     val defPar = spark.sparkContext.defaultParallelism
-    // Size-aware rebalance (r16): the unconditional repartition-to-
-    // defaultParallelism turned every iteration of a ~3 MB subspace fit
-    // into 32-task stages — pure scheduling weight for the many small
-    // ANN codebook fits that run 3-iteration chains back to back
-    // (measured: the pq/ivfpq family spends most of its time in these
-    // tiny stages, not in compute). Target ~4 MB of input per task from
-    // the optimizer's size estimate, clamped to [1, defaultParallelism]
-    // — a 100 TB-scale input still fans out to the full cluster, a
-    // 20k-row slice stays a 1-task kernel. Result-identical under any
-    // partitioning: assignment is per-row, means are DECIMAL-exact.
-    val curParts = points.rdd.getNumPartitions
-    val estBytes = points.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = ((estBytes / (4L << 20)).max(BigInt(0)) + 1)
-      .min(BigInt(defPar)).toInt
+    // Rebalance for the loop. Without a row count the target is the
+    // full cluster width, as in the 2-D engine (decimal mean
+    // aggregation is CPU-bound per row — on any real cluster input
+    // splits already exceed the cores, so this is a local-mode knob).
+    // With `numRows` (callers that run MANY small fits pay ONE
+    // metadata-fast count and share it — PqIndex/IvfIndex) the target
+    // is exact-size-aware: ~4 MB of in-memory rows per task, clamped
+    // to [1, defaultParallelism], so a 20k-row codebook fit stays a
+    // few-task kernel instead of 32-task scheduling weight per
+    // superstep while a corpus-scale fit still fans out fully. r16
+    // note: an optimizer sizeInBytes estimate is NOT a substitute for
+    // the count — parquet bytes under-read the replicated sf1 fixture
+    // ~40× and a 200k×64 coarse fit landed on one task (ivf_topk
+    // 2.8 → 18 s there). Row count × schema width cannot be fooled
+    // that way. Result-identical under any partitioning: assignment
+    // is per-row, means are DECIMAL-exact, init is id-ordered.
+    val target =
+      if (numRows < 0L) defPar
+      else {
+        val rowBytes = 24L + 8L * init.head.vec.length
+        (((numRows * rowBytes) / (4L << 20)) + 1L).min(defPar.toLong)
+          .max(1L).toInt
+      }
     val balanced =
-      if (curParts < target) points.repartition(target)
+      if (points.rdd.getNumPartitions < target) points.repartition(target)
       else points
     val cached = balanced.persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -40,8 +40,11 @@ object IvfIndex {
       convergence: Boolean = true): Index = {
     val vecs = vectors(embs)
     val init = KMeansND.initFromLowestIds(vecs, nlist)
+    // one metadata-fast count so the fit right-sizes its loop
+    // parallelism (KMeansND.fit numRows doc)
     val (cents, _) =
-      KMeansND.fit(vecs, init, maxIter, tol = 1e-6, convergence = convergence)
+      KMeansND.fit(vecs, init, maxIter, tol = 1e-6,
+        convergence = convergence, numRows = vecs.count())
     val lists = KMeansND.assignKernel(vecs, cents)
       .select(col("id"), col("cid").as("list_id"))
     Index(lists.join(vecs, "id"), cents)

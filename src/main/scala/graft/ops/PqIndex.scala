@@ -43,12 +43,18 @@ object PqIndex {
     * leaves most of the cluster idle between stages; interleaved, the
     * m·maxIter jobs share the same wall-clock window (measured ~2.5×
     * on the pq/ivfpq query family at sf0.1). */
-  def train(vecs: DataFrame, m: Int, nlist: Int, maxIter: Int): Codebooks = {
+  def train(vecs: DataFrame, m: Int, nlist: Int, maxIter: Int,
+      numRows: Long = -1L): Codebooks = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val dim = vecs.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
+    // ONE count shared by all m subspace fits (metadata-fast on a
+    // column-pruned parquet scan): lets each fit right-size its loop
+    // parallelism instead of paying 32-task stages on a ~3 MB slice
+    // (KMeansND.fit numRows doc — measured r16)
+    val n = if (numRows >= 0L) numRows else vecs.count()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     // sibling fits run under one job group so a failed subspace CANCELS
@@ -66,7 +72,8 @@ object PqIndex {
         try {
           val sub = vecs.select(col("id"), subVec(s, subDim).as("vec"))
           val init = KMeansND.initFromLowestIds(sub, nlist)
-          KMeansND.fit(sub, init, maxIter, tol = 0.0, convergence = false)._1
+          KMeansND.fit(sub, init, maxIter, tol = 0.0, convergence = false,
+            numRows = n)._1
         } finally sc.clearJobGroup()
       }}), Duration.Inf)
       catch { case e: Throwable =>
@@ -265,9 +272,12 @@ object PqIndex {
       queryId: Long = 0L, k: Int = 10, nprobe: Int = 2): DataFrame = {
     val spark = embs.sparkSession
     val vecs = IvfIndex.vectors(embs)
+    // one count shared by the coarse fit and the m residual fits
+    // (residual rows = vector rows; see KMeansND.fit numRows)
+    val n = vecs.count()
     val coarse = KMeansND.fit(vecs,
       KMeansND.initFromLowestIds(vecs, nlistC), maxIterC, tol = 0.0,
-      convergence = false)._1
+      convergence = false, numRows = n)._1
     val lists = KMeansND.assignKernel(vecs, coarse)
       .select(col("id"), col("cid").as("list_id"))
     val coarseDF = graft.Tables.centsNDDF(spark, coarse)
@@ -276,7 +286,8 @@ object PqIndex {
     // encode branches and the list join all read the SAME residual
     // relation — without this each consumer re-runs the scan+join
     val resid = residuals(vecs, lists, coarseDF).localCheckpoint(true)
-    val cb = train(resid.select("id", "vec"), m, nlist, maxIter)
+    val cb = train(resid.select("id", "vec"), m, nlist, maxIter,
+      numRows = n)
     val codes = encode(resid.select("id", "vec"), cb)
       .join(resid.select("id", "list_id"), "id")
     val q = vecs.filter(col("id") === queryId).head().getSeq[Double](1)
@@ -298,15 +309,17 @@ object PqIndex {
     val spark = embs.sparkSession
     import spark.implicits._
     val vecs = IvfIndex.vectors(embs)
+    val n = vecs.count()
     val coarse = KMeansND.fit(vecs,
       KMeansND.initFromLowestIds(vecs, nlistC), maxIterC, tol = 0.0,
-      convergence = false)._1
+      convergence = false, numRows = n)._1
     val lists = KMeansND.assignKernel(vecs, coarse)
       .select(col("id"), col("cid").as("list_id"))
     val coarseDF = graft.Tables.centsNDDF(spark, coarse)
       .select(col("cid").as("list_id"), col("cvec"))
     val resid = residuals(vecs, lists, coarseDF).localCheckpoint(true)
-    val cb = train(resid.select("id", "vec"), m, nlist, maxIter)
+    val cb = train(resid.select("id", "vec"), m, nlist, maxIter,
+      numRows = n)
     encode(resid.select("id", "vec"), cb)
       .join(resid.select("id", "list_id"), "id")
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
