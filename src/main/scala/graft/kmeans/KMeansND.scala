@@ -235,10 +235,15 @@ object KMeansND {
     // splits already exceed the cores, so this is a local-mode knob).
     // With `numRows` (callers that run MANY small fits pay ONE
     // metadata-fast count and share it — PqIndex/IvfIndex) the target
-    // is exact-size-aware: ~4 MB of in-memory rows per task, clamped
-    // to [1, defaultParallelism], so a 20k-row codebook fit stays a
+    // is exact-size-aware: ~1 MB of in-memory rows per task, clamped
+    // to [1, defaultParallelism], so a 2k-row codebook fit stays a
     // few-task kernel instead of 32-task scheduling weight per
-    // superstep while a corpus-scale fit still fans out fully. r16
+    // superstep while a corpus-scale fit still fans out fully. The
+    // budget is deliberately SMALL because the per-iteration decimal
+    // mean aggregation is CPU-bound per row, not scan-bound: a 4 MB
+    // budget starved the sf10 residual fits to 8 tasks and tripled
+    // ivfpq there (measured r16) while 1 MB restores full width at
+    // 200k rows and keeps the tiny gate-SF fits at 1-2 tasks. r16
     // note: an optimizer sizeInBytes estimate is NOT a substitute for
     // the count — parquet bytes under-read the replicated sf1 fixture
     // ~40× and a 200k×64 coarse fit landed on one task (ivf_topk
@@ -249,7 +254,7 @@ object KMeansND {
       if (numRows < 0L) defPar
       else {
         val rowBytes = 24L + 8L * init.head.vec.length
-        (((numRows * rowBytes) / (4L << 20)) + 1L).min(defPar.toLong)
+        (((numRows * rowBytes) / (1L << 20)) + 1L).min(defPar.toLong)
           .max(1L).toInt
       }
     val balanced =
