@@ -251,7 +251,12 @@ object KMeansND {
     // that way. Result-identical under any partitioning: assignment
     // is per-row, means are DECIMAL-exact, init is id-ordered.
     val target =
-      if (numRows < 0L) defPar
+      // init.isEmpty guard (r16 advice): the size-aware branch reads
+      // init.head for the row width, and an empty init (e.g.
+      // initFromLowestIds on an empty relation) must keep the old
+      // behavior — maxIter=0 returns cleanly, maxIter>0 reaches
+      // assignKernelVec's clear require — not a bare head exception.
+      if (numRows < 0L || init.isEmpty) defPar
       else {
         val rowBytes = 24L + 8L * init.head.vec.length
         (((numRows * rowBytes) / (1L << 20)) + 1L).min(defPar.toLong)

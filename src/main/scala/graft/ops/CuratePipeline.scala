@@ -209,16 +209,23 @@ object CuratePipeline {
       minTokens: Long = 20,
       maxStopwordRatio: Double = 0.5,
       nearDupThreshold: Double = 0.8): DataFrame = {
+    // One eager checkpoint (q — the tokenization-heavy scorer feeding
+    // every stage); keepQ is a pure filter over q's materialized rows
+    // (its former eager checkpoint re-copied them in a standalone job)
+    // and exactKeep checkpoints LAZILY — it materializes inside the
+    // final four-branch job and is shared by stages 2 and 3 there,
+    // instead of paying its own upfront pass (r17, guide §1.2 step 1:
+    // remove passes).
     val q = TextOps.qualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
       .localCheckpoint(true)
     val keepQ = q.filter(col("n_tokens") >= minTokens &&
-      col("stopword_ratio") <= maxStopwordRatio).localCheckpoint(true)
+      col("stopword_ratio") <= maxStopwordRatio)
     val exactKeep = TextOps.fingerprints(docs)
       .join(keepQ.select("doc_id"), "doc_id")
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .join(keepQ.select("doc_id", "n_tokens"), "doc_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val losers = Dedup.nearDupGroups(docs, threshold = nearDupThreshold)
       .filter(col("doc_id") =!= col("group_id")).select("doc_id")
     val nearKeep = exactKeep.join(losers, Seq("doc_id"), "left_anti")

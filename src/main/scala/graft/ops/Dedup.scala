@@ -269,15 +269,29 @@ object Dedup {
   // Word n-gram shingles (default n=3), distinct per doc.
   // -------------------------------------------------------------------
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(
+    // Per-doc array_distinct BEFORE the explode instead of a row-level
+    // .distinct() after it (r17, guide §2.4): doc_id is unique per
+    // input row, so "distinct (doc_id, shingle)" is exactly "distinct
+    // shingle within each doc" — a per-row projection. The previous
+    // shape paid a full exchange of the exploded (doc_id, shingle)
+    // string stream in EVERY consumer before its own shingle-keyed
+    // shuffle. The docs are first spread to shuffle-partitions width
+    // (explicit count — AQE would coalesce a keyless-count repartition
+    // of the byte-tiny docs relation to ~1 partition, §2.5): without
+    // it the tokenize+explode+dedup work inherits the SCAN parallelism
+    // of one small parquet file in local mode, and that heavy
+    // projection is exactly what must fan out.
+    docs.repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .select(
         col("doc_id"),
         TextOps.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
-        explode(transform(
+        explode(array_distinct(transform(
           sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(0))),
-          i => array_join(slice(col("tk"), i, lit(n)), " "))).as("shingle"))
-      .distinct()
+          i => array_join(slice(col("tk"), i, lit(n)), " ")))).as("shingle"))
 
   def shinglesSql(n: Int = 3): String =
     s"""SELECT DISTINCT doc_id,

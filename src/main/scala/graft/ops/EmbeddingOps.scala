@@ -21,6 +21,10 @@ import scala.util.Random
   */
 object EmbeddingOps {
 
+  /** Per-invocation job-group token for [[topkRecallReport]]'s
+    * concurrent branches (the PqIndex.TrainSeq convention). */
+  private val RecallSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Dot product of two array<double|float> columns via the native
     * codegen expression (graft.functions.VecDot) — same left-to-right
     * accumulation as the fold/list_reduce formulation, so bit-identical
@@ -1585,20 +1589,40 @@ object EmbeddingOps {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
+      // One per-invocation job group over all four branches (the
+      // PqIndex.train discipline, r16 advice): if a branch future
+      // fails, Await rethrows but the other three keep running their
+      // construction-time Spark jobs (training collects, count jobs)
+      // behind the exception — cancel the group and interrupt the pool
+      // instead of letting them burn slots to completion.
+      val sc = embs.sparkSession.sparkContext
+      val group = s"topk-recall-${RecallSeq.incrementAndGet()}"
+      def branch(mk: => (String, DataFrame, DataFrame)): Future[DataFrame] =
+        Future {
+          sc.setJobGroup(group, "topk recall branches",
+            interruptOnCancel = true)
+          try { val (n, rel, truth) = mk; row(n, rel, truth) }
+          finally sc.clearJobGroup()
+        }
       try Await.result(Future.sequence(Seq(
-        Future(row("lsh_auto",
+        branch(("lsh_auto",
           lshTopKAuto(embs, 0L, k).select("vec_id"), cosTruth)),
-        Future(row("rp_auto",
+        branch(("rp_auto",
           rpTopKAuto(embs, 0L, k).select("vec_id"), cosTruth)),
-        Future(row("pq_refined",
+        branch(("pq_refined",
           PqIndex.pqTopKRefined(embs, k = k + 1)
             .filter(col("id") =!= 0L).select(col("id").as("vec_id")),
           l2Truth)),
-        Future(row("ivfpq_refined",
+        branch(("ivfpq_refined",
           PqIndex.ivfPqTopKRefined(embs, k = k + 1, nprobe = 4,
               kFactor = 20)
             .filter(col("id") =!= 0L).select(col("id").as("vec_id")),
           l2Truth)))), Duration.Inf)
+      catch { case e: Throwable =>
+        sc.cancelJobGroup(group)
+        pool.shutdownNow()
+        throw e
+      }
       finally pool.shutdown()
     }
     branches.reduceLeft(_ unionAll _)

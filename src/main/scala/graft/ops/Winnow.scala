@@ -57,6 +57,23 @@ object Winnow {
     val grams = docs
       .where(length(col("text")) >= lit(k + w - 1) &&
         length(col("text")) < lit(PosBase))
+      // Pre-partition the DOCS by doc_id before exploding (r17, guide
+      // §2.3/§2.4): every downstream clustering requirement — the
+      // rolling-min window, the (doc_id, sel) distinct, census's
+      // per-doc count — is on doc_id, and hash(doc_id) satisfies all
+      // of them. Established here, the one exchange moves n document
+      // rows; established at the window (the previous shape), it moved
+      // the ~|text|-per-doc exploded gram stream (doc_id, pos, h) —
+      // hundreds of rows per doc. Result-identical: partitioning does
+      // not enter the window/distinct semantics. The partition count
+      // is EXPLICIT (shuffle-partitions), because a keyless-count
+      // repartition is AQE-coalesced by input bytes — n docs look tiny
+      // and the whole gram-explode+md5 pass landed on ~1 core (§2.5's
+      // "tiny input, heavy compute" trap; measured 5.8 → 14.1 s before
+      // the explicit count).
+      .repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("doc_id"), txt.as("txt"),
         explode(sequence(lit(1), length(txt) - lit(k - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),

@@ -28,6 +28,7 @@ object DumpPlan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var failed = List.empty[String]
     names.foreach { name =>
       val out = new java.io.File(outDir, s"${name}_$suffix.txt")
       try {
@@ -39,8 +40,16 @@ object DumpPlan {
         println(s"PLAN WRITTEN $name -> ${out.getPath} (${txt.length} chars)")
       } catch { case e: Throwable =>
         println(s"PLAN ERROR $name ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed ::= name
       } finally spark.catalog.clearCache()
     }
     spark.stop()
+    // Evidence files must not go silently missing in automated round
+    // runs (r16 advice): any failed dump fails the invocation.
+    if (failed.nonEmpty) {
+      System.err.println(s"DumpPlan: ${failed.size} plan(s) failed: " +
+        failed.reverse.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -90,6 +90,27 @@ class KMeansNDSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fit with an exact numRows equals the numRows=-1 fit (size-aware " +
+      "target branch, r16 advice) and an empty init returns cleanly at " +
+      "maxIter=0") {
+    val vecs = graft.ops.IvfIndex.vectors(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val init = KMeansND.initFromLowestIds(vecs, 4)
+    val n = vecs.count()
+    val (a, _) = KMeansND.fit(vecs, init, maxIter = 3,
+      tol = 0.0, convergence = false)
+    // exercises the exact-count target computation (rowBytes math,
+    // clamping) directly rather than through PqIndex/IvfIndex
+    val (b, _) = KMeansND.fit(vecs, init, maxIter = 3,
+      tol = 0.0, convergence = false, numRows = n)
+    assert(a == b)
+    // empty init + numRows set must not throw from the target
+    // computation (init.head guard); maxIter=0 returns the init as-is
+    val (e, it) = KMeansND.fit(vecs, Seq.empty, maxIter = 0,
+      tol = 0.0, convergence = false, numRows = n)
+    assert(e.isEmpty && it == 0)
+  }
+
   test("fit on the real 64-dim embeddings reduces the objective") {
     val vecs = graft.ops.IvfIndex.vectors(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))

@@ -195,6 +195,27 @@ class GraphOpsSpec extends SparkSpec {
       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
 
+  test("deterministic mode ties equal the (cnt DESC, label ASC) argmax " +
+      "(the r17 one-aggregate LP round)") {
+    import org.apache.spark.sql.functions._
+    // node 1: labels 5 and 2 tie at 2 occurrences -> argmax picks 2;
+    // node 2: label 7 strictly wins; node 3: all singletons -> smallest
+    val rows = Seq((1L, 5L), (1L, 5L), (1L, 2L), (1L, 2L), (1L, 9L),
+      (2L, 7L), (2L, 7L), (2L, 1L), (3L, 8L), (3L, 4L), (3L, 6L))
+      .toDF("node", "label")
+    val viaMode = rows.groupBy("node")
+      .agg(mode(col("label"), deterministic = true).as("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaArgmax = rows.groupBy("node", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("node")
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaMode == Map(1L -> 2L, 2L -> 7L, 3L -> 4L))
+    assert(viaMode == viaArgmax)
+  }
+
   test("modularity: two clean triangles Q = 1/2 exactly; one community Q = 0") {
     def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
     val edges = sym(Seq(
