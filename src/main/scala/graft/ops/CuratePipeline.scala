@@ -209,16 +209,16 @@ object CuratePipeline {
       minTokens: Long = 20,
       maxStopwordRatio: Double = 0.5,
       nearDupThreshold: Double = 0.8): DataFrame = {
-    // One eager checkpoint (q — the tokenization-heavy scorer feeding
-    // every stage); keepQ is a pure filter over q's materialized rows
-    // (its former eager checkpoint re-copied them in a standalone job)
-    // and exactKeep checkpoints LAZILY — it materializes inside the
-    // final four-branch job and is shared by stages 2 and 3 there,
-    // instead of paying its own upfront pass (r17, guide §1.2 step 1:
-    // remove passes).
+    // All three stage checkpoints are LAZY or gone (r17, guide §1.2
+    // step 1: remove passes): q materializes once inside the final
+    // four-branch job (all four aggregates share its blocks there)
+    // instead of in a standalone serial pass; keepQ is a pure filter
+    // over q's materialized rows (its former eager checkpoint
+    // re-copied them in another standalone job); exactKeep
+    // materializes in the final job too, shared by stages 2 and 3.
     val q = TextOps.qualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val keepQ = q.filter(col("n_tokens") >= minTokens &&
       col("stopword_ratio") <= maxStopwordRatio)
     val exactKeep = TextOps.fingerprints(docs)
