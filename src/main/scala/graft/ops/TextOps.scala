@@ -2070,7 +2070,17 @@ object TextOps {
     val tok = col("token")
     val idx = pmod(Dedup.md5Hash60(seed, tok), lit(dim.toLong))
     val sign = pmod(Dedup.md5Hash60(seed + 1, tok), lit(2L)) * 2L - 1L
+    // Pre-partition the docs by doc_id (explicit count — see
+    // Dedup.shingles) before the token explode (r17, guide §2.4):
+    // hash(doc_id) satisfies BOTH this (doc_id, feature_idx) aggregate
+    // and denseFeatures' downstream per-doc assembly, so the one small
+    // docs exchange replaces two exchanges of the exploded token-hash
+    // stream, and the md5 hashing fans out to full width instead of
+    // inheriting the scan's partitioning.
     docs
+      .repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .select(col("doc_id"), idx.as("feature_idx"), sign.as("sign"))
       .groupBy("doc_id", "feature_idx")
