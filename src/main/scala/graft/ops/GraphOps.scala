@@ -72,7 +72,7 @@ object GraphOps {
           .select(col("node"), (lit(1.0) / col("n").cast("double")).as("rank"))
       case Some(sg) =>
         nodes.crossJoin(broadcast(nRow))
-          .join(sg.hint("SHUFFLE_HASH"), Seq("node"), "left")
+          .join(sg, Seq("node"), "left")
           .select(col("node"),
             (lit(base) * (lit(1.0) / col("n").cast("double")) +
               lit(damping) *
@@ -82,15 +82,7 @@ object GraphOps {
     }
     var rank = freshRank(None)
     for (i <- 1 to iters) {
-      // SHUFFLE_HASH on the |V|-sized rank side (r17, guide §3.1): the
-      // default SortMergeJoin re-SORTED the checkpointed |E|-row ewd
-      // relation every superstep (ewd is hash(src)-partitioned but
-      // unsorted, so only the exchange was reused); hashing the node-
-      // state side streams ewd unsorted. Broadcasting rank would be
-      // wrong at 100 TB (|V| grows with the graph) — per-partition
-      // hash build is the scale-safe strategy. Join strategy does not
-      // touch values: results stay hash-exact.
-      val sums = ewd.join(rank.hint("SHUFFLE_HASH"), col("src") === col("node"))
+      val sums = ewd.join(rank, col("src") === col("node"))
         .select(col("dst"),
           round(col("rank") / col("deg").cast("double") * Grid)
             .cast("long").as("g"))
@@ -135,7 +127,7 @@ object GraphOps {
           .select(col("node"), teleport.as("rank"))
       case Some(sg) =>
         nodes.crossJoin(broadcast(nSrcRow))
-          .join(sg.hint("SHUFFLE_HASH"), Seq("node"), "left")
+          .join(sg, Seq("node"), "left")
           .select(col("node"),
             (lit(base) * teleport +
               lit(damping) *
@@ -144,8 +136,7 @@ object GraphOps {
     }
     var rank = fresh(None)
     for (i <- 1 to iters) {
-      // SHUFFLE_HASH on the rank side — see pageRank (r17, §3.1)
-      val sums = ewd.join(rank.hint("SHUFFLE_HASH"), col("src") === col("node"))
+      val sums = ewd.join(rank, col("src") === col("node"))
         .select(col("dst"),
           round(col("rank") / col("deg").cast("double") * Grid)
             .cast("long").as("g"))
@@ -798,24 +789,12 @@ object GraphOps {
     // overhead; ckptEvery bounds plan depth on long runs. Integer-only
     // arithmetic — nothing to snap.
     for (i <- 1 to rounds) {
-      // ONE node-keyed aggregation per round (r17, guide §2.4): the
-      // neighbor-majority argmax is mode(label) with deterministic
-      // tie-breaking — Spark's deterministic Mode returns the SMALLEST
-      // value among equal-frequency keys (maxBy (count, key) under the
-      // reversed key ordering), which is exactly the previous
-      // max(struct(cnt, -label)) = (cnt DESC, label ASC) head, so the
-      // labels are bit-identical (GraphOpsSpec pins this on a tie
-      // fixture). The previous two-step shape (groupBy(node, label)
-      // count, then groupBy(node) argmax) paid TWO exchanges per round
-      // because hash(node, label) does not satisfy the second agg's
-      // hash(node) clustering; Mode is a TypedImperativeAggregate, so
-      // the per-node label→count map builds map-side and only the
-      // degree-bounded partial maps cross the one exchange.
-      labels = edges.join(labels.hint("SHUFFLE_HASH"),
-          edges("dst") === labels("node"))
+      val counts = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
-        .groupBy("node")
-        .agg(mode(col("label"), deterministic = true).as("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+      labels = counts.groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
       if (i % ckptEvery == 0 && i < rounds) labels = labels.localCheckpoint(true)
     }
     labels
@@ -875,15 +854,13 @@ object GraphOps {
     val m = edges.agg(count(lit(1)).as("md"))
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val dc = deg.join(labels.hint("SHUFFLE_HASH"), Seq("node"))
+    val dc = deg.join(labels, Seq("node"))
       .groupBy("label").agg(sum("deg").as("dc"))
-    // SHUFFLE_HASH on the ≤|V|-row label side of both endpoint joins —
-    // §3.1 (the edge relation streams unsorted through each)
     val intra = edges
-      .join(labels.select(col("node").as("src"), col("label").as("ls"))
-        .hint("SHUFFLE_HASH"), Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("label").as("ld"))
-        .hint("SHUFFLE_HASH"), Seq("dst"))
+      .join(labels.select(col("node").as("src"), col("label").as("ls")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+        Seq("dst"))
       .filter(col("ls") === col("ld"))
       .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra"))
     val sums = dc.join(intra, Seq("label"), "left")

@@ -195,8 +195,13 @@ class GraphOpsSpec extends SparkSpec {
       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
 
+  // The one-aggregate LP round (mode instead of count+argmax) was tried
+  // and REVERTED in r17: the TypedImperativeAggregate falls back to
+  // sort-based aggregation past 128 keys/partition and measured 16→119 s
+  // at sf1. This pin documents the semantic equivalence that made the
+  // experiment valid, should the fallback threshold ever be revisited.
   test("deterministic mode ties equal the (cnt DESC, label ASC) argmax " +
-      "(the r17 one-aggregate LP round)") {
+      "(the rejected r17 one-aggregate LP round)") {
     import org.apache.spark.sql.functions._
     // node 1: labels 5 and 2 tie at 2 occurrences -> argmax picks 2;
     // node 2: label 7 strictly wins; node 3: all singletons -> smallest
