@@ -249,38 +249,71 @@ object Multimodal {
     (r << 16) | (g << 8) | b
   }
 
-  /** Render + PNG-encode the synthetic image (real codec, real bytes). */
+  // The default ImageIO stream cache spools every encode AND decode
+  // through a temp FILE on disk (FileCacheImageInput/OutputStream) —
+  // per image, under 32 concurrent tasks. Memory-cached streams plus
+  // per-thread reader/writer instances (the registry scan inside
+  // ImageIO.read/write is a per-call cost) keep the codec itself the
+  // only work. Output bytes/pixels are identical — same PNG plugin.
+  javax.imageio.ImageIO.setUseCache(false)
+  private val tlPngWriter =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  private val tlPngReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
+  /** Render + PNG-encode the synthetic image (real codec, real bytes).
+    * Pixels are written straight into the image's int raster buffer —
+    * per-pixel setRGB routes every store through the color model. */
   def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      while (x < w) { buf(y * w + x) = pixel(docId, x, y); x += 1 }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val wr = tlPngWriter.get()
+    wr.setOutput(ios)
+    wr.write(img)
+    ios.close()
     bos.toByteArray
+  }
+
+  /** Decode a PNG payload with the real ImageIO PNG plugin (memory-
+    * cached stream, metadata skipped — the pixel path is unchanged). */
+  private def decodePng(png: Array[Byte]): java.awt.image.BufferedImage = {
+    val rd = tlPngReader.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    rd.setInput(iis, true, true)
+    val img = rd.read(0)
+    iis.close()
+    img
   }
 
   /** Decode a PNG payload and reduce to (width, height, per-channel
     * pixel sums) — integer-exact, the oracle-comparable face of a
-    * decoded tensor. */
+    * decoded tensor. Bulk getRGB: one color-model pass over the image
+    * instead of a method call per pixel. */
   def decodeChannelSums(png: Array[Byte]): (Int, Int, Long, Long, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val img = decodePng(png)
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var rs = 0L; var gs = 0L; var bs = 0L
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val p = img.getRGB(x, y)
-        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+      i += 1
     }
-    (img.getWidth, img.getHeight, rs, gs, bs)
+    (w, h, rs, gs, bs)
   }
 
   /** Per-doc image dimensions — small (≤ 23×17) so the fixture encodes
@@ -358,8 +391,8 @@ object Multimodal {
     codecParallel(docs.select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (w, h) = dims(id)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(encodePng(id, w, h)))
+        val img = decodePng(encodePng(id, w, h))
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val sg = Array.ofDim[Long](8, 9)
         val n = Array.ofDim[Long](8, 9)
         var y = 0
@@ -368,7 +401,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val c = x * 9 / w
-            val p = img.getRGB(x, y)
+            val p = px(y * w + x)
             sg(r)(c) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
             n(r)(c) += 1
             x += 1
