@@ -315,8 +315,15 @@ object KMeansOps {
     // the md5 race hash is a pure per-point value used by all k rounds:
     // materialize it ONCE (the hash dominates the per-pass cost — the
     // k distance folds are cheap by comparison; measured 7.5 → ~2 s at
-    // sf0.1 for k=8)
-    val hashed = points
+    // sf0.1 for k=8). Spread to full parallelism first: the points scan
+    // is one parquet split, so the hash pass and all k TakeOrdered
+    // races otherwise run on a single core (races are global sorts —
+    // partitioning changes no bits).
+    val defPar = points.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (points.rdd.getNumPartitions < defPar) points.repartition(defPar)
+      else points
+    val hashed = wide
       .select(col("pid"), col("x"), col("y"),
         graft.ops.Dedup.md5Hash60(seed, col("pid").cast("string")).as("h"))
       .localCheckpoint(true)

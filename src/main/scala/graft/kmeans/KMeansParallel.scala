@@ -68,6 +68,19 @@ object KMeansParallel {
   private def sqDistTo(cx: Double, cy: Double): Column =
     KMeansOps.sqDist(col("x"), col("y"), lit(cx), lit(cy))
 
+  /** The points relation at full parallelism (the KMeansFit idiom,
+    * §2.4/§6): the sf-scale points scan is ONE 10 MB parquet split, so
+    * without this the md5 pass, every per-round φ/acceptance scan and
+    * the |cands|-term argmin all run on a single core. Every consumer
+    * here is partition-order-independent (decimal φ sums, global-sort
+    * races, per-row argmin + count agg), so the spread changes no
+    * bits. */
+  private def widened(points: DataFrame): DataFrame = {
+    val defPar = points.sparkSession.sparkContext.defaultParallelism
+    if (points.rdd.getNumPartitions < defPar) points.repartition(defPar)
+    else points
+  }
+
   private def minD2(cs: Seq[(Long, Double, Double)]): Column = {
     val terms = cs.map { case (_, cx, cy) => sqDistTo(cx, cy) }
     if (terms.size == 1) terms.head else least(terms: _*)
@@ -98,7 +111,7 @@ object KMeansParallel {
     }
     // one pass materializes every round's uniform draw (the md5s
     // dominate per-pass cost — same lesson as kmeansPlusPlus)
-    val hashed = points
+    val hashed = widened(points)
       .select(col("pid") +: col("x") +: col("y") +: hashCols: _*)
       // LAZY checkpoint: the first-pick TakeOrdered below touches every
       // partition, so it materializes the blocks as a side effect —
@@ -186,7 +199,7 @@ object KMeansParallel {
       when(col(s"sq${byIdx.head.cidx}") === col("m"), lit(byIdx.head.cidx))) {
       (acc, c) => acc.when(col(s"sq${c.cidx}") === col("m"), lit(c.cidx))
     }.otherwise(lit(-1))
-    val w = points.select(sqCols: _*).withColumn("m", m)
+    val w = widened(points).select(sqCols: _*).withColumn("m", m)
       .select(cidx.as("cidx"))
       .groupBy("cidx").agg(count(lit(1)).as("w"))
     cands.toDF("cidx", "rnd", "pid", "x", "y")
