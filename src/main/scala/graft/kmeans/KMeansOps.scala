@@ -315,10 +315,16 @@ object KMeansOps {
     // the md5 race hash is a pure per-point value used by all k rounds:
     // materialize it ONCE (the hash dominates the per-pass cost — the
     // k distance folds are cheap by comparison; measured 7.5 → ~2 s at
-    // sf0.1 for k=8). Spread to full parallelism first: the points scan
-    // is one parquet split, so the hash pass and all k TakeOrdered
-    // races otherwise run on a single core (races are global sorts —
-    // partitioning changes no bits).
+    // sf0.1 for k=8). Spread to full parallelism first: the single-file
+    // fixture scan plans `min(maxPartitionBytes, max(openCost,
+    // bytes/defPar))`-sized splits but the file holds ONE ~128 MB row
+    // group per ~10M rows, so nearly all splits are EMPTY (sf1: 20
+    // planned partitions, 1 non-empty) and the hash pass plus all k
+    // TakeOrdered races run on a single core without the spread (races
+    // are global sorts — partitioning changes no bits). A partition-
+    // count ==1 guard is NOT equivalent: it misses the empty-split
+    // shape (measured sf1 init_kmeanspp 10 s spread vs 19-20 s
+    // unspread, 3 probes each).
     val defPar = points.sparkSession.sparkContext.defaultParallelism
     val wide =
       if (points.rdd.getNumPartitions < defPar) points.repartition(defPar)

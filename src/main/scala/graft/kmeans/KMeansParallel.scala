@@ -69,12 +69,17 @@ object KMeansParallel {
     KMeansOps.sqDist(col("x"), col("y"), lit(cx), lit(cy))
 
   /** The points relation at full parallelism (the KMeansFit idiom,
-    * §2.4/§6): the sf-scale points scan is ONE 10 MB parquet split, so
-    * without this the md5 pass, every per-round φ/acceptance scan and
-    * the |cands|-term argmin all run on a single core. Every consumer
-    * here is partition-order-independent (decimal φ sums, global-sort
-    * races, per-row argmin + count agg), so the spread changes no
-    * bits. */
+    * §2.4/§6): the single-file fixture scan plans byte-ranged splits
+    * but the file holds one ~128 MB row group per ~10M rows, so nearly
+    * all splits are EMPTY (sf1: 20 planned partitions, 1 non-empty) —
+    * without the spread the md5 pass, every per-round φ/acceptance
+    * scan and the |cands|-term argmin run on a single core. Every
+    * consumer here is partition-order-independent (decimal φ sums,
+    * global-sort races, per-row argmin + count agg), so the spread
+    * changes no bits. A partition-count ==1 guard is NOT equivalent:
+    * it misses the empty-split shape (measured sf1 init_kmeanspp 10 s
+    * spread vs 19-20 s unspread, 3 probes each). On a real cluster the
+    * scan has ≥ defPar populated splits and this is a no-op. */
   private def widened(points: DataFrame): DataFrame = {
     val defPar = points.sparkSession.sparkContext.defaultParallelism
     if (points.rdd.getNumPartitions < defPar) points.repartition(defPar)
